@@ -1,0 +1,85 @@
+"""SparkSession construction and session-level configuration.
+
+Design notes (SURVEY.md §7.3 Wave 0, §7.4 G1/G6):
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` is REQUIRED to read the
+  ``events`` table (parquet TIMESTAMP(NANOS) is otherwise rejected by
+  Spark 4.x). It is a runtime-settable session conf, so we also apply it
+  defensively to externally-created sessions (the driver passes its own
+  session into ``entry()`` / ``queries()``).
+- Session timezone is pinned to UTC so ``timestamp_micros()`` reconstruction
+  of event-time agrees with DuckDB's naive microsecond timestamps.
+- AQE is left on: at 100 TB it coalesces shuffle partitions and handles
+  skew joins at runtime; at bench scale it removes tiny-partition overhead.
+- ``spark.sql.shuffle.partitions`` defaults to 2x local cores: big enough to
+  use every core even with AQE coalescing, small enough not to drown sf0.1
+  in task-scheduling overhead. On a real cluster this would be sized to
+  ~128 MB of shuffle data per partition instead (AQE's coalescing makes the
+  initial number mostly a ceiling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable session confs that our queries depend on. Applied both
+#: at build time and defensively to externally-created sessions.
+_SESSION_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to any session (ours or the driver's).
+
+    Idempotent and cheap; every query builder routes through this so the
+    events table stays readable and timestamps stay UTC-deterministic no
+    matter who constructed the session.
+    """
+    for key, value in _SESSION_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable in this deployment (e.g. locked by the cluster
+            # admin) — queries still work if the deployment default is sane.
+            pass
+    return spark
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = "noaa-etl-daily-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 2 * cores)
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # dims (region..supplier, even part at sf0.1) are far below this;
+        # broadcast them instead of shuffling the fact table.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in _SESSION_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return configure_session(spark)

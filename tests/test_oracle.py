@@ -1,0 +1,48 @@
+"""Differential oracle tests: every registered query with an oracle SQL is
+checked Spark-vs-DuckDB at sf0.01 — the local mirror of the driver's t2
+correctness gate. Rows-only queries are at least executed and sanity-checked
+(non-crash, stable schema, plausible row count) here; their deeper property
+checks live in test_properties.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from noaa_etl_daily_spark.registry import load_all
+
+from .conftest import assert_same_results
+
+REGISTRY = load_all()
+ORACLED = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(name, spark, oracle, sf_dir):
+    q = REGISTRY[name]
+    df = q.builder(spark, sf_dir)
+    assert_same_results(df, oracle, q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    q = REGISTRY[name]
+    df = q.builder(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(os_) <= set(qs), "every oracle key must have a query"
