@@ -23,7 +23,13 @@ from noaa_etl_daily_spark.session import get_spark
 # the registry as waves land. Overridable: bench.py q1 q2 ...
 DEFAULT_HEADLINE = [
     "agg_groupby_multi",
-    "agg_global",
+    "join_broadcast_chain",
+    "join_asof",
+    "win_topk_per_group",
+    "agg_pivot",
+    "topk_limit",
+    "agg_count_distinct",
+    "filter_compound",
 ]
 
 

@@ -1,3 +1,11 @@
 """Operator modules. Importing this package populates the query registry."""
 
-from . import aggregates  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    scans,
+    setops,
+    sorting,
+    windows,
+)

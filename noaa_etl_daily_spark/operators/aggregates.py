@@ -97,3 +97,248 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group. Spark plans multi-distinct via
+    expand + two-phase aggregation; exact-distinct is the expensive path
+    at 100 TB (see agg_approx_count_distinct for the sketch path)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_count_distinct", tags=("approx", "rows-only"))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100 TB path: fixed-size sketch
+    buffers merge across partitions instead of shuffling distinct values.
+    No oracle (sketch estimates are engine-specific); the pytest layer
+    asserts the estimate is within 5% of exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT o_custkey,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+               AS finished_value,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2)
+               AS open_value,
+           CAST(count(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 END) AS BIGINT)
+               AS n_urgent
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: per-customer measures split by predicate
+    (sum(CASE WHEN ...)) — one scan produces many conditional measures,
+    the standard alternative to N filtered scans."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("finished_value"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("open_value"),
+        F.count(F.when(F.col("o_orderpriority").like("1-%"), F.lit(1))).alias("n_urgent"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(var_samp(l_quantity), 4)         AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar). Engines use
+    different update/merge formulations (Welford vs naive), so results are
+    rounded at a precision coarse enough to absorb the ~1e-10 relative
+    difference on both sides identically."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_price_qty"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation). NOT percentile_approx:
+    approximate sketches differ per engine. At 100 TB you'd flip to
+    approx_percentile and drop the oracle — exact percentile requires a
+    per-group sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group collected value list, sorted for determinism then
+    serialized to a string (nested outputs are kept out of the driver's
+    value-hash per SURVEY §7.4 G7; the array-typed form is exercised in
+    the LLM centroid query)."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_nationkey"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy: (region, nation) → (region) → (). Spark
+    plans rollup as Expand + single hash aggregate — one pass over the
+    input regardless of grouping-set count."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations in one Expand+aggregate pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+               AS grouping_mask,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (an
+    all-orders total, per-status subtotals, and status×priority cells in
+    one pass; the mask distinguishes a real NULL group key from a
+    subtotal row)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("long").alias("grouping_mask"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           """
+    + ",\n           ".join(
+        f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 4) AS {t}"
+        for t in EVENT_TYPES
+    )
+    + """
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (the classic NOAA transform: element rows →
+    TMAX/TMIN/PRCP columns). Pivot values are passed EXPLICITLY — without
+    them Spark runs an extra distinct-scan job to discover them, and
+    column order becomes data-dependent."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 4))
+    )

@@ -1,0 +1,304 @@
+"""Join operators (SURVEY.md §2.3).
+
+Spark-first scale notes:
+
+- Dimension joins (region/nation/customer/supplier/part) are explicitly
+  ``broadcast()``-hinted: at 100 TB the fact table never shuffles for a
+  dim join — each executor gets the dim hash table. (AQE would usually
+  pick this anyway; the hint makes the plan deterministic.)
+- Fact-fact joins (lineitem⋈orders, events⋈events) shuffle on the join
+  key; AQE handles skew splitting at runtime.
+- The theta/range self-join keeps an EQUI component (user_id) so Spark
+  plans a hash join with the range condition as a post-join filter —
+  never a broadcast-nested-loop over the full fact table.
+- The as-of join is implemented with the union + window trick: O(n log n)
+  per key with a single shuffle, instead of the O(n·m) join+filter+rank
+  naive form. This is the scalable pattern for "latest reading at or
+  before T" lookups (the NOAA station-observation alignment problem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           l.l_extendedprice * (1 - l.l_discount) AS net_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (observation→batch-header analogue). Shuffle
+    hash / sort-merge on the key; the status filter is pushed below the
+    join on the orders side."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_chain",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): revenue per region/nation.
+    customer/nation/region are broadcast so the only shuffle is
+    lineitem⋈orders plus the final aggregation exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with no matching (P-status)
+    orders — null extension on the right side."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(cu.nationkey, su.nationkey) AS nationkey,
+           cu.n_customers, su.n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_customers
+          FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey) cu
+    FULL JOIN (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+               FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) su
+      ON cu.nationkey = su.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates: nations with high-balance
+    customers vs suppliers — nulls appear on whichever side is absent."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    cu = (
+        customer.filter(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        supplier.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cu.join(su, "nationkey", "full").select(
+        "nationkey", "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter (left semi): customers with at least one finished
+    order. Semi join never duplicates left rows — cheaper than join +
+    distinct at scale."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence filter (left anti): customers with no pending orders."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS BOOLEAN) AS same_region
+    FROM region r
+    CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (basis of brute-force similarity §2.10) — only
+    ever sane when at least one side is tiny/broadcast, as here."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(F.broadcast(nation)).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("same_region"),
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,
+           CAST(date_diff('microseconds', a.ts, b.ts) AS BIGINT) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: view→purchase pairs by the same user within
+    5 minutes. The equi component (user_id) keeps this a hash/sort-merge
+    join with the range as a residual filter — NOT a nested-loop over the
+    fact table, which is what a bare theta join would plan at 100 TB."""
+    events = load(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "view").alias("a")
+    b = events.filter(F.col("event_type") == "purchase").alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        F.col("a.event_id").alias("first_id"),
+        F.col("b.event_id").alias("second_id"),
+        F.col("a.user_id").alias("user_id"),
+        (
+            # ntz→ltz cast is wall-clock-identity under the pinned UTC session
+            F.unix_micros(F.col("b.ts").cast("timestamp"))
+            - F.unix_micros(F.col("a.ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT purchase_id, purchase_ts, user_id, view_id, view_ts
+    FROM (
+        SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, p.user_id,
+               v.event_id AS view_id, v.ts AS view_ts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view by the same user at
+    or before the purchase time (ties broken by highest event_id).
+
+    Implemented with the scalable union+window pattern: tag both streams,
+    union, and take last(view, ignorenulls) over (user, ts) ordering —
+    one shuffle, O(n log n) per key, no join blow-up. DuckDB's native
+    ASOF JOIN is the oracle's idiomatic form but leaves equal-ts ties
+    engine-defined, so the oracle uses the explicit window form."""
+    events = load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        F.col("event_id"),
+        F.struct("ts", "event_id").alias("view_info"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None)
+        .cast("struct<ts:timestamp_ntz,event_id:bigint>")
+        .alias("view_info"),
+    )
+    # Views sort before purchases at equal ts (is_purchase asc) so an
+    # equal-ts view is visible to the purchase; among equal-ts views the
+    # highest event_id wins (matches the oracle's ORDER BY ... event_id DESC).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "last_view", F.last("view_info", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+        F.col("last_view.event_id").alias("view_id"),
+        F.col("last_view.ts").alias("view_ts"),
+    )

@@ -1,0 +1,235 @@
+"""Sources and sinks (SURVEY.md §2.1) — the ETL extract/load surface.
+
+Spark-first notes:
+
+- ``scan_parquet`` is the pattern every other query builds on: a plain
+  ``spark.read.parquet`` whose column pruning / predicate pushdown is left
+  entirely to Catalyst (check ``.explain``: ``ReadSchema`` narrows,
+  ``PushedFilters`` populates).
+- CSV/JSON ingest uses explicit schemas (never ``inferSchema`` — at 100 TB
+  schema inference is an extra full pass over the data).
+- Sinks write partitioned parquet; partition columns are the date-like /
+  low-cardinality keys so downstream readers get partition pruning.
+  Idempotent daily re-runs use dynamic partition overwrite — re-running a
+  day replaces exactly that day's partition, nothing else (the classic
+  daily-ETL idempotency requirement).
+
+Sink and self-generated-source queries round-trip through
+``<repo>/.scratch`` and are verified by reading back and aggregating, so
+they get a real DuckDB oracle (parquet round-trip is lossless) instead of
+a rows-only check wherever possible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import load, path_for
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(*parts: str) -> str:
+    path = os.path.join(SCRATCH, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+LINEITEM_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT " + ", ".join(LINEITEM_COLS) + " FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan with stable, explicit column order. Values pass
+    through untouched so the hash check proves lossless reads (incl. the
+    timestamp_ntz handling of l_shipdate)."""
+    return load(spark, sf_dir, "lineitem").select(*LINEITEM_COLS)
+
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@register(
+    "scan_csv_schema",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV extract with an explicit declared schema (the ETL 'extract' step;
+    NOAA GHCN daily files are CSV-shaped). The fixture has no CSV, so we
+    round-trip orders through CSV in scratch — Spark writes it, Spark reads
+    it back with a declared StructType, and the aggregate must match the
+    DuckDB view of the original parquet, proving the CSV codec is lossless
+    for these types. Doubles survive because Spark writes round-trippable
+    repr; timestamps use an explicit format."""
+    out = _scratch("csv", _sf_tag(sf_dir), "orders")
+    orders = load(spark, sf_dir, "orders").select(*[f.name for f in ORDERS_CSV_SCHEMA])
+    (
+        orders.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(ORDERS_CSV_SCHEMA)
+        .option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "scan_json_lines",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type, value, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest (API payload shape): events round-trip through
+    ndjson in scratch, read back with an explicit schema, and the nested
+    ``props.k`` field is extracted — verified against DuckDB reading the
+    original parquet + json_extract."""
+    out = _scratch("json", _sf_tag(sf_dir), "events")
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
+    events.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max(F.get_json_object("props", "$.k").cast("long")).alias("max_k"),
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar sink (the ETL 'load' step): write lineitem
+    partitioned by l_returnflag, read it back, aggregate per partition.
+    Matching the DuckDB view of the ORIGINAL table proves the round-trip
+    is lossless and partition values survive directory encoding. At 100 TB
+    the partition column would be the date key so readers prune days."""
+    out = _scratch("parquet_part", _sf_tag(sf_dir), "lineitem")
+    li = load(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "sink_idempotent_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-rerun idempotency via dynamic partition overwrite: write all
+    partitions, then re-run the load for ONE partition ('F'). With
+    partitionOverwriteMode=dynamic the rewrite replaces only that
+    partition; total counts must still equal the source (no duplication,
+    no loss) — the core guarantee a daily NOAA-style ETL needs."""
+    out = _scratch("parquet_idem", _sf_tag(sf_dir), "orders")
+    orders = load(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # simulate the daily re-run of a single day/partition
+    orders.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "schema_cast_normalize",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_no,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_units,
+           round(l_extendedprice / 10.0, 4) AS price_scaled,
+           CAST(l_shipdate AS DATE) AS ship_day
+    FROM lineitem
+    """,
+)
+def schema_cast_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast / rename / reorder to a target schema — the GHCN 'scaled
+    integer → physical value' normalization pattern (value/10.0). floor()
+    is explicit on both sides because bare double→int CAST truncates in
+    Spark but rounds in DuckDB."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.floor("l_quantity").cast("int").alias("qty_units"),
+        F.round(F.col("l_extendedprice") / 10.0, 4).alias("price_scaled"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )

@@ -1,0 +1,249 @@
+"""Window functions (SURVEY.md §2.5).
+
+Scale notes: every window below partitions by a real key (customer, user,
+returnflag) so Spark distributes partitions across executors and sorts
+within them — there is no global-ordering window anywhere (a window with
+no PARTITION BY collapses all data onto one task at 100 TB; if ever
+needed, pre-bucket by range and stitch boundaries).
+
+Determinism (SURVEY §7.4 G3): every ORDER BY inside a window spec ends
+with a unique tiebreaker column unless tie-insensitivity is the point
+(rank/dense_rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC)
+                AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency ranking per customer (basis of keep-first dedup)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS qty_rank,
+           CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS qty_dense_rank,
+           CAST(ntile(4)     OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS qty_quartile
+    FROM lineitem
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over a tie-heavy key (equal quantities share a
+    rank — deterministic as a result set even with ties) and ntile with a
+    fully-tiebroken ordering (ntile assigns by row position, so ties MUST
+    be broken for cross-engine determinism)."""
+    li = load(spark, sf_dir, "lineitem")
+    ties = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    total = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(ties).cast("long").alias("qty_rank"),
+        F.dense_rank().over(ties).cast("long").alias("qty_dense_rank"),
+        F.ntile(4).over(total).cast("long").alias("qty_quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta analogue: previous/next reading per user in
+    event-time order. Raw doubles pass through (identical per-row
+    subtraction is bit-exact across engines — no rounding needed)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend in order-date order."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "win_moving_avg_rows",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS smoothed_value
+    FROM events
+    """,
+)
+def win_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average (the 7-day smoothing pattern of a
+    daily observation ETL), per user in event-time order."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("smoothed_value"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_last_hour,
+           round(sum(value) OVER w, 4) AS value_last_hour
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: trailing 1 hour of events per user. Both
+    engines order by the SAME second-truncated epoch (Spark's long cast
+    == DuckDB floor(epoch)) so frame boundaries agree exactly; a RANGE
+    frame over raw µs timestamps would need interval frames, which
+    Spark's rangeBetween doesn't take."""
+    events = load(spark, sf_dir, "events")
+    with_sec = events.withColumn(
+        "ts_sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return with_sec.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_events_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_order_price,
+           last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order_price
+    FROM orders
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last value per partition with an explicit full frame —
+    last_value over the default frame (ending CURRENT ROW) is the classic
+    silent bug; the frame is spelled out on both sides."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.last("o_totalprice").over(w).alias("last_order_price"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the grouped top-k pattern. Spark
+    pushes a per-partition rank limit below the shuffle (WindowGroupLimit
+    in 3.5+), so only candidate rows shuffle at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
