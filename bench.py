@@ -45,12 +45,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     names = sys.argv[1:] or [n for n in DEFAULT_HEADLINE if n in registry]
+    unknown = [n for n in names if n not in registry]
+    if unknown or not names:
+        sys.exit(
+            f"unknown queries: {unknown or '(none requested)'}; "
+            f"available: {sorted(registry)}"
+        )
 
     spark = get_spark(app_name="noaa-etl-daily-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # engine, not first-touch overhead
+    # Warm-up: touch every fixture table (parquet footers + schema
+    # inference) and run one query end-to-end (JVM JIT, codegen cache) so
+    # per-query times measure the plan, not first-touch overhead.
+    from noaa_etl_daily_spark.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
     registry[names[0]].builder(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()

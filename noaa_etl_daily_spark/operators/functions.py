@@ -1,0 +1,389 @@
+"""Scalar functions: string / date / math / conditional / array / json /
+hash (SURVEY.md §2.8).
+
+All eleven queries use only built-in ``pyspark.sql.functions`` — they stay
+JVM-side inside WholeStageCodegen, and predicates/projections over them
+remain Catalyst-optimizable. At 100 TB this whole surface is "free": scalar
+expressions pipeline inside the scan stage with zero shuffles.
+
+Cross-dialect discipline (SURVEY.md §7.4 G4):
+
+- ``dayofweek``: Spark is Sun=1..Sat=7, DuckDB is Sun=0..Sat=6 — the oracle
+  adds 1.
+- DuckDB ``year``/``length``/``len``/``date_diff`` return BIGINT where Spark
+  returns INT; DuckDB ``ceil``/``floor`` return DOUBLE where Spark returns
+  BIGINT — the oracle CASTs to Spark's types so the driver's schema check
+  passes.
+- Transcendentals (``ln``/``pow``) are rounded on both sides: Java Math and
+  C libm may differ in the last ulp.
+- Regexes keep to the dialect-common subset (anchors, classes, groups — no
+  lookaround), per G4.
+- Hash inputs avoid double columns (double→string rendering differs between
+  engines); int/string renderings are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "fn_string_basic",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_type) AS type_lower,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           trim(' ' || p_name || ' ') AS name_trimmed,
+           substring(p_type, 1, 5) AS type_prefix,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           concat_ws('-', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/trim/substring/length/lpad/concat_ws — the station-name
+    / code normalization surface of a NOAA-style ETL."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "fn_string_split_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(substring(text, 1, 40), '[aeiou]', '*', 'g') AS devoweled
+    FROM documents
+    """,
+)
+def fn_string_split_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split / regexp_extract / regexp_replace over the document corpus —
+    the tokenization primitives under §2.10's text analysis. Note Spark's
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.regexp_extract(F.col("text"), r"^([a-z]+) ([a-z]+)", 2).alias(
+            "second_word"
+        ),
+        F.regexp_replace(F.substring("text", 1, 40), r"[aeiou]", "*").alias(
+            "devoweled"
+        ),
+    )
+
+
+@register(
+    "fn_date_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts)  AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(day(ts)   AS INTEGER) AS d,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS mi
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    """,
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar part extraction (the per-day bucketing every daily ETL
+    does). dayofweek numbering differs across engines (Spark Sun=1,
+    DuckDB Sun=0) — reconciled in the oracle, G4."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+    )
+
+
+@register(
+    "fn_date_trunc_diff",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           date_trunc('month', l_shipdate) AS ship_month,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate)
+                AS INTEGER) AS days_since_epoch_start,
+           CAST(l_shipdate + INTERVAL 3 MONTH AS DATE) AS ship_plus_3mo
+    FROM lineitem
+    """,
+)
+def fn_date_trunc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc + day arithmetic + calendar-month addition. DuckDB
+    ``date_diff(part, start, end)`` computes end-start (opposite arg order
+    to Spark's ``datediff(end, start)``) — G4. Spark ``add_months`` and
+    DuckDB ``+ INTERVAL MONTH`` agree on end-of-month clamping (both
+    post-Spark-3.0 semantics)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        F.datediff(
+            F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+        ).alias("days_since_epoch_start"),
+        F.add_months(F.col("l_shipdate"), 3).alias("ship_plus_3mo"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0) AS abs_centered,
+           round(l_extendedprice * l_discount, 4) AS rounded_disc,
+           CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_floor,
+           round(ln(l_extendedprice + 1.0), 8) AS log_price,
+           round(sqrt(l_quantity), 8) AS sqrt_qty,
+           round(pow(l_discount + 1.0, 2.0), 8) AS disc_sq,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/sqrt/pow/sign/mod — the unit-scaling math of
+    the GHCN value/10 pattern. Transcendentals rounded to 8 decimals on
+    both sides (last-ulp libm drift, G2); ceil/floor CAST in the oracle
+    (DuckDB returns DOUBLE, Spark BIGINT)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("abs_centered"),
+        # round to 4: price (2 decimals) × discount (2 decimals) has exactly
+        # 4 decimal digits, so 4-digit rounding is exact on both engines;
+        # rounding to 3 would land on .xxx5 midpoints where Spark
+        # (BigDecimal HALF_UP) and DuckDB (C-library) tie-break differently.
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "rounded_disc"
+        ),
+        F.ceil(F.col("l_extendedprice") / 100.0).alias("price_ceil"),
+        F.floor(F.col("l_extendedprice") / 100.0).alias("price_floor"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 8).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 8).alias("sqrt_qty"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 2.0), 8).alias("disc_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 20 THEN 'standard'
+                ELSE 'small' END AS qty_band,
+           coalesce(nullif(l_returnflag, 'N'), 'no-return') AS return_kind,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0.0 END
+               AS finished_price
+    FROM lineitem
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN chains, coalesce/nullif, greatest/least — the quality-flag
+    branching of a validation stage. All conditions on raw columns so
+    Catalyst can still prune/push around them."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 20, "standard")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("no-return")
+        ).alias("return_kind"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))
+        .otherwise(0.0)
+        .alias("finished_price"),
+    )
+
+
+@register(
+    "fn_array_basic",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           list_contains(toks, 'join') AS has_join,
+           toks[1] AS first_tok,
+           toks[2:4] AS toks_2_to_4,
+           list_sort(toks[1:5]) AS first5_sorted
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / array_contains / element_at / slice / sort_array. Spark
+    element_at and DuckDB list indexing are both 1-based; Spark
+    slice(arr, start, length) maps to DuckDB's inclusive arr[start:end]."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.slice(toks, 2, 3).alias("toks_2_to_4"),
+        F.sort_array(F.slice(toks, 1, 5)).alias("first5_sorted"),
+    )
+
+
+@register(
+    "fn_array_explode",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           CAST(unnest(range(0, len(string_split(text, ' ')))) AS INTEGER)
+               AS pos
+    FROM documents
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → one row per element with its 0-based position.
+    The DuckDB oracle zips two parallel unnests (token + range index) —
+    DuckDB aligns same-SELECT unnests positionally. At 100 TB explode is
+    a narrow (no-shuffle) row multiplier; memory scales per-row, not
+    per-partition."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).select("doc_id", "token", "pos")
+
+
+@register(
+    "fn_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+               'sum'), 4) AS sq_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+               AS n_positive,
+           round(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               'max'), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate) over
+    the embedding vectors — JVM-side lambdas, no Python boundary. Both
+    engines fold the 64-element list left-to-right so the double sum is
+    order-identical; rounded anyway per G2."""
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double") * x
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias(
+            "n_positive"
+        ),
+        F.round(
+            F.array_max(dbl),
+            6,
+        ).alias("max_val"),
+    )
+
+
+@register(
+    "fn_map_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_pointed
+    FROM events
+    """,
+)
+def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access over events.props (the API-payload pattern):
+    full parse via from_json→map plus point access via get_json_object.
+    DuckDB json_extract returns a JSON value needing CAST — G4."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.element_at(
+            F.from_json(F.col("props"), "map<string,bigint>"), "k"
+        ).alias("k_typed"),
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias(
+            "k_pointed"
+        ),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sha256(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                            CAST(l_linenumber AS VARCHAR), l_returnflag,
+                            l_linestatus)) AS row_sha,
+           md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), l_returnflag))
+               AS short_md5
+    FROM lineitem
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable cross-engine row hashing — the basis of exact dedup at scale
+    (§2.10). sha256/md5 hex output is identical across engines; inputs are
+    int/string only (double→string rendering differs, G4). Spark's
+    xxhash64 is faster JVM-side but seed/spec-specific — not
+    cross-checkable, so not used in oracled queries."""
+    li = load(spark, sf_dir, "lineitem")
+    ow = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sha2(ow, 256).alias("row_sha"),
+        F.md5(
+            F.concat_ws("|", F.col("l_orderkey").cast("string"), F.col("l_returnflag"))
+        ).alias("short_md5"),
+    )

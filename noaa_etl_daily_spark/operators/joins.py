@@ -71,8 +71,10 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (TPC-H Q5 shape): revenue per region/nation.
-    customer/nation/region are broadcast so the only shuffle is
-    lineitem⋈orders plus the final aggregation exchange."""
+    nation/region are broadcast-hinted (fixed 25/5 rows at every scale);
+    customer is left to AQE so the plan stays safe when customer is
+    billions of rows — the only guaranteed shuffles are lineitem⋈orders
+    (+ customer if AQE declines to broadcast) and the final agg exchange."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -80,7 +82,11 @@ def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer SCALES with the data (billions of rows at 100 TB) — no
+        # forced broadcast hint; AQE/autoBroadcastJoinThreshold picks the
+        # strategy from actual size. Only the fixed-cardinality dims
+        # (nation=25, region=5) are hinted.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -207,10 +213,15 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_theta_range",
     oracle="""
+    -- CAST(ts AS TIMESTAMP) floors ns → µs exactly like the Spark-side
+    -- load_events conversion, so both engines join on identical µs values
+    -- even if fixtures ever carry sub-µs precision.
     SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,
            CAST(date_diff('microseconds', a.ts, b.ts) AS BIGINT) AS gap_us
-    FROM events a
-    JOIN events b
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+          FROM events) a
+    JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+          FROM events) b
       ON a.user_id = b.user_id
      AND b.ts > a.ts
      AND b.ts <= a.ts + INTERVAL 5 MINUTE
@@ -251,8 +262,10 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                v.event_id AS view_id, v.ts AS view_ts,
                row_number() OVER (PARTITION BY p.event_id
                                   ORDER BY v.ts DESC, v.event_id DESC) AS rn
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+                   FROM events WHERE event_type = 'view') v
           ON v.user_id = p.user_id AND v.ts <= p.ts
     )
     WHERE rn = 1

@@ -199,12 +199,17 @@ def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     no loss) — the core guarantee a daily NOAA-style ETL needs."""
     out = _scratch("parquet_idem", _sf_tag(sf_dir), "orders")
     orders = load(spark, sf_dir, "orders")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    # simulate the daily re-run of a single day/partition
-    orders.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").partitionBy(
-        "o_orderstatus"
-    ).parquet(out)
+    # simulate the daily re-run of a single day/partition; the overwrite
+    # mode is scoped to this writer (not session conf) so other queries'
+    # partitioned overwrites keep the deployment default semantics
+    (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
 

@@ -51,10 +51,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(path_for(sf_dir, "events"))
-    # ns → µs by integer division (truncation — matches DuckDB exactly;
-    # float division can round up across a µs boundary).
+    # ns → µs by FLOOR division (DuckDB's ns→µs read floors; Spark's `div`
+    # truncates toward zero, which differs by 1µs for pre-epoch negative
+    # timestamps — the correction term makes it floor for all inputs).
+    # Integer arithmetic throughout: double division of ~1.7e18 ns would
+    # lose precision past the 53-bit mantissa.
     return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        "ts",
+        F.expr(
+            "cast(timestamp_micros(ts div 1000 - cast(ts % 1000 < 0 as int)) "
+            "as timestamp_ntz)"
+        ),
     )
 
 
