@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     filters,
     functions,
     joins,
+    llm,
     scans,
     setops,
     sorting,

@@ -1,0 +1,632 @@
+"""LLM-data-pipeline operators over ``documents`` / ``embeddings``
+(SURVEY.md §2.10 — the BASELINE.json north-star mandate).
+
+These are the training-data-pipeline primitives: dedup (exact hash +
+banded MinHash), similarity search (exact cosine top-k + LSH-bucketed
+approximate), text analysis (tokenize, n-grams, per-language stats), and
+multimodal struct/binary columns.
+
+Scale design (100 TB corpus):
+
+- **Exact dedup** is one hash-shuffle: ``sha2(normalize(text))`` →
+  keep-first window per hash. No text comparison ever crosses the wire,
+  only 32-byte digests and doc ids.
+- **Near-dup MinHash is banded, never all-pairs.** Signatures are H
+  per-doc min-hashes computed by one explode+groupBy (map-side combined
+  partial min); candidates come from a self-equi-join on (band_id,
+  band_signature) — a hash shuffle whose key cardinality grows with the
+  corpus, so Catalyst executes it as an ordinary scalable hash join.
+  The O(n²) pair space is never materialized.
+- **Cosine top-k (exact)** broadcasts the small query-vector set against
+  the corpus — a map-only pass, no shuffle except the final per-query
+  top-k window over ≤|queries|×|corpus| rows. It is the *oracled exact
+  baseline*; the 100 TB path is the LSH variant.
+- **LSH approximate NN** buckets both sides by L×(sign-bit) random
+  hyperplane codes; candidate generation is an equi-join on
+  (table_id, bucket) — shuffle cost proportional to bucket collision
+  count, not n². Hyperplanes are deterministic module constants so plans
+  are reproducible across runs/executors.
+- Everything stays in built-in functions (JVM codegen); no Python UDFs
+  in any hot path.
+
+Cross-engine discipline: hashes are md5/sha2 hex (identical bytes in
+both engines); float reductions are computed in double with identical
+fold order Spark-vs-DuckDB and rounded before comparison (SURVEY §7.4
+G2/G3); rank ties break on ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col: str = "text"):
+    """Whitespace tokens of lower-cased text, empty strings dropped."""
+    return F.filter(F.split(F.lower(F.col(col)), " "), lambda t: t != "")
+
+
+@register(
+    "llm_text_tokenize_counts",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def llm_text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency table: tokenize + explode + groupBy.
+
+    At scale this is the canonical map-side-combinable aggregation: the
+    explode happens inside the scan stage and partial counts combine
+    before the single shuffle on ``word``."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "llm_text_ngrams",
+    oracle="""
+    SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+      FROM (SELECT list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents)
+    )
+    GROUP BY ngram
+    """,
+)
+def llm_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word trigram frequencies via higher-order array functions.
+
+    ``transform(sequence(...)) + slice`` builds the n-gram list inside
+    codegen — no Python, no extra shuffle beyond the count aggregation.
+    The ``size >= 3`` guard matters: Spark's ``sequence(1, 0)`` counts
+    *down* ([1, 0]) rather than producing an empty list."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    ngrams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(ngrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "llm_text_lang_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> ''))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (doc counts, char stats, token totals)
+    — the summary a data curator reads before sampling a training mix.
+    Single hash aggregation; token counting is array-length, not a second
+    explode."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(_tokens())).alias("total_tokens"),
+    )
+
+
+@register(
+    "llm_text_quality_score",
+    oracle="""
+    SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio,
+           round(0.4 * least(n_tokens / 400.0, 1.0)
+                 + 0.4 * uniq_ratio + 0.2 * (1.0 - stop_ratio),
+                 4) AS quality
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(len(list_distinct(toks)) * 1.0 / len(toks), 4)
+                 AS uniq_ratio,
+             round(len(list_filter(toks,
+                       t -> list_contains(['the','a','of','and','to'], t)))
+                   * 1.0 / len(toks), 4) AS stop_ratio
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents)
+      WHERE len(toks) > 0
+    )
+    """,
+)
+def llm_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (length + lexical diversity +
+    stopword ratio), the standard pre-training filter signal. Pure
+    array-expression arithmetic inside the scan stage — zero shuffles,
+    so at 100 TB it runs at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    toks = _tokens()
+    n = F.size(toks)
+    uniq = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n, 4
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n.alias("n_tokens"),
+            uniq.alias("uniq_ratio"),
+            stop_ratio.alias("stop_ratio"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "quality",
+            F.round(
+                0.4 * F.least(F.col("n_tokens") / 400.0, F.lit(1.0))
+                + 0.4 * F.col("uniq_ratio")
+                + 0.2 * (1.0 - F.col("stop_ratio")),
+                4,
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact_text",
+    oracle="""
+    SELECT doc_id, lang, content_sha
+    FROM (
+      SELECT doc_id, lang,
+             sha256(lower(trim(text))) AS content_sha,
+             row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def llm_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: normalize → sha256 → keep lowest doc_id per
+    digest. The only shuffle is on the 32-byte digest (perfectly
+    distributed by construction), and the window is per-digest so no
+    skew: this is the pattern that dedups a 100 TB corpus in one pass."""
+    docs = load(spark, sf_dir, "documents")
+    sha = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return (
+        docs.select("doc_id", "lang", sha.alias("content_sha"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_sha").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_MINHASH_H = 8  # minhash functions; banded 4 × 2
+_MINHASH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles per doc (the MinHash item set)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(sh).alias("sh")
+    ).distinct()
+
+
+@register(
+    "llm_dedup_near_minhash",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents)
+    ), sigs AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, sig FROM sigs, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common * 1.0
+                 / (za.n_sh + zb.n_sh - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
+)
+def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash over word
+    trigrams, with exact shingle-Jaccard computed *only for candidates*.
+
+    Scale shape: (1) one explode+groupBy builds 8 min-hashes per doc
+    (partial-min combines map-side); (2) candidates come from a
+    self-equi-join on (band_id, band_signature) — the LSH bucket join,
+    never the O(n²) pair space; (3) exact Jaccard touches only the
+    candidate pairs. Min-hash = lexicographic min of md5 hex (identical
+    bytes in Spark and DuckDB, so the whole pipeline is oracled)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(_MINHASH_H)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(F.col(f"h{i}"), F.col(f"h{j}")).alias("sig"),
+                    )
+                    for b, (i, j) in enumerate(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b_r"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    """Sequential-fold double dot product — identical order to the
+    DuckDB oracle's list_sum(list_transform(...)), so results match to
+    the last bit before rounding."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_COSINE_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+      SELECT vec_id, e,
+             list_sum(list_transform(e, x -> x * x)) AS nrm
+      FROM v
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           round(list_sum(list_transform(generate_series(1, len(q.e)),
+                                         i -> q.e[i] * c.e[i]))
+                 / sqrt(q.nrm * c.nrm), 4) AS sim
+    FROM d q JOIN d c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 100 = 0
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(list_sum(list_transform(generate_series(1, len(q.e)),
+                                               i -> q.e[i] * c.e[i]))
+                       / sqrt(q.nrm * c.nrm), 4) DESC,
+                 c.vec_id) <= 5
+"""
+
+
+@register("llm_sim_topk_cosine", oracle=_COSINE_ORACLE)
+def llm_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbours for each query vector (every 100th
+    vec_id) — the brute-force baseline the LSH variant is measured
+    against.
+
+    The query set is tiny by construction so Spark broadcasts it: the
+    join is map-only over the corpus (no shuffle of the big side), and
+    the only exchange is the per-query top-k window. Similarity is
+    rounded to 1e-4 and ranked on the *rounded* value with vec_id
+    tie-break (SURVEY §7.4 G2/G3), so rank order is engine-independent."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = _dot(F.col("embedding"), F.col("embedding"))
+    d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    q = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_e"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        joined.select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# Deterministic random hyperplanes for sign-bit LSH: L tables × B bits
+# over 64-dim embeddings. Module constants (seeded) so every executor,
+# run, and test sees the same plans.
+_LSH_TABLES = 3
+_LSH_BITS = 4
+_LSH_DIM = 64
+_LSH_PLANES = (
+    np.random.RandomState(7)
+    .standard_normal((_LSH_TABLES, _LSH_BITS, _LSH_DIM))
+    .round(6)
+)
+
+
+def _lsh_bucket(col, table: int):
+    """Bucket id in [0, 2^BITS) from sign bits of hyperplane dots."""
+    code = F.lit(0)
+    for b in range(_LSH_BITS):
+        plane = F.array(
+            *[F.lit(float(w)) for w in _LSH_PLANES[table, b]]
+        )
+        code = code + F.when(_dot(col, plane) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    return code
+
+
+@register("llm_sim_lsh_approx", tags=("approx", "rows-only"))
+def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbours via random-hyperplane
+    (sign-bit) LSH: 3 tables × 4 bits.
+
+    This is the 100 TB path: each vector maps to one bucket per table
+    (pure codegen arithmetic in the scan stage); candidate pairs come
+    from an equi-join on (table_id, bucket), so comparison cost scales
+    with bucket collisions, not n². Exact cosine is then computed only
+    within buckets and the union of tables is deduped before the final
+    per-query top-k. Recall vs the exact variant is property-tested in
+    tests/test_properties.py (no DuckDB oracle — approximate by
+    design)."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = _dot(F.col("embedding"), F.col("embedding"))
+    d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    buckets = d.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        _lsh_bucket(F.col("embedding"), t).alias("bucket"),
+                    )
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "nrm", "tb.table_id", "tb.bucket")
+
+    q = buckets.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_e"),
+        F.col("nrm").alias("q_nrm"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        buckets.join(F.broadcast(q), ["table_id", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_e", "q_nrm", "vec_id", "embedding", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal + embedding aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_struct",
+    oracle="""
+    SELECT doc_id,
+           lang AS meta_lang,
+           CAST(n_chars AS BIGINT) AS meta_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def llm_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record shape: opaque binary payload + typed metadata
+    struct, then the leaf columns projected back out (structs/binaries
+    are compared via leaves + digest, not whole-value — SURVEY §7.4 G7).
+
+    The payload here is the utf-8 text bytes standing in for an
+    image/audio blob; real decode is a Pandas-UDF stage (see
+    streaming/multimodal tests) — the engine-side contract (binary
+    column + metadata struct + content digest) is what this query
+    locks down."""
+    docs = load(spark, sf_dir, "documents")
+    rec = docs.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars")
+        ).alias("meta"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.col("text"),
+    )
+    return rec.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n_chars").alias("meta_chars"),
+        F.octet_length(F.col("payload")).cast("bigint").alias("payload_bytes"),
+        F.sha2(F.col("text"), 256).alias("payload_sha"),
+    )
+
+
+@register(
+    "llm_embed_label_knn_agg",
+    oracle="""
+    SELECT label, i AS pos,
+           round(avg(embedding[i]), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    GROUP BY label, i
+    """,
+)
+def llm_embed_label_knn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid as (label, pos, value) rows: posexplode →
+    groupBy(label, pos) → avg. This is the scale-safe array aggregation
+    — partial sums combine map-side per (label, pos), so a billion
+    vectors reduce in one shuffle of |labels|×dim cells; no
+    collect_list of whole vectors ever builds up."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos0", "val")
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias(
+                "centroid_val"
+            ),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

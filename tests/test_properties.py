@@ -27,3 +27,67 @@ def test_idempotent_overwrite_is_idempotent(spark, sf_dir):
         REGISTRY["scan_csv_schema"].builder(spark, sf_dir).collect()
     )  # orders per status from the csv round-trip
     assert {r.o_orderstatus: r.n_orders for r in source} == first
+
+
+def test_lsh_approx_recall_vs_exact(spark, sf_dir):
+    """LSH candidates are a subset of the corpus with correct sims: every
+    returned (query, cand, sim) must agree with the exact brute-force
+    computation, and top-5 recall must clear a floor (3 tables x 4 bits
+    on 500 vecs -> generous candidate pools)."""
+    exact = {
+        (r.query_id, r.cand_id): r.sim
+        for r in REGISTRY["llm_sim_topk_cosine"].builder(spark, sf_dir).collect()
+    }
+    approx_rows = REGISTRY["llm_sim_lsh_approx"].builder(spark, sf_dir).collect()
+    assert approx_rows, "LSH returned nothing"
+    # sims must match the exact computation wherever the pair overlaps
+    for r in approx_rows:
+        if (r.query_id, r.cand_id) in exact:
+            assert abs(exact[(r.query_id, r.cand_id)] - r.sim) < 1e-9
+    # recall of exact top-5 among approx top-5
+    hits = sum(1 for k in exact if k in {(r.query_id, r.cand_id) for r in approx_rows})
+    recall = hits / len(exact)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} below floor"
+    # per-query result count never exceeds k
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in approx_rows)
+    assert max(per_q.values()) <= 5
+
+
+def test_multimodal_decode_stub_plumbing(spark, sf_dir):
+    """Multimodal decode path: binary payload column -> mapInPandas
+    'decoder' (deterministic fake standing in for image/audio libs not in
+    this container) -> typed feature rows. Locks the Spark-side contract:
+    schema, Arrow batching, and per-row binary access all work."""
+    import pandas as pd
+
+    from noaa_etl_daily_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    payloads = docs.selectExpr(
+        "doc_id", "encode(text, 'utf-8') AS payload", "lang"
+    )
+
+    def fake_decode(batches):
+        for pdf in batches:
+            # stands in for PIL/librosa decode: derive deterministic
+            # "features" from the raw bytes
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "first_byte": pdf["payload"].map(lambda b: b[0] if len(b) else -1),
+                    "lang": pdf["lang"],
+                }
+            )
+
+    out = payloads.mapInPandas(
+        fake_decode, "doc_id long, n_bytes long, first_byte int, lang string"
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    by_id = {r.doc_id: r for r in rows}
+    for r in docs.select("doc_id", "text").collect():
+        assert by_id[r.doc_id].n_bytes == len(r.text.encode("utf-8"))
+        assert by_id[r.doc_id].first_byte == r.text.encode("utf-8")[0]
