@@ -1,0 +1,306 @@
+"""Event-time operators over the ``events`` stream table (SURVEY.md §2.9).
+
+Batch forms here (DuckDB-oracled, in the driver contract); the Structured
+Streaming twins (``readStream`` + ``availableNow`` with watermarks /
+``session_window`` / ``dropDuplicatesWithinWatermark``) live in
+tests/test_streaming.py and are asserted equivalent to these batch plans.
+
+Scale notes:
+
+- Tumbling/sliding windows are plain hash aggregations on
+  (window_start, key) — partial aggregation combines map-side, and the
+  slide factor (4 windows/event at 1h/15min) is a bounded row multiplier
+  inside the scan stage, not a shuffle amplifier.
+- ``session_window`` is Spark's native batch sessionization: one shuffle
+  on user_id, then in-partition merge — the gaps-and-islands oracle
+  proves its semantics.
+- The watermark batch-analogue keys every window by user_id, so the
+  running watermark never needs a global single-partition sort (the
+  streaming form's global watermark is handled by the engine itself).
+- Stream dedup keeps first-by-(event-time, id) per logical key — a
+  keyed window, skew-free on (user, type, minute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "evt_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-type counts and value sums — the daily-ETL essence.
+    ``window()`` is just a computed grouping column: map-side partial
+    aggs combine before one shuffle on (hour, type)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "evt_sliding_window",
+    oracle="""
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM (
+      SELECT unnest(list_transform(generate_series(0, 3),
+                    i -> time_bucket(INTERVAL 15 MINUTE, ts)
+                         - i * INTERVAL 15 MINUTE)) AS window_start,
+             event_type, value, ts
+      FROM events
+    )
+    WHERE ts >= window_start
+      AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes. Each event lands in
+    exactly duration/slide = 4 windows — Spark expands that inside the
+    scan stage (no join against a generated series needed), then one
+    hash agg on (window_start, type)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "evt_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize per user with a 30-minute inactivity gap using Spark's
+    native ``session_window`` (batch-capable). Session range is
+    [first_ts, last_ts + gap): an event arriving exactly at the previous
+    end starts a new session — the gaps-and-islands oracle encodes the
+    same ``>=`` boundary. One shuffle on user_id; merge is in-partition."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "evt_watermark_late",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(sum(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept
+    FROM (
+      SELECT user_id,
+             ts < max(ts) OVER (PARTITION BY user_id
+                                ORDER BY md5(CAST(event_id AS VARCHAR))
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                  - INTERVAL 10 MINUTE AS is_late
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analogue of a 10-minute watermark: replay each user's events
+    in a deterministic pseudo-arrival order (md5 of event_id — the
+    fixture's ids are ts-ordered, so hashing simulates out-of-order
+    delivery identically in both engines), track the running
+    max-event-time watermark, and count events arriving more than 10
+    minutes behind it. Keyed by user_id so the running window never
+    needs a global single-partition sort; the true global-watermark form
+    is the streaming twin (withWatermark) in tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_late = F.col("ts") < F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTES")
+    return (
+        ev.select("user_id", is_late.alias("is_late"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(F.col("is_late"), 0).otherwise(1)).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "evt_dedup_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type, date_trunc('minute', ts)
+        ORDER BY ts, event_id) = 1
+    """,
+)
+def evt_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-shaped dedup: collapse repeated logical events (same user,
+    same type, same minute) to the earliest occurrence — deterministic
+    keep-first by (ts, event_id), unlike bare ``dropDuplicates`` whose
+    survivor is partition-order-dependent. The streaming twin is
+    ``dropDuplicatesWithinWatermark`` (tests/test_streaming.py). One
+    keyed window shuffle; the key includes the minute bucket so state is
+    naturally bounded — exactly why the streaming form can expire it."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "evt_stateful_custom",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id, v.first_view, c.first_click, p.first_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+)
+def evt_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel state machine (view → click → purchase), batch
+    form: three staged conditional-min aggregations joined on user_id.
+    Each stage is a map-side-combinable agg + an equi-join on the same
+    key, so at scale all three shuffles hash on user_id and AQE can
+    coalesce them. The arbitrary-stateful streaming twin
+    (transformWithStateInPandas / applyInPandasWithState) is exercised
+    in tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("first_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.when(F.col("first_purchase").isNotNull(), 3)
+            .when(F.col("first_click").isNotNull(), 2)
+            .when(F.col("first_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )

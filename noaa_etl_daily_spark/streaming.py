@@ -1,0 +1,170 @@
+"""Structured Streaming twins of the §2.9 event-time operators
+(SURVEY.md §2.9 / §7.3 Wave 6).
+
+The driver's oracle can only check batch DataFrames, so the streaming
+forms live here and are proven equivalent to their batch twins in
+tests/test_streaming.py: replay the same events through
+``readStream`` + ``Trigger.AvailableNow`` and assert the sink equals the
+batch answer.
+
+Design:
+
+- Sources are directories of parquet (``prepare_stream_source`` fans the
+  fixture out); schema is supplied explicitly — streaming scans don't
+  infer.
+- Aggregation twins run in **complete** output mode for exact batch
+  equivalence on finite replay; production append-mode emission is
+  governed by ``withWatermark``, which the late-drop twin exercises.
+- The stateful twin uses ``transformWithStateInPandas``-style arbitrary
+  state via ``applyInPandasWithState`` — per-user running aggregates kept
+  in explicit GroupState, the pattern any custom streaming operator
+  (funnel, sessionizer, CDC merge) builds on.
+- At scale: every twin shuffles on the same keys as its batch form; state
+  stores are per-key and bounded (windows expire via watermark, dedup
+  state via within-watermark keys).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load
+
+
+def prepare_stream_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
+) -> str:
+    """Fan the events fixture out into a directory of parquet files (the
+    shape a streaming file source consumes). Idempotent per out_dir."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "events")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    return out_dir
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream over the prepared events directory.
+
+    Watermarks require TIMESTAMP (with zone), not TIMESTAMP_NTZ — with
+    the session pinned to UTC the cast is value-preserving; the twins
+    cast their outputs back to NTZ so results compare 1:1 with the batch
+    forms."""
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of evt_tumbling_window (same plan shape: watermark
+    + window aggregation, map-side partial combine before the keyed
+    shuffle)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of evt_session_window: native session_window with
+    per-user merging state."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("s.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming twin of evt_dedup_stream: dropDuplicatesWithinWatermark
+    on the logical event key — state for a key expires once the
+    watermark passes its minute bucket, which is what bounds dedup state
+    on an unbounded stream."""
+    keyed = events.withColumn("minute_bucket", F.date_trunc("minute", "ts"))
+    return (
+        keyed.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+    )
+
+
+def stream_user_running_stats(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful streaming operator (twin of the
+    evt_stateful_custom pattern): per-user running event count and value
+    sum held in explicit GroupState via applyInPandasWithState."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str
+) -> None:
+    """Drain a finite stream with AvailableNow into an in-memory table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
