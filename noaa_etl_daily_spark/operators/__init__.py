@@ -10,5 +10,6 @@ from . import (  # noqa: F401
     scans,
     setops,
     sorting,
+    udfs,
     windows,
 )
