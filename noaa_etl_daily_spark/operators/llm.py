@@ -50,6 +50,17 @@ from ..tables import load
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition before CPU-heavy per-row compute (explode/md5/dot
+    products). The fixture tables arrive as a single parquet file — one
+    input split — so without this the whole explode pipeline runs on one
+    core; at 100 TB the scan has thousands of splits and this is a no-op
+    cost-wise (hash-partitioning on the grouping key also lets the
+    downstream groupBy reuse the exchange instead of adding one)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _tokens(col: str = "text"):
     """Whitespace tokens of lower-cased text, empty strings dropped."""
     return F.filter(F.split(F.lower(F.col(col)), " "), lambda t: t != "")
@@ -72,7 +83,7 @@ def llm_text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the canonical map-side-combinable aggregation: the
     explode happens inside the scan stage and partial counts combine
     before the single shuffle on ``word``."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.explode(_tokens()).alias("word"))
         .groupBy("word")
@@ -104,7 +115,7 @@ def llm_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen — no Python, no extra shuffle beyond the count aggregation.
     The ``size >= 3`` guard matters: Spark's ``sequence(1, 0)`` counts
     *down* ([1, 0]) rather than producing an empty list."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     ngrams = F.when(
         F.size(toks) >= 3,
@@ -252,7 +263,9 @@ _MINHASH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-trigram shingles per doc (the MinHash item set)."""
+    """Word-trigram shingles per doc, WITH duplicates — no distinct
+    shuffle: min-hash over the multiset equals min-hash over the set,
+    and the consumer's collect_set dedups for the Jaccard side."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     sh = F.when(
         F.size(toks) >= 3,
@@ -261,31 +274,31 @@ def _shingles(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        "doc_id", F.explode(sh).alias("sh")
-    ).distinct()
+    return _spread(docs, "doc_id").select("doc_id", F.explode(sh).alias("sh"))
 
 
 @register(
     "llm_dedup_near_minhash",
     oracle="""
     WITH shingles AS (
-      SELECT DISTINCT doc_id,
+      SELECT doc_id,
              unnest(list_transform(generate_series(1, len(toks) - 2),
                     i -> array_to_string(toks[i:i+2], ' '))) AS sh
       FROM (SELECT doc_id,
                    list_filter(string_split(lower(text), ' '),
                                t -> t <> '') AS toks
             FROM documents)
-    ), sigs AS (
+    ), per_doc AS (
       SELECT doc_id,
              min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
              min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
              min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
-             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7,
+             list(DISTINCT sh) AS hs,
+             count(DISTINCT sh) AS n_sh
       FROM shingles GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, band_id, sig FROM sigs, LATERAL (VALUES
+      SELECT doc_id, band_id, sig FROM per_doc, LATERAL (VALUES
         (0, h0 || h1), (1, h2 || h3),
         (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
     ), cand AS (
@@ -293,44 +306,50 @@ def _shingles(docs: DataFrame) -> DataFrame:
       FROM bands a
       JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
                   AND a.doc_id < b.doc_id
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      FROM cand c
-      JOIN shingles sa ON sa.doc_id = c.doc_a
-      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT i.doc_a, i.doc_b,
-           round(i.n_common * 1.0
-                 / (za.n_sh + zb.n_sh - i.n_common), 4) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.doc_a
-    JOIN sizes zb ON zb.doc_id = i.doc_b
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(pa.hs, pb.hs)) * 1.0
+                 / (pa.n_sh + pb.n_sh
+                    - len(list_intersect(pa.hs, pb.hs))), 4) AS jaccard
+    FROM cand c
+    JOIN per_doc pa ON pa.doc_id = c.doc_a
+    JOIN per_doc pb ON pb.doc_id = c.doc_b
     """,
 )
 def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash over word
-    trigrams, with exact shingle-Jaccard computed *only for candidates*.
+    trigrams, with exact shingle-set Jaccard computed *only for
+    candidates*.
 
-    Scale shape: (1) one explode+groupBy builds 8 min-hashes per doc
-    (partial-min combines map-side); (2) candidates come from a
+    Scale shape: (1) ONE explode + ONE groupBy(doc_id) builds the whole
+    per-doc state — 8 min-hashes (min over the multiset equals min over
+    the set, so no pre-distinct shuffle) plus the distinct shingle set
+    and its size (map-side combined); (2) candidates come from a
     self-equi-join on (band_id, band_signature) — the LSH bucket join,
-    never the O(n²) pair space; (3) exact Jaccard touches only the
-    candidate pairs. Min-hash = lexicographic min of md5 hex (identical
-    bytes in Spark and DuckDB, so the whole pipeline is oracled)."""
+    never the O(n²) pair space; (3) exact Jaccard is
+    ``array_intersect`` over the two docs' shingle sets, joined only for
+    candidate pairs, instead of re-exploding and re-shuffling every
+    shingle. Min-hash = lexicographic min of md5 hex (identical bytes
+    in Spark and DuckDB, so the whole pipeline is oracled)."""
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
 
-    sigs = sh.groupBy("doc_id").agg(
+    per_doc = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
             for i in range(_MINHASH_H)
-        ]
+        ],
+        F.collect_set("sh").alias("hs"),
     )
-    bands = sigs.select(
+
+    # Carry the shingle set THROUGH the band explode so the self-join
+    # yields both sides' sets directly: per_doc then feeds exactly two
+    # identical subplans (the join's sides), which Spark's ReuseExchange
+    # computes once — versus a cand→per_doc→per_doc re-join shape that
+    # recomputes the explode+groupBy per branch.
+    bands = per_doc.select(
         "doc_id",
+        "hs",
         F.explode(
             F.array(
                 *[
@@ -342,50 +361,32 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.sig")
+    ).select("doc_id", "hs", "band.band_id", "band.sig")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        "band_id",
+        "sig",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        "band_id",
+        "sig",
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        a.join(b, ["band_id", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b_r"))
-            & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
-            ).alias("jaccard"),
-        )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    n_a, n_b = F.size(F.col("hs_a")), F.size(F.col("hs_b"))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / (n_a + n_b - inter), 4).alias("jaccard"),
     )
 
 
@@ -439,7 +440,7 @@ def llm_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange is the per-query top-k window. Similarity is
     rounded to 1e-4 and ranked on the *rounded* value with vec_id
     tie-break (SURVEY §7.4 G2/G3), so rank order is engine-independent."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     q = d.where(F.col("vec_id") % 100 == 0).select(
@@ -505,7 +506,7 @@ def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k. Recall vs the exact variant is property-tested in
     tests/test_properties.py (no DuckDB oracle — approximate by
     design)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     buckets = d.select(
@@ -617,7 +618,7 @@ def llm_embed_label_knn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     — partial sums combine map-side per (label, pos), so a billion
     vectors reduce in one shuffle of |labels|×dim cells; no
     collect_list of whole vectors ever builds up."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     return (
         emb.select(
             "label", F.posexplode("embedding").alias("pos0", "val")
