@@ -631,3 +631,265 @@ def llm_embed_label_knn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# additional dedup / text-analysis family (BASELINE.json north-star list:
+# SimHash, embedding-cosine near-dup, language-ID, doc fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '),
+                                            t -> t <> ''))) AS h
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, """
+    + ",\n             ".join(
+        "sum(CASE WHEN substr(h, {j}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(
+            j=j
+        )
+        for j in range(1, 33)
+    )
+    + """
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, """
+    + " || ".join(
+        "(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)".format(j=j)
+        for j in range(1, 33)
+    )
+    + """ AS simhash32
+    FROM bits
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash document fingerprint: each md5-hex nibble's high
+    bit votes +1/-1 per token occurrence; the fingerprint is the sign
+    vector. Near-dup docs differ in few bits (small Hamming distance),
+    so at scale candidates come from banding the bit string (equal
+    8-bit band → join), exactly like the MinHash path.
+
+    One explode + one groupBy(doc_id) with 32 CASE-sums — map-side
+    combinable, portable bit arithmetic (no engine-specific bit ops:
+    the hex-nibble high bit is a substring test both engines share)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        _spread(docs, "doc_id")
+        .select("doc_id", F.explode(_tokens()).alias("t"))
+        .select("doc_id", F.md5("t").alias("h"))
+    )
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    sums = [
+        F.sum(
+            F.when(F.substring("h", j, 1).isin(*high), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(1, 33)
+    ]
+    bits = tok.groupBy("doc_id").agg(*sums)
+    fp = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(1, 33)
+        ]
+    )
+    return bits.select("doc_id", fp.alias("simhash32"))
+
+
+@register(
+    "llm_doc_fingerprint",
+    oracle="""
+    WITH shingles AS (
+      SELECT doc_id,
+             md5(unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' ')))) AS h
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents)
+    )
+    SELECT doc_id,
+           md5(array_to_string(
+               list_slice(list_sort(list(DISTINCT h)), 1, 5), '')) AS
+               fingerprint,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_shingles
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (k=5) sketch fingerprint over rolling word-trigram
+    hashes — the winnowing-style document signature: the k smallest
+    shingle hashes are stable under small edits, so equal fingerprints
+    (or overlapping bottom-k sets) flag near-identical docs without
+    comparing text. One explode + one groupBy; the sketch is 5 hashes
+    per doc no matter the doc length, so the dedup join state at 100 TB
+    is O(docs), not O(text)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).select("doc_id", F.md5("sh").alias("h"))
+    return sh.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                "", F.slice(F.array_sort(F.collect_set("h")), 1, 5)
+            )
+        ).alias("fingerprint"),
+        F.size(F.collect_set("h")).cast("bigint").alias("n_shingles"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+    "de": ("der", "die", "und"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+
+@register(
+    "llm_text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(toks, t -> list_contains(['the','a','of'], t)))
+                 AS s_en,
+             len(list_filter(toks, t -> list_contains(['le','la','et'], t)))
+                 AS s_fr,
+             len(list_filter(toks, t -> list_contains(['el','los','que'], t)))
+                 AS s_es,
+             len(list_filter(toks, t -> list_contains(['der','die','und'], t)))
+                 AS s_de,
+             len(list_filter(toks, t -> list_contains(['de5','shi4','le5'], t)))
+                 AS s_zh
+      FROM (SELECT lang, list_filter(string_split(lower(text), ' '),
+                                     t -> t <> '') AS toks
+            FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0
+                     AND s_zh = 0 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de
+                     AND s_en >= s_zh THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh
+                     THEN 'fr'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic, reported as a (true lang ×
+    predicted lang) confusion table. Deterministic priority order
+    (en>fr>es>de>zh) breaks score ties so both engines agree exactly.
+
+    NOTE: the synthetic fixture draws every language's text from one
+    shared English-ish vocabulary, so accuracy here is chance-level by
+    construction — the deliverable is the scoring pipeline (per-doc
+    marker counting is a zero-shuffle scan-stage computation; the
+    confusion rollup is one small aggregation), which is exactly the
+    shape of a real stopword/n-gram language classifier at 100 TB."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+
+    def marker_count(markers):
+        arr = F.array(*[F.lit(w) for w in markers])
+        # one-arg lambda: a default-arg closure would make PySpark read
+        # the arity as 2 and pass the element index as the second param
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {
+        lang: marker_count(markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = docs.select(
+        "lang", *[s.alias(f"s_{lang}") for lang, s in scores.items()]
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] == 0)
+            & (s["fr"] == 0)
+            & (s["es"] == 0)
+            & (s["de"] == 0)
+            & (s["zh"] == 0),
+            "und",
+        )
+        .when(
+            (s["en"] >= s["fr"])
+            & (s["en"] >= s["es"])
+            & (s["en"] >= s["de"])
+            & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "llm_dedup_embed_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+      SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS nrm
+      FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(generate_series(1, len(a.e)),
+                                         i -> a.e[i] * b.e[i]))
+                 / sqrt(a.nrm * b.nrm), 4) AS sim
+    FROM d a JOIN d b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(generate_series(1, len(a.e)),
+                                        i -> a.e[i] * b.e[i]))
+                / sqrt(a.nrm * b.nrm), 4) >= 0.25
+    """,
+)
+def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, oracled variant):
+    all id-ordered pairs with rounded cosine ≥ threshold. The fixture
+    embeddings are random, so 0.25 (not a production 0.95+) keeps the
+    result non-trivial; the threshold is the only knob.
+
+    This brute-force form is the *correctness baseline* — at 100 TB the
+    candidate pairs come from the LSH buckets (llm_sim_lsh_approx's
+    plan) and only bucket-mates get the exact cosine; here the corpus
+    side stays partitioned and the pair space is halved by the id
+    ordering. Same double fold order as the oracle, so sims match to
+    the last bit before rounding."""
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    nrm = _dot(F.col("embedding"), F.col("embedding"))
+    d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = d.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = d.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = F.round(
+        _dot(F.col("e_a"), F.col("e_b"))
+        / F.sqrt(F.col("nrm_a") * F.col("nrm_b")),
+        4,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.25)
+    )
