@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     functions,
     joins,
     llm,
+    scale_ops,
     scans,
     setops,
     sorting,

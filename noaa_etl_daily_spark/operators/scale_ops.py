@@ -1,0 +1,189 @@
+"""Scale-pattern operators: the techniques that keep a 100 TB pipeline
+healthy — skew-salted joins, small-file compaction, and idempotent daily
+merge/upsert. Each is oracled: the *pattern* must produce byte-identical
+results to the straightforward formulation.
+
+These complement SURVEY.md §2 (which catalogues the logical operator
+surface) with the physical-robustness surface a production deployment
+leans on daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .scans import _scratch, _sf_tag
+
+_SALT_BUCKETS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact-fact join via explicit salting, proven equal to
+    the plain join.
+
+    Pattern: the probe side appends a random-ish salt derived from a
+    secondary column (``pmod(hash(l_linenumber), B)`` — deterministic,
+    so the oracle comparison holds); the build side explodes each row
+    into B salted copies. The join key becomes (key, salt), splitting a
+    hot key's rows across B reducers instead of one straggler task.
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) can't help — e.g. a single key
+    too hot for even a split partition, or a non-AQE deployment. B
+    multiplies the build side, so salt only the truly-skewed keys in
+    production (filter + union); here every key is salted to keep the
+    oracle exact."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.hash("l_linenumber"), F.lit(_SALT_BUCKETS))
+    )
+    exploded_orders = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])
+        ).alias("salt"),
+    )
+    return (
+        salted_li.join(
+            exploded_orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (salted_li.salt == exploded_orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite a fragmented dataset (64 shards
+    here, standing in for months of tiny daily increments) into
+    size-targeted files, then prove the data survived byte-exact.
+
+    The compaction itself is ``repartition(target)`` + overwrite — at
+    scale ``target = ceil(bytes / 128 MB)`` per partition, the single
+    most effective maintenance job a parquet lake needs (every query's
+    task count and footer-read cost follows file count). The returned
+    aggregation reads the COMPACTED copy, so the oracle match certifies
+    the rewrite lost nothing."""
+    orders = load(spark, sf_dir, "orders")
+    frag = _scratch("compact", _sf_tag(sf_dir), "fragmented")
+    compact = _scratch("compact", _sf_tag(sf_dir), "compacted")
+
+    # simulate the fragmented input (64 small files)
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+
+    small = spark.read.parquet(frag)
+    # size-targeted rewrite: ceil(bytes / 128 MB) files, floor 1 — the
+    # fragmented dir is local here so plain os.stat sizes it; on a real
+    # lake this comes from the catalog / FileSystem.listStatus
+    import glob as _glob
+    import os as _os
+
+    n_bytes = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(frag, "*.parquet"))
+    )
+    target_files = max(1, -(-n_bytes // (128 << 20)))
+    small.repartition(target_files).write.mode("overwrite").parquet(compact)
+
+    back = spark.read.parquet(compact)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "merge_upsert_daily",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+    ), delta AS (
+      SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+             round(o_totalprice * 1.1, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), merged AS (
+      SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+             COALESCE(d.o_custkey, b.o_custkey) AS o_custkey,
+             COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+      FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily merge/upsert (CDC-style): apply a delta batch (updates +
+    inserts) onto a base snapshot with update-wins semantics via a
+    full-outer join + COALESCE — the portable MERGE INTO when no
+    transactional table format is deployed.
+
+    Scale shape: one shuffle on the merge key for the full-outer join;
+    with the base bucketed/partitioned by key, only matching partitions
+    rewrite (partition-overwrite pairs with sink_idempotent_overwrite's
+    dynamic mode). The base here drops keys ending in 0 so the delta
+    contains genuine inserts as well as updates."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("P").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+    )
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = b.join(
+        d, F.col("b.o_orderkey") == F.col("d.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce("d.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("d.o_custkey", "b.o_custkey").alias("o_custkey"),
+        F.coalesce("d.o_orderstatus", "b.o_orderstatus").alias(
+            "o_orderstatus"
+        ),
+        F.coalesce("d.o_totalprice", "b.o_totalprice").alias(
+            "o_totalprice"
+        ),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        # 4dp: the summed values carry 3 decimal digits of intent (2dp
+        # base prices and 2dp*1.1 deltas), so 4dp is never on a
+        # half-boundary where Spark/DuckDB rounding semantics diverge
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -106,3 +106,96 @@ def test_stream_stateful_running_stats(spark, sf_dir, stream_src):
     for uid, (n, tv) in batch.items():
         assert emitted[uid][0] == n
         assert abs(emitted[uid][1] - tv) < 1e-6
+
+
+def test_stream_watermark_bounds_state_and_emits_once(spark, sf_dir):
+    """Watermark semantics on a two-batch ordered replay (recent events
+    first, then a file of much older ones). Spark's documented watermark
+    guarantee is NOT that late input is dropped (it "may or may not"
+    be); it is (a) state for windows below the watermark is evicted —
+    the property that bounds memory on an unbounded stream — and (b)
+    append mode emits each finalized window exactly once. Assert both,
+    plus value-correctness of everything emitted."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.scans import _scratch
+    from noaa_etl_daily_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cutoff = "2024-01-15 00:00:00"
+    on_time = ev.where(F.col("ts") >= cutoff)
+    late = ev.where(F.col("ts") < cutoff)
+
+    src = _scratch("stream_late", os.path.basename(sf_dir.rstrip("/")), "events")
+    shutil.rmtree(src, ignore_errors=True)
+    tmp_a = src + "_a"
+    tmp_b = src + "_b"
+    on_time.coalesce(1).write.mode("overwrite").parquet(tmp_a)
+    late.coalesce(1).write.mode("overwrite").parquet(tmp_b)
+    os.makedirs(src, exist_ok=True)
+
+    def _mv(tmp, name, mtime):
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _mv(tmp_a, "batch0.parquet", now - 600)  # processed first
+    _mv(tmp_b, "batch1.parquet", now)        # arrives late
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progress = q.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) == 2, "expected two ordered micro-batches"
+    # watermark advanced off the first batch's max event time
+    wm_final = batches[-1]["eventTime"].get("watermark", "")
+    assert wm_final.startswith("2024-01-30"), wm_final
+    # (a) state bounded: after draining, the store holds (at most) the
+    # last open window per type, NOT the ~2000 (window, type) groups seen
+    final_state = batches[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state <= 10, f"watermark failed to evict state: {final_state}"
+
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    # (b) append emits each (window, type) exactly once
+    keys = [(r.window_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys)), "append mode emitted a window twice"
+    # (c) every emitted count matches the batch aggregation of the full
+    # data (each window lies entirely on one side of the cutoff, and
+    # each side arrived within a single micro-batch)
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    for r in rows:
+        k = (r.window_start, r.event_type)
+        assert batch[k] == r.n_events, f"{k}: stream={r.n_events} batch={batch[k]}"
