@@ -893,3 +893,143 @@ def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= 0.25)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic sampling / splitting / shard packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_sample_stratified_hash",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    GROUP BY lang
+    """,
+)
+def llm_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~19% corpus sample (md5 first hex digit ∈ {0,1,2} —
+    3/16) summarized per language. Hash-based sampling is how a
+    training-data pipeline samples reproducibly at 100 TB: no RNG state,
+    no sort, stable under reruns and repartitioning, and any engine can
+    re-derive membership (unlike ``df.sample`` whose output depends on
+    partitioning). Filter evaluates in the scan stage; one small
+    aggregation follows."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        docs.where(bucket.isin("0", "1", "2"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "llm_split_train_test",
+    oracle="""
+    SELECT CASE WHEN b < 8 THEN 'train'
+                WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 10 AS b
+      FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+)
+def llm_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-free key
+    hash (md5 of doc_id → 16-bit int → bucket mod 10), reported as a
+    per-split-per-language profile. The split is a pure scan-stage
+    expression: membership never changes across reruns, engines, or
+    cluster layouts — the property that keeps eval sets uncontaminated
+    when the corpus is rebuilt. (conv(hex)/DuckDB '0x' cast agree on
+    16-bit values exactly.)"""
+    docs = load(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    split = (
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "llm_pack_token_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0)
+                  AS INTEGER) AS shard_id
+      FROM toks
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY shard_id
+    """,
+)
+def llm_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2000-token training shards: running token
+    count over a stable doc order, shard = floor(prefix_sum/budget) —
+    the standard sequence-packing preprocessing step.
+
+    The batch form uses one global-ordered running sum, which is the
+    honest semantics of sequential packing; at 100 TB you shard the
+    order key first (pack per day/source partition, exactly how
+    sequence packing is run in practice) so each partition's window is
+    independent — the per-partition variant is this same plan with the
+    window additionally PARTITIONed BY the shard key."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(_tokens()).alias("n_tokens")
+    )
+    running = (
+        F.sum("n_tokens").over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        - F.col("n_tokens")
+    )
+    packed = toks.withColumn(
+        "shard_id", F.floor(running / 2000.0).cast("int")
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
