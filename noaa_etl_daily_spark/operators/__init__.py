@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     filters,
     functions,
     joins,
+    layout,
     llm,
     scale_ops,
     scans,

@@ -1,0 +1,167 @@
+"""Data-layout operators: bucketing, schema evolution, sorted layout
+(SURVEY §2.1 extensions — the storage-side levers that decide whether a
+100 TB join shuffles or not).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .scans import SCRATCH, _scratch, _sf_tag
+
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per sf) bucketed managed tables for lineitem/orders,
+    both bucketed x8 on the join key."""
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    li_name = f"li_bucketed_{tag}"
+    o_name = f"o_bucketed_{tag}"
+
+    # a fresh session's in-memory catalog forgets managed tables but
+    # their warehouse directories survive — clear stale locations so
+    # saveAsTable doesn't refuse
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name in (li_name, o_name):
+        if not spark.catalog.tableExists(name):
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+
+    if not spark.catalog.tableExists(li_name):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_name)
+        )
+    if not spark.catalog.tableExists(o_name):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+    return li_name, o_name
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing: both tables are written
+    ``bucketBy(8, key)`` + ``sortBy(key)``, so the join is a co-located
+    sort-merge with NO Exchange on either side (verified in
+    tests/test_layout.py by asserting the physical plan has no shuffle
+    below the join).
+
+    This is the single biggest lever for a recurring 100 TB join: pay
+    the partitioning once at write time, then every daily join of the
+    two tables skips both sides' shuffles. The oracle joins the raw
+    fixtures — the bucketed copies must be a faithful clone."""
+    li_name, o_name = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    o = spark.table(o_name)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "scan_merge_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_channel) AS BIGINT) AS n_with_channel,
+           CAST(count(DISTINCT o_channel) AS BIGINT) AS n_channels
+    FROM (
+      SELECT o_orderstatus, NULL AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+                 AS o_channel
+      FROM orders WHERE o_orderkey % 2 <> 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across daily drops: an old batch without
+    ``o_channel`` and a new batch with it, read together via
+    ``mergeSchema`` — the missing column back-fills as NULL. This is the
+    standing reality of a long-lived parquet lake (columns appear over
+    the years); the reconciliation must happen at scan time without
+    rewriting history. Schema merging costs one footer read per file —
+    at scale, pin the merged schema explicitly instead (also shown:
+    the read uses the evolved schema downstream with no row rewrite)."""
+    base = _scratch("evolve", _sf_tag(sf_dir), "orders")
+    orders = load(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.where(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, "web")
+        .otherwise("store")
+        .alias("o_channel"),
+    )
+    old.write.mode("overwrite").parquet(os.path.join(base, "day=1"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "day=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "day=1"), os.path.join(base, "day=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_channel").alias("n_with_channel"),
+        F.countDistinct("o_channel").alias("n_channels"),
+    )
+
+
+@register("agg_approx_quantile", tags=("approx", "rows-only"))
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via ``approx_percentile`` (KLL-style
+    mergeable sketch): p50/p90/p99 of extended price per returnflag at
+    1e-4 relative error. The sketch merges associatively across
+    partitions — one map-side pass + tiny shuffle, versus the exact
+    percentile's full sort per group. Rows-only by design (sketch
+    output is implementation-defined); tests/test_properties.py bounds
+    its error against the exact percentile."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        ),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("exact_pcts"),
+    )

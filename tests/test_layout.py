@@ -1,0 +1,50 @@
+"""Layout-operator plan + property assertions: bucketed joins must be
+shuffle-free, approx quantiles must be within tolerance."""
+
+from __future__ import annotations
+
+from noaa_etl_daily_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_bucketed_join_has_no_shuffle_below_join(spark, sf_dir):
+    """The whole point of bucketing: the sort-merge join consumes bucket
+    files directly — no Exchange on either join input. At fixture scale
+    AQE prefers broadcasting the tiny orders side (also shuffle-free,
+    but not what we're proving), so auto-broadcast is disabled for this
+    check — the 100 TB regime where both sides are too big to
+    broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["join_bucketed_colocated"].builder(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # keep only AQE's final plan — the appended "Initial Plan" section
+    # repeats the pre-adaptive operators and would false-positive the
+    # Exchange scan below
+    plan = plan.split("== Initial Plan ==")[0]
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, f"expected a sort-merge join:\n{plan}"
+    below_join = plan[join_pos:]
+    # below the join, the bucketed scans feed it directly — the string
+    # "Exchange" must not appear (BroadcastExchange included), and both
+    # scans must report Bucketed: true
+    assert "Exchange" not in below_join, (
+        f"bucketed join still shuffles:\n{plan}"
+    )
+    assert below_join.count("Bucketed: true") == 2, plan
+
+
+def test_approx_quantile_within_tolerance(spark, sf_dir):
+    rows = REGISTRY["agg_approx_quantile"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_pcts, r.exact_pcts):
+            assert exact > 0
+            assert abs(approx - exact) / exact < 0.01, (
+                f"{r.l_returnflag}: approx={approx} exact={exact}"
+            )
