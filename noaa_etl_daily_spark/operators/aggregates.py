@@ -342,3 +342,36 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.round(F.sum("value"), 4))
     )
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(arg_min(l_orderkey, l_extendedprice) AS BIGINT)
+               AS cheapest_order,
+           CAST(arg_max(l_orderkey, l_extendedprice) AS BIGINT)
+               AS priciest_order,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (min_by/max_by ↔ DuckDB arg_min/
+    arg_max): 'which order had the extreme price' without a self-join or
+    window — single map-side-combinable aggregation, the scalable
+    replacement for the join-back-on-extreme anti-pattern.
+
+    Determinism note: ties on the ordering value would make the picked
+    key engine-dependent; the fixture's prices are unique per flag
+    group (verified by the oracle match itself — a tie that differed
+    would hash-mismatch)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )

@@ -387,3 +387,36 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.col("l_orderkey").cast("string"), F.col("l_returnflag"))
         ).alias("short_md5"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 15 AS with_low_bits,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS mixed,
+           l_orderkey << 2 AS shifted_up,
+           l_orderkey >> 3 AS shifted_down
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (&, |, xor, shifts) — flag-mask decoding, the
+    packed-fields surface of sensor/format headers. Pure codegen
+    arithmetic; int64 two's-complement semantics agree across engines
+    for non-negative keys."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("low_byte"),
+        (F.col("l_orderkey").bitwiseOR(F.lit(15))).alias("with_low_bits"),
+        (
+            F.col("l_orderkey").bitwiseXOR(
+                F.col("l_linenumber").cast("bigint")
+            )
+        ).alias("mixed"),
+        F.shiftleft("l_orderkey", 2).alias("shifted_up"),
+        F.shiftright("l_orderkey", 3).alias("shifted_down"),
+    )

@@ -247,3 +247,35 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "win_percent_rank_cume_dist",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank/cume_dist/ntile)
+    — the distributional ranking surface. Deterministic total order via
+    the (price, orderkey, linenumber) sort key; one partitioned window
+    shuffle. Ratios rounded at 6dp: the divisors are exact small ints,
+    so both engines compute identical doubles before rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
