@@ -24,17 +24,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     li_name = f"li_bucketed_{tag}"
     o_name = f"o_bucketed_{tag}"
 
-    # a fresh session's in-memory catalog forgets managed tables but
-    # their warehouse directories survive — clear stale locations so
-    # saveAsTable doesn't refuse
+    # External tables at absolute scratch paths: independent of the
+    # caller's cwd (spark.sql.warehouse.dir defaults to cwd-relative and
+    # is immutable on a live session — the driver hands us its own).
+    # A fresh session's in-memory catalog forgets tables but the files
+    # survive, so clear stale locations before re-creating.
     import shutil
 
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
     for name in (li_name, o_name):
         if not spark.catalog.tableExists(name):
-            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            shutil.rmtree(
+                _scratch("bucketed", tag, name), ignore_errors=True
+            )
 
     if not spark.catalog.tableExists(li_name):
         (
@@ -42,6 +43,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .select("l_orderkey", "l_extendedprice", "l_discount")
             .write.bucketBy(_N_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
+            .option("path", _scratch("bucketed", tag, li_name))
             .mode("overwrite")
             .saveAsTable(li_name)
         )
@@ -51,6 +53,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .select("o_orderkey", "o_orderpriority")
             .write.bucketBy(_N_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
+            .option("path", _scratch("bucketed", tag, o_name))
             .mode("overwrite")
             .saveAsTable(o_name)
         )
