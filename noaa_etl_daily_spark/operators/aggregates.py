@@ -375,3 +375,35 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(covar_pop(l_discount, l_tax), 8) AS disc_tax_covar_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar_samp / covar_pop) — the
+    data-profiling pass that decides which features move together.
+    Single-pass mergeable moment accumulators (no pre-sort, no
+    self-join), map-side combined like any built-in aggregate. Rounded
+    coarsely enough that both engines' accumulation orders agree (same
+    discipline as agg_stats)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_pop("l_discount", "l_tax"), 8).alias(
+            "disc_tax_covar_pop"
+        ),
+    )

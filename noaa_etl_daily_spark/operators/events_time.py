@@ -304,3 +304,58 @@ def evt_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+@register(
+    "evt_gap_filled_series",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ), calendar AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ), actual AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             count(*) AS n, sum(value) AS sv
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT c.bucket,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           round(COALESCE(a.sv, 0.0), 4) AS total_value
+    FROM calendar c LEFT JOIN actual a ON a.bucket = c.bucket
+    """,
+)
+def evt_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: hours with no purchases appear as
+    explicit zero rows — the dense calendar every downstream
+    forecasting/alerting consumer assumes (a missing bucket and a zero
+    bucket mean different things).
+
+    Plan shape: the calendar is ``sequence(min, max, interval)`` exploded
+    from a 1-row aggregate — thousands of rows at any data scale, so
+    Spark broadcasts it; the left join back to the (already aggregated,
+    small) actuals never touches raw events a second time. The expensive
+    side is one map-combined aggregation of the raw stream."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    return calendar.join(actual, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("total_value"),
+    )
