@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from .scans import SCRATCH, _scratch, _sf_tag
+from .scans import _scratch, _sf_tag
 
 _N_BUCKETS = 8
 
