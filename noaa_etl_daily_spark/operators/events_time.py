@@ -359,3 +359,46 @@ def evt_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("total_value"),
     )
+
+
+@register(
+    "evt_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(floor(date_diff('day', f.cohort, CAST(e.ts AS DATE)) / 7)
+                AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted as active per week offset — the standard product-analytics
+    triangle. Offsets are day-difference // 7 from the cohort start (not
+    calendar week numbers), so both engines bucket identically across
+    year boundaries. Two shuffles: the per-user min, and the
+    (cohort, offset) count-distinct; the firsts table re-joins on
+    user_id, which AQE broadcasts when small."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

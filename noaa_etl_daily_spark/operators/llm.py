@@ -1033,3 +1033,193 @@ def llm_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering (iterative) + TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def _minhash_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate edges (doc_a < doc_b) from the banded MinHash
+    pipeline — same construction as llm_dedup_near_minhash."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(_MINHASH_H)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(F.col(f"h{i}"), F.col(f"h{j}")).alias("sig"),
+                    )
+                    for b, (i, j) in enumerate(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
+    return (
+        a.join(b, ["band_id", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register(
+    "llm_dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE shingles AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks
+            FROM documents)
+    ), per_doc AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, sig FROM per_doc, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), edges AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ), reach(u, label) AS (
+      SELECT DISTINCT u, u AS label FROM sym
+      UNION
+      SELECT s.u, r.label FROM sym s JOIN reach r ON r.u = s.v
+    )
+    SELECT u AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def llm_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup candidate graph: every doc
+    in a duplicate cluster gets the cluster's min doc_id as its label —
+    the step that turns pairwise near-dup hits into 'keep one per
+    cluster'. Implemented as iterative min-label propagation (each pass:
+    label(u) = min(label(u), min over neighbors label(v))) with
+    ``localCheckpoint`` truncating lineage per round; converges in
+    O(component diameter) joins — candidate clusters are tiny by
+    construction, so 2-3 rounds in practice. (Web-scale graphs would use
+    the large-star/small-star variant; the loop skeleton is the same.)
+    Oracle: DuckDB recursive CTE reachability with min-label
+    aggregation."""
+    edges = _minhash_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    sym = sym.localCheckpoint()
+
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    while True:
+        neighbor = (
+            sym.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@register(
+    "llm_text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                              t -> t <> '')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON df.word = tf.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word) <= 3
+    """,
+)
+def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic salient-term
+    extraction. Three aggregations (term frequency, document frequency,
+    corpus size) and one top-k window; df and the 1-row corpus count
+    broadcast onto the tf table, so the heavy side shuffles once.
+    Ranked on the rounded score with a word tiebreak so rank order is
+    engine-independent (ln() differs by ≤1 ulp across libm
+    implementations; 6dp rounding absorbs it)."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
