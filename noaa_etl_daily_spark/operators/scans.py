@@ -238,3 +238,60 @@ def schema_cast_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") / 10.0, 4).alias("price_scaled"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
     )
+
+
+@register("scan_csv_corrupt_permissive", tags=("rows-only",))
+def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input validation: ingest a CSV containing bad-type,
+    short, and over-long rows under PERMISSIVE mode with a
+    ``_corrupt_record`` column — the quarantine pattern a daily ETL uses
+    so one bad upstream line never kills the batch (and is never
+    silently dropped either: corrupt rows land in a side channel with
+    the raw line preserved).
+
+    Rows-only: corrupt-row classification is engine-specific (DuckDB's
+    ignore_errors drops what Spark quarantines), so the exact semantics
+    are locked by tests/test_properties.py instead of a SQL oracle.
+    Summary output: per-disposition counts + the numeric sum over clean
+    rows."""
+    src = _scratch("corrupt", _sf_tag(sf_dir), "feed.csv")
+    lines = ["id,qty,tag"]
+    for i in range(1, 51):
+        lines.append(f"{i},{i * 10},t{i % 3}")  # clean
+    lines += [
+        "51,notanumber,bad-type",  # qty fails the int cast
+        "52",                      # too few columns
+        "53,530,extra,columns",    # too many columns
+    ]
+    with open(src, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+        # Spark disallows queries that prune the scan down to only the
+        # internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_
+        # COLUMN); the documented pattern is to cache the parsed rows
+        # first — tiny quarantine feed, so the cache is cheap.
+        .cache()
+    )
+    return raw.select(
+        F.when(F.col("_corrupt_record").isNotNull(), "quarantined")
+        .otherwise("clean")
+        .alias("disposition"),
+        "qty",
+    ).groupBy("disposition").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").alias("qty_sum"),
+    )

@@ -91,3 +91,24 @@ def test_multimodal_decode_stub_plumbing(spark, sf_dir):
     for r in docs.select("doc_id", "text").collect():
         assert by_id[r.doc_id].n_bytes == len(r.text.encode("utf-8"))
         assert by_id[r.doc_id].first_byte == r.text.encode("utf-8")[0]
+
+
+def test_corrupt_csv_dispositions_exact(spark, sf_dir):
+    """Lock Spark's PERMISSIVE CSV semantics precisely — they're
+    subtler than 'bad row -> quarantine', and they DEPEND ON COLUMN
+    PRUNING: without the cache() in the operator, a pruned scan only
+    flags rows whose *selected* columns are malformed (the short row
+    read as clean!). With the full-row parse, all three malformed kinds
+    (bad-type cell, short row, over-long row) are quarantined with the
+    raw line preserved; parseable cells (the over-long row's qty=530)
+    are still extracted alongside the quarantine flag."""
+    rows = {
+        r.disposition: r
+        for r in REGISTRY["scan_csv_corrupt_permissive"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert rows["quarantined"].n_rows == 3
+    assert rows["quarantined"].qty_sum == 530  # over-long row's parsed qty
+    assert rows["clean"].n_rows == 50
+    assert rows["clean"].qty_sum == sum(i * 10 for i in range(1, 51))
