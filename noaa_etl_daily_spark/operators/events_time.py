@@ -402,3 +402,44 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "evt_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging per event type — the quality-control
+    pass of a NOAA-style ETL (flag observations >3σ from their group
+    mean before they poison the rollups). Two passes over the data:
+    one mergeable moment aggregation for (μ, σ) per type, then the tiny
+    stats table broadcast back onto the stream for the filter — no
+    window over the full data, no sort. The z-expression is identical
+    on both sides and rounded at 4dp after the σ division."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -199,3 +199,98 @@ def test_stream_watermark_bounds_state_and_emits_once(spark, sf_dir):
     for r in rows:
         k = (r.window_start, r.event_type)
         assert batch[k] == r.n_events, f"{k}: stream={r.n_events} batch={batch[k]}"
+
+
+def test_stream_foreachbatch_upsert_sink(spark, sf_dir, stream_src):
+    """foreachBatch upsert sink — the production pattern for streaming
+    into a keyed parquet store: each micro-batch merges (update-wins on
+    max ts) into the target via read + full-outer-style union-dedup +
+    overwrite. After draining the finite stream, the store must equal
+    the batch answer: one row per user with their latest event."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from noaa_etl_daily_spark.operators.scans import _scratch
+    from noaa_etl_daily_spark.tables import load
+
+    target = _scratch(
+        "stream_upsert", os.path.basename(sf_dir.rstrip("/")), "latest"
+    )
+    chk = _scratch(
+        "stream_upsert", os.path.basename(sf_dir.rstrip("/")), "_chk"
+    )
+    # clear BOTH the sink and the checkpoint: a surviving checkpoint
+    # marks the (static) source files processed, so a re-run would fire
+    # zero micro-batches and never write the target
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+
+    def upsert(batch_df, batch_id):
+        latest_in_batch = (
+            batch_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        spark_l = batch_df.sparkSession
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            current = spark_l.read.parquet(target)
+            merged = current.unionByName(latest_in_batch)
+        else:
+            merged = latest_in_batch
+        deduped = (
+            merged.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # break the read->overwrite cycle on the same path
+        deduped.localCheckpoint().write.mode("overwrite").parquet(target)
+
+    events = st.read_events_stream(spark, stream_src).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r.event_id, r.ts)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.event_id, r.ts)
+        for r in load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+        .collect()
+    }
+    assert got == want
