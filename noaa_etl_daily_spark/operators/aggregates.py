@@ -407,3 +407,61 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disc_tax_covar_pop"
         ),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'price' AS measure,
+             l_extendedprice AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via native ``unpivot`` (melt): three measure
+    columns become (measure, value) rows — the inverse of agg_pivot and
+    the shape every metrics store wants. Narrow map-side expansion (×3
+    rows inside the scan stage), zero shuffles; the oracle is the
+    UNION ALL it desugars to."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["price", "discount", "tax"],
+            "measure",
+            "raw_val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("raw_val", 2).alias("val"),
+        )
+    )
+
+
+@register("agg_freq_items", tags=("approx", "rows-only"))
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over (l_returnflag, l_linestatus) pairs
+    via ``freqItems`` (Karp-Papadimitriou-Shenker one-pass counting, the
+    sketch a 100 TB profiler uses to find dominant categories without a
+    full groupBy). Rows-only: the sketch may over-report (false
+    positives allowed, false negatives not) — tests/test_properties.py
+    asserts every truly-frequent value is present."""
+    li = load(spark, sf_dir, "lineitem")
+    combo = li.select(
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("combo")
+    )
+    return combo.stat.freqItems(["combo"], 0.1)

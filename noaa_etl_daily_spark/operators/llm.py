@@ -1223,3 +1223,45 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register("llm_multimodal_frame_sample", tags=("rows-only",))
+def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: treat each document's utf-8 payload as
+    an opaque media blob, cut it into fixed 64-byte 'frames', and keep
+    every 4th frame with typed metadata — the exact plumbing shape of
+    video frame-sampling / audio windowing (the real decoder is a
+    library call inside the same mapInPandas; stubbed deterministically
+    here because media libs aren't in this container, per the survey's
+    stub policy).
+
+    The Spark-side contract this locks: binary columns survive Arrow
+    batching, the expansion is 1→N per row with bounded batch memory,
+    and per-frame digests are computable for downstream exact dedup.
+    Rows-only (binary slicing has no DuckDB twin here);
+    tests/test_properties.py derives the expected frame inventory from
+    payload lengths."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_bytes": [], "frame_sha": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                import hashlib
+
+                blob = text.encode("utf-8")
+                n_frames = (len(blob) + 63) // 64
+                for i in range(0, n_frames, 4):  # every 4th frame
+                    frame = blob[i * 64 : (i + 1) * 64]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sample_frames,
+        "doc_id long, frame_no int, frame_bytes int, frame_sha string",
+    )

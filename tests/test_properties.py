@@ -112,3 +112,57 @@ def test_corrupt_csv_dispositions_exact(spark, sf_dir):
     assert rows["quarantined"].qty_sum == 530  # over-long row's parsed qty
     assert rows["clean"].n_rows == 50
     assert rows["clean"].qty_sum == sum(i * 10 for i in range(1, 51))
+
+
+def test_freq_items_contains_all_truly_frequent(spark, sf_dir):
+    """freqItems guarantees no false negatives: every (flag|status)
+    combo with relative frequency >= the 0.1 support threshold must be
+    in the sketch output."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    row = REGISTRY["agg_freq_items"].builder(spark, sf_dir).collect()[0]
+    sketched = set(row[0])
+    li = load(spark, sf_dir, "lineitem")
+    total = li.count()
+    truly = {
+        r.combo
+        for r in li.select(
+            F.concat_ws("|", "l_returnflag", "l_linestatus").alias("combo")
+        )
+        .groupBy("combo")
+        .count()
+        .where(F.col("count") >= 0.1 * total)
+        .collect()
+    }
+    assert truly, "fixture should have at least one dominant combo"
+    assert truly <= sketched, f"missing frequent items: {truly - sketched}"
+
+
+def test_frame_sample_inventory_matches_payload_lengths(spark, sf_dir):
+    """The sampled frame inventory is fully derivable from payload
+    lengths: every 4th 64-byte frame, with the tail frame shorter."""
+    import hashlib
+    from collections import defaultdict
+
+    from noaa_etl_daily_spark.tables import load
+
+    frames = defaultdict(dict)
+    for r in REGISTRY["llm_multimodal_frame_sample"].builder(spark, sf_dir).collect():
+        frames[r.doc_id][r.frame_no] = (r.frame_bytes, r.frame_sha)
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(frames) == {d for d, b in docs.items() if len(b) > 0}
+    for doc_id, blob in docs.items():
+        n_frames = (len(blob) + 63) // 64
+        expect_nos = list(range(0, n_frames, 4))
+        assert sorted(frames[doc_id]) == expect_nos
+        for i in expect_nos:
+            frame = blob[i * 64 : (i + 1) * 64]
+            assert frames[doc_id][i] == (
+                len(frame),
+                hashlib.sha256(frame).hexdigest(),
+            )
