@@ -295,3 +295,46 @@ def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("qty").alias("qty_sum"),
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT station,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(avg(temp_c), 4) AS avg_temp,
+           round(min(temp_c), 1) AS min_temp,
+           round(max(temp_c), 1) AS max_temp
+    FROM (
+      SELECT 'station_' || CAST(i % 7 AS VARCHAR) AS station,
+             ((i * 37) % 1000) / 10.0 AS temp_c
+      FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+    )
+    GROUP BY station
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a custom pure-Python DataSource (Spark 4
+    ``pyspark.sql.datasource`` API) — the connector surface for feeds no
+    built-in reader speaks (REST pagination, bespoke binary formats,
+    instrument protocols). The synthetic observation generator splits
+    into 8 InputPartitions, so the read parallelizes like a file scan;
+    generation is pure arithmetic on the row index, so DuckDB
+    reconstructs the identical relation from generate_series and the
+    ENTIRE read path (partition planning, Python→Arrow conversion,
+    schema) sits under the differential gate."""
+    from ..sources import register_sources
+
+    register_sources(spark)
+    obs = (
+        spark.read.format("synthetic_obs")
+        .option("rows", 10000)
+        .option("parts", 8)
+        .load()
+    )
+    return obs.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("temp_c"), 4).alias("avg_temp"),
+        F.round(F.min("temp_c"), 1).alias("min_temp"),
+        F.round(F.max("temp_c"), 1).alias("max_temp"),
+    )

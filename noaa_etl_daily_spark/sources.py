@@ -1,0 +1,76 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+the modern pure-Python connector surface (SURVEY §2.1 extension).
+
+``SyntheticObsDataSource`` is a deterministic GHCN-flavored observation
+generator: obs_id → (station, temp) by fixed arithmetic, split across N
+``InputPartition``s so the scan parallelizes like any file source. It
+stands in for the real-world case (REST pagination, bespoke binary
+feeds, instrument protocols) where no built-in reader exists: the
+partition-planning / per-partition-iterator contract is identical.
+
+Because generation is pure arithmetic on the row index, the connector is
+fully ORACLED — DuckDB reconstructs the same rows from generate_series,
+so the driver's differential gate covers the whole read path (partition
+planning, Arrow conversion, schema) end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+class _ObsPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _ObsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("rows", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        step = max(1, self.n // self.parts)
+        bounds = list(range(0, self.n, step))
+        return [
+            _ObsPartition(lo, min(lo + step, self.n))
+            for lo in bounds
+            if lo < self.n
+        ]
+
+    def read(self, part: _ObsPartition):
+        for i in range(part.start, part.end):
+            yield (
+                i,
+                f"station_{i % 7}",
+                float((i * 37) % 1000) / 10.0,
+            )
+
+
+class SyntheticObsDataSource(DataSource):
+    """spark.read.format("synthetic_obs").option("rows", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_obs"
+
+    def schema(self) -> str:
+        return "obs_id bigint, station string, temp_c double"
+
+    def reader(self, schema):
+        return _ObsReader(self.options)
+
+
+def register_sources(spark: SparkSession) -> None:
+    """Idempotently register custom data sources on a session."""
+    try:
+        spark.dataSource.register(SyntheticObsDataSource)
+    except Exception:
+        # already registered on this session — re-registration raises
+        pass
