@@ -48,6 +48,7 @@ DEFAULT_HEADLINE = [
     "llm_dedup_near_minhash",
     "llm_sim_topk_cosine",
     "llm_text_tokenize_counts",
+    "join_bucketed_colocated",
 ]
 
 
