@@ -1265,3 +1265,50 @@ def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         "doc_id long, frame_no int, frame_bytes int, frame_sha string",
     )
+
+
+@register(
+    "llm_decontaminate_overlap",
+    oracle="""
+    WITH shingles AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks
+            FROM documents)
+    ), eval_sh AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % 50 = 0
+    ), train_hits AS (
+      SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+      FROM shingles s JOIN eval_sh e ON e.sh = s.sh
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+    FROM train_hits WHERE n_shared >= 3
+    """,
+)
+def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing ≥3
+    distinct word-trigrams with any held-out eval document (doc_id %
+    50 = 0 stands in for the benchmark set) — the n-gram-overlap
+    contamination check every serious pre-training pipeline runs.
+
+    Scale shape: the eval shingle set is small by construction
+    (benchmarks are tiny relative to the corpus), so it broadcasts; the
+    train side streams through one explode + broadcast-semi-join +
+    groupBy — the 100 TB corpus is scanned once and never shuffles its
+    raw text, only (doc_id, matched-shingle) pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    eval_sh = (
+        sh.where(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )

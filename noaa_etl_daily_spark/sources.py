@@ -20,7 +20,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -69,8 +71,71 @@ class SyntheticObsDataSource(DataSource):
 
 def register_sources(spark: SparkSession) -> None:
     """Idempotently register custom data sources on a session."""
-    try:
-        spark.dataSource.register(SyntheticObsDataSource)
-    except Exception:
-        # already registered on this session — re-registration raises
-        pass
+    for src in (SyntheticObsDataSource, JsonlSinkDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            # already registered on this session — re-registration raises
+            pass
+
+
+# ---------------------------------------------------------------------------
+# writer side: a pure-Python sink (same Spark 4 datasource API)
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-partition writer: each task streams its rows to one .jsonl
+    part file named by partition id (deterministic), then reports a
+    commit message — the standard two-phase file-sink shape."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(out, n)
+
+    def commit(self, messages):
+        import os
+
+        total = sum(m.rows for m in messages if m)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        if self.path and os.path.isdir(self.path):
+            shutil.rmtree(self.path, ignore_errors=True)
+
+
+class JsonlSinkDataSource(DataSource):
+    """df.write.format("jsonl_sink").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, overwrite)

@@ -48,3 +48,39 @@ def test_approx_quantile_within_tolerance(spark, sf_dir):
             assert abs(approx - exact) / exact < 0.01, (
                 f"{r.l_returnflag}: approx={approx} exact={exact}"
             )
+
+
+def test_python_datasource_writer_roundtrip(spark, sf_dir):
+    """Pure-Python sink (Spark 4 DataSourceWriter): per-partition jsonl
+    files + a two-phase commit marker; rows must round-trip exactly."""
+    import json
+    import os
+    import shutil
+
+    from noaa_etl_daily_spark.operators.scans import _scratch, _sf_tag
+    from noaa_etl_daily_spark.sources import register_sources
+    from noaa_etl_daily_spark.tables import load
+
+    register_sources(spark)
+    out = _scratch("pyds_sink", _sf_tag(sf_dir), "nation")
+    shutil.rmtree(out, ignore_errors=True)
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("jsonl_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    got = []
+    for fn in sorted(os.listdir(out)):
+        if fn.endswith(".jsonl"):
+            with open(os.path.join(out, fn)) as f:
+                got += [json.loads(line) for line in f]
+    want = [r.asDict() for r in nation.collect()]
+    key = lambda d: d["n_nationkey"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # commit marker records the total row count
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == len(want)
