@@ -443,3 +443,36 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "evt_scd2_history",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts, event_id
+                               ORDER BY event_id) = 1
+    """,
+)
+def evt_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each user's event
+    stream becomes validity intervals — state valid from its own ts
+    until the next change (NULL = current) — the standard warehouse
+    history-table build, done with one partitioned window (lead) instead
+    of a self-join. One shuffle on user_id; interval construction is
+    in-partition. The trivial QUALIFY in the oracle mirrors Spark's
+    deterministic (ts, event_id) ordering."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

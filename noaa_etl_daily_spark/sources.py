@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -71,7 +72,11 @@ class SyntheticObsDataSource(DataSource):
 
 def register_sources(spark: SparkSession) -> None:
     """Idempotently register custom data sources on a session."""
-    for src in (SyntheticObsDataSource, JsonlSinkDataSource):
+    for src in (
+        SyntheticObsDataSource,
+        SyntheticObsStreamDataSource,
+        JsonlSinkDataSource,
+    ):
         try:
             spark.dataSource.register(src)
         except Exception:
@@ -139,3 +144,53 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _JsonlWriter(self.options, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# streaming side: a pure-Python micro-batch source
+# ---------------------------------------------------------------------------
+
+
+class _ObsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader: each trigger advances ``pos``
+    by ``batch`` rows until ``limit``. ``readBetweenOffsets`` replays a
+    committed range deterministically — that replayability is what gives
+    the source exactly-once semantics under failure/restart, the same
+    contract Kafka offsets provide."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("batch", 100))
+        self.limit = int(options.get("limit", 300))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        return [
+            (i, f"station_{i % 7}", float((i * 37) % 1000) / 10.0)
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.limit)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+class SyntheticObsStreamDataSource(DataSource):
+    """spark.readStream.format("synthetic_obs_stream")
+    .option("batch", B).option("limit", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_obs_stream"
+
+    def schema(self) -> str:
+        return "obs_id bigint, station string, temp_c double"
+
+    def simpleStreamReader(self, schema):
+        return _ObsStreamReader(self.options)

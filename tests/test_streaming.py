@@ -294,3 +294,36 @@ def test_stream_foreachbatch_upsert_sink(spark, sf_dir, stream_src):
         .collect()
     }
     assert got == want
+
+
+def test_python_streaming_datasource_exactly_once(spark):
+    """Pure-Python streaming source (Spark 4 SimpleDataSourceStreamReader):
+    offset-tracked micro-batches drain exactly-once — 300 rows, no dups,
+    values identical to the batch reader's arithmetic."""
+    import time
+
+    from noaa_etl_daily_spark.sources import register_sources
+
+    register_sources(spark)
+    q = (
+        spark.readStream.format("synthetic_obs_stream")
+        .option("batch", "100")
+        .option("limit", "300")
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_obs_stream")
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM t_obs_stream").collect()[0].c >= 300:
+            break
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_obs_stream").collect()
+    assert len(rows) == 300
+    assert len({r.obs_id for r in rows}) == 300  # exactly-once
+    for r in rows:
+        assert r.station == f"station_{r.obs_id % 7}"
+        assert abs(r.temp_c - ((r.obs_id * 37) % 1000) / 10.0) < 1e-12
