@@ -465,3 +465,40 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "l_returnflag", "l_linestatus").alias("combo")
     )
     return combo.stat.freqItems(["combo"], 0.1)
+
+
+@register(
+    "agg_median_abs_deviation",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(mad(l_quantity), 4) AS mad_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spread statistic: median absolute deviation per group —
+    the outlier-resistant sigma a QC pass prefers over stddev when the
+    data has heavy tails (one bad sensor day doesn't move it). Spark
+    has no mad() builtin, so it's the two-pass composition: grouped
+    median, broadcast back, grouped median of absolute deviations —
+    proven equal to DuckDB's native mad(). Two grouped percentile
+    shuffles on the same key; the tiny medians table broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("med_qty_raw")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med_qty_raw"), 4).alias("med_qty"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_quantity") - F.col("med_qty_raw")), 0.5
+                ),
+                4,
+            ).alias("mad_qty"),
+        )
+    )

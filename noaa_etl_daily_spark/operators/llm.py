@@ -1312,3 +1312,43 @@ def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("sh").alias("n_shared"))
         .where(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "llm_mix_sampling_weights",
+    oracle="""
+    WITH actual AS (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM documents GROUP BY lang
+    ), totals AS (
+      SELECT sum(total_chars) AS corpus_chars FROM actual
+    )
+    SELECT a.lang,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           round(a.total_chars * 1.0 / t.corpus_chars, 6) AS actual_share,
+           round(0.2 / (a.total_chars * 1.0 / t.corpus_chars), 6)
+               AS sample_weight
+    FROM actual a CROSS JOIN totals t
+    """,
+)
+def llm_mix_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing weights: given a uniform 20%-per-language
+    target, compute each language's actual character share and the
+    per-doc sampling weight (target/actual) that achieves the target mix
+    — the arithmetic behind every data-mixture config. One small
+    aggregation + a 1-row total broadcast; the weights then drive a
+    weighted sampler (e.g. the md5-hash sampler in
+    llm_sample_stratified_hash with per-lang thresholds)."""
+    docs = load(spark, sf_dir, "documents")
+    actual = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    totals = actual.agg(F.sum("total_chars").alias("corpus_chars"))
+    share = F.col("total_chars") / F.col("corpus_chars")
+    return actual.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.round(share, 6).alias("actual_share"),
+        F.round(F.lit(0.2) / share, 6).alias("sample_weight"),
+    )
