@@ -420,3 +420,100 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft("l_orderkey", 2).alias("shifted_up"),
         F.shiftright("l_orderkey", 3).alias("shifted_down"),
     )
+
+
+@register(
+    "fn_levenshtein_fuzzy_match",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+)
+def fn_levenshtein_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: nation-name pairs within
+    Levenshtein distance 4 — the primitive behind station-name /
+    entity reconciliation (IRAN↔IRAQ-style near-misses). Both engines
+    implement classic Levenshtein, so the ints match exactly. The
+    self-join is id-ordered over a *dimension* table; at 100 TB you
+    never all-pairs a fact table — you block first (prefix/phonetic/
+    length bucket) exactly like the MinHash band join, then compute
+    distance only within blocks."""
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = nation.select(
+        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a")
+    )
+    b = nation.select(
+        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b")
+    )
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 4)
+    )
+
+
+@register(
+    "fn_haversine_distance",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey,
+             radians(CAST(s_suppkey * 7 % 180 - 90 AS DOUBLE)) AS lat,
+             radians(CAST(s_suppkey * 13 % 360 - 180 AS DOUBLE)) AS lon
+      FROM supplier
+    )
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           round(2 * 6371.0 * asin(sqrt(
+               pow(sin((b.lat - a.lat) / 2), 2)
+               + cos(a.lat) * cos(b.lat)
+                 * pow(sin((b.lon - a.lon) / 2), 2))), 2) AS dist_km
+    FROM pts a JOIN pts b ON a.s_suppkey < b.s_suppkey
+    WHERE a.s_suppkey <= 20 AND b.s_suppkey <= 20
+    """,
+)
+def fn_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine great-circle distance between station coordinates —
+    THE geo primitive of a NOAA pipeline (nearest-station lookup,
+    radius filters). The fixtures carry no lat/lon, so deterministic
+    pseudo-coordinates derive from supplier keys; the formula is the
+    standard 2R·asin(√…) in double on both engines, rounded at 2dp
+    (≈10 m) so last-ulp libm differences in sin/cos/asin can't split
+    the hash. Pairwise over a 20-station subset — at scale the join is
+    blocked by geohash/grid cell first, same discipline as every other
+    pair-space in this repo."""
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey")
+    pts = supplier.where(F.col("s_suppkey") <= 20).select(
+        "s_suppkey",
+        F.radians((F.col("s_suppkey") * 7 % 180 - 90).cast("double")).alias(
+            "lat"
+        ),
+        F.radians((F.col("s_suppkey") * 13 % 360 - 180).cast("double")).alias(
+            "lon"
+        ),
+    )
+    a = pts.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    b = pts.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    hav = (
+        F.pow(F.sin((F.col("lat_b") - F.col("lat_a")) / 2), 2)
+        + F.cos("lat_a")
+        * F.cos("lat_b")
+        * F.pow(F.sin((F.col("lon_b") - F.col("lon_a")) / 2), 2)
+    )
+    return a.join(b, F.col("supp_a") < F.col("supp_b")).select(
+        "supp_a",
+        "supp_b",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 2).alias("dist_km"),
+    )
