@@ -1352,3 +1352,166 @@ def llm_mix_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("actual_share"),
         F.round(F.lit(0.2) / share, 6).alias("sample_weight"),
     )
+
+
+# Common-subset PII patterns (no lookaround/backrefs, so Java regex in
+# Spark and RE2 in DuckDB agree byte-for-byte on every match).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "llm_text_pii_redact",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail.example or call 555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' now') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '"""
+    + _PII_EMAIL
+    + """', '[EMAIL]', 'g'), '"""
+    + _PII_PHONE
+    + """', '[PHONE]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(t, '"""
+    + _PII_EMAIL
+    + """')) + len(regexp_extract_all(t, '"""
+    + _PII_PHONE
+    + """')) AS INTEGER) AS n_redactions
+    FROM seeded
+    """,
+)
+def llm_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every pre-training corpus
+    runs before tokenization. The fixture corpus carries no real PII,
+    so deterministic contact strings (email + phone keyed by doc_id)
+    are seeded first, then scrubbed with common-subset regexes and
+    counted. Pure regexp_replace/regexp_count inside the scan stage:
+    zero shuffles, runs at scan speed at 100 TB, and the match count
+    feeds the audit metric (#redactions/doc) that QC dashboards track."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]"),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    n_red = (
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL))
+        + F.regexp_count(F.col("t"), F.lit(_PII_PHONE))
+    ).cast("int")
+    return seeded.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_red.alias("n_redactions"),
+    )
+
+
+@register("llm_sim_ivf_topk", tags=("approx", "rows-only"))
+def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbour — the
+    disk-scale ANN path, complementing llm_sim_lsh_approx.
+
+    Classic IVF: (1) learn a small coarse codebook, (2) assign every
+    corpus vector to its nearest centroid ("cell"), (3) at query time
+    search only the nprobe=2 most promising cells. The codebook here is
+    one k-means step from the labelled init (per-label mean via
+    posexplode + groupBy(label, pos) — map-side combinable, one
+    shuffle of K*dim tiny rows). Assignment is a broadcast of the
+    K-row codebook against the corpus (map-only) followed by a single
+    max_by groupBy per vector; at 100 TB the cell id would be written
+    as a partition column so a query touches only nprobe partitions —
+    the whole point of IVF. Candidates per query ≈ nprobe/K of the
+    corpus, a 5× scan cut here and arbitrarily larger with a bigger
+    codebook. Approx by nature → rows-only for the driver; recall@5 vs
+    the exact llm_sim_topk_cosine is property-tested in pytest."""
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    d = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pm", lambda s: s["m"]).alias("c_e"),
+        )
+        .withColumn("c_nrm", _dot(F.col("c_e"), F.col("c_e")))
+    )
+
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("c_e"))
+        / F.sqrt(F.col("nrm") * F.col("c_nrm")),
+        6,
+    )
+    scored = d.join(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "cell", csim.alias("csim")
+    )
+
+    # Corpus-side: each vector lives in exactly its best cell
+    # (tie-break: smaller cell id).
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cell", F.struct(F.col("csim"), (-F.col("cell")).alias("nc"))
+        ).alias("cell"),
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+    )
+
+    # Query-side: every 100th vector probes its top-3 cells.
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell")
+    )
+    qprob = (
+        scored.where(F.col("vec_id") % 100 == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_e"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        best.join(F.broadcast(qprob), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -166,3 +166,26 @@ def test_frame_sample_inventory_matches_payload_lengths(spark, sf_dir):
                 len(frame),
                 hashlib.sha256(frame).hexdigest(),
             )
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF (nprobe=3 of 10 cells, ~30% of the corpus scanned) must (a)
+    report sims that agree with the exact computation on overlapping
+    pairs, (b) beat the random-cells recall baseline (~0.3) with
+    margin, and (c) cap results at k per query."""
+    exact = {
+        (r.query_id, r.cand_id): r.sim
+        for r in REGISTRY["llm_sim_topk_cosine"].builder(spark, sf_dir).collect()
+    }
+    ivf_rows = REGISTRY["llm_sim_ivf_topk"].builder(spark, sf_dir).collect()
+    assert ivf_rows, "IVF returned nothing"
+    for r in ivf_rows:
+        if (r.query_id, r.cand_id) in exact:
+            assert abs(exact[(r.query_id, r.cand_id)] - r.sim) < 1e-9
+    hits = sum(1 for k in exact if k in {(r.query_id, r.cand_id) for r in ivf_rows})
+    recall = hits / len(exact)
+    assert recall >= 0.45, f"IVF recall {recall:.2f} below floor"
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in ivf_rows)
+    assert max(per_q.values()) <= 5
