@@ -502,3 +502,28 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_qty"),
         )
     )
+
+
+@register("agg_hll_sketch_merge", tags=("approx", "rows-only"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the re-aggregation story for distinct
+    counts at 100 TB. Raw rows collapse once into per-(returnflag,
+    month) Datasketches HLL sketches (fixed ~KB state, map-side
+    combined); the monthly partials then merge per returnflag with
+    hll_union_agg WITHOUT touching raw data again — exactly how a daily
+    ETL maintains year-to-date distinct users from daily sketch
+    partitions. Engine-specific estimates → rows-only for the driver;
+    pytest bounds the error vs the exact distinct count."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    return (
+        monthly.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_parts"
+            )
+        )
+        .orderBy("l_returnflag")
+    )

@@ -476,3 +476,51 @@ def evt_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "evt_daily_rollup_reaggregate",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(round(sum(value), 4) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def evt_daily_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (the hypertable / continuous-aggregate
+    pattern): daily stats are REAGGREGATED from hourly partials, never
+    from raw rows — count/sum/min/max compose exactly, and avg is
+    derived as sum/count at the last level. The oracle aggregates the
+    raw table directly, so a hash-match PROVES the two-level rollup is
+    lossless. At 100 TB this is the materialized-view cascade: the
+    hourly layer is ~10^4× smaller than raw, so dashboards re-rollup in
+    milliseconds and the raw scan happens exactly once per hour of
+    arrivals, not once per query."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            F.to_date(F.date_trunc("day", "hour")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 4).alias("total_value"),
+            F.round(F.min("mn"), 4).alias("min_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+            F.round(F.round(F.sum("s"), 4) / F.sum("n"), 4).alias("avg_value"),
+        )
+    )

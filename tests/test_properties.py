@@ -189,3 +189,31 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
 
     per_q = Counter(r.query_id for r in ivf_rows)
     assert max(per_q.values()) <= 5
+
+
+def test_hll_sketch_merge_within_tolerance(spark, sf_dir):
+    """Merged monthly HLL sketches must estimate within 5% of the exact
+    distinct-part count per returnflag, and be deterministic."""
+    from pyspark.sql import functions as F
+    from noaa_etl_daily_spark.tables import load
+
+    got = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["agg_hll_sketch_merge"].builder(spark, sf_dir).collect()
+    }
+    again = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["agg_hll_sketch_merge"].builder(spark, sf_dir).collect()
+    }
+    assert got == again, "sketch estimate not deterministic"
+    exact = {
+        r.l_returnflag: r.exact
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        rel = abs(est - exact[flag]) / exact[flag]
+        assert rel < 0.05, f"{flag}: hll={est} exact={exact[flag]} rel={rel:.3f}"
