@@ -315,3 +315,62 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_view.event_id").alias("view_id"),
         F.col("last_view.ts").alias("view_ts"),
     )
+
+
+@register(
+    "join_range_interval_bucketed",
+    oracle="""
+    SELECT a.event_id AS first_id, b.event_id AS second_id,
+           CAST(date_diff('microseconds', a.ts, b.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_range_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join with NO equi key (any view ↔ any purchase
+    within 5 minutes) — the case where naive Spark plans a nested loop
+    over the whole pair space. The scale rewrite: quantize time into
+    window-width buckets, explode the LEFT side into its two candidate
+    buckets (an interval of width W can only overlap buckets b and
+    b+1), equi-join on the bucket id, and apply the exact range as a
+    residual predicate. The nested loop becomes a hash join whose
+    build/probe keys are time buckets — at 100 TB this shuffles each
+    side once on a perfectly dense, naturally load-balanced key, which
+    is how Flink/Databricks execute interval joins internally. Each
+    (a, b) pair meets in exactly one bucket (b's own), so no dedup pass
+    is needed. Oracle is the direct range predicate — a hash-match
+    proves the rewrite is exactly the naive semantics."""
+    w_us = 300 * 1_000_000  # bucket width == interval width (5 min)
+    events = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("first_id"),
+            us.alias("a_us"),
+            F.explode(
+                F.array(
+                    F.floor(us / w_us), F.floor(us / w_us) + 1
+                )
+            ).alias("bucket"),
+        )
+    )
+    b = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("second_id"),
+        us.alias("b_us"),
+        F.floor(us / w_us).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") <= F.col("a_us") + w_us)
+        )
+        .select(
+            "first_id",
+            "second_id",
+            (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+        )
+    )

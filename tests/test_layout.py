@@ -84,3 +84,24 @@ def test_python_datasource_writer_roundtrip(spark, sf_dir):
     # commit marker records the total row count
     with open(os.path.join(out, "_SUCCESS")) as f:
         assert int(f.read()) == len(want)
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """Reading one l_returnflag from the partitioned sink must plan a
+    partition-pruned scan (the 100 TB contract: a day-keyed reader
+    touches one day's directories, not the whole table)."""
+    from noaa_etl_daily_spark.operators.scans import _scratch, _sf_tag
+
+    REGISTRY["sink_parquet_partitioned"].builder(spark, sf_dir).collect()
+    out = _scratch("parquet_part", _sf_tag(sf_dir), "lineitem")
+    df = spark.read.parquet(out).where("l_returnflag = 'R'")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], f"no partition pruning in plan:\n{plan}"
+    # pruned read must equal a filtered full read
+    full = spark.read.parquet(out).collect()
+    assert len(df.collect()) == sum(
+        1 for r in full if r.l_returnflag == "R"
+    )
