@@ -12,11 +12,13 @@ Scale design (100 TB corpus):
   keep-first window per hash. No text comparison ever crosses the wire,
   only 32-byte digests and doc ids.
 - **Near-dup MinHash is banded, never all-pairs.** Signatures are H
-  per-doc min-hashes computed by one explode+groupBy (map-side combined
-  partial min); candidates come from a self-equi-join on (band_id,
-  band_signature) — a hash shuffle whose key cardinality grows with the
-  corpus, so Catalyst executes it as an ordinary scalable hash join.
-  The O(n²) pair space is never materialized.
+  per-doc min-hashes computed shuffle-free as
+  ``array_min(transform(...))`` over the per-doc shingle array — the
+  exploded shingle stream never crosses an exchange; candidates come
+  from a self-equi-join on (band_id, band_signature) — a hash shuffle
+  whose key cardinality grows with the corpus, so Catalyst executes it
+  as an ordinary scalable hash join. The O(n²) pair space is never
+  materialized.
 - **Cosine top-k (exact)** broadcasts the small query-vector set against
   the corpus — a map-only pass, no shuffle except the final per-query
   top-k window over ≤|queries|×|corpus| rows. It is the *oracled exact
@@ -262,19 +264,85 @@ _MINHASH_H = 8  # minhash functions; banded 4 × 2
 _MINHASH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 
 
+def _trigram_shingle_expr():
+    """Word-trigram shingle array of ``text`` (duplicates kept), built
+    with two ``zip_with`` pairwise concats over shifted slices —
+    ~2× cheaper than the naive per-position ``slice``+``concat_ws``
+    (2 slices + 2n concats instead of n 3-element slices), measured at
+    sf0.1. zip_with pads the shorter side with nulls, making the last
+    two entries null; the final slice to n-2 trims them."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    n = F.size(toks)
+    z = F.zip_with(
+        F.zip_with(toks, F.slice(toks, 2, n - 1), lambda a, b: F.concat(a, F.lit(" "), b)),
+        F.slice(toks, 3, n - 2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(n >= 3, F.slice(z, 1, n - 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _shingles(docs: DataFrame) -> DataFrame:
     """Word-trigram shingles per doc, WITH duplicates — no distinct
     shuffle: min-hash over the multiset equals min-hash over the set,
     and the consumer's collect_set dedups for the Jaccard side."""
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return _spread(docs, "doc_id").select("doc_id", F.explode(sh).alias("sh"))
+    return _spread(docs, "doc_id").select(
+        "doc_id", F.explode(_trigram_shingle_expr()).alias("sh")
+    )
+
+
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """Per-doc word-trigram shingle ARRAY (duplicates kept) — the
+    shuffle-free sibling of ``_shingles``. Keeping shingles as an array
+    column lets every per-doc statistic (min-hash signatures, distinct
+    shingle set) be a higher-order function evaluated inside the scan's
+    whole-stage-codegen stage, so the ~10×-larger exploded shingle
+    stream never crosses an exchange.
+
+    Docs with <3 tokens keep an EMPTY array rather than being filtered
+    out: a ``where(size(sh) > 0)`` here would be pushed below the
+    round-robin exchange by Catalyst, forcing the whole shingle
+    expression to be evaluated a second time inside the (single-split)
+    scan task — consumers rely on empty→null band signatures never
+    matching an equi-join instead, which drops those docs for free."""
+    return _spread(docs).select("doc_id", _trigram_shingle_expr().alias("sh"))
+
+
+def _minhash_sig_cols() -> list:
+    """The H min-hash signature columns over the ``sh`` array column:
+    ``array_min(transform(sh, s -> md5(s || '#i')))`` — min over the
+    multiset equals min over the set, and array_min of md5 hex is the
+    same lexicographic reduction the exploded groupBy(min) computed,
+    with zero shuffle."""
+    def one(tag: str):
+        # NB: the lambda must take exactly ONE arg — a two-arg lambda
+        # would be called by transform() as (element, index).
+        return F.transform("sh", lambda s: F.md5(F.concat(s, F.lit(tag))))
+
+    return [F.array_min(one(f"#{i}")).alias(f"h{i}") for i in range(_MINHASH_H)]
+
+
+def _explode_bands(per_doc: DataFrame, carry: list | None = None) -> DataFrame:
+    """Explode the h0..h7 signature columns into (band_id, sig) rows —
+    one row per doc per band — carrying any extra columns through so
+    the band self-join needs no second trip back to the per-doc table."""
+    extra = carry or []
+    return per_doc.select(
+        "doc_id",
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(F.col(f"h{i}"), F.col(f"h{j}")).alias("sig"),
+                    )
+                    for b, (i, j) in enumerate(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *extra, "band.band_id", "band.sig")
 
 
 @register(
@@ -321,69 +389,50 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams, with exact shingle-set Jaccard computed *only for
     candidates*.
 
-    Scale shape: (1) ONE explode + ONE groupBy(doc_id) builds the whole
-    per-doc state — 8 min-hashes (min over the multiset equals min over
-    the set, so no pre-distinct shuffle) plus the distinct shingle set
-    and its size (map-side combined); (2) candidates come from a
-    self-equi-join on (band_id, band_signature) — the LSH bucket join,
-    never the O(n²) pair space; (3) exact Jaccard is
-    ``array_intersect`` over the two docs' shingle sets, joined only for
-    candidate pairs, instead of re-exploding and re-shuffling every
-    shingle. Min-hash = lexicographic min of md5 hex (identical bytes
-    in Spark and DuckDB, so the whole pipeline is oracled)."""
+    Scale shape: (1) the per-doc min-hash signatures are computed
+    SHUFFLE-FREE as ``array_min(transform(...))`` higher-order
+    functions over the per-doc shingle array, inside the scan stage's
+    whole-stage codegen — the exploded shingle stream (~10× the text
+    bytes) never crosses an exchange, and the md5 pipeline runs ONCE
+    (the band self-join's two sides are byte-identical subplans ending
+    in the same hashpartitioning exchange, so ReuseExchange shares it;
+    the shuffle_hash hint keeps AQE from "optimizing" into a broadcast
+    that would duplicate the pipeline — and a corpus-scale signature
+    table could never broadcast anyway). (2) candidates come from the
+    self-equi-join on (band_id, band_signature) over SLIM rows
+    (doc_id, band_id, sig ≈ 80 bytes) — the LSH bucket join, never the
+    O(n²) pair space, and never shuffling shingle payloads. (3) exact
+    Jaccard fetches the two docs' distinct-shingle sets by joining the
+    (small) candidate list back to an md5-free shingle-array pass —
+    two cheap corpus scans instead of shuffling every doc's shingle
+    set 4× through the band join. Min-hash = lexicographic min of md5
+    hex (identical bytes in Spark and DuckDB, so the whole pipeline is
+    oracled)."""
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    cand = _minhash_edges(spark, sf_dir)
 
-    per_doc = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
-            for i in range(_MINHASH_H)
-        ],
-        F.collect_set("sh").alias("hs"),
+    hs_tbl = _shingle_arrays(docs).select(
+        "doc_id", F.array_distinct("sh").alias("hs")
     )
-
-    # Carry the shingle set THROUGH the band explode so the self-join
-    # yields both sides' sets directly: per_doc then feeds exactly two
-    # identical subplans (the join's sides), which Spark's ReuseExchange
-    # computes once — versus a cand→per_doc→per_doc re-join shape that
-    # recomputes the explode+groupBy per branch.
-    bands = per_doc.select(
-        "doc_id",
-        "hs",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat(F.col(f"h{i}"), F.col(f"h{j}")).alias("sig"),
-                    )
-                    for b, (i, j) in enumerate(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "hs", "band.band_id", "band.sig")
-
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("hs").alias("hs_a"),
-        "band_id",
-        "sig",
+    # Melt each candidate pair into two (pair, doc_id) rows so BOTH
+    # sides' shingle sets come from a single join against one hs pass —
+    # one corpus scan and (at scale) one hs shuffle instead of two.
+    # The regroup touches candidate rows only (2 per pair).
+    melted = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("hs").alias("hs_b"),
-        "band_id",
-        "sig",
-    )
-    cand = (
-        a.join(b, ["band_id", "sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    pair = (
+        melted.join(hs_tbl, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("doc_a"), F.col("hs"))).alias("hs_a"),
+            F.max(F.when(F.col("doc_id") == F.col("doc_b"), F.col("hs"))).alias("hs_b"),
+        )
     )
 
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     n_a, n_b = F.size(F.col("hs_a")), F.size(F.col("hs_b"))
-    return cand.select(
+    return pair.select(
         "doc_a",
         "doc_b",
         F.round(inter / (n_a + n_b - inter), 4).alias("jaccard"),
@@ -1044,33 +1093,17 @@ def _minhash_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate edges (doc_a < doc_b) from the banded MinHash
     pipeline — same construction as llm_dedup_near_minhash."""
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
-            for i in range(_MINHASH_H)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat(F.col(f"h{i}"), F.col(f"h{j}")).alias("sig"),
-                    )
-                    for b, (i, j) in enumerate(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.sig")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
+    sigs = _shingle_arrays(docs).select("doc_id", *_minhash_sig_cols())
+    bands = _explode_bands(sigs)
     return (
-        a.join(b, ["band_id", "sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.alias("a")
+        .hint("shuffle_hash")
+        .join(bands.alias("b"), ["band_id", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 
