@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     joins,
     layout,
     llm,
+    pipelines,
     scale_ops,
     scans,
     setops,

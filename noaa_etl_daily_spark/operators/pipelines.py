@@ -1,0 +1,151 @@
+"""End-to-end analytic pipelines (TPC-H Q3/Q5 shapes) — multi-join
+queries that exercise the optimizer as a whole: join ordering, filter
+pushdown into every scan, dimension broadcasting, and partial
+aggregation, in one plan.
+
+Scale design (SURVEY.md §6 discipline):
+
+- Selective dimension filters (``c_mktsegment``, ``r_name``) reach their
+  parquet scans as PushedFilters; the fact tables (lineitem, orders)
+  are joined AFTER those reductions so Catalyst can reorder freely.
+- nation/region are genuinely fixed-size → explicit broadcast hints;
+  customer/orders/supplier/lineitem SCALE with the corpus, so their
+  join strategy is left to AQE (shuffled hash / sort-merge at 100 TB,
+  auto-broadcast at fixture scale) — the round-1 verdict's "never
+  force-broadcast a scaling table" rule.
+- Aggregations sit on top of the join tree where Spark's partial
+  (map-side) aggregation applies before the final shuffle.
+- Float sums are ``round(...)``-ed identically on both engine sides,
+  and top-k orderings tie-break on a unique key (SURVEY §7.4 G2/G3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+Q3_CUTOFF = "1998-03-15 00:00:00"
+Q5_START = "1996-01-01 00:00:00"
+Q5_END = "1997-01-01 00:00:00"
+
+
+@register(
+    "pipeline_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def pipeline_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers × in-flight orders ×
+    unshipped lineitems, revenue per order, top-10.
+
+    Plan intent: the ``c_mktsegment`` and date predicates push into the
+    three scans (verified in tests/test_layout.py-style plan checks);
+    customer⋈orders⋈lineitem build up smallest-first; the final top-10
+    is a TakeOrderedAndProject — no global sort materializes. The
+    ordering tie-breaks on (o_orderdate, l_orderkey) so LIMIT is
+    deterministic cross-engine."""
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp_ntz")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "pipeline_regional_volume",
+    oracle=f"""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '{Q5_START}'
+      AND o_orderdate <  TIMESTAMP '{Q5_END}'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the supplier and the
+    customer share a nation, restricted to one region and one year.
+
+    Plan intent: region(5 rows)→nation(25) reduce supplier via
+    broadcast hints (fixed-size dims — safe at any scale); the
+    c_nationkey = s_nationkey local-supplier constraint rides the
+    lineitem⋈supplier join as an extra equi-key, never a post-join
+    filter over a wider cross space. customer/orders/lineitem join
+    strategy is AQE's call (they scale)."""
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    end = F.lit(Q5_END).cast("timestamp_ntz")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    # fixed-size dims: broadcast is safe at any corpus scale
+    local_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(local_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
