@@ -691,29 +691,22 @@ def llm_embed_label_knn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_simhash",
     oracle="""
-    WITH tok AS (
-      SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '),
-                                            t -> t <> ''))) AS h
+    WITH hashed AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> ''),
+                            t -> md5(t)) AS hs
       FROM documents
-    ), bits AS (
-      SELECT doc_id, """
-    + ",\n             ".join(
-        "sum(CASE WHEN substr(h, {j}, 1) IN "
-        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(
-            j=j
-        )
-        for j in range(1, 33)
-    )
-    + """
-      FROM tok GROUP BY doc_id
     )
     SELECT doc_id, """
     + " || ".join(
-        "(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)".format(j=j)
+        "(CASE WHEN 2 * len(list_filter(hs, h -> substr(h, {j}, 1) IN "
+        "('8','9','a','b','c','d','e','f'))) - len(hs) > 0 "
+        "THEN '1' ELSE '0' END)".format(j=j)
         for j in range(1, 33)
     )
     + """ AS simhash32
-    FROM bits
+    FROM hashed
     """,
 )
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,50 +716,56 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so at scale candidates come from banding the bit string (equal
     8-bit band → join), exactly like the MinHash path.
 
-    One explode + one groupBy(doc_id) with 32 CASE-sums — map-side
-    combinable, portable bit arithmetic (no engine-specific bit ops:
-    the hex-nibble high bit is a substring test both engines share)."""
-    docs = load(spark, sf_dir, "documents")
-    tok = (
-        _spread(docs, "doc_id")
-        .select("doc_id", F.explode(_tokens()).alias("t"))
-        .select("doc_id", F.md5("t").alias("h"))
-    )
+    Computed SHUFFLE-FREE: the 32 bit-votes are ``aggregate(...)``
+    higher-order folds over the per-doc md5'd token array inside the
+    scan stage — no explode, no groupBy, the token-hash stream never
+    crosses an exchange (vs the naive explode+groupBy, which shuffles
+    ~2× the corpus text bytes in md5 hex). Every doc gets a
+    fingerprint (zero tokens → all-zero sign vector). Portable bit
+    arithmetic: the hex-nibble high bit is a substring test both
+    engines share."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    hs = F.transform(_tokens(), lambda t: F.md5(t))
+    hashed = docs.select("doc_id", hs.alias("hs"))
     high = ("8", "9", "a", "b", "c", "d", "e", "f")
-    sums = [
-        F.sum(
-            F.when(F.substring("h", j, 1).isin(*high), 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(1, 33)
-    ]
-    bits = tok.groupBy("doc_id").agg(*sums)
+
+    def vote(j: int):
+        # fold: +1 per token whose j-th hex nibble has its high bit set,
+        # -1 otherwise; sign of the fold is bit j of the fingerprint
+        return F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, j, 1).isin(*high), 1).otherwise(-1),
+        )
+
     fp = F.concat(
         *[
-            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(vote(j) > 0, F.lit("1")).otherwise(F.lit("0"))
             for j in range(1, 33)
         ]
     )
-    return bits.select("doc_id", fp.alias("simhash32"))
+    return hashed.select("doc_id", fp.alias("simhash32"))
 
 
 @register(
     "llm_doc_fingerprint",
     oracle="""
-    WITH shingles AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(list_sort(hd), 1, 5), ''))
+               AS fingerprint,
+           CAST(len(hd) AS BIGINT) AS n_shingles
+    FROM (
       SELECT doc_id,
-             md5(unnest(list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' ')))) AS h
+             list_distinct(list_transform(
+                 list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' ')),
+                 s -> md5(s))) AS hd
       FROM (SELECT doc_id,
                    list_filter(string_split(lower(text), ' '),
                                t -> t <> '') AS toks
             FROM documents)
     )
-    SELECT doc_id,
-           md5(array_to_string(
-               list_slice(list_sort(list(DISTINCT h)), 1, 5), '')) AS
-               fingerprint,
-           CAST(count(DISTINCT h) AS BIGINT) AS n_shingles
-    FROM shingles GROUP BY doc_id
     """,
 )
 def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,18 +773,21 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes — the winnowing-style document signature: the k smallest
     shingle hashes are stable under small edits, so equal fingerprints
     (or overlapping bottom-k sets) flag near-identical docs without
-    comparing text. One explode + one groupBy; the sketch is 5 hashes
-    per doc no matter the doc length, so the dedup join state at 100 TB
-    is O(docs), not O(text)."""
+    comparing text. Computed SHUFFLE-FREE as higher-order functions
+    over the per-doc shingle array (no explode/groupBy — the shingle
+    stream never crosses an exchange); every doc gets a fingerprint
+    (docs under 3 tokens hash the empty sketch, n_shingles = 0). The
+    sketch is 5 hashes per doc no matter the doc length, so the dedup
+    join state at 100 TB is O(docs), not O(text)."""
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs).select("doc_id", F.md5("sh").alias("h"))
-    return sh.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws(
-                "", F.slice(F.array_sort(F.collect_set("h")), 1, 5)
-            )
-        ).alias("fingerprint"),
-        F.size(F.collect_set("h")).cast("bigint").alias("n_shingles"),
+    sh = _shingle_arrays(docs)
+    hd = F.array_distinct(F.transform("sh", lambda s: F.md5(s)))
+    return sh.select(
+        "doc_id",
+        F.md5(F.concat_ws("", F.slice(F.array_sort(hd), 1, 5))).alias(
+            "fingerprint"
+        ),
+        F.size(hd).cast("bigint").alias("n_shingles"),
     )
 
 
