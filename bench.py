@@ -49,6 +49,8 @@ DEFAULT_HEADLINE = [
     "llm_sim_topk_cosine",
     "llm_text_tokenize_counts",
     "join_bucketed_colocated",
+    "pipeline_shipping_priority",
+    "pipeline_regional_volume",
 ]
 
 
