@@ -168,3 +168,57 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
         ).alias("exact_pcts"),
     )
+
+
+def _date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf) a date-partitioned copy of events — the
+    hive-style ``event_date=YYYY-MM-DD/`` layout a daily ETL lands."""
+    out = _scratch("dpp", _sf_tag(sf_dir), "events_by_date")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    return out
+
+
+@register(
+    "join_partition_pruned_dynamic",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE dayofweek(CAST(ts AS DATE)) = 1  -- DuckDB: Monday = 1
+    GROUP BY 1
+    """,
+)
+def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a date-partitioned fact joined to a
+    filtered date dimension only READS the partitions the dim selects —
+    Spark plants a runtime IN-subquery into the fact scan's
+    PartitionFilters (asserted in tests/test_layout.py), reusing the
+    dim's broadcast. At 100 TB this is the difference between scanning
+    30 days and scanning the 4-5 the report touches, with zero static
+    knowledge of which dates qualify.
+
+    The dim is a real filtered scan (distinct Monday dates observed in
+    the data), not a literal list — a foldable local dim would be
+    constant-folded and never exercise DPP. The oracle computes the
+    same Monday report directly off the raw table (Spark dayofweek:
+    Monday = 2; DuckDB: Monday = 1 — SURVEY §7.4 G4)."""
+    fact = spark.read.parquet(_date_partitioned_events(spark, sf_dir))
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .where(F.dayofweek("d") == 2)  # Spark: Monday = 2
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -105,3 +105,19 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     assert len(df.collect()) == sum(
         1 for r in full if r.l_returnflag == "R"
     )
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The date-partitioned fact scan must carry a runtime
+    dynamicpruningexpression in its PartitionFilters — i.e. the join
+    to the filtered date dim prunes fact partitions at execution time,
+    not just statically."""
+    df = REGISTRY["join_partition_pruned_dynamic"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    # and the pruning actually reaches the fact scan's partition filters
+    lower = plan.lower()
+    pf = lower.find("partitionfilters")
+    assert pf != -1 and "dynamicpruning" in lower[pf : pf + 400], plan
