@@ -123,6 +123,46 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_view_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join (twin of join_theta_range): view→purchase
+    pairs by the same user within 5 minutes, both sides watermarked so
+    the join STATE is bounded — a view older than watermark-10min can
+    never match a future purchase (the time-range condition tells Spark
+    exactly when to evict it). Without the range bound the state store
+    would grow without limit on an unbounded stream; with it, state is
+    O(events in the watermark horizon), the only shape that survives an
+    always-on 100 TB/day ingest."""
+    a = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    b = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_b"),
+            F.col("event_id").alias("second_id"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    return a.join(
+        b,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "first_id",
+        "second_id",
+        F.col("user_a").alias("user_id"),
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )
+
+
 def stream_user_running_stats(events: DataFrame) -> DataFrame:
     """Arbitrary-stateful streaming operator (twin of the
     evt_stateful_custom pattern): per-user running event count and value

@@ -327,3 +327,18 @@ def test_python_streaming_datasource_exactly_once(spark):
     for r in rows:
         assert r.station == f"station_{r.obs_id % 7}"
         assert abs(r.temp_c - ((r.obs_id * 37) % 1000) / 10.0) < 1e-12
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, stream_src):
+    """Watermarked stream-stream self-join (view→purchase within 5 min)
+    drained with AvailableNow must equal the batch theta/range join —
+    the inner time-interval join emits exactly the matched pairs."""
+    st.run_to_memory(
+        st.stream_view_purchase_join(st.read_events_stream(spark, stream_src)),
+        "t_ss_join",
+        "append",
+    )
+    cols = ["first_id", "second_id", "user_id", "gap_us"]
+    got = _table_rows(spark, "t_ss_join", cols)
+    want = _rows(REGISTRY["join_theta_range"].builder(spark, sf_dir), cols)
+    assert got == want
