@@ -162,3 +162,125 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(tokenize, "doc_id long, token string, pos int")
+
+
+@register(
+    "udtf_cogrouped_pandas",
+    oracle="""
+    WITH li AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS shipped,
+             CAST(count(*) AS BIGINT) AS n_ship
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS booked,
+             CAST(count(*) AS BIGINT) AS n_book
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(li.month, o.month) AS month,
+           COALESCE(shipped, 0.0) AS shipped,
+           COALESCE(booked, 0.0) AS booked,
+           COALESCE(n_ship, 0) AS n_ship,
+           COALESCE(n_book, 0) AS n_book
+    FROM li FULL OUTER JOIN o ON li.month = o.month
+    """,
+)
+def udtf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-table custom transform surface:
+    lineitem (by ship month) and orders (by order month) arrive as one
+    pandas DataFrame PAIR per key, here reduced to a monthly
+    book-to-bill report. Spark co-partitions both inputs on the key
+    (two shuffles, same as a join would need) and hands each side's
+    rows to Python whole — the pattern for custom reconciliation /
+    as-of merge logic that neither a join nor a single-table UDAF can
+    express. A missing month on either side arrives as an EMPTY pdf
+    (the full-outer semantics the oracle mirrors with COALESCE)."""
+    import pandas as pd  # noqa: F811 — local for executor pickling
+
+    def book_to_bill(key, li_pdf, o_pdf):
+        shipped = (li_pdf["l_extendedprice"] * (1 - li_pdf["l_discount"])).sum()
+        return pd.DataFrame(
+            [
+                {
+                    "month": key[0],
+                    "shipped": round(float(shipped), 2),
+                    "booked": round(float(o_pdf["o_totalprice"].sum()), 2),
+                    "n_ship": len(li_pdf),
+                    "n_book": len(o_pdf),
+                }
+            ]
+        )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("month")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+        .groupBy("month")
+    )
+    return li.cogroup(orders).applyInPandas(
+        book_to_bill,
+        "month string, shipped double, booked double, n_ship long, n_book long",
+    )
+
+
+@register(
+    "udtf_python_native",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(c AS INTEGER) AS chunk_idx,
+           CAST(CASE WHEN c * 16 <= len(tk) THEN 16
+                     ELSE len(tk) - (c - 1) * 16 END AS BIGINT) AS n_tokens,
+           tk[(c - 1) * 16 + 1] AS first_token
+    FROM (SELECT doc_id, tk,
+                 unnest(generate_series(
+                     1, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS c
+          FROM toks)
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf`` class) invoked with a
+    correlated LATERAL join — not the mapInPandas approximation: the
+    planner sees a proper table function, so each document row fans out
+    into its fixed-16-token training chunks (doc_id, chunk_idx,
+    n_tokens, first_token) with per-row arguments bound by the lateral.
+    The chunking itself is the context-packing primitive every
+    pre-training pipeline runs; the oracle replays it with
+    generate_series arithmetic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_idx int, n_tokens bigint, first_token string"
+    ))
+    class ChunkStats:
+        def eval(self, doc_id, text):
+            toks = [t for t in (text or "").lower().split(" ") if t]
+            for i in range(0, len(toks), 16):
+                chunk = toks[i : i + 16]
+                yield doc_id, i // 16 + 1, len(chunk), chunk[0]
+
+    spark.udtf.register("chunk_stats", ChunkStats)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.chunk_idx, s.n_tokens, s.first_token
+        FROM _udtf_docs d, LATERAL chunk_stats(d.doc_id, d.text) s
+        """
+    )
