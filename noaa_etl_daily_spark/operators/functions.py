@@ -517,3 +517,34 @@ def fn_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_b",
         F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 2).alias("dist_km"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT)
+               AS missing_val
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the Spark 4 VARIANT type:
+    ``parse_json`` once into a binary variant, then typed point reads
+    with ``variant_get`` / ``try_variant_get``. Unlike the string-typed
+    ``get_json_object`` path (fn_map_from_json), variant parses the
+    JSON ONCE into a binary-encoded tree; repeated field reads skip
+    re-parsing — at 100 TB of event payloads that is the difference
+    between one parse per row and one per extraction. Missing paths
+    come back NULL from try_variant_get, mirroring the oracle's NULL
+    json_extract."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.expr("parse_json(props) IS NOT NULL").alias("is_valid"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
+    )

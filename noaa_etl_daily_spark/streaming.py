@@ -208,3 +208,19 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_enriched_by_static_dim(
+    events: DataFrame, user_dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins
+    against the static dimension with NO streaming state at all (the
+    dim is re-broadcast per batch) — the canonical shape for decorating
+    an event firehose with slowly-changing reference data. Contrast
+    with the stream-stream join, which must keep watermark-bounded
+    state."""
+    enriched = events.join(user_dim, "user_id")
+    return enriched.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -217,3 +217,30 @@ def test_hll_sketch_merge_within_tolerance(spark, sf_dir):
     for flag, est in got.items():
         rel = abs(est - exact[flag]) / exact[flag]
         assert rel < 0.05, f"{flag}: hll={est} exact={exact[flag]} rel={rel:.3f}"
+
+
+def test_observe_inflight_qc_metrics(spark, sf_dir):
+    """Observation API: data-quality counters ride the SAME job as the
+    real aggregation — no second scan. At 100 TB a separate QC pass
+    doubles the read bill; observe() makes it free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_qty"
+        ),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    result = observed.groupBy("l_returnflag").count().collect()
+    assert len(result) > 0
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert m["nonpositive_qty"] == 0
+    assert m["max_shipdate"] is not None

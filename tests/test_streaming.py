@@ -342,3 +342,36 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, stream_src):
     got = _table_rows(spark, "t_ss_join", cols)
     want = _rows(REGISTRY["join_theta_range"].builder(spark, sf_dir), cols)
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, stream_src):
+    """Stream-static enrichment (events x static user-cohort dim) in
+    complete mode must equal the same batch aggregation — and needs no
+    watermark because stream-static joins are stateless."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "cohort", (F.col("user_id") % 5).cast("int")
+    )
+    st.run_to_memory(
+        st.stream_enriched_by_static_dim(
+            st.read_events_stream(spark, stream_src), dim
+        ),
+        "t_static_join",
+        "complete",
+    )
+    cols = ["cohort", "n_events", "total_value"]
+    got = _table_rows(spark, "t_static_join", cols)
+    want = _rows(
+        ev.join(dim, "user_id")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ),
+        cols,
+    )
+    assert got == want
