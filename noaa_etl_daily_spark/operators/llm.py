@@ -1550,3 +1550,88 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "llm_embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+                                         ELSE floor(x / scale + 0.5) END) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           round(sqrt(list_sum(list_transform(
+               generate_series(1, len(e)),
+               i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)))
+               / len(e)), 6) AS rms_err
+    FROM q
+    """,
+)
+def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression every vector corpus applies (4x smaller
+    than float32, 8x than float64): per-vector scale = max|x|/127,
+    quantized code = floor(x/scale + 0.5), plus the RMS reconstruction
+    error so a pipeline can gate on quality. All higher-order functions
+    inside the scan stage — zero shuffles, embarrassingly parallel at
+    any corpus size. floor(x+0.5) is used instead of round() on BOTH
+    engines because round()'s half-away vs half-even tie rules differ
+    cross-engine (SURVEY §7.4 G2); sums fold sequentially to match
+    DuckDB's list_sum bit-for-bit before the final display round."""
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", e.alias("e"))
+    s = v.select(
+        "vec_id",
+        "e",
+        (F.array_max(F.transform("e", lambda x: F.abs(x))) / 127.0).alias(
+            "scale"
+        ),
+    )
+    qv = F.transform(
+        "e",
+        lambda x: F.when(F.col("scale") == 0, 0.0).otherwise(
+            F.floor(x / F.col("scale") + 0.5).cast("double")
+        ),
+    )
+    q = s.select("vec_id", "e", "scale", qv.alias("qv"))
+    sq_err = F.aggregate(
+        F.zip_with(
+            "e",
+            F.transform("qv", lambda c: c * F.col("scale")),
+            lambda a, r: (a - r) * (a - r),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # NB: the rounded scale gets its display alias in a SEPARATE select —
+    # putting `round(scale) AS scale` in the same projection as sq_err
+    # makes Spark's lateral-column-alias resolution rebind the
+    # F.col("scale") references inside sq_err to the ROUNDED alias,
+    # silently changing the error sum (verified on Spark 4.1.2).
+    out = q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x)
+        .cast("bigint")
+        .alias("q_sum"),
+        F.sqrt(sq_err / F.size("e")).alias("rms_raw"),
+    )
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_sum",
+        F.round("rms_raw", 6).alias("rms_err"),
+    )

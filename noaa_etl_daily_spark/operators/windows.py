@@ -279,3 +279,44 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "win_running_distinct_count",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS n_types_seen
+    FROM events
+    """,
+)
+def win_running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — an operator Spark does
+    NOT support natively (``count(distinct ...) over`` is rejected by
+    the analyzer), emulated exactly with the dense_rank trick: the
+    first time a (user, type) pair appears it raises a per-user
+    first-occurrence flag, and a running SUM of those flags equals the
+    distinct count so far. Two window passes over the SAME partition
+    key — one shuffle, two in-partition sorts, no extra exchange.
+    DuckDB supports the native form, making this a true cross-engine
+    differential of an emulation."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "is_first",
+            F.when(F.row_number().over(first_seen) == 1, 1).otherwise(0),
+        )
+        .withColumn(
+            "n_types_seen", F.sum("is_first").over(running).cast("bigint")
+        )
+        .select("event_id", "user_id", "n_types_seen")
+    )
