@@ -524,3 +524,61 @@ def evt_daily_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.round(F.sum("s"), 4) / F.sum("n"), 4).alias("avg_value"),
         )
     )
+
+
+@register(
+    "evt_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_after
+    """,
+)
+def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase):
+    each stage is min-event-time per user CONSTRAINED to follow the
+    previous stage — the product-analytics query sessionization alone
+    can't answer.
+
+    Scale shape: three per-user aggregates chained by two equi-joins on
+    user_id — every shuffle is on the same key, so AQE/exchange reuse
+    co-locates the chain; no window over a global ordering, no
+    cross-user state. 100 TB of events reduce to |users| rows after the
+    first aggregate."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )

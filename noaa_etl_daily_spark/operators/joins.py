@@ -374,3 +374,68 @@ def join_range_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_us") - F.col("a_us")).alias("gap_us"),
         )
     )
+
+
+@register(
+    "sql_scalar_subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def sql_scalar_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders priced >1.5× their own
+    customer's average. Catalyst DECORRELATES this into a per-customer
+    aggregate joined back to orders (RewriteCorrelatedScalarSubquery):
+    one extra aggregation + one equi-join, NOT a per-row subquery
+    execution — the plan shape that keeps correlated SQL viable at
+    100 TB. The oracle runs the identical SQL in DuckDB."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM _sq_orders o
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice)
+                                    FROM _sq_orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "sql_exists_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — customers with a finished order
+    but no urgent one. Catalyst rewrites the pair into a LEFT SEMI join
+    chained with a LEFT ANTI join on the same key (RewritePredicateSubquery)
+    — both hash joins, no per-row re-execution. The
+    DataFrame twins (join_left_semi / join_left_anti) are registered
+    separately; this proves the SQL front door reaches the same plans."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _sq_customer c
+        WHERE EXISTS (SELECT 1 FROM _sq_orders2 o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM _sq_orders2 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """
+    )
