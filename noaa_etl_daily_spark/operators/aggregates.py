@@ -527,3 +527,59 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT month, rev, row_number() OVER (ORDER BY month) AS i FROM m
+    ), r AS (
+      SELECT i, month, rev, rev AS balance FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.i, x.month, x.rev, r.balance * 1.01 + x.rev
+      FROM idx x JOIN r ON x.i = r.i + 1
+    )
+    SELECT month, rev, round(balance, 2) AS balance FROM r
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a compounding monthly
+    balance — each month carries the prior balance × 1.01 plus that
+    month's revenue. The carry makes every row depend on the previous
+    one, which no windowed SUM can express (the interest compounds on
+    the running result, not the inputs); recursion is the right tool
+    and Spark executes it as iterative union steps over the ~80-row
+    monthly aggregate, NOT over raw orders. The row_number spine has no
+    PARTITION BY, which is safe only because it runs post-aggregation
+    on |months| rows — the raw table never sees a global window.
+    Balance stays unrounded through the recursion (identical double op
+    order on both engines is bit-deterministic); only the display
+    rounds."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE r(i, month, rev, balance) AS (
+          SELECT i, month, rev, rev AS balance
+          FROM (SELECT month, rev,
+                       row_number() OVER (ORDER BY month) AS i
+                FROM (SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                             round(sum(o_totalprice), 2) AS rev
+                      FROM _rc_orders GROUP BY 1))
+          WHERE i = 1
+          UNION ALL
+          SELECT x.i, x.month, x.rev, r.balance * 1.01 + x.rev
+          FROM (SELECT month, rev,
+                       row_number() OVER (ORDER BY month) AS i
+                FROM (SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                             round(sum(o_totalprice), 2) AS rev
+                      FROM _rc_orders GROUP BY 1)) x
+          JOIN r ON x.i = r.i + 1
+        )
+        SELECT month, rev, round(balance, 2) AS balance FROM r
+        """
+    )

@@ -224,3 +224,51 @@ def stream_enriched_by_static_dim(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def stream_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Same per-user running aggregate as ``stream_user_running_stats``
+    but through Spark 4's ``transformWithStateInPandas`` — the
+    successor arbitrary-state API: typed state handles
+    (ValueState/ListState/MapState), timers, and TTL replace the single
+    opaque GroupState blob. State remains per-key in the state store,
+    so scale behavior matches the older API; what changes is that
+    custom operators compose from declared state primitives instead of
+    hand-packed tuples."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

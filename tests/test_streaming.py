@@ -375,3 +375,56 @@ def test_stream_static_join_equals_batch(spark, sf_dir, stream_src):
         cols,
     )
     assert got == want
+
+
+def test_stream_transform_with_state(spark, sf_dir, stream_src):
+    """transformWithStateInPandas (the Spark 4 typed-state API) drained
+    over the finite stream must agree with the batch groupBy, exactly
+    like the applyInPandasWithState twin.
+
+    The API's state-server protocol needs google.protobuf at runtime;
+    environments without it (like this container) skip rather than
+    fail — the twin itself is plain DataFrame code either way."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires google.protobuf")
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        st.run_to_memory(
+            st.stream_user_stats_tws(st.read_events_stream(spark, stream_src)),
+            "t_tws",
+            "update",
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    emitted = {}
+    for r in spark.sql("SELECT * FROM t_tws").collect():
+        if r.user_id not in emitted or r.n_events > emitted[r.user_id][0]:
+            emitted[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n, r.tv)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("tv"),
+        )
+        .collect()
+    }
+    assert set(emitted) == set(batch)
+    for uid, (n, tv) in batch.items():
+        assert emitted[uid][0] == n
+        assert abs(emitted[uid][1] - tv) < 1e-6
