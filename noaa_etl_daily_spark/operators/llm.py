@@ -1635,3 +1635,89 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_sum",
         F.round("rms_raw", 6).alias("rms_err"),
     )
+
+
+@register(
+    "llm_multimodal_decode_features",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ascii(c) // 32)
+                 AS bins,
+             length(text) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 + doc_id % 64 AS INTEGER) AS width,
+           CAST(1 + doc_id % 48 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           [CAST(len(list_filter(bins, b -> b = 0)) AS BIGINT),
+            CAST(len(list_filter(bins, b -> b = 1)) AS BIGINT),
+            CAST(len(list_filter(bins, b -> b = 2)) AS BIGINT),
+            CAST(len(list_filter(bins, b -> b = 3)) AS BIGINT),
+            CAST(len(list_filter(bins, b -> b = 4)) AS BIGINT),
+            CAST(len(list_filter(bins, b -> b = 5)) AS BIGINT),
+            CAST(len(list_filter(bins, b -> b = 6)) AS BIGINT),
+            CAST(len(list_filter(bins, b -> b = 7)) AS BIGINT)] AS feat
+    FROM bytes
+    """,
+)
+def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode → feature-extract → resize plumbing over
+    mapInPandas: binary payloads cross the Arrow boundary in batches,
+    a (gated) decoder produces typed image metadata, and an 8-bin byte
+    histogram stands in for the feature vector.
+
+    The real decoder (PIL/cv2) is probed behind an import-try per the
+    survey's stub policy — absent in this container, the DETERMINISTIC
+    fallback derives dimensions from the doc id and histograms the raw
+    payload bytes, so the whole pipeline (binary column in, metadata
+    struct + array feature column out, bounded Arrow batches) is real
+    and fully ORACLED: the byte histogram is exact integer counts that
+    DuckDB recomputes with ascii()//32 — no float tolerance anywhere.
+    At 100 TB this is embarrassingly parallel; the only cross-executor
+    bytes are the emitted features (~64 B/doc), never the media."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def decode(batches):
+        try:  # pragma: no cover - media libs absent in this container
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "n_bytes": [],
+                "feat": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = text.encode("utf-8")
+                # have_pil branch would Image.open(io.BytesIO(blob));
+                # the fixture payloads are not real images, so both
+                # paths use the deterministic fake decode
+                width, height, channels = 1 + doc_id % 64, 1 + doc_id % 48, 3
+                hist = [0] * 8
+                for b in blob:
+                    hist[b // 32] += 1
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["channels"].append(channels)
+                rows["n_bytes"].append(len(blob))
+                rows["feat"].append(hist)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, channels int, "
+        "n_bytes long, feat array<bigint>",
+    )
