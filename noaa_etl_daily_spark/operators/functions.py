@@ -548,3 +548,44 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_json(props) IS NOT NULL").alias("is_valid"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
     )
+
+
+@register(
+    "fn_collation_lcase",
+    oracle="""
+    SELECT lower(o_orderpriority) AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM (
+      SELECT CASE WHEN o_orderkey % 2 = 1 THEN upper(o_orderpriority)
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
+    GROUP BY 1
+    """,
+)
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: grouping under UTF8_LCASE treats 'URGENT'
+    and 'urgent' as the same key INSIDE the hash aggregate — no
+    lower() normalization column, and any join/sort on the collated
+    column inherits the semantics. The mixed-case input is synthesized
+    deterministically (odd keys upper-cased); the output key is
+    re-lowered for display because a collated group surfaces an
+    arbitrary representative casing. The oracle gets identical groups
+    with explicit lower()."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 2 == 1, F.upper("o_orderpriority")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority")
+    )
+    return (
+        orders.groupBy(
+            F.expr("collate(o_orderpriority, 'UTF8_LCASE')").alias("pri_ci")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.lower(F.col("pri_ci").cast("string")).alias("priority"),
+            "n_orders",
+        )
+    )

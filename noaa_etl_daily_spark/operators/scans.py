@@ -338,3 +338,46 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("temp_c"), 1).alias("min_temp"),
         F.round(F.max("temp_c"), 1).alias("max_temp"),
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (built into Spark 4 — no spark-xml package):
+    orders written as <row> elements and read back with an EXPLICIT
+    schema (rowTag streaming parse; inference would need a second full
+    pass). The aggregate over the round-tripped copy must match the
+    raw parquet, proving the format conversion is lossless for the
+    typed columns. At scale, XML parsing is per-file parallel like any
+    text source; the rowTag splitter keeps memory bounded per
+    element."""
+    out = _scratch("xml", _sf_tag(sf_dir), "orders")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            orders.write.mode("overwrite")
+            .option("rootTag", "orders")
+            .option("rowTag", "row")
+            .format("xml")
+            .save(out)
+        )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
