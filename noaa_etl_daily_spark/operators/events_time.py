@@ -582,3 +582,89 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
     )
+
+
+@register(
+    "evt_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id
+                  ORDER BY s, e, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id
+                  ORDER BY s, e, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, island_id,
+           make_timestamp(min(s)) AS span_start,
+           make_timestamp(max(e)) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island_id
+    """,
+)
+def evt_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals (interval union /
+    gaps-and-islands): each event spans [ts, ts + floor(value*60) s);
+    touching or overlapping spans coalesce into one row with the merged
+    extent and the event count.
+
+    Scale shape: ONE shuffle on user_id serves both analytic windows
+    (the running max(end) island detector and the island-id running
+    sum share the same partitioning+ordering, so they evaluate in a
+    single Window stage) and the final (user, island) groupBy arrives
+    pre-partitioned on its prefix key. Everything is integer epoch-µs
+    arithmetic — floor (not round) on the duration because floor of
+    the same IEEE double is bit-identical across engines, while
+    round's half-boundary mode is not. Ties broken by event_id so the
+    island numbering is deterministic in both engines."""
+    ev = load(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.floor(F.col("value") * 60).cast("long") * 1000000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).cast("long").alias("island_id"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.timestamp_micros(F.min("s")).cast("timestamp_ntz").alias("span_start"),
+        F.timestamp_micros(F.max("e")).cast("timestamp_ntz").alias("span_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -589,3 +589,59 @@ def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((CASE WHEN l_discount <> 0.0
+                 THEN l_extendedprice / l_discount END) * 10000) / 10000
+             AS safe_ratio,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0
+                THEN CAST(l_shipdate AS VARCHAR)
+                ELSE l_linestatus END AS TIMESTAMP) AS maybe_date,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 1
+                    THEN CAST(l_orderkey AS VARCHAR)
+                    ELSE l_returnflag END AS BIGINT) AS parsed,
+           [l_quantity, l_extendedprice][l_linenumber] AS picked
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation family: ``try_divide`` (NULL on /0),
+    ``try_to_date`` (NULL on unparseable dates), ``try_cast`` (NULL on
+    unparseable numbers), and ``try_element_at`` (NULL past the end —
+    line numbers 3..7 index past the 2-element array). The point of
+    this surface at 100 TB: one dirty row NULLs out instead of killing
+    the whole stage under ``spark.sql.ansi.enabled``. The oracle
+    mirrors each with short-circuiting CASE / TRY_CAST since DuckDB
+    errors eagerly. (``try_add``/``try_multiply`` overflow-NULL
+    semantics only engage under ANSI mode, which this engine does not
+    force session-wide — so they are deliberately not claimed here.) The ratio is truncated to 4 places via
+    floor(x*1e4)/1e4 rather than round(): floor of the same IEEE
+    double is bit-identical across engines while round's half-boundary
+    handling is decimal-string-based in Spark and binary in DuckDB."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.try_divide("l_extendedprice", "l_discount") * 10000)
+            / 10000
+        ).alias("safe_ratio"),
+        F.try_to_date(
+            F.when(
+                F.col("l_linenumber") % 3 == 0, F.col("l_shipdate").cast("string")
+            ).otherwise(F.col("l_linestatus"))
+        )
+        .cast("timestamp_ntz")
+        .alias("maybe_date"),
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("l_orderkey").cast("string"))
+        .otherwise(F.col("l_returnflag"))
+        .try_cast("long")
+        .alias("parsed"),
+        F.try_element_at(
+            F.array("l_quantity", "l_extendedprice"), F.col("l_linenumber")
+        ).alias("picked"),
+    )
