@@ -439,3 +439,35 @@ def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_orderpriority = '1-URGENT')
         """
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with per-row ORDER BY/LIMIT —
+    "top-2 orders per customer" phrased the way an analyst writes it.
+    Catalyst DECORRELATES the lateral subquery (DecorrelateInnerQuery):
+    the plan is one shuffle of orders on o_custkey with a ranked-window
+    filter joined back to customer — NOT a per-customer re-execution of
+    the subquery, so it scales like win_topk_per_group (its DataFrame
+    twin) rather than like a nested loop. This op proves the SQL front
+    door reaches that plan."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
