@@ -583,3 +583,54 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT month, rev, round(balance, 2) AS balance FROM r
         """
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ``listagg(... ) WITHIN
+    GROUP (ORDER BY ...)`` vs DuckDB ``string_agg(... ORDER BY ...)``.
+    The WITHIN GROUP ordering makes the concatenation deterministic
+    (G3); like any collect-to-one-value agg this is for BOUNDED groups
+    — per-group output must fit a row, so at 100 TB it belongs on
+    dimension-cardinality keys, never raw event keys."""
+    nation = load(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("_la_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM _la_nation GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
+    "agg_bool_logic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0)   AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: ``count_if`` / ``every`` / ``any`` —
+    the data-quality assertion primitives (\"all values positive\",
+    \"any failed row in the batch\"). All three are map-side-combining
+    hash aggregates: partials are a count and two booleans, so the
+    shuffle carries O(groups) bytes at any corpus size."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )

@@ -645,3 +645,34 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array("l_quantity", "l_extendedprice"), F.col("l_linenumber")
         ).alias("picked"),
     )
+
+
+@register(
+    "fn_string_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_mktsegment, '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'),
+               '[0-9]', '#', 'g') AS segment_masked
+    FROM customer
+    """,
+)
+def fn_string_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``mask()`` — char-class redaction (upper→X, lower→x,
+    digit→n, punctuation kept) plus a custom-char variant. The JVM-native sibling of llm_text_pii_redact's regex
+    pipeline: zero exchanges, whole-stage codegen, and the oracle
+    reproduces it with three global regexp_replace passes."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.mask(
+            "c_mktsegment",
+            upperChar=F.lit("*"),
+            lowerChar=F.lit("*"),
+            digitChar=F.lit("#"),
+        ).alias("segment_masked"),
+    )

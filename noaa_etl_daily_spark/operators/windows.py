@@ -320,3 +320,43 @@ def win_running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "n_types_seen")
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order_price,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_so_far
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` under two frames: the whole-partition frame ("the
+    customer's 2nd-ever order price on every row") and the running
+    frame ("2nd order seen SO FAR" — NULL until two rows have
+    arrived). Frames are spelled explicitly on both engines because
+    the SQL-standard default (RANGE ... CURRENT ROW) differs from what
+    most users expect from nth_value; ordering tie-breaks on
+    o_orderkey (G3). Same single-shuffle discipline as every window op
+    here: both frames share one (o_custkey) partitioning."""
+    orders = load(spark, sf_dir, "orders")
+    base = (
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    whole = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(whole).alias("second_order_price"),
+        F.nth_value("o_totalprice", 2).over(running).alias("second_so_far"),
+    )
