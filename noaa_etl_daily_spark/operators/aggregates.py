@@ -634,3 +634,35 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("o_totalprice") > 0).alias("all_positive"),
         F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@register(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT event_type,
+           CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type — the data-profiling
+    primitive behind QC dashboards. The bin index is identical integer
+    arithmetic on both engines (floor of the same IEEE double, clamped
+    to [0,19]) rather than width_bucket, whose internal division order
+    differs across engines at bin edges. One map-combined groupBy on
+    (type, bin): shuffle bytes are O(types × bins) regardless of
+    corpus size."""
+    ev = load(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)), F.lit(19)
+    ).cast("long")
+    return ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )

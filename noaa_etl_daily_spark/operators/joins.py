@@ -471,3 +471,36 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@register(
+    "sql_not_in_null_aware",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+      AND c_acctbal > 0
+    """,
+)
+def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` — the null-aware anti join. Semantically
+    distinct from NOT EXISTS / left-anti: one NULL in the subquery
+    empties the whole result, so Spark plans single-column NOT IN as a
+    null-aware anti join that must BROADCAST the subquery side.
+    That is the 100 TB lesson this op encodes: NOT IN over a scaling
+    subquery is a plan hazard (broadcast-only strategy) — rewrite to
+    NOT EXISTS (join_left_anti, registered separately) when the inner
+    side is known null-free. Kept here with a bounded subquery
+    (high-value orders) so the broadcast is justified at any scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_ni_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ni_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _ni_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM _ni_orders
+                                WHERE o_totalprice > 400000)
+          AND c_acctbal > 0
+        """
+    )

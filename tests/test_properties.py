@@ -244,3 +244,30 @@ def test_observe_inflight_qc_metrics(spark, sf_dir):
     assert m["n_rows"] == li.count()
     assert m["nonpositive_qty"] == 0
     assert m["max_shipdate"] is not None
+
+
+def test_dedup_strategies_agree_on_high_jaccard_pairs(spark, sf_dir):
+    """Cross-strategy consistency: the prefix-filtered exact Jaccard
+    join (llm_dedup_ngram_jaccard, threshold 0.8) must return every
+    pair the banded-MinHash pipeline surfaces with verified Jaccard
+    >= 0.8 — the exact strategy has recall 1.0 by construction, while
+    banding is probabilistic (its candidates are a subset). Guards the
+    two independent implementations against drifting apart."""
+    from noaa_etl_daily_spark.registry import load_all
+
+    reg = load_all()
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in reg["llm_dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    minhash_high = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in reg["llm_dedup_near_minhash"].builder(spark, sf_dir).collect()
+        if r.jaccard >= 0.8
+    }
+    assert exact, "exact strategy found no pairs at all"
+    missing = set(minhash_high) - set(exact)
+    assert not missing, f"exact join missed minhash-verified pairs: {missing}"
+    for pair, j in minhash_high.items():
+        assert abs(exact[pair] - j) < 1e-9, (pair, exact[pair], j)
+    assert all(j >= 0.8 for j in exact.values())
