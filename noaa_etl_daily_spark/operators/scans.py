@@ -381,3 +381,44 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           size AS n_bytes,
+           substr(hex(content), 1, 16) AS head_hex,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{SCRATCH}/binfiles/*.bin')
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingestion door for multimodal
+    payloads (images/audio/video land as whole-file blobs before the
+    decode UDFs in llm_multimodal_decode_features take over). Reads a
+    deterministic 16-file corpus and fingerprints each blob; the
+    oracle reads the same files via DuckDB ``read_blob``, so byte
+    fidelity (not just row count) is verified. At 100 TB this source
+    parallelizes over the object-store listing — one task per file
+    (or per block for large files) with no driver-side I/O; the
+    16-file fixture only proves the plumbing. Hashes go through
+    ``hex`` first: both engines hex uppercase, while md5-of-BLOB is
+    not directly comparable across them."""
+    import hashlib
+
+    bindir = _scratch("binfiles", "_")
+    base = os.path.dirname(bindir)
+    for i in range(16):
+        payload = b"".join(
+            hashlib.md5(f"blob-{i}-{j}".encode()).digest() for j in range(8)
+        )[: 64 + 11 * i]
+        with open(os.path.join(base, f"part-{i:02d}.bin"), "wb") as fh:
+            fh.write(payload)
+    df = spark.read.format("binaryFile").load(os.path.join(base, "*.bin"))
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.hex("content"), 1, 16).alias("head_hex"),
+        F.md5(F.hex("content")).alias("content_md5"),
+    )
