@@ -504,3 +504,70 @@ def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c_acctbal > 0
         """
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT purchase_id, purchase_ts, user_id, view_id,
+           CAST(date_diff('microseconds', view_ts, purchase_ts) AS BIGINT)
+             AS staleness_us
+    FROM (
+        SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, p.user_id,
+               v.event_id AS view_id, v.ts AS view_ts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+                   FROM events WHERE event_type = 'view') v
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    )
+    WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance — the feature-store rule
+    "use the latest feature value, but only if it is fresher than 30
+    minutes". Same single-shuffle union+window pattern as join_asof
+    (no per-row subquery, no range blow-up); the tolerance is a
+    post-window NULL-out, which is exact because the as-of match is
+    the NEWEST candidate — if it is stale, every other candidate is
+    staler. Staleness is reported in integer µs on both engines."""
+    events = load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        F.col("event_id"),
+        F.struct("ts", "event_id").alias("view_info"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None)
+        .cast("struct<ts:timestamp_ntz,event_id:bigint>")
+        .alias("view_info"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "last_view", F.last("view_info", ignorenulls=True).over(w)
+    )
+    staleness = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_view.ts").cast("timestamp")
+    )
+    fresh = staleness <= F.lit(30 * 60 * 1000000)
+    return tagged.filter(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+        F.when(fresh, F.col("last_view.event_id")).alias("view_id"),
+        F.when(fresh, staleness).alias("staleness_us"),
+    )

@@ -1830,3 +1830,46 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.round(inter / union, 4).alias("jaccard"),
     )
+
+
+# GPT-2-style pre-tokenizer, ASCII dialect-common subset: a token is an
+# (optionally space-prefixed) letter run, digit run, or punctuation run,
+# or a bare space run. Kept free of \p classes and lookarounds so the
+# Java (Spark) and RE2 (DuckDB) engines match byte-for-byte (G4).
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@register(
+    "llm_text_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS BIGINT) AS n_ws_tokens,
+           floor(len(regexp_extract_all(text, '{_BPE_PAT}')) * 10000.0
+                 / len(list_filter(string_split(text, ' '), t -> t <> '')))
+             / 10000 AS fertility
+    FROM documents
+    """,
+)
+def llm_text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-cost token estimation with a BPE-ish regex
+    pre-tokenizer (GPT-2's shape: space-prefixed letter/digit/punct
+    runs) next to the plain whitespace count, plus the fertility ratio
+    (BPE tokens per word) that data-mix planners budget with.
+
+    All three columns are scan-stage scalar expressions — zero
+    exchanges, no UDF: regexp_extract_all runs inside whole-stage
+    codegen, so at 100 TB token accounting rides the ingest scan for
+    free. The ratio is floor-truncated (not rounded) for cross-engine
+    bit-identity."""
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    n_ws = F.size(_tokens("text"))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        (F.floor(n_bpe * 10000.0 / n_ws) / 10000).alias("fertility"),
+    )
