@@ -415,7 +415,11 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[: 64 + 11 * i]
         with open(os.path.join(base, f"part-{i:02d}.bin"), "wb") as fh:
             fh.write(payload)
-    df = spark.read.format("binaryFile").load(os.path.join(base, "*.bin"))
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+    )
     return df.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
