@@ -1873,3 +1873,86 @@ def llm_text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("long").alias("n_ws_tokens"),
         (F.floor(n_bpe * 10000.0 / n_ws) / 10000).alias("fertility"),
     )
+
+
+@register(
+    "llm_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE shingles AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks
+            FROM documents)
+    ), per_doc AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, sig FROM per_doc, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), edges AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ), reach(u, label) AS (
+      SELECT DISTINCT u, u AS label FROM sym
+      UNION
+      SELECT s.u, r.label FROM sym s JOIN reach r ON r.u = s.v
+    ), clusters AS (
+      SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
+    ), allc AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           first_value(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS survivor_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) = 1 AS kept
+    FROM allc
+    """,
+)
+def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup pipeline: candidate pairs → connected
+    components → ONE canonical survivor per cluster (longest doc wins,
+    doc_id tiebreak), with every corpus doc labelled kept/dropped.
+    Composes llm_dedup_cluster_components' min-label propagation with a
+    per-cluster ranking window; singleton docs are their own cluster
+    and always survive.
+
+    Scale: the ranking window partitions on cluster_id — clusters are
+    tiny by construction and singletons are 1-row partitions, so the
+    per-partition sort is O(cluster size), no skew. The expensive part
+    (candidate graph + components) is shared machinery already audited
+    in PLANS.md; the survivor selection adds ONE corpus-sized window
+    after a left join against the (small) clustered-doc label table."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = llm_dedup_cluster_components(spark, sf_dir)
+    allc = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return allc.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(frame).alias("survivor_id"),
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

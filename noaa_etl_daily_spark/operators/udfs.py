@@ -284,3 +284,75 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL chunk_stats(d.doc_id, d.text) s
         """
     )
+
+
+@register(
+    "udtf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           floor((gross_u + 50) / 100.0) / 100.0 AS gross
+    FROM (
+      SELECT l_orderkey, count(*) AS n_lines,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS gross_u
+      FROM lineitem GROUP BY l_orderkey
+    )
+    """,
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy sibling of mapInPandas: the UDF
+    receives raw ``pyarrow.RecordBatch`` objects, skipping the
+    Arrow→pandas conversion entirely. The right boundary when the
+    Python side is itself Arrow-native (pyarrow.compute, DataFusion,
+    Polars, GPU libraries). Here a per-batch pyarrow group_by computes
+    order-level partials; a JVM-side groupBy then merges partials
+    across batches — the same partial/final split a built-in aggregate
+    uses, so the shuffle carries per-order partials, never raw rows.
+    The money math is INTEGER (price and discount are 2-decimal, so
+    price¢ × (100-disc¢) is an exact unit of 10^-4 dollars): integer
+    partial sums are associative-exact, making the parallel merge
+    order-independent — float partials would drift a last-ulp per
+    merge order and flip a rounding boundary somewhere in 15k groups —
+    and the final half-up-to-cents rounding is integer arithmetic too
+    ((u+50) div 100), because many orders land EXACTLY on .xx5 where
+    Spark's decimal-string round and DuckDB's binary round disagree.
+    The oracle is the pure-SQL twin with the same integer arithmetic."""
+    import pyarrow as pa
+
+    def per_batch_partials(batches):
+        pc = pa.compute
+        for batch in batches:
+            price_c = pc.cast(
+                pc.round(pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            disc_c = pc.cast(
+                pc.round(pc.multiply(batch.column("l_discount"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            tbl = pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "gross_u": pc.multiply(
+                        price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+                    ),
+                }
+            )
+            agg = tbl.group_by("l_orderkey").aggregate(
+                [("gross_u", "sum"), ("gross_u", "count")]
+            )
+            agg = agg.rename_columns(["l_orderkey", "gross_u", "n_part"])
+            for out in agg.to_batches():
+                yield out
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    partials = li.mapInArrow(
+        per_batch_partials, "l_orderkey long, gross_u long, n_part long"
+    )
+    return partials.groupBy("l_orderkey").agg(
+        F.sum("n_part").alias("n_lines"),
+        (F.floor((F.sum("gross_u") + 50) / 100) / 100.0).alias("gross"),
+    )
