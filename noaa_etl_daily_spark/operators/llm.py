@@ -1956,3 +1956,80 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("doc_id").over(frame).alias("survivor_id"),
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+@register(
+    "llm_text_repetition_filter",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks
+            FROM documents)
+    ), counts AS (
+      SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh
+    ), agg AS (
+      SELECT doc_id, max(c) AS top_count, CAST(sum(c) AS BIGINT) AS n_tri
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tri, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(a.top_count, 0) AS BIGINT) AS top_trigram_count,
+           CASE WHEN a.n_tri > 0
+                THEN floor(a.top_count * 10000.0 / a.n_tri) / 10000
+                ELSE 0.0 END AS repetition_ratio,
+           COALESCE(a.top_count * 5 >= a.n_tri, FALSE) AS flagged
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def llm_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the share of a doc's
+    word-trigrams taken by its single most-repeated trigram; docs where
+    one trigram is ≥20% of all trigrams get flagged (boilerplate,
+    keyword stuffing, degenerate generations).
+
+    Computed SHUFFLE-FREE: sort the per-doc shingle array, mark
+    equal-adjacent pairs with zip_with, and fold the longest run with
+    ``aggregate`` — max run length + 1 IS the top trigram count, all
+    inside the scan stage's codegen (same HOF discipline as the MinHash
+    signatures; the naive explode → groupBy(doc, trigram) → max ships
+    the 10×-text shingle stream through two exchanges). The flag
+    threshold is integer-exact (top*5 >= n). Oracle uses the explode
+    form — different construction, same numbers."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = _shingle_arrays(docs)
+    srt = F.array_sort("sh")
+    n = F.size("sh")
+    # greatest(n-1, 0): slice() raises on negative length for the
+    # empty shingle arrays of <3-token docs
+    flags = F.zip_with(
+        srt,
+        F.slice(srt, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("run"), F.lit(0).cast("int").alias("best")
+    )
+    best_run = F.aggregate(
+        flags,
+        zero,
+        lambda acc, x: F.struct(
+            F.when(x == 1, acc.run + 1).otherwise(F.lit(0)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == 1, acc.run + 1).otherwise(F.lit(0))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top = F.when(n > 0, best_run + 1).otherwise(F.lit(0)).cast("long")
+    return per_doc.select(
+        "doc_id",
+        n.cast("long").alias("n_trigrams"),
+        top.alias("top_trigram_count"),
+        F.when(n > 0, F.floor(top * 10000.0 / n) / 10000)
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+        F.when(n > 0, top * 5 >= n).otherwise(F.lit(False)).alias("flagged"),
+    )

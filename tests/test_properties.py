@@ -271,3 +271,42 @@ def test_dedup_strategies_agree_on_high_jaccard_pairs(spark, sf_dir):
     for pair, j in minhash_high.items():
         assert abs(exact[pair] - j) < 1e-9, (pair, exact[pair], j)
     assert all(j >= 0.8 for j in exact.values())
+
+
+def test_repetition_filter_short_and_degenerate_docs(spark, tmp_path):
+    """The repetition scorer's HOF fold must survive <3-token docs
+    (empty shingle array — slice() length is clamped to 0) and score a
+    fully degenerate doc as ~100% repetition."""
+    import pandas as pd
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "one two",  # <3 tokens: no trigrams
+                "",  # empty text
+                "spam ham " * 50,  # one trigram pair repeated
+                # 30 distinct words: 28 trigrams, all unique -> ratio 1/28
+                " ".join(f"w{i}" for i in range(30)),
+            ],
+        }
+    )
+    df["lang"] = "en"
+    df["source"] = "unit"
+    df["n_chars"] = df["text"].str.len()
+    sf = tmp_path / "sfunit"
+    sf.mkdir()
+    spark.createDataFrame(df).write.parquet(str(sf / "documents.parquet"))
+
+    out = {
+        r.doc_id: r
+        for r in load_all()["llm_text_repetition_filter"]
+        .builder(spark, str(sf))
+        .collect()
+    }
+    assert out[1].n_trigrams == 0 and not out[1].flagged
+    assert out[2].n_trigrams == 0 and not out[2].flagged
+    assert out[3].flagged and out[3].repetition_ratio >= 0.49
+    assert not out[4].flagged and out[4].top_trigram_count == 1
