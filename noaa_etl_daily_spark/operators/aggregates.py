@@ -666,3 +666,33 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — modern SQL sugar (every non-aggregate select
+    item becomes a grouping key) supported by both Spark 4 and DuckDB;
+    the resolved plan is the identical hash aggregate as the explicit
+    GROUP BY, so the surface costs nothing. Computed grouping columns
+    (year()) participate like plain ones."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               year(l_shipdate) AS ship_year,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM _gba_lineitem
+        GROUP BY ALL
+        """
+    )

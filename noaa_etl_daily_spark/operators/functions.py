@@ -676,3 +676,31 @@ def fn_string_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             digitChar=F.lit("#"),
         ).alias("segment_masked"),
     )
+
+
+@register(
+    "fn_string_codec",
+    oracle="""
+    SELECT c_custkey,
+           base64(encode(c_name)) AS name_b64,
+           decode(from_base64(base64(encode(c_name)))) AS name_roundtrip,
+           CAST(ascii(c_name) AS INTEGER) AS first_code,
+           chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS bucket_char
+    FROM customer
+    """,
+)
+def fn_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/text codec surface: base64 encode + decode round-trip
+    (the wire format for binary payloads in JSON/CSV interchange),
+    ascii code of the first char, and chr bucketing. All scan-stage
+    scalar expressions; the round-trip column proves encode/decode are
+    inverses byte-for-byte on both engines."""
+    cust = load(spark, sf_dir, "customer")
+    b64 = F.base64(F.encode("c_name", "UTF-8"))
+    return cust.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("name_roundtrip"),
+        F.ascii("c_name").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("bucket_char"),
+    )
