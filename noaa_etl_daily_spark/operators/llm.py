@@ -2033,3 +2033,92 @@ def llm_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("repetition_ratio"),
         F.when(n > 0, top * 5 >= n).otherwise(F.lit(False)).alias("flagged"),
     )
+
+
+@register("llm_embed_pca_project", tags=("rows-only", "approx"))
+def llm_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the 64-dim embedding corpus onto its top-2
+    principal components — the dimensionality reduction step before
+    visualization / coarse clustering of a training corpus.
+
+    Distributed linear algebra, Spark-shaped: (1) each Arrow batch
+    computes its PARTIAL Gram matrix X^T X, mean-sum and count with one
+    BLAS call (mapInArrow — 64×64 floats per batch, no per-row Python);
+    (2) the shuffle carries only 4096-row partials which a groupBy
+    sums — at 100 TB the reduce traffic is partitions × 33 KB,
+    independent of corpus size; (3) the driver eigensolves the tiny
+    64×64 covariance (the ONLY driver-side compute — fixed-size, not
+    corpus-size) and the two eigenvectors return as broadcast literals
+    folded into a scan-stage zip_with dot product. No oracle: eigen
+    results are float-iteration artifacts DuckDB cannot reproduce
+    bit-wise; invariants (explained-variance ordering, component
+    orthogonality, projection centering) are pytest properties."""
+    import numpy as np
+
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = 64
+
+    def gram_partials(batches):
+        for batch in batches:
+            x = np.vstack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            g = x.T @ x
+            i, j = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": i.ravel().astype("int32"),
+                    "j": j.ravel().astype("int32"),
+                    "g": g.ravel(),
+                    "s": np.tile(x.sum(axis=0), dim),   # mean-sum rides along
+                    "n": np.full(dim * dim, len(x), dtype="int64"),
+                }
+            )
+
+    partials = emb.select("embedding").mapInArrow(
+        gram_partials, "i int, j int, g double, s double, n long"
+    )
+    agg = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("g").alias("g"), F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    G = np.zeros((dim, dim))
+    S = np.zeros(dim)
+    n = 0
+    for r in agg:
+        G[r.i, r.j] = r.g
+        if r.i == 0:
+            S[r.j] = r.s
+            n = r.n  # each (0,j) partial row carries the batch count once
+    mu = S / n
+    cov = (G - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    pcs = []
+    for k in (dim - 1, dim - 2):  # eigh sorts ascending
+        v = vecs[:, k]
+        v = v if v[int(np.abs(v).argmax())] > 0 else -v  # deterministic sign
+        pcs.append([float(x) for x in v])
+
+    mu_col = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with("embedding", mu_col, lambda a, b: a - b)
+
+    def project(pc):
+        pc_col = F.array(*[F.lit(c) for c in pc])
+        return F.round(
+            F.aggregate(
+                F.zip_with(centered, pc_col, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    return emb.select(
+        "vec_id",
+        "label",
+        project(pcs[0]).alias("pc1"),
+        project(pcs[1]).alias("pc2"),
+    )

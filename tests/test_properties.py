@@ -310,3 +310,39 @@ def test_repetition_filter_short_and_degenerate_docs(spark, tmp_path):
     assert out[2].n_trigrams == 0 and not out[2].flagged
     assert out[3].flagged and out[3].repetition_ratio >= 0.49
     assert not out[4].flagged and out[4].top_trigram_count == 1
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """PCA invariants the no-oracle op must satisfy: projections are
+    mean-centered, PC1 explains at least as much variance as PC2, the
+    two components are uncorrelated, and the distributed Gram-partial
+    pipeline agrees with a local numpy PCA on the same vectors."""
+    import numpy as np
+
+    from noaa_etl_daily_spark.registry import load_all
+    from noaa_etl_daily_spark.tables import path_for
+
+    rows = sorted(
+        load_all()["llm_embed_pca_project"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.vec_id,
+    )
+    pc1 = np.array([r.pc1 for r in rows])
+    pc2 = np.array([r.pc2 for r in rows])
+    assert abs(pc1.mean()) < 1e-6 and abs(pc2.mean()) < 1e-6
+    assert pc1.var() >= pc2.var() - 1e-9
+    assert abs(np.corrcoef(pc1, pc2)[0, 1]) < 1e-3
+
+    import duckdb
+
+    X = np.vstack(
+        duckdb.sql(
+            f"SELECT embedding FROM '{path_for(sf_dir, 'embeddings')}' ORDER BY vec_id"
+        )
+        .df()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    Xc = X - X.mean(0)
+    _, vecs = np.linalg.eigh(np.cov(X.T))
+    v1 = vecs[:, -1]
+    v1 = v1 if v1[int(np.abs(v1).argmax())] > 0 else -v1
+    assert float(np.abs(Xc @ v1 - pc1).max()) < 1e-5
