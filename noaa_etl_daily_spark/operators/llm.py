@@ -2122,3 +2122,38 @@ def llm_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         project(pcs[0]).alias("pc1"),
         project(pcs[1]).alias("pc2"),
     )
+
+
+@register(
+    "llm_dataset_card_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dup_docs
+    FROM documents
+    """,
+)
+def llm_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card one-liner: corpus size, token and char volume,
+    language/source diversity, and exact-duplicate count — the summary
+    row every training-data release publishes. ONE scan: token counts
+    are scan-stage HOFs and the exact-dup count rides the same
+    aggregate as count(distinct md5). The multi-distinct Expand is over
+    a 1-group aggregation, so the shuffle is a handful of rows per
+    partition at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+            "n_exact_dup_docs"
+        ),
+    )
