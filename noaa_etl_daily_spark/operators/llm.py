@@ -2157,3 +2157,57 @@ def llm_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_dup_docs"
         ),
     )
+
+
+@register(
+    "llm_doc_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(s AS INTEGER) AS start_tok,
+             tk[s:least(s + 49, len(tk))] AS ck
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk), 1), 40))
+           AS u(s)
+    )
+    SELECT doc_id, start_tok,
+           CAST(len(ck) AS INTEGER) AS n_tokens,
+           array_to_string(ck, ' ') AS chunk_text
+    FROM chunks WHERE len(ck) > 0
+    """,
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token chunks, stride 40 →
+    10-token overlap) — the split step every RAG index and
+    long-document training pipeline runs before embedding.
+
+    Scan-stage HOFs end to end: token array → ``sequence`` of chunk
+    starts → ``explode`` → ``slice`` — the chunk text is materialized
+    from the SAME in-memory token array, never re-tokenized, and the
+    1→N expansion happens inside the scan's codegen with no exchange
+    (at 100 TB chunking is a map-only pass that writes straight to the
+    partitioned sink). ``greatest(n, 1)`` keeps the sequence ascending
+    for empty docs (Spark's sequence counts DOWN if stop < start), and
+    empty chunks are filtered identically on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    tk = _tokens("text")
+    n = F.size(tk)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(40))
+    chunks = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(starts).alias("start_tok"),
+    ).select(
+        "doc_id",
+        "start_tok",
+        F.slice("tk", F.col("start_tok"), F.lit(50)).alias("ck"),
+    )
+    return chunks.where(F.size("ck") > 0).select(
+        "doc_id",
+        "start_tok",
+        F.size("ck").alias("n_tokens"),
+        F.array_join("ck", " ").alias("chunk_text"),
+    )
