@@ -187,3 +187,43 @@ def merge_upsert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         # half-boundary where Spark/DuckDB rounding semantics diverge
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@register(
+    "sink_range_sorted_layout",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(CAST(ts AS TIMESTAMP)) AS first_ts,
+           max(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, sorted time-series layout:
+    ``repartitionByRange(ts)`` + ``sortWithinPartitions(ts)`` so every
+    output file owns a DISJOINT time range and is internally sorted.
+    This is what makes parquet min/max row-group skipping actually
+    fire for time predicates — a reader with ``ts BETWEEN ...`` opens
+    only the files/row-groups whose footer stats overlap, regardless
+    of engine. (tests/test_layout.py parses the written footers with
+    pyarrow and asserts the per-file ts ranges are non-overlapping and
+    internally ordered.) The returned aggregation reads the rewritten
+    copy, so the oracle certifies the layout rewrite lost nothing."""
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    out = _scratch("range_sorted", _sf_tag(sf_dir), "events")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

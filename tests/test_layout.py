@@ -121,3 +121,40 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     lower = plan.lower()
     pf = lower.find("partitionfilters")
     assert pf != -1 and "dynamicpruning" in lower[pf : pf + 400], plan
+
+
+def test_range_sorted_layout_files_are_disjoint_and_ordered(spark, sf_dir):
+    """sink_range_sorted_layout must produce files whose ts ranges are
+    pairwise disjoint (range partitioning) and whose row groups are
+    internally non-decreasing (sortWithinPartitions) — the two
+    properties parquet min/max skipping needs."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from noaa_etl_daily_spark.operators.scale_ops import (
+        sink_range_sorted_layout,
+    )
+    from noaa_etl_daily_spark.operators.scans import SCRATCH
+
+    sink_range_sorted_layout(spark, sf_dir).count()  # materialize the write
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    files = sorted(
+        glob.glob(os.path.join(SCRATCH, "range_sorted", tag, "events", "*.parquet"))
+    )
+    assert len(files) > 1
+    spans = []
+    for path in files:
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.names.index("ts")
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        assert mins == sorted(mins), f"{path} row groups out of order"
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, "file time ranges overlap — range partitioning broken"
