@@ -668,3 +668,38 @@ def evt_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.max("e")).cast("timestamp_ntz").alias("span_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register("evt_hll_sliding_uniques", tags=("rows-only", "approx"))
+def evt_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day unique users per day, by HLL sketch
+    REAGGREGATION: one pass builds a fixed-size sketch per day, then
+    each day unions the seven daily sketches it covers — the raw event
+    stream is scanned ONCE for all windows. This is the pattern that
+    makes sliding distinct-counts feasible at 100 TB: exact sliding
+    distinct must either rescan each window (7× read amplification) or
+    shuffle every (day, user) pair into every window it touches; the
+    sketch path shuffles ~1.5 KB per day per window. Approximate by
+    nature → rows-only here; tests/test_properties.py holds the
+    estimate within 5% of the exact count."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # fan each daily sketch out to the 7 window-anchor days it serves
+    fanned = daily.select(
+        "sk",
+        F.explode(
+            F.array(*[F.date_add("day", i) for i in range(7)])
+        ).alias("anchor_day"),
+    )
+    anchors = daily.select(F.col("day").alias("anchor_day")).distinct()
+    return (
+        fanned.join(anchors, "anchor_day")  # only emit days present in data
+        .groupBy("anchor_day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_uniques_7d"
+            )
+        )
+    )

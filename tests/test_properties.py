@@ -346,3 +346,36 @@ def test_pca_projection_invariants(spark, sf_dir):
     v1 = vecs[:, -1]
     v1 = v1 if v1[int(np.abs(v1).argmax())] > 0 else -v1
     assert float(np.abs(Xc @ v1 - pc1).max()) < 1e-5
+
+
+def test_hll_sliding_uniques_within_tolerance(spark, sf_dir):
+    """The sketch-reaggregated trailing-7-day unique-user counts must
+    sit within 5% of the exact sliding distinct count for every day."""
+    import duckdb
+
+    from noaa_etl_daily_spark.registry import load_all
+    from noaa_etl_daily_spark.tables import path_for
+
+    got = {
+        r.anchor_day: r.approx_uniques_7d
+        for r in load_all()["evt_hll_sliding_uniques"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"""
+            WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                              user_id
+                       FROM '{path_for(sf_dir, 'events')}')
+            SELECT a.day, count(DISTINCT b.user_id)
+            FROM (SELECT DISTINCT day FROM d) a
+            JOIN d b ON b.day BETWEEN a.day - 6 AND a.day
+            GROUP BY a.day
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for day, est in got.items():
+        rel = abs(est - exact[day]) / exact[day]
+        assert rel < 0.05, f"{day}: hll={est} exact={exact[day]} rel={rel:.3f}"
