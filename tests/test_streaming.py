@@ -428,3 +428,39 @@ def test_stream_transform_with_state(spark, sf_dir, stream_src):
     for uid, (n, tv) in batch.items():
         assert emitted[uid][0] == n
         assert abs(emitted[uid][1] - tv) < 1e-6
+
+
+def test_stream_tumbling_on_rocksdb_state_store(spark, sf_dir, stream_src):
+    """Same tumbling aggregation, but with the RocksDB state store
+    provider — the state backend a large cluster actually runs
+    (HDFS-backed in-memory maps stop fitting once keyed state outgrows
+    the executor heap; RocksDB spills to local disk with changelog
+    checkpointing). Proves the engine's streaming ops are
+    provider-agnostic. Skips cleanly if the native RocksDB JNI lib is
+    unavailable in this environment."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    try:
+        try:
+            st.run_to_memory(
+                st.stream_tumbling_counts(
+                    st.read_events_stream(spark, stream_src)
+                ),
+                "t_tumbling_rocks",
+                "complete",
+            )
+        except Exception as ex:  # pragma: no cover - env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {ex}")
+        batch = REGISTRY["evt_tumbling_window"].builder(spark, sf_dir)
+        cols = ["window_start", "event_type", "n_events", "total_value"]
+        assert _table_rows(spark, "t_tumbling_rocks", cols) == _rows(batch, cols)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
