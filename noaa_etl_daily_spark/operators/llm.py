@@ -2211,3 +2211,66 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ck").alias("n_tokens"),
         F.array_join("ck", " ").alias("chunk_text"),
     )
+
+
+@register("llm_embed_kmeans", tags=("rows-only", "approx"))
+def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (K=8, 5 iterations, euclidean) over the
+    embedding corpus — iterative ML expressed as DataFrame ops.
+
+    Per iteration: (1) ASSIGN is map-only — the K×64 codebook rides
+    into the scan as literal arrays, each vector's nearest centroid is
+    an argmin over a ``transform`` of squared distances, zero
+    exchanges; (2) UPDATE is one map-combinable shuffle of posexploded
+    (cell, pos, x) rows whose reduce output is K×64 rows regardless of
+    corpus size; the new codebook (a few KB) returns via collect — the
+    same fixed-size driver hop as the PCA eigensolve, never
+    corpus-sized. Init is DETERMINISTIC: the K vectors with the
+    smallest md5(vec_id) seed the codebook, so reruns and the pytest
+    numpy replication converge identically. Rows-only for the driver;
+    invariants (monotone inertia, exact agreement with a same-init
+    numpy Lloyd's) are property-tested."""
+    import numpy as np
+
+    K, ITERS, DIM = 8, 5, 64
+    emb = _spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+
+    seeds = (
+        emb.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(K)
+        .collect()
+    )
+    cents = [[float(x) for x in r.embedding] for r in sorted(seeds, key=lambda r: r.h)]
+
+    def assign_col(cents_):
+        cent_lit = F.array(
+            *[F.array(*[F.lit(c) for c in cent]) for cent in cents_]
+        )
+        dists = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with("embedding", c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # array_position is 1-based; ties break to the lowest cell id
+        return (F.array_position(dists, F.array_min(dists)) - 1).alias("cell")
+
+    for _ in range(ITERS):
+        assigned = emb.select("vec_id", "embedding", assign_col(cents))
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = np.array(cents)
+        for r in rows:
+            new[r.cell][r.pos] = r.m
+        cents = [[float(x) for x in row] for row in new]
+
+    return emb.select("vec_id", assign_col(cents))

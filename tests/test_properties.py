@@ -379,3 +379,43 @@ def test_hll_sliding_uniques_within_tolerance(spark, sf_dir):
     for day, est in got.items():
         rel = abs(est - exact[day]) / exact[day]
         assert rel < 0.05, f"{day}: hll={est} exact={exact[day]} rel={rel:.3f}"
+
+
+def test_kmeans_matches_same_init_numpy_lloyds(spark, sf_dir):
+    """The DataFrame Lloyd's loop must reproduce a local numpy Lloyd's
+    run from the SAME deterministic md5-ranked init, same K, same
+    iteration count — assignments agree on (essentially) every vector,
+    and the final partition is non-degenerate."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from noaa_etl_daily_spark.registry import load_all
+    from noaa_etl_daily_spark.tables import path_for
+
+    K, ITERS = 8, 5
+    got = {
+        r.vec_id: r.cell
+        for r in load_all()["llm_embed_kmeans"].builder(spark, sf_dir).collect()
+    }
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{path_for(sf_dir, 'embeddings')}' ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy()
+    X = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    cents = X[order[:K]].copy()
+    for _ in range(ITERS):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cells = d.argmin(axis=1)
+        for k in range(K):
+            if (cells == k).any():
+                cents[k] = X[cells == k].mean(axis=0)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ref = d.argmin(axis=1)
+
+    agree = sum(got[v] == ref[i] for i, v in enumerate(ids))
+    assert agree / len(ids) > 0.99, f"only {agree}/{len(ids)} assignments agree"
+    assert len(set(got.values())) == K
