@@ -704,3 +704,49 @@ def fn_string_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("c_name").alias("first_code"),
         F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("bucket_char"),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             'https://data.example.com/' || c_mktsegment || '/c?id=' ||
+             CAST(c_custkey AS VARCHAR) || '&seg=' || lower(c_mktsegment)
+               AS url
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, 'id=([^&]*)', 1) AS id_param,
+           replace(c_name, '#', '%23') AS name_encoded,
+           c_name AS name_roundtrip
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family — ``parse_url`` (HOST / PATH / per-key QUERY
+    extraction) plus ``url_encode``/``url_decode`` round-trip: the
+    log-processing surface of any clickstream ETL. All scan-stage;
+    DuckDB has no URL functions, so the oracle re-derives each piece
+    with regexes over the same constructed URL (the fixture charset
+    makes form-encoding equal a single '#'→'%23' replace, which keeps
+    the encode column oracle-able)."""
+    cust = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://data.example.com/"),
+        F.col("c_mktsegment"),
+        F.lit("/c?id="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&seg="),
+        F.lower("c_mktsegment"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.url_encode("c_name").alias("name_encoded"),
+        F.url_decode(F.url_encode("c_name")).alias("name_roundtrip"),
+    )

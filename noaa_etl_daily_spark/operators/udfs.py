@@ -21,6 +21,8 @@ Performance doctrine (SURVEY §4.2, pyspark guide):
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -355,4 +357,40 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("l_orderkey").agg(
         F.sum("n_part").alias("n_lines"),
         (F.floor((F.sum("gross_u") + 50) / 100) / 100.0).alias("gross"),
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id, event_type,
+           round(value * CASE event_type
+                 WHEN 'view' THEN 0.1 WHEN 'click' THEN 0.5
+                 WHEN 'purchase' THEN 2.0 ELSE 1.0 END, 4) AS score
+    FROM events
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER eval type) — the
+    batch-inference shape: expensive per-worker setup (model load,
+    tokenizer init) runs ONCE per partition before the batch loop,
+    then every Arrow batch reuses it. A plain Series→Series UDF
+    re-enters Python per batch with no place to hoist setup; at 100 TB
+    with a real model that difference is the whole inference bill.
+    Here the "model" is a deterministic weight table so the oracle is
+    an exact CASE expression."""
+    @pandas_udf(DoubleType())
+    def score(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # once-per-partition "model load"
+        model = {"view": 0.1, "click": 0.5, "purchase": 2.0}
+        for value, etype in batches:
+            yield value * etype.map(model).fillna(1.0)
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(score("value", "event_type"), 4).alias("score"),
     )
