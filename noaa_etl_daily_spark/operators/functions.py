@@ -750,3 +750,51 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.url_encode("c_name").alias("name_encoded"),
         F.url_decode(F.url_encode("c_name")).alias("name_roundtrip"),
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ), ab AS (
+      SELECT doc_id,
+             tk[1:least(6, len(tk))] AS a,
+             tk[greatest(len(tk) - 5, 1):len(tk)] AS b
+      FROM t
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_cat(a, b))) AS union_sorted,
+           list_sort(list_intersect(a, b)) AS inter_sorted,
+           list_sort(list_filter(list_distinct(a),
+                                 x -> NOT list_contains(b, x)))
+             AS except_sorted,
+           len(list_intersect(a, b)) > 0 AS overlaps
+    FROM ab
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — ``array_union`` / ``array_intersect`` /
+    ``array_except`` / ``arrays_overlap`` over each doc's first-6 and
+    last-6 token windows. All four dedup their output (set semantics);
+    results are ``array_sort``-ed on both engines because the engines'
+    native output ORDERS differ (Spark preserves first-seen order,
+    DuckDB's list reconstruction doesn't) while the SETS are identical
+    — the sort is the canonicalization, not a semantic change."""
+    docs = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n = F.size(tk)
+    ab = docs.select(
+        "doc_id",
+        F.slice(tk, 1, F.least(F.lit(6), F.greatest(n, F.lit(1)))).alias("a"),
+        F.slice(tk, F.greatest(n - 5, F.lit(1)), F.lit(6)).alias("b"),
+    )
+    return ab.select(
+        "doc_id",
+        F.array_sort(F.array_union("a", "b")).alias("union_sorted"),
+        F.array_sort(F.array_intersect("a", "b")).alias("inter_sorted"),
+        F.array_sort(F.array_except("a", "b")).alias("except_sorted"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+    )
