@@ -703,3 +703,60 @@ def evt_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "evt_lateness_accounting",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS high_water
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN high_water - t > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_any,
+           CAST(sum(CASE WHEN high_water - t > 3600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+           CAST(sum(CASE WHEN high_water - t > 21600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_6h,
+           CAST(max(greatest(high_water - t, 0)) AS BIGINT) AS max_lateness_us
+    FROM seq GROUP BY event_type
+    """,
+)
+def evt_lateness_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planning metric: per event type, how many events
+    arrive (arrival order = event_id) BEHIND the high-water mark of
+    event time seen so far, at delay budgets 0 / 1 h / 6 h — exactly
+    the numbers that justify a ``withWatermark`` setting before anyone
+    deploys a stream. Computed as a running max over arrival order and
+    integer µs comparisons.
+
+    Scale note: this DIAGNOSTIC intentionally uses an unpartitioned
+    running max (arrival order is global), so it belongs on samples or
+    per-ingest-shard slices at 100 TB — the sibling streaming op
+    (evt_watermark_late) is the partition-parallel production path.
+    That trade-off is the op's documentation, not an oversight."""
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seq = ev.select(
+        "event_type",
+        t.alias("t"),
+        F.max(t).over(w).alias("high_water"),
+    )
+    late = F.col("high_water") - F.col("t")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late > 0, 1).otherwise(0)).alias("late_any"),
+        F.sum(F.when(late > 3600 * 1000000, 1).otherwise(0)).alias("late_1h"),
+        F.sum(F.when(late > 21600 * 1000000, 1).otherwise(0)).alias("late_6h"),
+        F.max(F.greatest(late, F.lit(0))).alias("max_lateness_us"),
+    )

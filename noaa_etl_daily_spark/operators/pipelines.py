@@ -149,3 +149,51 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "pipeline_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q5_START}'
+        AND l_shipdate <  TIMESTAMP '{Q5_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum windowed
+    revenue. The textbook SQL references the revenue CTE twice (once
+    for rows, once for its max) — naively two full aggregations of
+    lineitem. Here the max rides a WINDOW over the already-aggregated
+    per-supplier rows (one lineitem scan + one shuffle; the window's
+    global max runs over supplier-count rows, not lineitem rows), then
+    a broadcast-sized join picks up the supplier dimension. The oracle
+    keeps the two-reference form — same rows, proving the rewrite."""
+    from pyspark.sql.window import Window as W
+
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    end = F.lit(Q5_END).cast("timestamp_ntz")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    best = rev.withColumn(
+        "mx", F.max("total_revenue").over(W.partitionBy())
+    ).where(F.col("total_revenue") == F.col("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(supp, best.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
