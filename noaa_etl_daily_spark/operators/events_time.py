@@ -760,3 +760,72 @@ def evt_lateness_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(late > 21600 * 1000000, 1).otherwise(0)).alias("late_6h"),
         F.max(F.greatest(late, F.lit(0))).alias("max_lateness_us"),
     )
+
+
+@register(
+    "evt_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics session paths: the ordered event-type sequence
+    of every 30-minute session, aggregated into path frequencies
+    ("view>click>purchase": 412). Sessionization reuses the
+    gaps-and-islands windows of evt_session_window (one user_id
+    shuffle); the path string is built by sorting each session's
+    collected (ts, event_id, type) structs INSIDE the aggregate —
+    collect_list carries no ordering guarantee, the array_sort is what
+    makes the path deterministic (G3). The final path→count groupBy
+    reduces to path-cardinality rows."""
+    ev = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1000000
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_t = F.lag(t).over(w_lag)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            prev_t.isNull() | ((t - prev_t) >= gap_us), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_run)
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))

@@ -426,3 +426,52 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.hex("content"), 1, 16).alias("head_hex"),
         F.md5(F.hex("content")).alias("content_md5"),
     )
+
+
+@register(
+    "scan_csv_multiline_quoted",
+    oracle=f"""
+    SELECT id, category, note, CAST(length(note) AS INTEGER) AS note_len
+    FROM read_csv('{SCRATCH}/multiline/rows.csv', header=true,
+                  columns={{'id': 'BIGINT', 'category': 'VARCHAR',
+                            'note': 'VARCHAR'}})
+    """,
+)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV with quoted fields containing embedded NEWLINES,
+    commas, and doubled quotes — the shape real survey/comment exports
+    take. Spark needs ``multiLine=true`` (plus quote/escape config) to
+    parse it; the cost is that a multiline file is NOT line-splittable,
+    so each file becomes one task — at 100 TB the fix is many medium
+    files (or re-export as parquet at the edge), and THAT operational
+    fact is the reason this op exists. The oracle is DuckDB's native
+    RFC-4180 reader over the same file, so quoting semantics are
+    verified byte-for-byte."""
+    import csv
+
+    path = _scratch("multiline", "rows.csv")
+    rows = [
+        (1, "plain", "single line"),
+        (2, "comma", "a, b, and c"),
+        (3, "newline", "first line\nsecond line\nthird"),
+        (4, "quotes", 'she said "hi" twice'),
+        (5, "mixed", 'line one, with "q"\nline two, end'),
+        (6, "empty", ""),
+    ]
+    with open(path, "w", newline="") as fh:
+        wtr = csv.writer(fh)  # RFC 4180: quotes doubled, fields quoted as needed
+        wtr.writerow(["id", "category", "note"])
+        wtr.writerows(rows)
+
+    schema = "id long, category string, note string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')  # RFC 4180 doubles quotes; escape char = quote
+        .csv(path)
+    )
+    return df.select(
+        "id", "category", "note", F.length("note").alias("note_len")
+    )
