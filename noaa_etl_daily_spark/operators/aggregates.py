@@ -696,3 +696,36 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "agg_regr_trend",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(CAST(ts AS TIMESTAMP))
+                 / 86400000000.0), 6) AS slope_per_day,
+           round(regr_intercept(value, epoch_us(CAST(ts AS TIMESTAMP))
+                 / 86400000000.0), 4) AS intercept,
+           round(regr_r2(value, epoch_us(CAST(ts AS TIMESTAMP))
+                 / 86400000000.0), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates — value trend per event type over
+    time (the GHCN "is this station warming" computation): regr_slope /
+    regr_intercept / regr_r2 with x = epoch days. These are one-pass
+    moment aggregates (sums of x, y, xy, x², y²) — map-side combinable,
+    O(groups) shuffle bytes, no window, no sort. Identical epoch-µs →
+    day conversion on both engines keeps x bit-equal; outputs rounded
+    at precisions where last-ulp sum-order noise cannot reach the
+    boundary."""
+    ev = load(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000.0
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
