@@ -2274,3 +2274,68 @@ def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [[float(x) for x in row] for row in new]
 
     return emb.select("vec_id", assign_col(cents))
+
+
+@register(
+    "llm_dedup_incremental_batch",
+    oracle="""
+    WITH shingles AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks
+            FROM documents)
+    ), per_doc AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, sig FROM per_doc, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), hits AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN bands c ON b.band_id = c.band_id AND b.sig = c.sig
+      WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    )
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM hits) AS is_near_dup_of_corpus
+    FROM documents d WHERE d.doc_id % 5 = 0
+    """,
+)
+def llm_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup: screen a new ingest batch (doc_id%5=0,
+    standing in for today's crawl) against the EXISTING corpus without
+    re-deduping the corpus against itself — the production shape, where
+    the corpus's band signatures are a precomputed, persisted index and
+    each day's cost is O(batch) signature computation plus a
+    batch×index bucket join. The join is band-equi (never all-pairs)
+    and one-directional (batch rows probe corpus buckets; corpus-corpus
+    and batch-batch pairs are excluded by the parity predicates), so a
+    10^5-doc batch against a 10^10-doc index touches only colliding
+    buckets. Every batch doc comes back with a keep/quarantine flag."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = _shingle_arrays(docs).select("doc_id", *_minhash_sig_cols())
+    bands = _explode_bands(sigs)
+    batch_bands = bands.where(F.col("doc_id") % 5 == 0)
+    corpus_bands = bands.where(F.col("doc_id") % 5 != 0).select(
+        "band_id", "sig"
+    )
+    hits = (
+        batch_bands.hint("shuffle_hash")
+        .join(corpus_bands.distinct(), ["band_id", "sig"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near_dup_of_corpus", F.lit(True))
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    return batch.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("is_near_dup_of_corpus", F.lit(False)).alias(
+            "is_near_dup_of_corpus"
+        ),
+    )
