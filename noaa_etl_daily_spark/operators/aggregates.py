@@ -729,3 +729,49 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
+             AS n_months,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via roaring-style bitmaps —
+    the precise sibling of the HLL rollup: per (flag, month, bucket)
+    partial bitmaps are built once from raw data, then flag-level
+    distincts come from ``bitmap_or_agg`` over the partials — raw data
+    is scanned ONCE and never again, yet the answer is exact (the
+    oracle is a plain count(DISTINCT)). The cost model vs HLL: bitmap
+    state is O(distinct values / bucket) not O(1), so it fits ID-like
+    domains (suppliers, customers) where exactness matters; HLL covers
+    unbounded domains. Shuffle carries (flag, month, bucket) bitmap
+    blobs — thousands of rows, corpus-size-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            "l_returnflag",
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(l_suppkey)").alias("pos"),
+        )
+        .groupBy("l_returnflag", "month", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    flag_suppliers = (
+        monthly.groupBy("l_returnflag", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_suppliers"))
+    )
+    flag_months = monthly.groupBy("l_returnflag").agg(
+        F.count_distinct("month").alias("n_months")
+    )
+    return flag_months.join(flag_suppliers, "l_returnflag").select(
+        "l_returnflag", "n_months", "n_suppliers"
+    )

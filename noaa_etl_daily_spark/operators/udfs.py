@@ -394,3 +394,39 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(score("value", "event_type"), 4).alias("score"),
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END || ':' || o_orderpriority AS bucket_tag
+    FROM orders
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``@udf(..., useArrow=True)``, Spark
+    3.5+/4): row-wise Python logic but Arrow-batched transport — the
+    middle rung between the legacy pickled UDF (slowest) and a
+    vectorized pandas_udf (fastest). The right tool when per-row
+    Python is genuinely branchy and a Series-vectorized rewrite is
+    awkward; the oracle is the pure-SQL CASE twin proving the Arrow
+    path is semantics-preserving."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def tag(price: float, prio: str) -> str:
+        if price >= 200000:
+            band = "high"
+        elif price >= 50000:
+            band = "mid"
+        else:
+            band = "low"
+        return f"{band}:{prio}"
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", tag("o_totalprice", "o_orderpriority").alias("bucket_tag")
+    )
