@@ -775,3 +775,34 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_months.join(flag_suppliers, "l_returnflag").select(
         "l_returnflag", "n_months", "n_suppliers"
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (``|>``): the query reads top-to-bottom
+    as a pipeline (FROM → WHERE → AGGREGATE → WHERE-on-aggregates)
+    instead of the inside-out SELECT order. Pure front-door sugar —
+    the parsed plan is the identical filtered hash aggregate, so the
+    oracle is the classic GROUP BY / HAVING form."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        |> SELECT o_orderpriority, n, total
+        """
+    )
