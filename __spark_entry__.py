@@ -11,18 +11,90 @@ only adapts the registry to the driver's three-function contract.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from noaa_etl_daily_spark.registry import load_all  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "agg_groupby_multi"
+
+#: SURVEY.md §2 inventory keys that have never received a driver
+#: CORRECTNESS row (the driver samples ~50 queries per round, in
+#: ``queries()`` iteration order).  These are surfaced first so the
+#: certification gap closes; everything already certified in a prior
+#: round's CORRECTNESS_r*.json is ordered last.
+_PRIORITY = [
+    "fn_date_trunc_diff",
+    "fn_math",
+    "fn_conditional",
+    "fn_array_basic",
+    "fn_array_explode",
+    "fn_array_higher_order",
+    "fn_map_from_json",
+    "fn_hash",
+    "llm_dedup_exact_text",
+    "llm_dedup_near_minhash",
+    "llm_sim_topk_cosine",
+    "llm_sim_lsh_approx",
+    "llm_text_tokenize_counts",
+    "llm_text_ngrams",
+    "llm_text_lang_stats",
+    "llm_multimodal_struct",
+    "llm_embed_label_knn_agg",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_map_in_pandas",
+]
+
+
+def _certified() -> set[str]:
+    """Query keys with a driver CORRECTNESS row from any prior round."""
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _family_rank(name: str) -> int:
+    for rank, prefix in enumerate(
+        ("llm_", "udf_", "udaf_", "udtf_", "pipeline_", "fn_")
+    ):
+        if name.startswith(prefix):
+            return rank
+    return 6
+
+
+def _ordered():
+    """Registry re-ordered so never-driver-certified keys come first.
+
+    Within the uncertified set: SURVEY §2 inventory keys first (in
+    ``_PRIORITY`` order), then by operator family (llm, udf, pipeline,
+    fn, rest), preserving registration order within a family.  The
+    already-certified tail keeps plain registration order.
+    """
+    registry = load_all()
+    certified = _certified()
+    pri = {n: i for i, n in enumerate(_PRIORITY)}
+    uncert = [n for n in registry if n not in certified]
+    uncert.sort(
+        key=lambda n: (0, pri[n], 0) if n in pri else (1, _family_rank(n), 0)
+    )
+    ordered = uncert + [n for n in registry if n in certified]
+    return {n: registry[n] for n in ordered}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,9 +105,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.builder for name, q in load_all().items()}
+    return {name: q.builder for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every oracled query; rows-only ops omitted."""
-    return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

