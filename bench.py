@@ -62,14 +62,19 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def sized_shuffle_partitions(sf_dir: str) -> int:
-    """~64 MB of input per shuffle partition, floored at 8, capped at
-    2x cores — the per-dataset sizing rule from SURVEY §7.4 G6."""
-    total = sum(
+def input_bytes(sf_dir: str) -> int:
+    return sum(
         os.path.getsize(p)
         for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
     )
-    return max(8, min(2 * default_parallelism(), total // (64 << 20)))
+
+
+def sized_shuffle_partitions(sf_dir: str) -> int:
+    """~64 MB of input per shuffle partition, floored at 8, capped at
+    2x cores — the per-dataset sizing rule from SURVEY §7.4 G6."""
+    return max(
+        8, min(2 * default_parallelism(), input_bytes(sf_dir) // (64 << 20))
+    )
 
 
 def main() -> None:
@@ -82,6 +87,14 @@ def main() -> None:
             f"unknown queries: {unknown or '(none requested)'}; "
             f"available: {sorted(registry)}"
         )
+
+    # Per-dataset sizing (same philosophy as shuffle partitions): below
+    # ~1 GB of input, AQE's per-exchange materialization barrier has
+    # nothing to re-plan — no skew, no mis-estimated partition counts —
+    # and costs a scheduler round-trip per stage, which is the dominant
+    # term at benchmark scale. At real scale the rule leaves AQE on.
+    if input_bytes(sf_dir) < (1 << 30):
+        os.environ["SPARK_GRAFT_AQE"] = "false"
 
     spark = get_spark(app_name="noaa-etl-daily-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -33,6 +33,16 @@ _SESSION_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
 }
 
+#: AQE override knob (same per-dataset sizing philosophy as shuffle
+#: partitions): AQE's runtime re-planning inserts a materialization
+#: barrier per exchange — essential at 100 TB (skew joins, partition
+#: coalescing, runtime join-strategy switches), pure scheduling overhead
+#: on megabyte inputs where there is nothing to re-plan. bench.py sets
+#: this to "false" when the measured input volume is below ~1 GB;
+#: anything else (the driver's own sessions, tests, production) keeps
+#: AQE on.
+_AQE_ENV = "SPARK_GRAFT_AQE"
+
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to any session (ours or the driver's).
@@ -41,7 +51,11 @@ def configure_session(spark: SparkSession) -> SparkSession:
     events table stays readable and timestamps stay UTC-deterministic no
     matter who constructed the session.
     """
-    for key, value in _SESSION_CONFS.items():
+    overrides = {}
+    aqe = os.environ.get(_AQE_ENV)
+    if aqe in ("true", "false"):
+        overrides["spark.sql.adaptive.enabled"] = aqe
+    for key, value in {**_SESSION_CONFS, **overrides}.items():
         try:
             spark.conf.set(key, value)
         except Exception:
