@@ -819,3 +819,93 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n, total
         """
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           arg_min(o_orderpriority,
+                   CONCAT(LPAD(CAST(10000000 - n AS VARCHAR), 8, '0'),
+                          o_orderpriority)) AS modal_priority,
+           max(n) AS modal_count
+    FROM counted
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value (statistical mode) per group — with a
+    DETERMINISTIC tie-break, which the built-in ``mode()`` in both
+    engines does not guarantee (on equal counts each engine may return
+    whichever value it met first; a hash-compare would then flicker).
+    Two-level aggregation: count per (group, value) — map-side
+    combinable — then argmin over a composite (descending count,
+    ascending value) key. Shuffle bytes are O(groups × distinct
+    values), never raw rows twice. The composite key is encoded as a
+    zero-padded string so ONE arg_min orders both criteria identically
+    in both engines."""
+    orders = load(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.concat(
+        F.lpad((F.lit(10000000) - F.col("n")).cast("string"), 8, "0"),
+        F.col("o_orderpriority"),
+    )
+    return counted.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderpriority", key).alias("modal_priority"),
+        F.max("n").alias("modal_count"),
+    )
+
+
+@register(
+    "sql_values_inline_dim",
+    oracle="""
+    WITH prio_dim(o_orderpriority, prio_rank, prio_class) AS (
+      VALUES ('1-URGENT',        1, 'expedite'),
+             ('2-HIGH',          2, 'expedite'),
+             ('3-MEDIUM',        3, 'standard'),
+             ('4-NOT SPECIFIED', 4, 'standard'),
+             ('5-LOW',           5, 'relaxed')
+    )
+    SELECT prio_class,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(prio_rank) AS INT) AS best_rank,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders JOIN prio_dim USING (o_orderpriority)
+    GROUP BY prio_class
+    """,
+)
+def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension (code → label mapping) joined to a fact
+    table — the everyday ETL enrichment where the mapping lives in the
+    job, not in storage. The literal table is driver-side constant
+    data: Spark plans it as a LocalRelation and broadcasts it, so the
+    fact side never shuffles for the join; the priority classes then
+    feed one hash aggregate. At 100 TB the inline dim is still 5 rows —
+    this is the one join shape where 'broadcast' is free forever."""
+    rows = [
+        ("1-URGENT", 1, "expedite"),
+        ("2-HIGH", 2, "expedite"),
+        ("3-MEDIUM", 3, "standard"),
+        ("4-NOT SPECIFIED", 4, "standard"),
+        ("5-LOW", 5, "relaxed"),
+    ]
+    dim = spark.createDataFrame(
+        rows, "o_orderpriority string, prio_rank int, prio_class string"
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("prio_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("prio_rank").alias("best_rank"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )

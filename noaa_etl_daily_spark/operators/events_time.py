@@ -903,3 +903,129 @@ def evt_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "evt_rate_limit_burst",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(count(*) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS burst
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(burst) AS max_burst_60s,
+           max(burst) >= 3 AS over_limit
+    FROM seq
+    GROUP BY user_id
+    """,
+)
+def evt_rate_limit_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / burst accounting: for every user, the maximum
+    number of events falling in any trailing 60-second window (the
+    quota metric an API gateway or abuse detector keys on), via a
+    RANGE frame over integer epoch-µs event time.
+
+    Scale shape: one shuffle on user_id; the range-frame count and the
+    per-user max share that partitioning (window then groupBy on the
+    same key — no second exchange). A RANGE frame on the µs long is
+    O(n) per partition with two moving pointers, not O(n²): Spark
+    maintains the frame incrementally as rows advance. Counts are
+    integers — no float hazard."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-60_000_000, 0)
+    )
+    seq = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("burst")
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("burst").alias("max_burst_60s"),
+        (F.max("burst") >= 3).alias("over_limit"),
+    )
+
+
+@register(
+    "evt_session_attribution",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS session_id
+      FROM flagged
+    ), attributed AS (
+      SELECT *, first_value(event_type) OVER (
+                 PARTITION BY user_id, session_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_touch
+      FROM numbered
+    )
+    SELECT first_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+           round(sum(value), 2) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY first_touch
+    """,
+)
+def evt_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the event
+    type that OPENED its session (30-min inactivity gap, the
+    evt_session_window semantics) — the marketing-analytics join of
+    sessionization + conversion accounting.
+
+    Scale shape: sessionize (lag flag → running sum), tag each row with
+    its session's first event, filter to purchases, aggregate — and all
+    three windows share one user_id shuffle because they agree on
+    partitioning prefix and (ts, event_id) ordering; Spark plans a
+    single Exchange with stacked Window operators. The final per-type
+    aggregate touches only purchase rows. No collect, no self-join of
+    events to sessions."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_session = F.when(
+        F.lag("ts").over(wo).isNull()
+        | (
+            t_us - F.unix_micros(F.lag("ts").over(wo).cast("timestamp"))
+            >= 1800 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    numbered = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    attributed = numbered.withColumn(
+        "first_touch", F.first("event_type").over(ws)
+    )
+    return (
+        attributed.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

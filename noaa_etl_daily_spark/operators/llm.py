@@ -2609,3 +2609,127 @@ def llm_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_near_dup_of_corpus"
         ),
     )
+
+
+@register(
+    "llm_text_perplexity_proxy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.w AS word, u.i AS pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM documents) d,
+           LATERAL (SELECT unnest(d.tk) AS w,
+                           unnest(generate_series(1, len(d.tk))) AS i) u
+      WHERE u.w <> ''
+    ), freq AS (
+      SELECT word, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY word
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+    ), scored AS (
+      SELECT t.doc_id, t.pos,
+             floor(ln(f.cnt / tot.n) * 1000000) / 1000000 AS lp
+      FROM toks t JOIN freq f ON t.word = f.word CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(list_sum(list(lp ORDER BY pos)) / count(*) * 10000) / 10000
+               AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def llm_text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy — the classic cheap quality signal
+    for training-data filtering: score each document by the mean log
+    probability of its tokens under the corpus's own unigram
+    distribution (low = rare/garbled text, the rows a perplexity filter
+    drops).
+
+    Scale shape: the unigram table is one map-combinable groupBy
+    (vocabulary-sized, tiny vs the corpus); token rows join it on the
+    word hash; the per-doc score folds token log-probs in POSITION
+    order (array_sort on (pos, lp) then a sequential aggregate()), so
+    the float sum is bit-identical on both engines — a plain SUM would
+    be order-nondeterministic. Each token's ln() is floor-truncated to
+    1e-6 first: ln is the one non-IEEE-exact op in the pipeline
+    (libm implementations may differ in the last ulp), truncation
+    quantizes that away; the per-doc mean is floor-truncated at 1e-4
+    the same way. At 100 TB the freq table is broadcast and the whole
+    score pipeline is scan + one hash join + one doc-keyed
+    aggregation."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    freq = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lp = F.floor(F.log(F.col("cnt") / F.col("n")) * 1e6) / 1e6
+    scored = (
+        toks.join(freq, "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "pos", lp.alias("lp"))
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+            lambda s: s["lp"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.floor(fold / F.count(F.lit(1)) * 1e4) / 1e4).alias("avg_logprob"),
+    )
+
+
+@register(
+    "llm_embed_matryoshka_truncate",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id,
+             list_sum(list_transform(e, x -> x * x)) AS full_sq,
+             list_sum(list_transform(e[1:16], x -> x * x)) AS trunc_sq
+      FROM v
+    )
+    SELECT vec_id,
+           floor(sqrt(trunc_sq) * 1000000) / 1000000 AS trunc_norm,
+           floor(trunc_sq / full_sq * 1000000) / 1000000 AS energy_kept
+    FROM d
+    """,
+)
+def llm_embed_matryoshka_truncate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first 16 of 64
+    dims and report the retained norm and energy fraction — the
+    bookkeeping behind two-stage retrieval (cheap truncated-dim
+    prefilter over the whole corpus, full-dim rerank on the shortlist;
+    recall of that cascade is property-tested in
+    tests/test_properties.py).
+
+    Scale shape: pure scan-stage higher-order functions (slice +
+    zip-free square folds), zero exchanges — truncation at 100 TB is a
+    map-only rewrite that cuts vector bytes 4× before any index build.
+    All arithmetic is IEEE-exact (mul/add fold in array order + sqrt),
+    floor-truncated for display."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    full_sq = F.aggregate(
+        F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    trunc_sq = F.aggregate(
+        F.transform(F.slice(e, 1, 16), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        (F.floor(F.sqrt(trunc_sq) * 1e6) / 1e6).alias("trunc_norm"),
+        (F.floor(trunc_sq / full_sq * 1e6) / 1e6).alias("energy_kept"),
+    )

@@ -197,3 +197,201 @@ def pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "pipeline_promo_effect",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2) AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           round(round(sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END), 2)
+                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 6)
+               AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q5_START}'
+      AND l_shipdate <  TIMESTAMP '{Q5_END}'
+    GROUP BY 1
+    """,
+)
+def pipeline_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share per ship month — a
+    conditional-aggregate ratio over a fact⋈dim join.
+
+    Plan intent: the date range pushes into the lineitem scan; part is
+    joined on the pure equi-key and only (p_partkey, p_type) survives
+    column pruning, so the build side is two slim columns no matter how
+    wide the part table is. Both the promo and total sums come out of
+    ONE partial+final aggregate (two CASE branches in the same codegen
+    span) — never two passes. The ratio divides the two
+    identically-rounded sums, so cross-engine floats agree."""
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    end = F.lit(Q5_END).cast("timestamp_ntz")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+    )
+    total = F.round(F.sum(rev), 2)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"))
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            F.round(promo / total, 6).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "pipeline_market_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             s_nationkey,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM customer
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region    ON cn.n_regionkey = r_regionkey
+      JOIN orders    ON c_custkey = o_custkey
+      JOIN lineitem  ON l_orderkey = o_orderkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '{Q5_START}'
+        AND o_orderdate <  TIMESTAMP '{Q5_END}'
+    )
+    SELECT month,
+           round(sum(CASE WHEN s_nationkey = 3 THEN rev ELSE 0 END), 2)
+               AS nation_revenue,
+           round(sum(rev), 2) AS market_revenue,
+           round(round(sum(CASE WHEN s_nationkey = 3 THEN rev ELSE 0 END), 2)
+                 / round(sum(rev), 2), 6) AS market_share
+    FROM base
+    GROUP BY month
+    """,
+)
+def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's market
+    per order month. Five joins feed a single conditional-aggregate
+    ratio — the classic 'share of …' analytic.
+
+    Plan intent: region(5)⋈nation(25) is a broadcast-built reduction of
+    customer (the ASIA filter cuts the fact side before the big joins);
+    supplier contributes only (s_suppkey, s_nationkey) after pruning;
+    the share numerator is a CASE branch inside the same aggregate as
+    the denominator (one pass, one exchange). The nation of interest is
+    an equality on the integer key — no string compare in the hot
+    loop."""
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    end = F.lit(Q5_END).cast("timestamp_ntz")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    asia_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey"
+        )
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(asia_nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.round(
+        F.sum(F.when(F.col("s_nationkey") == 3, rev).otherwise(F.lit(0.0))), 2
+    )
+    mkt_rev = F.round(F.sum(rev), 2)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(
+            nat_rev.alias("nation_revenue"),
+            mkt_rev.alias("market_revenue"),
+            F.round(nat_rev / mkt_rev, 6).alias("market_share"),
+        )
+    )
+
+
+@register(
+    "pipeline_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             min(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM cost
+    )
+    SELECT r.l_partkey AS p_partkey,
+           p_brand,
+           CAST(min(r.l_suppkey) AS BIGINT) AS best_suppkey,
+           floor(min(r.unit_cost) * 10000) / 10000 AS best_unit_cost
+    FROM ranked r JOIN part ON r.l_partkey = p_partkey
+    WHERE r.unit_cost = r.best_cost
+    GROUP BY r.l_partkey, p_brand
+    """,
+)
+def pipeline_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost supplier per part. The textbook
+    form is a correlated subquery (cost = (SELECT min(cost) ... WHERE
+    same part)); here it is decorrelated by construction: per-(part,
+    supplier) unit costs → per-part window min → filter to the
+    achievers → deterministic tie-break (min suppkey).
+
+    Plan shape: one groupBy on (partkey, suppkey) — map-side
+    combinable; the window min re-uses the partkey prefix of that
+    partitioning (no second wide shuffle of raw lineitem); part joins
+    in after the reduction, pruned to (p_partkey, p_brand). The
+    min-over-window + equality filter is the scalable replacement for
+    joining an aggregate back to itself. Unit costs are per-row double
+    divisions (identical on both engines), so the min-selection and
+    equality are exact; the displayed cost uses floor-truncation
+    (floor(x·1e4)/1e4) rather than round() because engines disagree on
+    round-half of binary doubles (the fn_try_arithmetic pattern)."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    ranked = cost.withColumn(
+        "best_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).where(F.col("unit_cost") == F.col("best_cost"))
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        ranked.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "p_brand")
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            (F.floor(F.min("unit_cost") * 10000) / 10000).alias(
+                "best_unit_cost"
+            ),
+        )
+    )

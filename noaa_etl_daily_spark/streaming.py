@@ -272,3 +272,46 @@ def stream_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_view_purchase_left_join(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics inner joins can't
+    give a funnel: views that never converted still emit (with NULL
+    purchase columns) once the watermark proves no in-window purchase
+    can arrive anymore. Same bounded-state discipline as the inner
+    twin: both sides watermarked, the time-range condition sets the
+    eviction horizon; the null-emitting side additionally waits for
+    the watermark to pass the end of each row's match window before
+    declaring it unmatched — which is why rows near the head of an
+    in-flight stream are held back, and why the equivalence test only
+    compares the watermark-settled region."""
+    a = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    b = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_b"),
+            F.col("event_id").alias("second_id"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    return a.join(
+        b,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select(
+        "first_id",
+        "second_id",
+        F.col("user_a").alias("user_id"),
+        F.col("ts_a").alias("view_ts"),
+    )

@@ -482,3 +482,59 @@ def test_kmeans_matches_same_init_numpy_lloyds(spark, sf_dir):
     agree = sum(got[v] == ref[i] for i, v in enumerate(ids))
     assert agree / len(ids) > 0.99, f"only {agree}/{len(ids)} assignments agree"
     assert len(set(got.values())) == K
+
+
+def test_matryoshka_truncated_prefilter_recall(spark, sf_dir):
+    """Two-stage retrieval cascade: a HALF-dim (32 of 64) truncated
+    prefilter keeping a 4x shortlist must retain most of the full-dim
+    top-5 (the llm_embed_matryoshka_truncate docstring's use case).
+    Deterministic fixtures -> the measured recall is a constant; floor
+    set with margin under the measured 0.72. Random (non-MRL-trained)
+    embeddings are the WORST case for truncation — measured curve at
+    sf0.01: dim16/k20 0.40, dim16/k40 0.56, dim32/k20 0.72,
+    dim32/k40 0.88 — a trained Matryoshka model concentrates energy in
+    the prefix and does far better."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from noaa_etl_daily_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def topk(dim, k):
+        e = F.transform("embedding", lambda x: x.cast("double"))
+        e = F.slice(e, 1, dim) if dim else e
+        d = emb.select(
+            "vec_id",
+            e.alias("e"),
+            F.aggregate(
+                F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ).alias("nrm"),
+        )
+        q = d.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_e"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("q_e"), F.col("e"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sim = dot / F.sqrt(F.col("q_nrm") * F.col("nrm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        return (
+            d.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+        )
+
+    full5 = {(r.query_id, r.vec_id) for r in topk(None, 5).collect()}
+    short20 = {(r.query_id, r.vec_id) for r in topk(32, 20).collect()}
+    assert full5 and short20
+    recall = len(full5 & short20) / len(full5)
+    assert recall >= 0.6, f"truncated-prefilter recall {recall:.2f} below floor"

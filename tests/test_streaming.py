@@ -540,3 +540,65 @@ def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want, f"resume lost or duplicated rows: {got} != {want}"
+
+
+def test_stream_stream_left_outer_join_settled_region(spark, sf_dir, stream_src):
+    """LEFT OUTER stream-stream join: in the watermark-SETTLED region
+    (views older than max_ts - match_window - watermark) the drained
+    stream must equal the batch left join exactly — converted views
+    carry their purchase ids, unconverted views appear once with NULL.
+    Views newer than the settle horizon may legitimately be withheld
+    (the engine cannot yet prove 'no match'), so they are excluded on
+    BOTH sides rather than asserted absent."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    st.run_to_memory(
+        st.stream_view_purchase_left_join(
+            st.read_events_stream(spark, stream_src)
+        ),
+        "t_ss_left",
+        "append",
+    )
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    a = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_a"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("second_id"),
+        F.col("ts").alias("ts_b"),
+    )
+    batch = (
+        a.join(
+            b,
+            (F.col("user_a") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+            "left",
+        )
+        .select(
+            "first_id",
+            "second_id",
+            F.col("user_a").alias("user_id"),
+            F.col("ts_a").alias("view_ts"),
+        )
+    )
+    # the final watermark can lag the global max event time by one
+    # micro-batch, so settle well behind the theoretical 15-minute
+    # (match window + watermark) horizon
+    settle = F.lit(max_ts) - F.expr("INTERVAL 45 MINUTES")
+    cols = ["first_id", "second_id", "user_id"]
+    got = _rows(
+        spark.table("t_ss_left").where(F.col("view_ts") < settle), cols
+    )
+    want = _rows(batch.where(F.col("view_ts") < settle), cols)
+    assert want, "settled region unexpectedly empty"
+    assert got == want
+    # every unmatched view in the settled region emitted exactly once
+    nulls = [r for r in got if r[1] is None]
+    assert nulls, "left join emitted no null-side rows"
