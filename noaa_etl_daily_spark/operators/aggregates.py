@@ -909,3 +909,66 @@ def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum_w,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+                 PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) AS weighted_median_price,
+           CAST(min(tot_w) AS BIGINT) AS total_weight
+    FROM ranked
+    WHERE 2 * cum_w >= tot_w
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median price per group — no engine has this
+    built in; it falls out of the cumulative-weight window algorithm:
+    order by value, running weight sum, and the weighted median is the
+    first value whose cumulative weight reaches half the total.
+
+    Scale shape: one shuffle on the group key serves both windows (the
+    running sum and the per-group total share partitioning), then the
+    answer is min() over the qualifying suffix — monotonicity of the
+    cumulative sum makes first-qualifying ≡ min, so no second pass or
+    self-join. Weights are summed as INTEGERS (quantities are whole)
+    and the half-total comparison is 2·cum ≥ tot in integer arithmetic
+    — exact on both engines; the ordering tie-breaks on
+    (orderkey, linenumber) so the scan order never matters."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    w_run = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(w_run).alias("cum_w"),
+        F.sum(qty).over(w_all).alias("tot_w"),
+    )
+    return (
+        ranked.where(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias(
+                "weighted_median_price"
+            ),
+            F.min("tot_w").alias("total_weight"),
+        )
+    )

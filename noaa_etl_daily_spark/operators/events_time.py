@@ -1008,17 +1008,18 @@ def evt_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     ).otherwise(0)
-    numbered = ev.withColumn("new_session", new_session).withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            wo.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    ws = Window.partitionBy("user_id", "session_id").orderBy(
-        "ts", "event_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    attributed = numbered.withColumn(
-        "first_touch", F.first("event_type").over(ws)
+    # The session opener's type is carried FORWARD inside the same
+    # user_id window (last non-null session-start marker up to the
+    # current row) instead of a first_value over (user_id, session_id)
+    # — that variant re-partitions on the finer key and costs a second
+    # exchange; this one keeps the whole operator on ONE shuffle.
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    attributed = ev.withColumn("new_session", new_session).withColumn(
+        "first_touch",
+        F.last(
+            F.when(F.col("new_session") == 1, F.col("event_type")),
+            ignorenulls=True,
+        ).over(run),
     )
     return (
         attributed.where(F.col("event_type") == "purchase")

@@ -105,3 +105,92 @@ def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("p_brand").like("Brand#1_")
         )
     ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@register(
+    "validate_expectations",
+    oracle="""
+    SELECT 'qty_in_range'        AS rule,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_after_order',
+           CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'flag_in_domain',
+           CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations census (the Great-Expectations / NOAA
+    QC-flag pattern): a battery of declarative rules — range, domain,
+    sign, cross-table ordering — evaluated as conditional aggregates,
+    reported one row per rule.
+
+    Scale shape: the four single-table rules ride ONE scan of lineitem
+    (each rule is a sum(CASE) branch in the same partial+final
+    aggregate — adding a rule adds a codegen branch, not a pass); the
+    cross-table rule (shipped-before-ordered) is the only join, on the
+    orderkey equi-key. At 100 TB this is the nightly contract check
+    that costs one read of the data regardless of how many
+    expectations it enforces."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+    def rule(name, viol):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    single = li.agg(
+        F.array(
+            rule(
+                "qty_in_range",
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            ),
+            rule(
+                "discount_in_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            ),
+            rule("price_positive", F.col("l_extendedprice") <= 0),
+            rule(
+                "flag_in_domain",
+                ~F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+        ).alias("rules")
+    ).select(F.explode("rules").alias("r"))
+    cross = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            rule(
+                "ship_after_order", F.col("l_shipdate") < F.col("o_orderdate")
+            ).alias("r")
+        )
+        .select("r")
+    )
+    out = single.unionByName(cross).select("r.rule", "r.n_violations", "r.n_checked")
+    return out

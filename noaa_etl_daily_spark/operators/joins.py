@@ -571,3 +571,68 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_view.event_id")).alias("view_id"),
         F.when(fresh, staleness).alias("staleness_us"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT view_id, view_ts, user_id, purchase_id, purchase_ts
+    FROM (
+        SELECT v.event_id AS view_id, v.ts AS view_ts, v.user_id,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+              FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+                   FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each view, the EARLIEST purchase by the
+    same user at or after the view time (ties broken by lowest
+    event_id) — the 'time-to-conversion' direction, which DuckDB's
+    native ASOF (backward-only) cannot express, hence the explicit
+    window oracle.
+
+    Same scalable union+window pattern as join_asof, traversed in
+    REVERSE time order: one shuffle on user_id, O(n log n) per key, no
+    join blow-up. Ordering encodes the tie rules: at equal ts the
+    purchase sorts before the view (so an equal-ts purchase is
+    visible), and equal-ts purchases traverse highest-id-first so
+    ``last()`` retains the lowest id."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_view"),
+        F.col("event_id"),
+        F.struct("ts", "event_id").alias("purchase_info"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_view"),
+        F.col("event_id"),
+        F.lit(None)
+        .cast("struct<ts:timestamp_ntz,event_id:bigint>")
+        .alias("purchase_info"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "is_view", F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = purchases.unionByName(views).withColumn(
+        "next_purchase", F.last("purchase_info", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("is_view") == 1).select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+        F.col("next_purchase.event_id").alias("purchase_id"),
+        F.col("next_purchase.ts").alias("purchase_ts"),
+    )

@@ -395,3 +395,258 @@ def pipeline_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_order_priority_check",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q5_START}'
+      AND o_orderdate <  TIMESTAMP '{Q5_END}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def pipeline_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a date range) having at least one
+    line item shipped after the order date, counted per priority — the
+    EXISTS-driven data-quality census.
+
+    Plan shape: the correlated EXISTS is a LEFT SEMI hash join on
+    l_orderkey with the l_shipdate > o_orderdate residual — lineitem
+    contributes only (l_orderkey, l_shipdate) after pruning, each
+    order row is emitted at most once regardless of matching lines (no
+    fan-out then re-dedup), and the priority census aggregates the
+    semi-join output. At 100 TB both sides shuffle once on orderkey;
+    no distinct, no count-then-filter detour."""
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    end = F.lit(Q5_END).cast("timestamp_ntz")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "pipeline_nation_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey IN (1, 2) AND sn.n_nationkey IN (1, 2)
+      AND cn.n_nationkey <> sn.n_nationkey
+      AND l_shipdate >= TIMESTAMP '{Q5_START}'
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year (customer in one, supplier in the other, both
+    directions).
+
+    Plan shape: the two-nation filter is applied to customer and
+    supplier BEFORE the fact joins (via the broadcast nation dim), so
+    orders/lineitem rows from uninvolved nations never reach the big
+    joins' build sides; the asymmetric-pair condition is an integer
+    inequality riding the join. One final hash aggregate on
+    (nation, nation, year)."""
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey").isin(1, 2)
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey", "cnk", "cust_nation")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "snk", "supp_nation")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= start
+    ).select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("cnk") != F.col("snk"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+@register(
+    "pipeline_returned_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{Q5_START}'
+      AND o_orderdate <  TIMESTAMP '{Q5_END}'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def pipeline_returned_top_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers with the most returned-item
+    revenue in a quarter-year window — the churn-risk report.
+
+    Plan shape: l_returnflag = 'R' and the date range are PushedFilters
+    on their scans; the revenue aggregate reduces to |customers| rows
+    before the nation broadcast join; top-20 executes as
+    TakeOrderedAndProject (per-partition heads merged on the driver,
+    no global sort), tie-broken on c_custkey for cross-engine LIMIT
+    determinism."""
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    end = F.lit(Q5_END).cast("timestamp_ntz")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "lost_revenue")
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "pipeline_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(qty_sum, 2) AS total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS qty_sum
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM big)
+      GROUP BY l_orderkey
+    )
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def pipeline_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a quantity
+    threshold (the 'large-volume' HAVING-subquery query).
+
+    Plan shape: ONE aggregation of lineitem by orderkey with the
+    HAVING filter applied to it directly — the textbook IN-subquery is
+    the same aggregate referenced twice, which Spark need not compute
+    twice; the filtered (orderkey, qty) rows (a tiny fraction of
+    orders) then drive hash joins to orders and customer, so the big
+    tables join AFTER the data-reducing aggregate, not before. Top-50
+    via TakeOrderedAndProject, tie-broken on o_orderkey. The quantity
+    sums are integral doubles (whole quantities), so round(...,2) is
+    boundary-safe."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .where(F.col("qty_sum") > 250)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("qty_sum", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
