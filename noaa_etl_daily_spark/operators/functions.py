@@ -800,3 +800,72 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_except("a", "b")).alias("except_sorted"),
         F.arrays_overlap("a", "b").alias("overlaps"),
     )
+
+
+@register(
+    "fn_map_higher_order",
+    oracle="""
+    WITH per_line AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      GROUP BY l_orderkey, l_linenumber
+    ), m AS (
+      SELECT l_orderkey,
+             map_from_entries(list_transform(
+                 list_sort(list(struct_pack(k := l_linenumber, v := qty))),
+                 s -> struct_pack(k := s.k, v := s.v))) AS qty_map
+      FROM per_line
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(cardinality(qty_map) AS INT) AS n_lines,
+           CAST(coalesce(qty_map[1][1], 0) AS BIGINT) AS line1_qty,
+           CAST(list_sum(map_values(qty_map)) AS BIGINT) AS total_qty,
+           CAST(len(list_filter(map_values(qty_map), v -> v >= 25))
+                AS INT) AS n_bulk_lines
+    FROM m
+    """,
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + access + higher-order traversal: build a
+    per-order map of line number → quantity (map_from_entries over a
+    sorted entry list so construction order is deterministic), then
+    read it back with size / element_at / value folds / value filters.
+
+    Scale shape: one groupBy(l_orderkey) builds the map from
+    collect_list partials; every downstream measure is a scan-stage
+    expression over the in-row map — maps here are a per-row container
+    (bounded by lines-per-order), never a shuffle key. Outputs are all
+    scalars, sidestepping cross-engine map-ordering comparison
+    hazards (the map itself would compare nondeterministically)."""
+    li = load(spark, sf_dir, "lineitem")
+    # the fixture allows repeated line numbers within an order, and map
+    # keys must be unique — reduce to one entry per (order, line) first
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    m = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("k"),
+                        F.col("qty").alias("v"),
+                    )
+                )
+            )
+        ).alias("qty_map")
+    )
+    vals = F.map_values(F.col("qty_map"))
+    return m.select(
+        "l_orderkey",
+        F.size("qty_map").alias("n_lines"),
+        F.coalesce(
+            F.element_at(F.col("qty_map"), F.lit(1)), F.lit(0)
+        ).alias("line1_qty"),
+        F.aggregate(vals, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total_qty"
+        ),
+        F.size(F.filter(vals, lambda v: v >= 25)).alias("n_bulk_lines"),
+    )

@@ -315,3 +315,73 @@ def stream_view_purchase_left_join(events: DataFrame) -> DataFrame:
         F.col("user_a").alias("user_id"),
         F.col("ts_a").alias("view_ts"),
     )
+
+
+def stream_session_finalize_on_timeout(events: DataFrame) -> DataFrame:
+    """Timer-driven sessionization with applyInPandasWithState +
+    EventTimeTimeout: a user's open session is held in state and
+    FINALIZED either (a) immediately, when a later event for the same
+    user arrives more than the gap after it — no watermark needed, the
+    arrival itself proves the session closed — or (b) by the EVENT-TIME
+    TIMER when the watermark passes last_event + gap, which is how an
+    always-on pipeline emits the final session of an idle user without
+    waiting for them to return. Timers are the piece plain windowed
+    aggregation can't express: state that acts on the ABSENCE of input.
+    Append-mode output holds exactly the finalized sessions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_US = 30 * 60 * 1_000_000
+    out_schema = (
+        "user_id bigint, session_start_us bigint, n_events bigint"
+    )
+    state_schema = "start bigint, last bigint, n bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        def final_row(s, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [s],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            s, last, n = state.get
+            state.remove()
+            yield final_row(s, n)
+            return
+        ts_all = []
+        for pdf in pdf_iter:
+            # epoch microseconds, engine-exact integers
+            ts_all.extend(
+                int(v)
+                for v in pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+        ts_all.sort()
+        if state.exists:
+            s, last, n = state.get
+        else:
+            s, last, n = ts_all[0], ts_all[0], 0
+        for t in ts_all:
+            if n > 0 and t - last > GAP_US:
+                yield final_row(s, n)
+                s, n = t, 0
+            n += 1
+            last = t
+        state.update((s, last, n))
+        # fire when the watermark passes last + gap (ms for the API)
+        state.setTimeoutTimestamp((last + GAP_US) // 1000)
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -602,3 +602,60 @@ def test_stream_stream_left_outer_join_settled_region(spark, sf_dir, stream_src)
     # every unmatched view in the settled region emitted exactly once
     nulls = [r for r in got if r[1] is None]
     assert nulls, "left join emitted no null-side rows"
+
+
+def test_stream_session_timeout_finalizes(spark, sf_dir, stream_src):
+    """Timer-driven sessionization: gap-split sessions finalize on
+    arrival; idle users' LAST sessions finalize via the event-time
+    timer when the watermark passes last_event + gap. Every emitted
+    session must match the batch session_window result exactly (same
+    start and event count), and the settled region (sessions whose
+    close precedes the final watermark horizon) must be COMPLETE —
+    including each user's final session, which only the timer can
+    emit."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    st.run_to_memory(
+        st.stream_session_finalize_on_timeout(
+            st.read_events_stream(spark, stream_src)
+        ),
+        "t_sess_timer",
+        "append",
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in spark.sql("SELECT * FROM t_sess_timer").collect()
+    }
+    assert got, "timer sessionization emitted nothing"
+    batch = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp() * 1_000_000),
+            r.n_events,
+        )
+        for r in REGISTRY["evt_session_window"]
+        .builder(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp").alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    }
+    # correctness: everything emitted is a real batch session
+    assert got <= batch, f"bogus sessions: {sorted(got - batch)[:3]}"
+    # completeness on the settled region (generous margin for the
+    # final micro-batch's watermark lag): gap 30min + watermark 10min
+    ev = load(spark, sf_dir, "events")
+    max_us = int(
+        ev.agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
+        .collect()[0]
+        .m.timestamp()
+        * 1_000_000
+    )
+    settle = max_us - (30 + 10 + 45) * 60 * 1_000_000
+    settled_batch = {k for k in batch if k[1] < settle}
+    missing = settled_batch - got
+    assert not missing, f"settled sessions never finalized: {sorted(missing)[:3]}"
