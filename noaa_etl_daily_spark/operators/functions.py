@@ -869,3 +869,84 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.filter(vals, lambda v: v >= 25)).alias("n_bulk_lines"),
     )
+
+
+@register(
+    "fn_json_roundtrip_nested",
+    oracle="""
+    WITH built AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(
+                 orderkey := o_orderkey,
+                 status := o_orderstatus,
+                 lines := lines
+             )) AS doc
+      FROM (
+        SELECT o_orderkey, o_orderstatus,
+               list_sort(list(struct_pack(ln := l_linenumber,
+                                          qty := CAST(l_quantity AS BIGINT))))
+                   AS lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 100 = 0
+        GROUP BY o_orderkey, o_orderstatus
+      )
+    )
+    SELECT o_orderkey,
+           json_extract_string(doc, '$.status') AS status_back,
+           CAST(json_array_length(doc, '$.lines') AS INT) AS n_lines,
+           CAST(json_extract(doc, '$.lines[0].qty') AS BIGINT)
+               AS first_qty
+    FROM built
+    """,
+)
+def fn_json_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON round trip: build a document (struct with an array
+    of line structs) from relational rows with ``to_json``, then read
+    it back with JSON point/path access — the export-then-reingest
+    fidelity check every JSON interchange boundary needs.
+
+    Scale shape: one orderkey groupBy assembles the nested docs
+    (sorted entry lists for deterministic serialization); both the
+    serialization and the path reads are scan-stage expressions. The
+    oracle builds byte-compatible documents with DuckDB's struct_pack/
+    to_json and must extract identical values — JSON *semantics*, not
+    formatting, is what's asserted (each engine parses its own
+    serialization)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 100 == 0
+    )
+    built = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").cast("long").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+        .select(
+            "o_orderkey",
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("lines"),
+                )
+            ).alias("doc"),
+        )
+    )
+    return built.select(
+        "o_orderkey",
+        F.get_json_object("doc", "$.status").alias("status_back"),
+        F.json_array_length(F.get_json_object("doc", "$.lines")).alias(
+            "n_lines"
+        ),
+        F.get_json_object("doc", "$.lines[0].qty")
+        .cast("long")
+        .alias("first_qty"),
+    )

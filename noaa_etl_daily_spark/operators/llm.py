@@ -2733,3 +2733,56 @@ def llm_embed_matryoshka_truncate(
         (F.floor(F.sqrt(trunc_sq) * 1e6) / 1e6).alias("trunc_norm"),
         (F.floor(trunc_sq / full_sq * 1e6) / 1e6).alias("energy_kept"),
     )
+
+
+@register(
+    "llm_embed_norm_outliers",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x))) AS nrm
+      FROM embeddings
+    ), stats AS (
+      SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sigma FROM d
+    )
+    SELECT vec_id,
+           floor(nrm * 10000) / 10000 AS norm,
+           floor((nrm - mu) / sigma * 100) / 100 AS z,
+           abs((nrm - mu) / sigma) > 2.5 AS is_outlier
+    FROM d CROSS JOIN stats
+    """,
+)
+def llm_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus hygiene: per-vector L2 norm z-scored against
+    the corpus distribution, flagging degenerate vectors (zero/huge
+    norms — the typical symptom of failed inference or truncated
+    uploads that silently poison cosine search).
+
+    Scale shape: norms are scan-stage folds; (mu, sigma) is ONE tiny
+    global aggregate broadcast back onto the corpus (the 1-row scalar
+    join — O(n)·1 by construction); the z-score and flag evaluate in
+    the joined scan stage. Same pattern as evt_anomaly_zscore, applied
+    to the vector corpus. Norm fold order is fixed (array order) so
+    cross-engine floats agree; z floor-truncated at 1e-2 because
+    stddev_samp's update order can differ in the last ulp."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    d = emb.select("vec_id", nrm.alias("nrm"))
+    stats = d.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sigma")
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    return d.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        (F.floor(F.col("nrm") * 1e4) / 1e4).alias("norm"),
+        (F.floor(z * 100) / 100).alias("z"),
+        (F.abs(z) > 2.5).alias("is_outlier"),
+    )

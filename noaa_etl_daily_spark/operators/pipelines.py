@@ -650,3 +650,48 @@ def pipeline_large_volume_customers(
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(50)
     )
+
+
+@register(
+    "pipeline_revenue_forecast",
+    oracle=f"""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+           CAST(count(*) AS BIGINT) AS n_qualifying
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q5_START}'
+      AND l_shipdate <  TIMESTAMP '{Q5_END}'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def pipeline_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue delta from dropping small
+    discounts — a pure scan-and-aggregate with three conjunctive
+    predicates and no join at all.
+
+    Plan shape: this is the query that should be SCAN-BOUND: all three
+    predicates (date range, discount band, quantity cap) push into the
+    parquet scan as PushedFilters over row-group statistics, the
+    5-column ReadSchema prunes the other 11 columns, and the global
+    aggregate is one partial buffer per split + a single-row reduce.
+    At 100 TB the cost is exactly 'read the surviving row groups of 5
+    columns' — if this query is slow, the storage layout (not the
+    plan) is wrong."""
+    start = F.lit(Q5_START).cast("timestamp_ntz")
+    end = F.lit(Q5_END).cast("timestamp_ntz")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= start)
+            & (F.col("l_shipdate") < end)
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_qualifying"),
+        )
+    )
