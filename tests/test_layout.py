@@ -158,3 +158,51 @@ def test_range_sorted_layout_files_are_disjoint_and_ordered(spark, sf_dir):
     spans.sort()
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo, "file time ranges overlap — range partitioning broken"
+
+
+def test_embed_cosine_blocked_plan_has_no_nested_loop(spark, sf_dir):
+    """The round-2 verdict flagged the embed-cosine dedup's O(n²)
+    non-equi self-join (BroadcastNestedLoopJoin). The reworked primary
+    must plan ONLY equi-joins: candidates from the (table_id, bucket)
+    join, vector fetches on vec_id. Locks the fix against regression."""
+    df = REGISTRY["llm_dedup_embed_cosine"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lateness_accounting_window_is_partitioned(spark, sf_dir):
+    """The round-2 verdict flagged the lateness diagnostic's global
+    (single-partition) running-max window. The sharded rework must
+    partition the window on the ingest-shard key — no empty
+    partition-spec Window anywhere in the executed plan."""
+    df = REGISTRY["evt_lateness_accounting"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = [line for line in plan.splitlines() if "Window [" in line]
+    assert windows, plan
+    for line in windows:
+        # node renders as: Window [funcs], [partition cols], [ordering] —
+        # a global window has an EMPTY partition list `], [], [`; the
+        # shard expression surfaces as an internal _wN alias, so assert
+        # non-emptiness of the partition spec rather than a column name
+        assert "], [], [" not in line, f"unpartitioned window:\n{line}"
+
+
+def test_entry_surfaces_uncertified_queries_first():
+    """The driver samples ~50 queries per round in queries() iteration
+    order, so __spark_entry__ orders never-certified keys first (the
+    SURVEY §2 priority head leading). Locks that contract: every key
+    that already has a CORRECTNESS row from a prior round must sort
+    after every key that has none."""
+    import __spark_entry__ as e
+
+    q = list(e.queries())
+    certified = e._certified()
+    assert certified, "expected prior-round CORRECTNESS files in the repo"
+    uncert = [n for n in q if n not in certified]
+    # all uncertified keys come first, as one contiguous prefix
+    assert q[: len(uncert)] == uncert
+    # the SURVEY §2 never-certified inventory keys lead the prefix
+    prio_live = [n for n in e._PRIORITY if n not in certified]
+    assert q[: len(prio_live)] == prio_live
