@@ -475,3 +475,75 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id", "category", "note", F.length("note").alias("note_len")
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar source (Spark-native, vectorized reader): lineitem
+    written as ORC and aggregated from the round-tripped copy — the
+    result must match DuckDB's aggregate over the ORIGINAL parquet,
+    proving the second columnar format is byte-faithful for typed
+    columns. ORC matters operationally as the interchange format of
+    Hive-lineage warehouses; predicate pushdown / column pruning /
+    vectorization apply to its scans exactly as to parquet's (same
+    DataSource V1 path, different footer/stripe layout)."""
+    out = _scratch("orc", _sf_tag(sf_dir), "lineitem")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@register(
+    "scan_partition_pruned_static",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def scan_partition_pruned_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning (the compile-time sibling of
+    join_partition_pruned_dynamic): lineitem laid out hive-partitioned
+    by l_returnflag, then filtered on the partition column with a
+    literal — the scan must touch only the matching directory, which
+    surfaces as PartitionFilters in the plan (asserted in
+    tests/test_layout.py) and as 'directories never listed' at 100 TB:
+    the query planner prunes from catalog metadata before any file IO.
+    This is the layout decision that makes daily-partitioned ETL
+    re-runs O(day), not O(history)."""
+    out = _scratch("parquet_flagpart", _sf_tag(sf_dir), "lineitem")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.where(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

@@ -206,3 +206,19 @@ def test_entry_surfaces_uncertified_queries_first():
     # the SURVEY §2 never-certified inventory keys lead the prefix
     prio_live = [n for n in e._PRIORITY if n not in certified]
     assert q[: len(prio_live)] == prio_live
+
+
+def test_static_partition_pruning_reaches_scan(spark, sf_dir):
+    """The literal partition-column filter must surface as a
+    PartitionFilters entry on the pruned layout's scan (and NOT as a
+    post-scan Filter over all partitions)."""
+    df = REGISTRY["scan_partition_pruned_static"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    assert "PartitionFilters: [" in scan, scan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+    assert "l_returnflag" in pf and "R" in pf, scan
