@@ -972,3 +972,101 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot_w").alias("total_weight"),
         )
     )
+
+
+@register("agg_theta_sketch_setops", tags=("approx", "rows-only"))
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA via Datasketches theta sketches: how many
+    users viewed, purchased, did both, or viewed without purchasing —
+    where the union/intersection/difference all happen on fixed-size
+    sketch state, never on the raw ID sets.
+
+    This is what HLL cannot do (HLL unions but can't intersect) and
+    the exact path can't afford at 100 TB (set intersection of raw IDs
+    is a shuffle of every distinct user). Theta partials are built
+    per (event_type, month) — the mergeable-state shape — then
+    combined: union across months per type, then set ops across types.
+    Estimates are property-tested against exact distinct counts in
+    tests/test_properties.py; rows-only for the driver (sketch
+    internals are engine-specific)."""
+    ev = load(spark, sf_dir, "events")
+    # early-window viewers vs late-window buyers: overlapping-but-
+    # distinct user sets (every fixture user does everything over the
+    # full month, which would make the algebra degenerate)
+    cohort = F.when(
+        (F.col("event_type") == "view")
+        & (F.dayofmonth("ts") <= 7),
+        F.lit("view"),
+    ).when(
+        (F.col("event_type") == "purchase")
+        & (F.dayofmonth("ts") >= 24),
+        F.lit("purchase"),
+    )
+    partials = (
+        ev.withColumn("event_type", cohort)
+        .where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("m"))
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    per_type = partials.groupBy("event_type").agg(
+        F.theta_union_agg("sk").alias("sk")
+    )
+    v = per_type.where(F.col("event_type") == "view").select(
+        F.col("sk").alias("sk_v")
+    )
+    p = per_type.where(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_p")
+    )
+    both = v.crossJoin(p)
+    return both.select(
+        F.theta_sketch_estimate(F.col("sk_v")).alias("est_viewers"),
+        F.theta_sketch_estimate(F.col("sk_p")).alias("est_buyers"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_v"), F.col("sk_p"))
+        ).alias("est_either"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_v"), F.col("sk_p"))
+        ).alias("est_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_v"), F.col("sk_p"))
+        ).alias("est_view_only"),
+    )
+
+
+@register("agg_kll_quantile_sketch", tags=("approx", "rows-only"))
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE state via Datasketches KLL: per-month sketch
+    partials of order value merged into whole-corpus quantiles — the
+    streaming/warehouse answer to 'p50/p90/p99 over a year' that never
+    re-sorts history (exact percentiles need a full sort or Expand;
+    the KLL partial is a few KB per group and merges associatively,
+    so yesterday's sketches are reused forever).
+
+    Rank-accuracy vs the exact percentiles is property-tested in
+    tests/test_properties.py; rows-only for the driver."""
+    orders = load(spark, sf_dir, "orders")
+    partials = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.kll_sketch_agg_double("o_totalprice").alias("sk"))
+    # kll_sketch_merge_double is a binary scalar merge (no agg form in
+    # 4.1): fold the bounded per-month partial list — 12 sketches/year,
+    # a few KB each — with head as init. Associativity is the point.
+    merged = partials.agg(F.collect_list("sk").alias("sks")).select(
+        F.aggregate(
+            F.slice(F.col("sks"), 2, 1_000_000),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk")
+    )
+    return merged.select(
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias(
+            "p50"
+        ),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias(
+            "p90"
+        ),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)).alias(
+            "p99"
+        ),
+        F.kll_sketch_get_n_double(F.col("sk")).alias("n"),
+    )

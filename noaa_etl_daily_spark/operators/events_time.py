@@ -1030,3 +1030,122 @@ def evt_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "evt_experiment_ab_analysis",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 1 THEN 'treatment'
+                  ELSE 'control' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= 75
+                      THEN 1 ELSE 0 END) AS converted,
+             sum(CASE WHEN event_type = 'purchase' AND value >= 75
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ), arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM per_user GROUP BY arm
+    ), wide AS (
+      SELECT
+        sum(CASE WHEN arm = 'treatment' THEN n_users END) AS n_t,
+        sum(CASE WHEN arm = 'treatment' THEN n_converted END) AS c_t,
+        sum(CASE WHEN arm = 'treatment' THEN total_cents END) AS v_t,
+        sum(CASE WHEN arm = 'control' THEN n_users END) AS n_c,
+        sum(CASE WHEN arm = 'control' THEN n_converted END) AS c_c,
+        sum(CASE WHEN arm = 'control' THEN total_cents END) AS v_c
+      FROM arms
+    )
+    SELECT CAST(n_t AS BIGINT) AS n_treatment,
+           CAST(n_c AS BIGINT) AS n_control,
+           floor(c_t * 10000.0 / n_t) / 10000 AS conv_rate_treatment,
+           floor(c_c * 10000.0 / n_c) / 10000 AS conv_rate_control,
+           floor((c_t * 1.0 / n_t - c_c * 1.0 / n_c) * 10000) / 10000
+               AS conv_lift,
+           floor((c_t * 1.0 / n_t - c_c * 1.0 / n_c)
+                 / sqrt((c_t + c_c) * 1.0 / (n_t + n_c)
+                        * (1 - (c_t + c_c) * 1.0 / (n_t + n_c))
+                        * (1.0 / n_t + 1.0 / n_c)) * 100) / 100 AS z_score,
+           floor(v_t / 100.0 / n_t * 100) / 100 AS arpu_treatment,
+           floor(v_c / 100.0 / n_c * 100) / 100 AS arpu_control
+    FROM wide
+    """,
+)
+def evt_experiment_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment read-out: deterministic hash-bucket assignment
+    (odd user_id → treatment), per-arm conversion rate (conversion = a high-value purchase, so the
+    fixture's rate is non-degenerate), lift, the
+    two-proportion z statistic, and ARPU — the product-analytics query
+    every experimentation platform materializes.
+
+    Scale shape: ONE per-user aggregate (conversion flag + value in
+    integer cents) → one tiny per-arm aggregate → a 1-row wide pivot;
+    nothing after the first groupBy touches more than |users| rows.
+    All statistics are derived from integer counts/cents with
+    IEEE-exact division/sqrt and floor-truncated display, so both
+    engines produce bit-identical read-outs — determinism a real
+    experiment pipeline also wants (a report that flickers in the last
+    decimal across reruns erodes trust)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 1, "treatment")
+        .otherwise("control")
+        .alias("arm"),
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 75),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 75),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("cents"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.sum("cents").alias("total_cents"),
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == "treatment", F.col("n_users"))).alias("n_t"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("n_converted"))).alias("c_t"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("total_cents"))).alias("v_t"),
+        F.sum(F.when(F.col("arm") == "control", F.col("n_users"))).alias("n_c"),
+        F.sum(F.when(F.col("arm") == "control", F.col("n_converted"))).alias("c_c"),
+        F.sum(F.when(F.col("arm") == "control", F.col("total_cents"))).alias("v_c"),
+    )
+    p_t = F.col("c_t") * 1.0 / F.col("n_t")
+    p_c = F.col("c_c") * 1.0 / F.col("n_c")
+    p_pool = (F.col("c_t") + F.col("c_c")) * 1.0 / (F.col("n_t") + F.col("n_c"))
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    )
+    return wide.select(
+        F.col("n_t").alias("n_treatment"),
+        F.col("n_c").alias("n_control"),
+        (F.floor(F.col("c_t") * 10000.0 / F.col("n_t")) / 10000).alias(
+            "conv_rate_treatment"
+        ),
+        (F.floor(F.col("c_c") * 10000.0 / F.col("n_c")) / 10000).alias(
+            "conv_rate_control"
+        ),
+        (F.floor((p_t - p_c) * 10000) / 10000).alias("conv_lift"),
+        (F.floor((p_t - p_c) / se * 100) / 100).alias("z_score"),
+        (F.floor(F.col("v_t") / 100.0 / F.col("n_t") * 100) / 100).alias(
+            "arpu_treatment"
+        ),
+        (F.floor(F.col("v_c") / 100.0 / F.col("n_c") * 100) / 100).alias(
+            "arpu_control"
+        ),
+    )

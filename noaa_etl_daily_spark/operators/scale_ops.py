@@ -227,3 +227,100 @@ def sink_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "merge_scd2_cdc_apply",
+    oracle="""
+    WITH hist_src AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+    ), hist AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+      FROM hist_src
+    ), batch AS (
+      SELECT user_id, event_type AS new_state, ts AS change_ts
+      FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+      ) WHERE rn = 1
+    )
+    SELECT h.user_id, h.state,
+           h.valid_from,
+           COALESCE(h.valid_to,
+                    CASE WHEN b.user_id IS NOT NULL THEN b.change_ts END)
+               AS valid_to,
+           h.valid_to IS NULL AND b.user_id IS NULL AS is_current
+    FROM hist h LEFT JOIN batch b
+      ON h.user_id = b.user_id AND h.valid_to IS NULL
+    UNION ALL
+    SELECT user_id, new_state, change_ts, NULL, TRUE FROM batch
+    """,
+)
+def merge_scd2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance — the CDC MERGE a lakehouse runs
+    nightly, expressed without a table format: a change batch (each
+    user's first post-cutoff state) is applied to the standing type-2
+    history by (a) closing each changed user's OPEN row at the change
+    timestamp, (b) appending the new open row, (c) passing every other
+    row through untouched.
+
+    Scale shape: history joins the batch ONLY on open rows (the
+    valid_to IS NULL predicate rides the left join), so the touch set
+    is O(|batch| + open rows), never O(history); closed history is
+    append-only and at 100 TB would live in date-partitioned files the
+    merge never rewrites (the delta-spark MERGE equivalent of this
+    plan — environment lacks delta, the join algebra is identical).
+    Deterministic: batch row per user picked by (ts, event_id)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.where(F.col("ts") < cutoff)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    batch = (
+        ev.where(F.col("ts") >= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_type").alias("new_state"),
+            F.col("ts").alias("change_ts"),
+        )
+    )
+    updated = hist.join(
+        batch,
+        (F.col("user_id") == F.col("b_user")) & F.col("valid_to").isNull(),
+        "left",
+    ).select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.coalesce(
+            F.col("valid_to"),
+            F.when(F.col("b_user").isNotNull(), F.col("change_ts")),
+        ).alias("valid_to"),
+        (F.col("valid_to").isNull() & F.col("b_user").isNull()).alias(
+            "is_current"
+        ),
+    )
+    inserts = batch.select(
+        F.col("b_user").alias("user_id"),
+        F.col("new_state").alias("state"),
+        F.col("change_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return updated.unionByName(inserts)

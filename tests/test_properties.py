@@ -538,3 +538,66 @@ def test_matryoshka_truncated_prefilter_recall(spark, sf_dir):
     assert full5 and short20
     recall = len(full5 & short20) / len(full5)
     assert recall >= 0.6, f"truncated-prefilter recall {recall:.2f} below floor"
+
+
+def test_theta_sketch_set_algebra_accuracy(spark, sf_dir):
+    """Theta-sketch set algebra must track the exact distinct-user set
+    operations within sketch tolerance — including INTERSECTION and
+    DIFFERENCE, which HLL cannot express. At fixture cardinalities the
+    default theta sketch is exact or near-exact; 5% gives margin."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    row = (
+        REGISTRY["agg_theta_sketch_setops"].builder(spark, sf_dir).collect()[0]
+    )
+    ev = load(spark, sf_dir, "events")
+    viewers = {
+        r.user_id
+        for r in ev.where("event_type = 'view' AND day(ts) <= 7")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    buyers = {
+        r.user_id
+        for r in ev.where("event_type = 'purchase' AND day(ts) >= 24")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    exact = {
+        "est_viewers": len(viewers),
+        "est_buyers": len(buyers),
+        "est_either": len(viewers | buyers),
+        "est_both": len(viewers & buyers),
+        "est_view_only": len(viewers - buyers),
+    }
+    for k, want in exact.items():
+        got = getattr(row, k)
+        assert want > 0
+        assert abs(got - want) / want < 0.05, f"{k}: {got} vs {want}"
+
+
+def test_kll_quantile_sketch_rank_accuracy(spark, sf_dir):
+    """Merged per-month KLL sketches must reproduce whole-corpus
+    quantiles within KLL's rank error (default k -> ~1.7% rank error;
+    assert the VALUE at each estimated quantile sits within ±3% rank
+    of the target)."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    row = REGISTRY["agg_kll_quantile_sketch"].builder(spark, sf_dir).collect()[0]
+    vals = sorted(
+        r.o_totalprice
+        for r in load(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    n = len(vals)
+    assert row.n == n
+    import bisect
+
+    for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+        rank = bisect.bisect_left(vals, got) / n
+        assert abs(rank - q) < 0.03, f"q={q}: value {got} sits at rank {rank:.4f}"
