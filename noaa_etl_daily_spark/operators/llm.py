@@ -2786,3 +2786,111 @@ def llm_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * 100) / 100).alias("z"),
         (F.abs(z) > 2.5).alias("is_outlier"),
     )
+
+
+@register(
+    "llm_anchor_negative_triplets",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+      SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS nrm
+      FROM v
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, e AS a_e, nrm AS a_nrm
+      FROM d WHERE vec_id % 100 = 0
+    ), scored AS (
+      SELECT anchor_id, vec_id AS cand_id,
+             round(list_sum(list_transform(generate_series(1, len(a_e)),
+                                           i -> a_e[i] * e[i]))
+                   / sqrt(a_nrm * nrm), 4) AS sim,
+             md5(CAST(anchor_id AS VARCHAR) || ':'
+                 || CAST(vec_id AS VARCHAR)) AS h
+      FROM anchors JOIN d ON vec_id <> anchor_id
+    ), pos AS (
+      SELECT anchor_id, cand_id AS positive_id, sim AS pos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY sim DESC, cand_id) AS rn
+            FROM scored) WHERE rn = 1
+    ), neg AS (
+      SELECT anchor_id, cand_id AS negative_id, sim AS neg_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY h, cand_id) AS rn
+            FROM scored WHERE sim < 0.1) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.positive_id, p.pos_sim,
+           n.negative_id, n.neg_sim
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    """,
+)
+def llm_anchor_negative_triplets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive-training triplet mining: for each anchor vector, one
+    POSITIVE (its nearest neighbour) and one pseudo-random NEGATIVE
+    drawn deterministically (md5 order) from the candidates below a
+    similarity ceiling — the (anchor, positive, negative) rows an
+    embedding-model trainer consumes.
+
+    Scale shape: anchors are ~1% of the corpus and BROADCAST against
+    it (map-only scoring, same discipline as llm_sim_topk_cosine);
+    both the positive top-1 and the hash-ordered negative pick are
+    windows partitioned by anchor. Deterministic end to end: cosine
+    fold order fixed, ties broken on ids, 'randomness' is md5 — a
+    reproducible corpus build, not a sampled one. At 100 TB the
+    negative pool would come from the LSH buckets' complement instead
+    of a full scan (anchor count, not corpus size, bounds the
+    broadcast)."""
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    nrm = _dot(F.col("embedding"), F.col("embedding"))
+    d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    anchors = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_e"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    sim = F.round(
+        _dot(F.col("a_e"), F.col("embedding"))
+        / F.sqrt(F.col("a_nrm") * F.col("nrm")),
+        4,
+    )
+    scored = (
+        d.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            sim.alias("sim"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("vec_id").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    pos = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy("h", "cand_id")
+    neg = (
+        scored.where(F.col("sim") < 0.1)
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id")

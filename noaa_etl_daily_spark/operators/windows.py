@@ -360,3 +360,65 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(whole).alias("second_order_price"),
         F.nth_value("o_totalprice", 2).over(running).alias("second_so_far"),
     )
+
+
+@register(
+    "win_longest_streak",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), run_lengths AS (
+      SELECT user_id, event_type, run_id,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id,
+           max(run_len) AS longest_streak,
+           arg_min(event_type,
+                   CONCAT(LPAD(CAST(10000000 - run_len AS VARCHAR), 8, '0'),
+                          event_type)) AS streak_type
+    FROM run_lengths
+    GROUP BY user_id
+    """,
+)
+def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-event-type run per user (the 'streak' analytic:
+    consecutive identical states in event order) — the gaps-and-islands
+    pattern turned to run-length encoding: a break flag on type change,
+    a running sum numbering the runs, run lengths by groupBy, and a
+    deterministic argmax (longest run, ties to the lexicographically
+    first type).
+
+    Scale shape: the break flag and run numbering stack on ONE user_id
+    window (same partitioning + ordering), the run-length groupBy lands
+    on the same key prefix, and the final per-user argmax is a
+    composite-key arg_min — three logical steps, one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn("brk", brk).withColumn(
+        "run_id",
+        F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    run_lengths = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    key = F.concat(
+        F.lpad((F.lit(10000000) - F.col("run_len")).cast("string"), 8, "0"),
+        F.col("event_type"),
+    )
+    return run_lengths.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.min_by("event_type", key).alias("streak_type"),
+    )

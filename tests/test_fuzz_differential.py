@@ -165,3 +165,92 @@ def test_fuzz_window_row_number(spark, oracle, rows):
     finally:
         oracle.unregister("t")
     assert got == want, f"\nrows={rows}\nspark={got}\nduck ={want}"
+
+
+@settings(**SETTINGS)
+@given(rows=ROWS)
+def test_fuzz_window_frames_running_and_sliding(spark, oracle, rows):
+    """Running and 3-row sliding frames over adversarial inputs (NULL
+    keys, duplicate values, empty partitions). Ordering is made unique
+    with an explicit row id so frame contents are deterministic on
+    both engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    indexed = [(i, *r) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "rid bigint, " + SCHEMA)
+    w = Window.partitionBy("k").orderBy("rid")
+    q = df.select(
+        "rid",
+        "k",
+        "v",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "run_sum"
+        ),
+        F.sum("v").over(w.rowsBetween(-2, 0)).alias("slide_sum"),
+        F.lag("v", 1).over(w).alias("prev_v"),
+        F.count("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "run_nc"
+        ),
+    )
+    t = pd.DataFrame(indexed, columns=["rid", *PDF_COLS]).astype(
+        {"rid": "int64", "k": "Int64", "v": "int64", "c": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """SELECT rid, k, v,
+                          CAST(sum(v) OVER (PARTITION BY k ORDER BY rid
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS run_sum,
+                          CAST(sum(v) OVER (PARTITION BY k ORDER BY rid
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                               AS BIGINT) AS slide_sum,
+                          CAST(lag(v, 1) OVER (PARTITION BY k ORDER BY rid)
+                               AS BIGINT) AS prev_v,
+                          CAST(count(c) OVER (PARTITION BY k ORDER BY rid
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS run_nc
+                   FROM t"""
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\nrows={rows}\nspark={got}\nduck ={want}"
+
+
+@settings(**SETTINGS)
+@given(a=ROWS, b=ROWS)
+def test_fuzz_bag_setops(spark, oracle, a, b):
+    """INTERSECT ALL / EXCEPT ALL multiplicity semantics under
+    duplicates and NULLs — bag semantics are where set-op
+    implementations actually diverge (count-min of multiplicities for
+    intersect, saturating difference for except; NULLs compare equal
+    in both engines' set ops)."""
+    da = spark.createDataFrame([tuple(r) for r in a], SCHEMA).select("k", "c")
+    db = spark.createDataFrame([tuple(r) for r in b], SCHEMA).select("k", "c")
+    qi = da.intersectAll(db)
+    qe = da.exceptAll(db)
+    ta, tb = _pdf(a)[["k", "c"]], _pdf(b)[["k", "c"]]
+    oracle.register("ta", ta)
+    oracle.register("tb", tb)
+    try:
+        got_i = _canon(qi.toPandas())
+        got_e = _canon(qe.toPandas())
+        want_i = _canon(
+            oracle.execute(
+                "SELECT k, c FROM ta INTERSECT ALL SELECT k, c FROM tb"
+            ).df()
+        )
+        want_e = _canon(
+            oracle.execute(
+                "SELECT k, c FROM ta EXCEPT ALL SELECT k, c FROM tb"
+            ).df()
+        )
+    finally:
+        oracle.unregister("ta")
+        oracle.unregister("tb")
+    assert got_i == want_i, f"\na={a}\nb={b}\nspark={got_i}\nduck ={want_i}"
+    assert got_e == want_e, f"\na={a}\nb={b}\nspark={got_e}\nduck ={want_e}"
