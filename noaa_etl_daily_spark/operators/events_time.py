@@ -1149,3 +1149,95 @@ def evt_experiment_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arpu_control"
         ),
     )
+
+
+@register(
+    "evt_cumulative_new_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+)
+def evt_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-accretion curve: first-seen day per user → daily new-user
+    counts → running total (the growth chart every product dashboard
+    leads with).
+
+    Scale shape: the per-user min is a map-combinable aggregate (100 TB
+    of events reduce to |users| rows in one shuffle); the daily rollup
+    is |users| → |days|; ONLY the final running sum is a global window,
+    and it runs over day-cardinality rows (thousands, not billions) —
+    the one place a single-partition window is legitimately fine, and
+    the reason the heavy aggregation happens first."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "evt_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), counted AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           floor(n * 1000000.0 / sum(n) OVER (PARTITION BY from_type))
+               / 1000000 AS p
+    FROM counted
+    """,
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and conditional probabilities P(next type |
+    current type) — the behavioral model behind next-action prediction
+    and anomaly scoring on event streams.
+
+    Scale shape: the successor pairing is one lead() over the user_id
+    shuffle; pair counting is map-combinable; the row-normalization
+    window runs over the |types|² count matrix (25 rows here), not the
+    data. Probabilities divide exact integers and are floor-truncated,
+    so both engines render identical matrices."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wo).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counted = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.floor(F.col("n") * 1000000.0 / F.sum("n").over(wn)) / 1000000).alias(
+            "p"
+        ),
+    )
