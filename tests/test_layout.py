@@ -222,3 +222,68 @@ def test_static_partition_pruning_reaches_scan(spark, sf_dir):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
     assert "l_returnflag" in pf and "R" in pf, scan
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    """Scale-discipline lint over EVERY registered query's optimized
+    plan: no CartesianProduct anywhere, and BroadcastNestedLoopJoin
+    only where a side is provably tiny by construction (the whitelist
+    below documents each case). This is the repo's 'no O(n²) plan
+    sneaks in' invariant as an executable test rather than a claim in
+    PLANS.md."""
+    # BNLJ-whitelisted queries: the non-equi side is a 1-row scalar
+    # aggregate or a ~1%-of-corpus broadcast query set — bounded
+    # regardless of corpus size (documented in each docstring).
+    BNLJ_OK = {
+        "llm_sim_topk_cosine",        # ~20-row query side broadcast
+        "llm_dedup_embed_cosine_bruteforce",  # documented O(n²) baseline
+        "llm_text_perplexity_proxy",  # 1-row corpus-total scalar
+        "llm_embed_norm_outliers",    # 1-row (mu, sigma) scalar
+        "llm_anchor_negative_triplets",  # ~1% anchor broadcast
+        "join_cross",                 # the cartesian surface itself
+        "join_theta_range",           # non-equi interval join, one side filtered
+        "evt_funnel_steps",           # 1-row stage-count scalars
+        "agg_theta_sketch_setops",    # 1-row × 1-row sketch join
+        "evt_experiment_ab_analysis", # 1-row wide pivot
+        "llm_dataset_card_stats",     # 1-row summary joins
+        "llm_mix_sampling_weights",   # corpus-total scalar
+        "llm_text_tfidf",             # corpus doc-count scalar
+        "evt_gap_filled_series",      # 1-row min/max calendar seed
+        "evt_anomaly_zscore",         # 1-row moment scalars
+        "llm_decontaminate_overlap",  # small eval-set broadcast
+        "pipeline_top_supplier",      # 1-row global max
+        "agg_kll_quantile_sketch",    # 1-row merged sketch
+        "llm_pack_token_shards",      # corpus-total scalar
+        "llm_split_train_test",       # corpus-total scalar
+        "llm_sample_stratified_hash", # per-stratum total scalar
+        "fn_haversine_distance",      # station-dim pair space (a sensor
+                                      # network is physically bounded; the
+                                      # docstring documents the blocked-join
+                                      # rewrite for unbounded dims)
+        "fn_levenshtein_fuzzy_match", # 25-row nation-name pair space
+        "llm_sim_ivf_topk",           # K=10-row codebook broadcast (the
+                                      # IVF scoring pass is map-only by
+                                      # design; K is a constant)
+    }
+    cart_bad, bnlj_bad, errors = [], [], []
+    for name, q in sorted(REGISTRY.items()):
+        try:
+            plan = (
+                q.builder(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as ex:  # pragma: no cover
+            errors.append((name, repr(ex)[:120]))
+            continue
+        if "CartesianProduct" in plan and name != "join_cross":
+            cart_bad.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bnlj_bad.append(name)
+    assert not errors, errors
+    assert not cart_bad, f"CartesianProduct outside join_cross: {cart_bad}"
+    assert not bnlj_bad, (
+        f"unwhitelisted BroadcastNestedLoopJoin (non-equi join on a "
+        f"scaling side?): {bnlj_bad}"
+    )
