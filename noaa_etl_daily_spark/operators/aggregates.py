@@ -1070,3 +1070,52 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.kll_sketch_get_n_double(F.col("sk")).alias("n"),
     )
+
+
+@register(
+    "sql_cached_cte_reuse",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT a.month,
+           a.revenue,
+           round(a.revenue - b.revenue, 2) AS mom_delta
+    FROM monthly a LEFT JOIN monthly b
+      ON b.month = a.month - INTERVAL 1 MONTH
+    """,
+)
+def sql_cached_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CTE referenced twice (month-over-month self-comparison of an
+    aggregate), materialized ONCE via ``cache()``.
+
+    Measured finding this round (Spark 4.1.2): a twice-referenced
+    aggregate plans TWO independent shuffle stages — neither CTE
+    materialization nor the ReuseExchange rule deduplicates it in this
+    shape (the exchanges hang under differently-aliased final
+    aggregates). The explicit tool is ``cache()``: both join inputs
+    then read the same InMemoryRelation (plan-asserted in
+    tests/test_layout.py — two InMemoryTableScans, one Exchange
+    total). The cached relation is month-cardinality (KBs), so pinning
+    it is free at any corpus scale; the raw scan + shuffle happen
+    exactly once however many reports reference the CTE."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .cache()
+    )
+    prev = monthly.select(
+        F.col("month").alias("p_month"), F.col("revenue").alias("p_rev")
+    )
+    return monthly.join(
+        prev, F.col("p_month") == F.add_months(F.col("month"), -1), "left"
+    ).select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.col("p_rev"), 2).alias("mom_delta"),
+    )

@@ -287,3 +287,26 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         f"unwhitelisted BroadcastNestedLoopJoin (non-equi join on a "
         f"scaling side?): {bnlj_bad}"
     )
+
+
+def test_cached_cte_reuse_materializes_once(spark, sf_dir):
+    """The twice-referenced monthly aggregate must be served from the
+    cache on BOTH join inputs: two InMemoryTableScans and at most one
+    shuffle Exchange under them (the single cache fill). Context: in
+    Spark 4.1.2 the uncached form plans two independent aggregate
+    stages (no ReuseExchange fires for this shape — measured this
+    round), which is exactly why the operator caches explicitly."""
+    df = REGISTRY["sql_cached_cte_reuse"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # AQE renders cached inputs as TableCacheQueryStage wrapping an
+    # InMemoryTableScan; non-adaptive plans show InMemoryTableScan
+    # directly. Both join inputs must come from the cache...
+    cache_reads = plan.count("TableCacheQueryStage") + plan.count(
+        "InMemoryTableScan"
+    )
+    assert cache_reads >= 2, plan
+    # ...and the raw table is scanned at most once (the cache fill),
+    # not once per reference.
+    assert plan.count("FileScan parquet") <= 1, plan
