@@ -2894,3 +2894,116 @@ def llm_anchor_negative_triplets(
         )
     )
     return pos.join(neg, "anchor_id")
+
+
+@register(
+    "llm_dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), chunks AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[g.i:g.i+3], ' ')) AS h
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(tk) - 3)) AS i) g
+    ), freq AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS df FROM chunks GROUP BY h
+    ), informative AS (
+      SELECT c.doc_id, c.h FROM chunks c JOIN freq f ON c.h = f.h
+      WHERE f.df <= 25
+    ), doc_sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM informative GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM informative a JOIN informative b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           floor(s.n_shared * 1000000.0
+                 / least(x.n_chunks, y.n_chunks)) / 1000000 AS containment
+    FROM shared s
+    JOIN doc_sizes x ON s.doc_a = x.doc_id
+    JOIN doc_sizes y ON s.doc_b = y.doc_id
+    WHERE s.n_shared * 2 >= least(x.n_chunks, y.n_chunks)
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document CONTAINMENT dedup: sliding 4-word chunk hashes,
+    pairs of documents sharing ≥50% of the smaller document's chunks —
+    the signal that catches partial-overlap duplication (quotes,
+    mirrored sections, wrapped reposts) that whole-document hashing and
+    even MinHash-over-the-full-text miss.
+
+    The load-bearing scale guard is the BOILERPLATE EXCLUSION: a chunk
+    appearing in more than ``df_cap`` documents (site chrome, license
+    headers) is dropped BEFORE the self-join — ubiquitous chunks are
+    precisely the ones that would turn the hash join into an O(df²)
+    hot-key blowup, and they carry no dedup signal. What remains
+    joins on rare hashes (bounded fan-out by construction), reduces to
+    per-pair counts, and normalizes by the smaller doc's chunk count.
+    Integer counts + floor-truncated ratio → engine-exact."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    # chunk = 4-word sliding shingle (the corpus is a word stream with
+    # no sentence punctuation; a real corpus would chunk on sentences
+    # or fixed token windows the same way)
+    chunks = (
+        docs.select("doc_id", _tokens().alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # sequence(1, 0) DESCENDS in Spark — emit an empty
+                    # shingle list for docs shorter than the window
+                    F.when(
+                        F.size("tk") >= 4,
+                        F.sequence(F.lit(1), F.size("tk") - 3),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tk"), i, 4)
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    informative = chunks.join(
+        freq.where(F.col("df") <= 25).select("h"), "h"
+    )
+    doc_sizes = informative.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    a = informative.select(F.col("doc_id").alias("doc_a"), "h")
+    b = informative.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    x = doc_sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("na")
+    )
+    y = doc_sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("nb")
+    )
+    small = F.least(F.col("na"), F.col("nb"))
+    return (
+        shared.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(F.col("n_shared") * 2 >= small)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.floor(F.col("n_shared") * 1000000.0 / small) / 1000000).alias(
+                "containment"
+            ),
+        )
+    )
