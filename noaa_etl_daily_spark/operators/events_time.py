@@ -1241,3 +1241,43 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+@register(
+    "evt_seasonal_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(count(*) * 1000000.0
+                 / sum(count(*)) OVER (PARTITION BY event_type)) / 1000000
+               AS hour_share
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def evt_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: each event type's hour-of-day activity
+    distribution (the diurnal curve an anomaly detector normalizes
+    against, and the load model a capacity planner reads).
+
+    Scale shape: one map-combinable aggregate to (type × 24) cells;
+    the share normalization window runs over that tiny matrix, never
+    the raw data. Integer counts with floor-truncated exact-integer
+    division — engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    counted = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wn = Window.partitionBy("event_type")
+    return counted.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        (
+            F.floor(
+                F.col("n_events") * 1000000.0 / F.sum("n_events").over(wn)
+            )
+            / 1000000
+        ).alias("hour_share"),
+    )

@@ -422,3 +422,72 @@ def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_streak"),
         F.min_by("event_type", key).alias("streak_type"),
     )
+
+
+@register(
+    "win_pareto_8020",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             sum(l_extendedprice) OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(l_extendedprice) OVER (PARTITION BY l_returnflag)
+                 AS tot_rev,
+             row_number() OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                 AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n_items
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(min(rn) AS BIGINT) AS items_for_80pct,
+           CAST(min(n_items) AS BIGINT) AS n_items,
+           floor(min(rn) * 1000000.0 / min(n_items)) / 1000000
+               AS pareto_fraction
+    FROM ranked
+    WHERE cum_rev >= 0.8 * tot_rev
+    GROUP BY l_returnflag
+    """,
+)
+def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration analysis: per group, how many of
+    the highest-value line items carry 80% of revenue — the revenue-
+    concentration metric behind 'focus on the head' decisions.
+
+    Float-determinism note that makes this oracle-able: a WINDOWED
+    running sum (unlike a groupBy sum) has an engine-independent
+    summation order — the frame's ORDER BY defines it — so with a
+    unique sort key the cumulative revenue is bit-identical on both
+    engines and the 80% crossover lands on the same row. One shuffle
+    serves all four windows (same partitioning); the crossover is
+    min(rn) over the qualifying suffix, monotone ⇒ no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    wa = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_extendedprice")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rev"),
+        F.sum("l_extendedprice").over(wa).alias("tot_rev"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n_items"),
+    )
+    return (
+        ranked.where(F.col("cum_rev") >= 0.8 * F.col("tot_rev"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("rn").alias("items_for_80pct"),
+            F.min("n_items").alias("n_items"),
+            (
+                F.floor(F.min("rn") * 1000000.0 / F.min("n_items")) / 1000000
+            ).alias("pareto_fraction"),
+        )
+    )

@@ -265,7 +265,30 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # IVF scoring pass is map-only by
                                       # design; K is a constant)
     }
-    cart_bad, bnlj_bad, errors = [], [], []
+    # SinglePartition-exchange whitelist: every entry's single-partition
+    # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
+    # window over day/supplier/type-cardinality rows), reviewed
+    # individually — a new query funneling RAW data through one
+    # partition must either be redesigned or justified here.
+    SINGLEPART_OK = {
+        "agg_global",                 # 1-row global reduce of partials
+        "agg_freq_items",             # sketch merge to 1 row
+        "agg_kll_quantile_sketch",    # 12-sketch fold to 1 row
+        "evt_cumulative_new_users",   # running sum over DAY rows
+        "evt_experiment_ab_analysis", # 1-row wide pivot
+        "evt_funnel_steps",           # 1-row stage counts
+        "evt_gap_filled_series",      # 1-row min/max calendar seed
+        "llm_dataset_card_stats",     # 1-row corpus summary
+        "llm_embed_norm_outliers",    # 1-row (mu, sigma)
+        "llm_mix_sampling_weights",   # 1-row corpus totals
+        "llm_pack_token_shards",      # 1-row corpus totals
+        "llm_text_perplexity_proxy",  # 1-row token total
+        "llm_text_tfidf",             # 1-row corpus doc count
+        "pipeline_revenue_forecast",  # 1-row Q6 aggregate
+        "pipeline_top_supplier",      # global max over SUPPLIER rows
+        "validate_expectations",      # 1-row rule summaries
+    }
+    cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
         try:
             plan = (
@@ -281,11 +304,17 @@ def test_registry_wide_plan_lint(spark, sf_dir):
             cart_bad.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             bnlj_bad.append(name)
+        if "Exchange SinglePartition" in plan and name not in SINGLEPART_OK:
+            sp_bad.append(name)
     assert not errors, errors
     assert not cart_bad, f"CartesianProduct outside join_cross: {cart_bad}"
     assert not bnlj_bad, (
         f"unwhitelisted BroadcastNestedLoopJoin (non-equi join on a "
         f"scaling side?): {bnlj_bad}"
+    )
+    assert not sp_bad, (
+        f"unreviewed SinglePartition exchange (raw data through one "
+        f"task?): {sp_bad}"
     )
 
 
