@@ -3007,3 +3007,80 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_quality_composite_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '')
+                 AS toks
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM scored
+    ), flagged AS (
+      SELECT doc_id, n_tokens, n_unique,
+             n_tokens < 30 AS too_short,
+             n_tokens > 0
+               AND n_unique * 5 < n_tokens AS too_repetitive
+      FROM sig
+    )
+    SELECT CASE WHEN too_short THEN 'reject:too_short'
+                WHEN too_repetitive THEN 'reject:too_repetitive'
+                ELSE 'keep' END AS disposition,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS sample_doc
+    FROM flagged
+    GROUP BY 1
+    """,
+)
+def llm_quality_composite_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation funnel's decision layer: every document gets a
+    DISPOSITION (keep, or the FIRST failing rule as a reject reason) —
+    minimum length, then lexical-diversity floor (unique/total token
+    ratio ≥ 1/5, the degenerate-repetition guard). The per-reason
+    census with token totals is the report a corpus build publishes
+    next to its dataset card: what was dropped, why, and how many
+    tokens it cost.
+
+    Scale shape: every signal is a scan-stage array expression over
+    the one tokenization (no signal re-tokenizes); the funnel is a
+    CASE ladder (first-match-wins keeps reasons disjoint, so the
+    census partitions the corpus exactly); one tiny groupBy on the
+    disposition label. Adding a rule = adding a CASE branch, never a
+    pass. Thresholds here are demo-tuned to the synthetic corpus; the
+    shape is what a production filter (Gopher rules, C4 filters) runs
+    at 100 TB."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+    sig = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+    flagged = sig.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") < 30).alias("too_short"),
+        (
+            (F.col("n_tokens") > 0)
+            & (F.col("n_unique") * 5 < F.col("n_tokens"))
+        ).alias("too_repetitive"),
+    )
+    disposition = (
+        F.when(F.col("too_short"), "reject:too_short")
+        .when(F.col("too_repetitive"), "reject:too_repetitive")
+        .otherwise("keep")
+    )
+    return flagged.groupBy(disposition.alias("disposition")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("sample_doc"),
+    )
