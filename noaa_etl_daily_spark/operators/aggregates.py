@@ -1119,3 +1119,42 @@ def sql_cached_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - F.col("p_rev"), 2).alias("mom_delta"),
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(skewness(l_extendedprice)
+                 * (count(*) - 2) / sqrt(CAST(count(*) AS DOUBLE)
+                                         * (count(*) - 1)), 6)
+               AS skew_pop,
+           round((kurtosis(l_extendedprice)
+                  * (count(*) - 2) * (count(*) - 3)
+                  / CAST(count(*) - 1 AS DOUBLE) - 6.0)
+                 / (count(*) + 1), 6) AS kurt_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates (skewness, excess kurtosis) — the
+    distribution-shape signals a data-quality monitor tracks for
+    drift.
+
+    Dialect reconciliation worth recording: Spark computes POPULATION
+    moments (g1, g2-3) while DuckDB computes SAMPLE-ADJUSTED ones
+    (Fisher-Pearson G1, sample excess kurtosis), so the oracle
+    converts DuckDB's statistics back to population form with the
+    exact count-based factors (G1·(n-2)/√(n(n-1)) and the kurtosis
+    inverse). Both engines use numerically-stable one-pass moment
+    updates; 6-decimal rounding absorbs the update-order ulps.
+    One map-combinable aggregate — moments merge associatively, the
+    same property the sketch family exploits."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_pop"),
+    )

@@ -1281,3 +1281,127 @@ def evt_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("hour_share"),
     )
+
+
+@register(
+    "evt_resurrection_analysis",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                          AND ts - prev_ts > INTERVAL 2 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrections,
+           CAST(max(CASE WHEN prev_ts IS NULL THEN 0
+                         ELSE date_diff('second', prev_ts, ts) END)
+                AS BIGINT) AS longest_gap_s
+    FROM gaps
+    GROUP BY user_id
+    HAVING sum(CASE WHEN prev_ts IS NOT NULL
+                     AND ts - prev_ts > INTERVAL 2 DAY
+                    THEN 1 ELSE 0 END) > 0
+    """,
+)
+def evt_resurrection_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-and-return ('resurrection') analysis: users who went
+    silent for more than 2 days and came back, with their comeback
+    count and longest absence — the retention team's win-back cohort.
+
+    Scale shape: one lag() window and the per-user aggregate share the
+    single user_id shuffle; the HAVING filter keeps only resurrected
+    users (the interesting minority). Gap arithmetic is integer
+    seconds."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag("ts").over(wo).cast("timestamp"))
+    gaps = ev.select(
+        "user_id",
+        ((t - prev) > 2 * 86400 * 1_000_000).alias("is_resurrection"),
+        # DuckDB's date_diff('second') counts SECOND BOUNDARIES crossed
+        # (truncate both ends, then subtract) — mirror that, not elapsed
+        # microseconds
+        F.when(prev.isNull(), F.lit(0))
+        .otherwise(
+            F.floor(t / 1_000_000).cast("long")
+            - F.floor(prev / 1_000_000).cast("long")
+        )
+        .alias("gap_s"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("is_resurrection"), 1).otherwise(0)
+            ).alias("n_resurrections"),
+            F.max("gap_s").alias("longest_gap_s"),
+        )
+        .where(F.col("n_resurrections") > 0)
+    )
+
+
+@register(
+    "evt_bounce_rate_daily",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 * 1000000.0 / count(*)) / 1000000 AS bounce_rate
+    FROM sessions
+    GROUP BY day
+    """,
+)
+def evt_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (30-min gap
+    sessionization, keyed to the day they started) containing exactly
+    one event — the engagement-quality headline metric.
+
+    Scale shape: native session_window does the sessionization in one
+    user_id shuffle; sessions then reduce to |days| rows. The oracle
+    runs the gaps-and-islands desugaring, so the hash match re-proves
+    session_window's boundary semantics through a second derived
+    metric. Integer counts, floor-truncated exact division."""
+    ev = load(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.to_date(F.date_trunc("day", F.col("s.start"))).alias("day"),
+            "n_events",
+        )
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        (F.floor(bounces * 1000000.0 / F.count(F.lit(1))) / 1000000).alias(
+            "bounce_rate"
+        ),
+    )

@@ -3084,3 +3084,76 @@ def llm_quality_composite_filter(
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("sample_doc"),
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[g.i:g.i+3], ' ')) AS h
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(tk) - 3)) AS i) g
+    ), first_seen AS (
+      SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1000000.0 / count(*)) / 1000000 AS novelty
+    FROM sh s JOIN first_seen f ON s.h = f.h
+    GROUP BY s.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the corpus processed in
+    doc_id order: the fraction of a document's distinct 4-grams whose
+    FIRST occurrence is this document — low novelty flags near-copies
+    and templated boilerplate; the curation metric behind 'is this doc
+    adding anything'.
+
+    Scale shape: first-occurrence attribution is one min-aggregate on
+    the shingle hash (map-combinable — never a sort or window over the
+    shingle stream), joined back on the same hash key, then a per-doc
+    reduce. Integer counts, floor-truncated exact division. At 100 TB
+    the first_seen table IS the dedup index the incremental-batch op
+    probes."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    sh = (
+        docs.select("doc_id", _tokens().alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.when(
+                        F.size("tk") >= 4,
+                        F.sequence(F.lit(1), F.size("tk") - 3),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 4)),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            novel.alias("n_novel"),
+            (F.floor(novel * 1000000.0 / F.count(F.lit(1))) / 1000000).alias(
+                "novelty"
+            ),
+        )
+    )
