@@ -950,3 +950,32 @@ def fn_json_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_qty"),
     )
+
+
+@register(
+    "fn_string_format",
+    oracle="""
+    SELECT s_suppkey,
+           printf('SUP-%05d', s_suppkey) AS supp_code,
+           printf('%s (nation %02d)', s_name, s_nationkey) AS display,
+           printf('%.2f', s_acctbal) AS balance_str
+    FROM supplier
+    """,
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style string formatting (format_string ↔ printf): zero-padded
+    code minting, display-name composition, fixed-decimal rendering —
+    the ID/label normalization surface of every ETL. Both engines
+    implement the same printf conversions, so outputs are
+    byte-identical (%.2f formatting of a double is locale-free
+    shortest-round rendering on both JVMs and C — the one subtlety
+    worth the oracle). Pure scan-stage, zero exchanges."""
+    supp = load(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.format_string("SUP-%05d", F.col("s_suppkey")).alias("supp_code"),
+        F.format_string(
+            "%s (nation %02d)", F.col("s_name"), F.col("s_nationkey")
+        ).alias("display"),
+        F.format_string("%.2f", F.col("s_acctbal")).alias("balance_str"),
+    )

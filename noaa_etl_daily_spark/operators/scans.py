@@ -547,3 +547,53 @@ def scan_partition_pruned_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "scan_csv_gzip_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text ingest: orders written as gzip CSV and read back
+    with an explicit schema; the aggregate over the round-trip must
+    match DuckDB over the original parquet (codec + text-format
+    fidelity in one check).
+
+    The operational point is the scale ASYMMETRY this format carries:
+    gzip is not splittable, so one .csv.gz file = one task no matter
+    its size — the classic ingest bottleneck. The sink here writes one
+    gz file per partition (each a few MB), which is exactly the
+    mitigation: many medium compressed files parallelize; one giant
+    one serializes the whole read."""
+    out = _scratch("csv_gz", _sf_tag(sf_dir), "orders")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            orders.write.mode("overwrite")
+            .option("header", True)
+            .option("compression", "gzip")
+            .csv(out)
+        )
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
