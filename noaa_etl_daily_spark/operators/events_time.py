@@ -1405,3 +1405,53 @@ def evt_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounce_rate"
         ),
     )
+
+
+@register(
+    "evt_power_users",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id
+    ), thresh AS (
+      SELECT quantile_cont(CAST(n_events AS DOUBLE), 0.9) AS p90
+      FROM per_user
+    )
+    SELECT u.user_id, u.n_events, u.total_value,
+           round(t.p90, 4) AS p90_threshold
+    FROM per_user u CROSS JOIN thresh t
+    WHERE u.n_events > t.p90
+    """,
+)
+def evt_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user segmentation: users whose event count exceeds the
+    corpus's p90 — the self-calibrating top-decile cut (no hand-tuned
+    threshold to drift as the product grows).
+
+    Scale shape: one per-user aggregate; the p90 is an EXACT
+    percentile over |users| integer counts reduced to a 1-row scalar
+    and broadcast back (the evt_anomaly_zscore pattern); the filter
+    evaluates in the joined scan of the per-user table. Exact
+    percentile interpolation over integers is deterministic on both
+    engines; at 100 TB you swap in the KLL sketch
+    (agg_kll_quantile_sketch) for the threshold and keep the same
+    plan."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    thresh = per_user.agg(
+        F.expr("percentile(CAST(n_events AS DOUBLE), 0.9)").alias("p90")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(thresh))
+        .where(F.col("n_events") > F.col("p90"))
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.round("p90", 4).alias("p90_threshold"),
+        )
+    )

@@ -491,3 +491,44 @@ def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pareto_fraction"),
         )
     )
+
+
+@register(
+    "win_year_over_year",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue, 12) OVER (ORDER BY month) AS revenue_last_year,
+           round(revenue - lag(revenue, 12) OVER (ORDER BY month), 2)
+               AS yoy_delta
+    FROM monthly
+    """,
+)
+def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year comparison: monthly revenue against the same
+    month twelve rows back — the seasonally-honest growth metric (MoM
+    deltas confound seasonality; YoY cancels it).
+
+    Scale shape: the heavy lifting is the monthly aggregate (one
+    map-combinable shuffle); lag(12) then runs over MONTH-cardinality
+    rows, where a global window is legitimately free — the same
+    reduce-first discipline as evt_cumulative_new_users, and the
+    window alternative to sql_cached_cte_reuse's self-join (one pass,
+    no second consumer of the aggregate at all)."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue", 12).over(w).alias("revenue_last_year"),
+        F.round(
+            F.col("revenue") - F.lag("revenue", 12).over(w), 2
+        ).alias("yoy_delta"),
+    )

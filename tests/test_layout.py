@@ -264,6 +264,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_sim_ivf_topk",           # K=10-row codebook broadcast (the
                                       # IVF scoring pass is map-only by
                                       # design; K is a constant)
+        "evt_power_users",            # 1-row p90 threshold scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -287,6 +288,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_revenue_forecast",  # 1-row Q6 aggregate
         "pipeline_top_supplier",      # global max over SUPPLIER rows
         "validate_expectations",      # 1-row rule summaries
+        "win_year_over_year",         # lag(12) over MONTH rows
+        "evt_power_users",            # 1-row p90 threshold scalar
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
