@@ -831,7 +831,8 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            arg_min(o_orderpriority,
-                   CONCAT(LPAD(CAST(10000000 - n AS VARCHAR), 8, '0'),
+                   CONCAT(LPAD(CAST(1000000000000000000 - n AS VARCHAR),
+                               19, '0'),
                           o_orderpriority)) AS modal_priority,
            max(n) AS modal_count
     FROM counted
@@ -848,13 +849,18 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending value) key. Shuffle bytes are O(groups × distinct
     values), never raw rows twice. The composite key is encoded as a
     zero-padded string so ONE arg_min orders both criteria identically
-    in both engines."""
+    in both engines; the 10^18 sentinel keeps the complement positive
+    (and the padding lexicographic) for any count a 100 TB table can
+    produce — an 8-digit sentinel would go negative at 1e7 rows per
+    (group, value) and a '-'-prefixed lpad breaks the order."""
     orders = load(spark, sf_dir, "orders")
     counted = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
     key = F.concat(
-        F.lpad((F.lit(10000000) - F.col("n")).cast("string"), 8, "0"),
+        F.lpad(
+            (F.lit(1000000000000000000) - F.col("n")).cast("string"), 19, "0"
+        ),
         F.col("o_orderpriority"),
     )
     return counted.groupBy("o_orderstatus").agg(
@@ -987,8 +993,11 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (event_type, month) — the mergeable-state shape — then
     combined: union across months per type, then set ops across types.
     Estimates are property-tested against exact distinct counts in
-    tests/test_properties.py; rows-only for the driver (sketch
-    internals are engine-specific)."""
+    tests/test_properties.py (test_theta_sketch_set_algebra_accuracy);
+    rows-only for the driver (sketch internals are engine-specific).
+    Oracled exact twin: ``agg_count_distinct`` certifies the exact
+    distinct-count semantics this sketch approximates, so the driver's
+    ``no_oracle`` row here pairs with a green exact row."""
     ev = load(spark, sf_dir, "events")
     # early-window viewers vs late-window buyers: overlapping-but-
     # distinct user sets (every fixture user does everything over the
@@ -1043,7 +1052,11 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so yesterday's sketches are reused forever).
 
     Rank-accuracy vs the exact percentiles is property-tested in
-    tests/test_properties.py; rows-only for the driver."""
+    tests/test_properties.py (test_kll_quantile_sketch_rank_accuracy);
+    rows-only for the driver. Oracled exact twin: ``agg_percentile``
+    certifies the exact quantile semantics this sketch approximates,
+    so the driver's ``no_oracle`` row here pairs with a green exact
+    row."""
     orders = load(spark, sf_dir, "orders")
     partials = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")

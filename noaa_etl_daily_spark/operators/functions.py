@@ -241,15 +241,20 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(toks) AS INTEGER) AS n_tokens,
            list_contains(toks, 'join') AS has_join,
            toks[1] AS first_tok,
-           toks[2:4] AS toks_2_to_4,
-           list_sort(toks[1:5]) AS first5_sorted
+           coalesce(array_to_string(toks[2:4], ' '), '') AS toks_2_to_4,
+           coalesce(array_to_string(list_sort(toks[1:5]), ' '), '')
+             AS first5_sorted
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """,
 )
 def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size / array_contains / element_at / slice / sort_array. Spark
     element_at and DuckDB list indexing are both 1-based; Spark
-    slice(arr, start, length) maps to DuckDB's inclusive arr[start:end]."""
+    slice(arr, start, length) maps to DuckDB's inclusive arr[start:end].
+    Array-valued results cross the oracle boundary serialized with
+    array_join/array_to_string (SURVEY §7.4 G7): the comparator
+    canonicalizes via pandas sort_values, which cannot hash list cells.
+    Tokens are space-split so a space joiner is collision-free."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return docs.select(
@@ -257,8 +262,10 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "join").alias("has_join"),
         F.element_at(toks, 1).alias("first_tok"),
-        F.slice(toks, 2, 3).alias("toks_2_to_4"),
-        F.sort_array(F.slice(toks, 1, 5)).alias("first5_sorted"),
+        F.array_join(F.slice(toks, 2, 3), " ").alias("toks_2_to_4"),
+        F.array_join(F.sort_array(F.slice(toks, 1, 5)), " ").alias(
+            "first5_sorted"
+        ),
     )
 
 
@@ -768,10 +775,14 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-           list_sort(list_distinct(list_cat(a, b))) AS union_sorted,
-           list_sort(list_intersect(a, b)) AS inter_sorted,
-           list_sort(list_filter(list_distinct(a),
-                                 x -> NOT list_contains(b, x)))
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_cat(a, b))), ' '), '')
+             AS union_sorted,
+           coalesce(array_to_string(
+             list_sort(list_intersect(a, b)), ' '), '')
+             AS inter_sorted,
+           coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+                                 x -> NOT list_contains(b, x))), ' '), '')
              AS except_sorted,
            len(list_intersect(a, b)) > 0 AS overlaps
     FROM ab
@@ -784,7 +795,9 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are ``array_sort``-ed on both engines because the engines'
     native output ORDERS differ (Spark preserves first-seen order,
     DuckDB's list reconstruction doesn't) while the SETS are identical
-    — the sort is the canonicalization, not a semantic change."""
+    — the sort is the canonicalization, not a semantic change.  The
+    sorted arrays then cross the oracle boundary space-joined (SURVEY
+    §7.4 G7: the comparator cannot canonicalize list cells)."""
     docs = load(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     n = F.size(tk)
@@ -795,9 +808,15 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ab.select(
         "doc_id",
-        F.array_sort(F.array_union("a", "b")).alias("union_sorted"),
-        F.array_sort(F.array_intersect("a", "b")).alias("inter_sorted"),
-        F.array_sort(F.array_except("a", "b")).alias("except_sorted"),
+        F.array_join(F.array_sort(F.array_union("a", "b")), " ").alias(
+            "union_sorted"
+        ),
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), " ").alias(
+            "inter_sorted"
+        ),
+        F.array_join(F.array_sort(F.array_except("a", "b")), " ").alias(
+            "except_sorted"
+        ),
         F.arrays_overlap("a", "b").alias("overlaps"),
     )
 

@@ -158,7 +158,10 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions — one map-side pass + tiny shuffle, versus the exact
     percentile's full sort per group. Rows-only by design (sketch
     output is implementation-defined); tests/test_properties.py bounds
-    its error against the exact percentile."""
+    its error against the exact percentile, and the result row carries
+    the exact percentiles alongside (``exact_pcts``) for eyeballing.
+    Oracled exact twin: ``agg_percentile`` certifies the exact
+    quantile semantics this sketch approximates."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(

@@ -1922,14 +1922,16 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 48 AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS channels,
            CAST(n_bytes AS BIGINT) AS n_bytes,
-           [CAST(len(list_filter(bins, b -> b = 0)) AS BIGINT),
-            CAST(len(list_filter(bins, b -> b = 1)) AS BIGINT),
-            CAST(len(list_filter(bins, b -> b = 2)) AS BIGINT),
-            CAST(len(list_filter(bins, b -> b = 3)) AS BIGINT),
-            CAST(len(list_filter(bins, b -> b = 4)) AS BIGINT),
-            CAST(len(list_filter(bins, b -> b = 5)) AS BIGINT),
-            CAST(len(list_filter(bins, b -> b = 6)) AS BIGINT),
-            CAST(len(list_filter(bins, b -> b = 7)) AS BIGINT)] AS feat
+           array_to_string(
+             [CAST(len(list_filter(bins, b -> b = 0)) AS BIGINT),
+              CAST(len(list_filter(bins, b -> b = 1)) AS BIGINT),
+              CAST(len(list_filter(bins, b -> b = 2)) AS BIGINT),
+              CAST(len(list_filter(bins, b -> b = 3)) AS BIGINT),
+              CAST(len(list_filter(bins, b -> b = 4)) AS BIGINT),
+              CAST(len(list_filter(bins, b -> b = 5)) AS BIGINT),
+              CAST(len(list_filter(bins, b -> b = 6)) AS BIGINT),
+              CAST(len(list_filter(bins, b -> b = 7)) AS BIGINT)], ',')
+               AS feat
     FROM bytes
     """,
 )
@@ -1937,7 +1939,9 @@ def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
     """Multimodal decode → feature-extract → resize plumbing over
     mapInPandas: binary payloads cross the Arrow boundary in batches,
     a (gated) decoder produces typed image metadata, and an 8-bin byte
-    histogram stands in for the feature vector.
+    histogram stands in for the feature vector.  The histogram crosses
+    the oracle boundary as a comma-joined string (SURVEY §7.4 G7: the
+    comparator cannot canonicalize list cells).
 
     The real decoder (PIL/cv2) is probed behind an import-try per the
     survey's stub policy — absent in this container, the DETERMINISTIC
@@ -1983,13 +1987,13 @@ def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
                 rows["height"].append(height)
                 rows["channels"].append(channels)
                 rows["n_bytes"].append(len(blob))
-                rows["feat"].append(hist)
+                rows["feat"].append(",".join(str(c) for c in hist))
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(
         decode,
         "doc_id long, width int, height int, channels int, "
-        "n_bytes long, feat array<bigint>",
+        "n_bytes long, feat string",
     )
 
 
@@ -3156,4 +3160,191 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "novelty"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4: URL canonicalization dedup + audio chunk plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_url_canonicalize_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.COM:443/' || lang ||
+             '/page-' || CAST(doc_id % 40 AS VARCHAR) ||
+             '?utm_source=feed&utm_campaign=c' ||
+             CAST(doc_id % 3 AS VARCHAR) || '&id=' ||
+             CAST(doc_id % 40 AS VARCHAR) || '#frag' AS raw_url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, raw_url,
+             lower(regexp_extract(raw_url, '^([a-zA-Z]+)://', 1)) || '://' ||
+             lower(regexp_replace(
+                 regexp_extract(raw_url, '://([^/?#]+)', 1),
+                 ':(443|80)$', '')) ||
+             regexp_replace(
+                 regexp_extract(raw_url, '://[^/?#]+([^?#]*)', 1),
+                 '/$', '') ||
+             CASE WHEN regexp_replace(regexp_replace(
+                      coalesce(regexp_extract(raw_url, '\\?([^#]*)', 1), ''),
+                      '(^|&)utm_[^&]*', '', 'g'), '^&', '') <> ''
+                  THEN '?' || regexp_replace(regexp_replace(
+                      regexp_extract(raw_url, '\\?([^#]*)', 1),
+                      '(^|&)utm_[^&]*', '', 'g'), '^&', '')
+                  ELSE '' END AS canon_url
+      FROM urls
+    )
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon
+    GROUP BY canon_url
+    """,
+)
+def llm_url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL canonicalization + dedup: scheme/host lowercased,
+    default ports (:80/:443) stripped, trailing path slash stripped,
+    ``utm_*`` tracking params removed (other params kept), fragment
+    dropped — then group by the canonical form keeping the lowest
+    doc_id as the canonical fetch.  The fixture has no URL column, so
+    raw URLs are synthesized DETERMINISTICALLY from (source, lang,
+    doc_id) with deliberate case/port/tracking noise; both engines
+    build and canonicalize the same strings, so the oracle is exact.
+
+    Scale shape: canonicalization is pure scan-stage string work (zero
+    Python); the only exchange is the groupBy on the canonical URL —
+    the same single-shuffle digest-dedup shape as llm_dedup_exact_text,
+    and the canonical key is what you'd range-partition a 100 TB crawl
+    frontier on."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&utm_campaign=c"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("#frag"),
+    )
+    scheme = F.lower(F.regexp_extract(F.col("raw_url"), r"^([a-zA-Z]+)://", 1))
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col("raw_url"), r"://([^/?#]+)", 1),
+            r":(443|80)$",
+            "",
+        )
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("raw_url"), r"://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    query_kept = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(F.col("raw_url"), r"\?([^#]*)", 1),
+            r"(^|&)utm_[^&]*",
+            "",
+        ),
+        r"^&",
+        "",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query_kept != "", F.concat(F.lit("?"), query_kept)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        docs.select("doc_id", raw.alias("raw_url"))
+        .select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )
+
+
+@register(
+    "llm_multimodal_audio_chunks",
+    oracle="""
+    WITH pcm AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS samples
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, (len(samples) + 399) // 400)) AS BIGINT)
+                 AS chunk_id,
+             samples
+      FROM pcm
+    )
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * 400 AS BIGINT) AS start_sample,
+           CAST(least(400, len(samples) - chunk_id * 400) AS BIGINT)
+               AS n_samples,
+           CAST(list_aggregate(
+               samples[chunk_id * 400 + 1 : chunk_id * 400 + 400], 'sum')
+               AS BIGINT) AS amp_sum,
+           CAST(list_aggregate(
+               samples[chunk_id * 400 + 1 : chunk_id * 400 + 400], 'max')
+               AS BIGINT) AS amp_peak
+    FROM chunks
+    """,
+)
+def llm_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingestion plumbing: fixed-size frame chunking of an opaque
+    payload (here the utf-8 bytes of ``text`` standing in for PCM
+    samples, per the survey's stub policy — a real build swaps the
+    byte source for a soundfile decode behind the same signature) into
+    400-sample chunks with per-chunk start offset, length, amplitude
+    sum and peak — the windowed feature pass every audio pipeline runs
+    before VAD / transcription.
+
+    All integer byte math, so the oracle recomputes it exactly with
+    ascii()+list slices.  Scale shape: chunking is a narrow row
+    multiplier in the scan stage (posexplode over a computed frame
+    index — no shuffle, no Python); per-chunk reductions are
+    higher-order aggregates over bounded 400-element slices, and only
+    the ~24 B/chunk metadata ever leaves the stage.  Chunk provenance
+    (doc_id, start_sample) supports random access back into the blob
+    store exactly like llm_doc_chunking's (doc_id, chunk_id)."""
+    docs = load(spark, sf_dir, "documents")
+    # utf-8 bytes as int samples; fixture text is ascii so split-on-''
+    # chars == bytes on both engines
+    base = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)).alias(
+            "samples"
+        ),
+    )
+    n_chunks = F.ceil(F.size("samples") / F.lit(400)).cast("int")
+    chunked = base.select(
+        "doc_id", "samples", F.posexplode(F.sequence(F.lit(1), n_chunks))
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("chunk_id"),
+        F.slice(F.col("samples"), F.col("pos") * 400 + 1, 400).alias("frame"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * 400).alias("start_sample"),
+        F.size("frame").cast("bigint").alias("n_samples"),
+        F.aggregate(
+            "frame", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("amp_sum"),
+        F.aggregate(
+            "frame",
+            F.lit(0).cast("bigint"),
+            lambda a, x: F.greatest(a, x.cast("bigint")),
+        ).alias("amp_peak"),
     )

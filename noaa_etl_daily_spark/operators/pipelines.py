@@ -107,7 +107,13 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hints (fixed-size dims — safe at any scale); the
     c_nationkey = s_nationkey local-supplier constraint rides the
     lineitem⋈supplier join as an extra equi-key, never a post-join
-    filter over a wider cross space. customer/orders/lineitem join
+    filter over a wider cross space.  The SAME broadcast nation⋈region
+    subtree also semi-reduces CUSTOMER before its first shuffle: the
+    local-supplier constraint implies the customer's nation is in the
+    region, so 4/5 of customers (and their joined orders) never enter
+    an exchange — at 100 TB that is the single largest shuffle-volume
+    cut available in this query, and Spark's ReuseExchange serves both
+    consumers from one broadcast.  customer/orders/lineitem join
     strategy is AQE's call (they scale)."""
     start = F.lit(Q5_START).cast("timestamp_ntz")
     end = F.lit(Q5_END).cast("timestamp_ntz")
@@ -124,7 +130,15 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(local_nations, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(local_nations.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
     orders = (
         load(spark, sf_dir, "orders")
         .filter((F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))

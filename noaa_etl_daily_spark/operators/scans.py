@@ -251,9 +251,12 @@ def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only: corrupt-row classification is engine-specific (DuckDB's
     ignore_errors drops what Spark quarantines), so the exact semantics
-    are locked by tests/test_properties.py instead of a SQL oracle.
-    Summary output: per-disposition counts + the numeric sum over clean
-    rows."""
+    are locked by tests/test_properties.py
+    (test_corrupt_csv_dispositions_exact, which pins every disposition
+    count and the clean-row sum). Oracled strict-mode twin:
+    ``scan_csv_schema`` certifies the clean-input CSV read path this
+    permissive variant relaxes. Summary output: per-disposition counts
+    + the numeric sum over clean rows."""
     src = _scratch("corrupt", _sf_tag(sf_dir), "feed.csv")
     lines = ["id,qty,tag"]
     for i in range(1, 51):

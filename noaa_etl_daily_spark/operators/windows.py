@@ -384,7 +384,8 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            max(run_len) AS longest_streak,
            arg_min(event_type,
-                   CONCAT(LPAD(CAST(10000000 - run_len AS VARCHAR), 8, '0'),
+                   CONCAT(LPAD(CAST(1000000000000000000 - run_len
+                                    AS VARCHAR), 19, '0'),
                           event_type)) AS streak_type
     FROM run_lengths
     GROUP BY user_id
@@ -414,8 +415,14 @@ def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_lengths = runs.groupBy("user_id", "event_type", "run_id").agg(
         F.count(F.lit(1)).alias("run_len")
     )
+    # 10^18 sentinel: complement stays positive (lpad stays
+    # lexicographic) for any run length a 100 TB table can produce
     key = F.concat(
-        F.lpad((F.lit(10000000) - F.col("run_len")).cast("string"), 8, "0"),
+        F.lpad(
+            (F.lit(1000000000000000000) - F.col("run_len")).cast("string"),
+            19,
+            "0",
+        ),
         F.col("event_type"),
     )
     return run_lengths.groupBy("user_id").agg(
@@ -427,21 +434,24 @@ def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_pareto_8020",
     oracle="""
-    WITH ranked AS (
+    WITH cents AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    ), ranked AS (
       SELECT l_returnflag,
-             l_extendedprice,
-             sum(l_extendedprice) OVER (
+             sum(price_c) OVER (
                  PARTITION BY l_returnflag
-                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-                 ROWS UNBOUNDED PRECEDING) AS cum_rev,
-             sum(l_extendedprice) OVER (PARTITION BY l_returnflag)
-                 AS tot_rev,
+                 ORDER BY price_c DESC, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum_rev_c,
+             sum(price_c) OVER (PARTITION BY l_returnflag)
+                 AS tot_rev_c,
              row_number() OVER (
                  PARTITION BY l_returnflag
-                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                 ORDER BY price_c DESC, l_orderkey, l_linenumber)
                  AS rn,
              count(*) OVER (PARTITION BY l_returnflag) AS n_items
-      FROM lineitem
+      FROM cents
     )
     SELECT l_returnflag,
            CAST(min(rn) AS BIGINT) AS items_for_80pct,
@@ -449,7 +459,7 @@ def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(min(rn) * 1000000.0 / min(n_items)) / 1000000
                AS pareto_fraction
     FROM ranked
-    WHERE cum_rev >= 0.8 * tot_rev
+    WHERE 5 * cum_rev_c >= 4 * tot_rev_c
     GROUP BY l_returnflag
     """,
 )
@@ -458,30 +468,36 @@ def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     the highest-value line items carry 80% of revenue — the revenue-
     concentration metric behind 'focus on the head' decisions.
 
-    Float-determinism note that makes this oracle-able: a WINDOWED
-    running sum (unlike a groupBy sum) has an engine-independent
-    summation order — the frame's ORDER BY defines it — so with a
-    unique sort key the cumulative revenue is bit-identical on both
-    engines and the 80% crossover lands on the same row. One shuffle
+    Determinism: prices are quantized to integer cents BEFORE both
+    window sums (the evt_daily_rollup_reaggregate pattern), so the
+    unordered whole-partition total and the ordered running sum are
+    both integer-exact — no summation-order sensitivity anywhere, and
+    the 80% crossover (5*cum >= 4*tot, integer algebra) lands on the
+    same row on every engine and every partitioning. One shuffle
     serves all four windows (same partitioning); the crossover is
     min(rn) over the qualifying suffix, monotone ⇒ no second pass."""
     li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
     wo = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        F.col("price_c").desc(), "l_orderkey", "l_linenumber"
     )
     wa = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = cents.select(
         "l_returnflag",
-        "l_extendedprice",
-        F.sum("l_extendedprice")
+        F.sum("price_c")
         .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_rev"),
-        F.sum("l_extendedprice").over(wa).alias("tot_rev"),
+        .alias("cum_rev_c"),
+        F.sum("price_c").over(wa).alias("tot_rev_c"),
         F.row_number().over(wo).alias("rn"),
         F.count(F.lit(1)).over(wa).alias("n_items"),
     )
     return (
-        ranked.where(F.col("cum_rev") >= 0.8 * F.col("tot_rev"))
+        ranked.where(5 * F.col("cum_rev_c") >= 4 * F.col("tot_rev_c"))
         .groupBy("l_returnflag")
         .agg(
             F.min("rn").alias("items_for_80pct"),

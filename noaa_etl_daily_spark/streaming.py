@@ -365,14 +365,26 @@ def stream_session_finalize_on_timeout(events: DataFrame) -> DataFrame:
         else:
             s, last, n = ts_all[0], ts_all[0], 0
         for t in ts_all:
+            if n > 0 and t < s:
+                # late arrival older than the open session's start:
+                # the session it belonged to was already finalized —
+                # folding it in would move `last` backward and
+                # double-count; drop it (standard late-data policy)
+                continue
             if n > 0 and t - last > GAP_US:
                 yield final_row(s, n)
                 s, n = t, 0
             n += 1
-            last = t
+            # never move `last` backward: a late event inside the open
+            # session extends its count, not its idle clock
+            last = max(last, t)
         state.update((s, last, n))
-        # fire when the watermark passes last + gap (ms for the API)
-        state.setTimeoutTimestamp((last + GAP_US) // 1000)
+        # fire when the watermark passes last + gap (ms for the API);
+        # clamp above the current watermark — EventTimeTimeout rejects
+        # a timer at-or-before it, which a late-arriving key could
+        # otherwise request
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((last + GAP_US) // 1000, wm_ms + 1))
 
     return (
         events.withWatermark("ts", "10 minutes")

@@ -83,6 +83,26 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _assert_no_nested_cells(pdf: pd.DataFrame, side: str) -> None:
+    """The driver canonicalizes with pandas ``sort_values`` over every
+    column, which raises ``TypeError: unhashable type: 'list'`` on any
+    array/map/struct-typed cell.  Reproduce that limitation locally so a
+    G7 violation (SURVEY §7.4) fails here before it fails in the driver:
+    oracled queries must serialize nested outputs (array_join /
+    array_to_string) at the boundary."""
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            sample = pdf[c].dropna()
+            if len(sample) and isinstance(
+                sample.iloc[0], (list, np.ndarray, dict)
+            ):
+                raise AssertionError(
+                    f"{side} result column {c!r} holds nested cells — the "
+                    "driver's sort_values canonicalizer cannot hash them; "
+                    "serialize with array_join (SURVEY §7.4 G7)"
+                )
+
+
 def assert_same_results(spark_df, oracle_con, sql: str, *, float_exact: bool = True):
     """Differential check: Spark DataFrame vs DuckDB SQL result.
 
@@ -90,8 +110,12 @@ def assert_same_results(spark_df, oracle_con, sql: str, *, float_exact: bool = T
     column-name sort, order-insensitive) with exact value equality —
     queries are expected to canonicalize floats themselves via round().
     """
-    sp = canonicalize(spark_df.toPandas())
-    du = canonicalize(oracle_con.execute(sql).df())
+    sp_raw = spark_df.toPandas()
+    du_raw = oracle_con.execute(sql).df()
+    _assert_no_nested_cells(sp_raw, "spark")
+    _assert_no_nested_cells(du_raw, "oracle")
+    sp = canonicalize(sp_raw)
+    du = canonicalize(du_raw)
 
     assert list(sp.columns) == list(du.columns), (
         f"column mismatch:\n spark={list(sp.columns)}\n duck ={list(du.columns)}"
