@@ -127,6 +127,13 @@ _PRIORITY = [
     # round-4 additions
     "llm_url_canonicalize_dedup",
     "llm_multimodal_audio_chunks",
+    "fn_interval_arithmetic",
+    "fn_timezone_convert",
+    "join_null_safe_eq",
+    "sql_distinct_on",
+    "evt_decay_weighted_value",
+    "evt_funnel_time_to_convert",
+    "llm_text_char_entropy",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

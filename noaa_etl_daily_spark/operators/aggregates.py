@@ -1171,3 +1171,34 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_extendedprice"), 6).alias("skew_pop"),
         F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_pop"),
     )
+
+
+@register(
+    "sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTINCT ON`` (Postgres/DuckDB argmax-per-group idiom): each
+    customer's single most expensive order, ties broken by orderkey so
+    the chosen row is deterministic. Spark has no DISTINCT ON; the
+    scalable translation is NOT a self-join against a max() aggregate
+    (two full shuffles + a join) but ``max_by`` over a struct tie-break
+    key — ONE hash aggregate with map-side partial combine, the
+    cheapest argmax shape at 100 TB. The window row_number() form is
+    the general top-k (win_topk_per_group); for k=1 the aggregate wins
+    because it never materializes a per-group sort."""
+    orders = load(spark, sf_dir, "orders")
+    # tie-break: highest price, then LOWEST orderkey — encode as a
+    # single orderable struct so max_by picks the exact DISTINCT ON row
+    key = F.struct(
+        F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("o_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )

@@ -1455,3 +1455,88 @@ def evt_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p90", 4).alias("p90_threshold"),
         )
     )
+
+
+@register(
+    "evt_decay_weighted_value",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value / (1 + date_diff('day', CAST(ts AS DATE),
+                                                       DATE '2024-02-01'))
+                                * 1000000) AS BIGINT)) / 1000000.0,
+                 4) AS decayed_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def evt_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay weighted engagement score: each event contributes
+    value/(1+age_days) against a fixed anchor date — the recency
+    weighting behind churn/LTV features. ONE hash aggregate with
+    map-side partial combine; the decay weight is a scan-stage
+    expression, so at 100 TB the only exchange is the user_id shuffle
+    of partial sums. Determinism (G2): a float sum's order is
+    engine-dependent, so each term is quantized to integer micro-units
+    BEFORE the sum (1/(1+n) division is IEEE-exact-identical on both
+    engines — no transcendental exp() whose last ulp could differ) and
+    the integer sum is rescaled after."""
+    ev = load(spark, sf_dir, "events")
+    age_days = F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts"))
+    term = F.round(F.col("value") / (1 + age_days) * 1_000_000, 0).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(term) / 1_000_000.0, 4).alias("decayed_value"),
+    )
+
+
+@register(
+    "evt_funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, p.first_purchase,
+           CAST(date_diff('microseconds', v.first_view, p.first_purchase)
+                AS BIGINT) AS us_to_convert
+    FROM v JOIN p ON v.user_id = p.user_id
+    """,
+)
+def evt_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion latency: per user, the first 'view' and the
+    first 'purchase' strictly after it — the time-to-convert metric
+    behind activation dashboards (complements evt_funnel_steps, which
+    counts stage reach). Shape: both aggregates and both joins key on
+    user_id, so after the first shuffle everything is co-partitioned —
+    AQE/EnsureRequirements reuses the partitioning instead of
+    re-exchanging; at 100 TB this is 1 logical shuffle of events plus
+    map-side pre-aggregated min()s. Latency is exact integer
+    microseconds (unix_micros ↔ date_diff('microseconds')) — no
+    boundary-crossing or float ambiguity (G2)."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return v.join(p, "user_id").select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_view").cast("timestamp"))
+        ).alias("us_to_convert"),
+    )

@@ -998,3 +998,67 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("display"),
         F.format_string("%.2f", F.col("s_acctbal")).alias("balance_str"),
     )
+
+
+@register(
+    "fn_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY            AS due_ts,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS review_date,
+           last_day(CAST(o_orderdate AS DATE))      AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2024-12-31') AS INTEGER) AS days_to_eoy
+    FROM orders
+    """,
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic — SLA due dates (+30 days),
+    end-of-month clamping semantics (add_months(Jan 31, 1) → Feb 29 on
+    both engines), last_day, and day-count to a fixed horizon. All four
+    are scan-stage expressions inside WholeStageCodegen — zero exchanges
+    at any scale. Cross-dialect notes (G4): Spark ``make_interval`` ↔
+    DuckDB ``INTERVAL n DAY`` over timestamps; Spark ``add_months`` /
+    ``last_day`` return DATE, mirrored by the oracle's CASTs; DuckDB
+    date_diff returns BIGINT, cast to Spark's INT."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.make_interval(days=F.lit(30))).alias("due_ts"),
+        F.add_months("o_orderdate", 3).alias("review_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("2024-12-31").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+    )
+
+
+@register(
+    "fn_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', ts) AT TIME ZONE 'UTC' AS ny_to_utc,
+           timezone('UTC', ts) AT TIME ZONE 'Asia/Kolkata'     AS utc_to_ist,
+           timezone('UTC', ts) AT TIME ZONE 'Australia/Sydney' AS utc_to_syd
+    FROM events
+    """,
+)
+def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion of naive event timestamps — the "sensor
+    clocks are local, the warehouse is UTC" normalization every
+    multi-site ETL performs. Exercises a DST zone (America/New_York),
+    a half-hour-offset zone (Asia/Kolkata) and a southern-hemisphere
+    DST zone (Australia/Sydney), so the oracle cross-checks the two
+    engines' independent tzdata interpretations, not just arithmetic.
+    Scan-stage only, zero exchanges. G4: Spark
+    ``to_utc_timestamp(ts, tz)`` ↔ DuckDB session-independent chain
+    ``timezone(tz, ts) AT TIME ZONE 'UTC'`` (and the reverse for
+    ``from_utc_timestamp``) — both interpret the naive value in ``tz``
+    and re-render naive, never touching the session zone."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.to_utc_timestamp("ts", "America/New_York").alias("ny_to_utc"),
+        F.from_utc_timestamp("ts", "Asia/Kolkata").alias("utc_to_ist"),
+        F.from_utc_timestamp("ts", "Australia/Sydney").alias("utc_to_syd"),
+    )

@@ -636,3 +636,42 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_purchase.event_id").alias("purchase_id"),
         F.col("next_purchase.ts").alias("purchase_ts"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+             round(sum(o_totalprice), 2) AS finished_rev
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT l.pr, l.n_orders, r.finished_rev
+    FROM l JOIN r ON l.pr IS NOT DISTINCT FROM r.pr
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ↔ ``IS NOT DISTINCT FROM``):
+    two priority-grain aggregates joined so the NULL bucket (minted
+    deterministically via nullif on '1-URGENT') matches itself instead
+    of silently dropping — the semantics regular equi-joins get wrong
+    when a join key is nullable. Spark plans ``eqNullSafe`` as a HASH
+    join (the key hashes NULL like any value), NOT a nested loop, so
+    the shape scales exactly like join_inner_equi; both inputs are
+    pre-aggregated to ≤5 rows before the join, so at 100 TB the only
+    full-data work is the two partial-agg scans."""
+    orders = load(spark, sf_dir, "orders")
+    pr = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pr")
+    left = orders.groupBy(pr).agg(F.count(F.lit(1)).alias("n_orders"))
+    right = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(pr)
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("finished_rev"))
+    )
+    return left.join(right, left.pr.eqNullSafe(right.pr)).select(
+        left.pr, "n_orders", "finished_rev"
+    )

@@ -3348,3 +3348,55 @@ def llm_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: F.greatest(a, x.cast("bigint")),
         ).alias("amp_peak"),
     )
+
+
+@register(
+    "llm_text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+      FROM documents
+    ), hist AS (
+      SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, sum(cnt) AS n FROM hist GROUP BY 1
+    )
+    SELECT h.doc_id,
+           round(-sum(CAST(round((h.cnt / t.n) * (ln(h.cnt / t.n) / ln(2))
+                                 * 1000000) AS BIGINT)) / 1000000.0,
+                 3) AS entropy_bits,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars
+    FROM hist h JOIN tot t USING (doc_id)
+    GROUP BY h.doc_id
+    """,
+)
+def llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate filter (random base64 blobs score high,
+    repeated-template spam scores low) in LLM corpus curation.
+
+    Scale design: the whole computation is SCAN-STAGE higher-order
+    functions — char histogram via array_distinct + per-char filter
+    counts (the alphabet is a small constant, so the per-doc cost is
+    O(|alphabet|·len), all inside WholeStageCodegen) and the entropy
+    fold via ``aggregate``. ZERO shuffles at any corpus size, unlike
+    the explode→groupBy formulation the oracle uses (exchange-free vs
+    two exchanges — the 100 TB win). Determinism (G2): each p·log2(p)
+    term is quantized to integer micro-bits before the order-dependent
+    sum; log2 is computed as ln/ln(2) on BOTH engines so the libm calls
+    pair up."""
+    docs = load(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.lower(F.col("text")), ""), lambda c: c != "")
+    n = F.size(chars).cast("double")
+
+    def term(c):
+        p = F.size(F.filter(chars, lambda x: x == c)) / n
+        return F.round(p * F.log(2.0, p) * 1_000_000, 0).cast("long")
+
+    terms = F.transform(F.array_distinct(chars), term)
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.round(-total / 1_000_000.0, 3).alias("entropy_bits"),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
+    )
