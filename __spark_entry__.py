@@ -134,6 +134,13 @@ _PRIORITY = [
     "evt_decay_weighted_value",
     "evt_funnel_time_to_convert",
     "llm_text_char_entropy",
+    "llm_cross_source_overlap",
+    "llm_bigram_lm",
+    "llm_vocab_coverage",
+    "sink_zorder_layout",
+    "pipeline_customer_distribution",
+    "pipeline_small_qty_revenue",
+    "pipeline_disjunctive_filter",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

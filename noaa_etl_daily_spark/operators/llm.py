@@ -3400,3 +3400,208 @@ def llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-total / 1_000_000.0, 3).alias("entropy_bits"),
         F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
     )
+
+
+@register(
+    "llm_cross_source_overlap",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT source,
+             md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))
+               AS gh
+      FROM (SELECT source,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks,
+                   unnest(generate_series(
+                       1, len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) - 3)) AS i
+            FROM documents)
+    ), gk AS (
+      SELECT source, gh FROM (
+        SELECT source, gh, count(*) OVER (PARTITION BY gh) AS n_src FROM g
+      ) WHERE n_src <= 15
+    ), sz AS (
+      SELECT source, count(*) AS n FROM gk GROUP BY source
+    ), p AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM gk a JOIN gk b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared,
+           round(p.shared / (x.n + y.n - p.shared), 6) AS jaccard
+    FROM p JOIN sz x ON p.src_a = x.source
+           JOIN sz y ON p.src_b = y.source
+    """,
+)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap (syndication / shared-boilerplate
+    detection): per source pair, how many distinct 4-gram shingles they
+    share and the Jaccard similarity of their shingle sets — the
+    corpus-level diagnostic that tells a curation team which crawls
+    duplicate each other before doc-level dedup even runs.
+
+    Scale design: shingles reduce to md5 digests in the scan stage
+    (text never shuffles); (source, digest) is deduped in ONE digest
+    shuffle whose exchange is REUSED by the df-cap window, the
+    per-source sizes and the pair self-join. The df-cap (digests in
+    >15 sources dropped) is the boilerplate/hot-key guard: it bounds
+    every digest's contribution to the self-join at (15 choose 2)
+    pairs, so the join output is O(#digests × 105), never quadratic in
+    corpus size. Output cardinality is bounded by (sources choose 2)."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+    grams = F.when(
+        F.size(toks) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 3),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(4)))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("source", F.explode(grams).alias("gh")).distinct()
+    gk = (
+        g.withColumn("n_src", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("n_src") <= 15)
+        .drop("n_src")
+    )
+    sz = gk.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = gk.alias("a"), gk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    x = sz.alias("x")
+    y = sz.alias("y")
+    return (
+        pairs.join(x, F.col("src_a") == F.col("x.source"))
+        .join(y, F.col("src_b") == F.col("y.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("x.n") + F.col("y.n") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "llm_bigram_lm",
+    oracle="""
+    WITH pairs AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks,
+                   unnest(generate_series(
+                       1, len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) - 1)) AS i
+            FROM documents)
+    ), counts AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+    )
+    SELECT w1, w2, n,
+           round(n / sum(n) OVER (PARTITION BY w1), 6) AS cond_p
+    FROM counts
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model training table: count(w1,w2) and the
+    conditional probability P(w2|w1) — the n-gram LM estimation step
+    behind perplexity filtering (llm_text_perplexity_proxy consumes a
+    unigram version of exactly this table).
+
+    Scale design: bigrams explode in the scan stage; ONE hash shuffle
+    on (w1,w2) with map-side combine collapses the corpus stream to
+    vocab² cardinality, and the P(w2|w1) normalization window runs
+    over those vocab²-bounded rows partitioned by w1 — corpus size
+    only affects the count values, never the post-aggregate row count.
+    The conditional probability is an exact integer/integer division,
+    bit-identical cross-engine (G2)."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("w1")
+    return counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("cond_p"),
+    )
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    )
+    SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+           token, cnt,
+           round(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                 / sum(cnt) OVER (), 6) AS cum_share
+    FROM counts
+    WINDOW w AS (ORDER BY cnt DESC, token)
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: tokens ranked by frequency with the
+    cumulative share of all corpus tokens they cover — the analysis
+    that sizes a tokenizer vocabulary ("the top-32k types cover 99.85%
+    of the stream") and exposes the Zipf tail.
+
+    Scale design: the corpus-sized work is ONE token-count hash
+    aggregate with map-side combine; the ranking/cumulative windows
+    then run over VOCAB-cardinality rows (sublinear in corpus size —
+    Heaps' law), so the single-partition global window is bounded by
+    the type inventory, not the token stream. Ties rank
+    deterministically (count desc, token asc); cumulative sums are
+    integer-exact, and the share is a single integer/integer division
+    (G2)."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    cum = Window.orderBy(F.col("cnt").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "cnt",
+        F.round(F.sum("cnt").over(cum) / F.sum("cnt").over(tot), 6).alias(
+            "cum_share"
+        ),
+    )

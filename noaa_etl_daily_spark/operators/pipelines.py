@@ -103,18 +103,21 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where the supplier and the
     customer share a nation, restricted to one region and one year.
 
-    Plan intent: region(5 rows)→nation(25) reduce supplier via
-    broadcast hints (fixed-size dims — safe at any scale); the
-    c_nationkey = s_nationkey local-supplier constraint rides the
-    lineitem⋈supplier join as an extra equi-key, never a post-join
-    filter over a wider cross space.  The SAME broadcast nation⋈region
-    subtree also semi-reduces CUSTOMER before its first shuffle: the
-    local-supplier constraint implies the customer's nation is in the
-    region, so 4/5 of customers (and their joined orders) never enter
-    an exchange — at 100 TB that is the single largest shuffle-volume
-    cut available in this query, and Spark's ReuseExchange serves both
-    consumers from one broadcast.  customer/orders/lineitem join
-    strategy is AQE's call (they scale)."""
+    Plan intent (r4 restructure): the region predicate's biggest
+    selectivity lever is applied FIRST — lineitem joins the
+    region-reduced supplier before any other wide join, so ~4/5 of
+    lineitem is dropped before the orders and customer joins ever see
+    it (at 100 TB, that join is AQE's choice of strategy since
+    supplier scales with the corpus; at any scale it is a 5× cut in
+    the bytes entering the two remaining exchanges). ONE broadcast
+    nation⋈region subtree (fixed-size dims — safe at any scale, and
+    projected identically so ReuseExchange serves both consumers)
+    reduces supplier and semi-reduces customer before their first
+    exchange; the c_nationkey = s_nationkey local-supplier constraint
+    rides the customer join as an extra equi-key, never a post-join
+    filter. The final ORDER BY runs as a single-partition sort — the
+    output is bounded by |nations in region| rows at ANY corpus size,
+    so a sampled range exchange would cost a stage for nothing."""
     start = F.lit(Q5_START).cast("timestamp_ntz")
     end = F.lit(Q5_END).cast("timestamp_ntz")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -134,7 +137,7 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
         .join(
-            F.broadcast(local_nations.select("n_nationkey")),
+            local_nations,
             F.col("c_nationkey") == F.col("n_nationkey"),
             "left_semi",
         )
@@ -144,16 +147,17 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end))
         .select("o_orderkey", "o_custkey")
     )
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            supp,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
         .agg(
@@ -161,7 +165,8 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .coalesce(1)
+        .sortWithinPartitions(F.col("revenue").desc(), "n_name")
     )
 
 
@@ -707,5 +712,150 @@ def pipeline_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
             ).alias("potential_revenue"),
             F.count(F.lit(1)).alias("n_qualifying"),
+        )
+    )
+
+
+@register(
+    "pipeline_customer_distribution",
+    oracle="""
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def pipeline_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count distribution over customers —
+    "how many customers placed exactly N orders", INCLUDING the
+    zero-order customers the left join preserves (count(o_orderkey)
+    counts non-NULL only, so no-order customers land in the N=0
+    bucket, the bucket an inner join would silently lose).
+
+    Scale shape: one shuffle co-partitions customer and orders on the
+    customer key (orders pre-counted map-side by AQE's partial
+    aggregate); the second aggregate runs over distribution-cardinality
+    rows (max orders per customer — tiny at any scale). No window, no
+    distinct — two hash aggregates and one join."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "pipeline_small_qty_revenue",
+    oracle="""
+    WITH avgq AS (
+      SELECT l_partkey, avg(l_quantity) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 5
+    JOIN avgq a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.5 * a.aq
+    """,
+)
+def pipeline_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to below-half-average-quantity
+    orders of small parts. The textbook form is a correlated scalar
+    subquery per lineitem row (avg quantity of the SAME part); the
+    scalable plan DECORRELATES it by hand: one per-part average
+    aggregate (map-side combinable, |parts| rows out), joined back on
+    the part key, with the small-part predicate pushed into the part
+    scan. Both joins share the l_partkey key, so after the first
+    exchange everything is co-partitioned — at 100 TB this is two
+    scans of lineitem (one reduced to per-part rows) and one logical
+    shuffle, vs the subquery's rescan-per-row.
+
+    The 0.5·avg comparison is float-vs-float on both engines
+    (avg = double division of the same sum/count), so the row set is
+    deterministic cross-engine; only the final sum is rounded."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey"
+    )
+    avgq = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avgq.withColumnRenamed("l_partkey", "a_partkey"),
+              F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+@register(
+    "pipeline_disjunctive_filter",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def pipeline_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    The optimizer lesson this encodes: Catalyst keeps the p_partkey =
+    l_partkey conjunct as the JOIN key and extracts the
+    side-local implications of the disjunction — the p_brand/p_size
+    constraint (derivable from the OR) is pushed into the part scan
+    and the l_quantity range union into the lineitem scan
+    (constraint propagation over disjunctions), while the full OR
+    stays as a residual join filter. The plan is therefore one
+    ordinary equi-join over two pre-filtered scans — NOT the theta
+    join a naive reading of the predicate suggests. Q19 is the
+    classic test that an engine does this extraction; PushedFilters
+    in the scan node is the observable evidence."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -254,3 +254,39 @@ def test_fuzz_bag_setops(spark, oracle, a, b):
         oracle.unregister("tb")
     assert got_i == want_i, f"\na={a}\nb={b}\nspark={got_i}\nduck ={want_i}"
     assert got_e == want_e, f"\na={a}\nb={b}\nspark={got_e}\nduck ={want_e}"
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_fuzz_max_by_struct_equals_window_top1(spark, oracle, rows):
+    """sql_distinct_on's core claim, fuzzed: max_by over a struct
+    (measure, -id) tie-break key must pick EXACTLY the row that
+    row_number()=1 ordered by (measure DESC, id ASC) picks — for
+    duplicate measures, NULL group keys, and single-row groups alike.
+    The window form is the DuckDB oracle (its DISTINCT ON desugars the
+    same way)."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(_pdf(rows), schema=SCHEMA)
+    # v is the measure; rid = a unique-ish surrogate built from (v, c)
+    # would be ambiguous, so use monotonically unique row ids instead:
+    # fuzz rows carry no unique id, so dedupe exact duplicates first —
+    # both engines then agree on a unique winner per group.
+    sdf = sdf.dropDuplicates(["k", "v", "c"])
+    key = F.struct(F.col("v").alias("m"), F.col("c").alias("tb"))
+    got_df = sdf.groupBy("k").agg(
+        F.max_by("c", key).alias("c_pick"), F.max("v").alias("v_max")
+    )
+    _compare(
+        got_df,
+        """
+        SELECT k, c AS c_pick, v AS v_max FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY k ORDER BY v DESC, c DESC NULLS LAST
+          ) AS rn
+          FROM (SELECT DISTINCT k, v, c FROM t)
+        ) WHERE rn = 1
+        """,
+        rows,
+        oracle,
+    )
