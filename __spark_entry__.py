@@ -141,6 +141,9 @@ _PRIORITY = [
     "pipeline_customer_distribution",
     "pipeline_small_qty_revenue",
     "pipeline_disjunctive_filter",
+    "llm_safety_keyword_filter",
+    "llm_winnowing_fingerprint",
+    "fn_regexp_extract_all",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

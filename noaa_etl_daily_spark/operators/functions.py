@@ -1062,3 +1062,34 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp("ts", "Asia/Kolkata").alias("utc_to_ist"),
         F.from_utc_timestamp("ts", "Australia/Sydney").alias("utc_to_syd"),
     )
+
+
+@register(
+    "fn_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[bs][a-z]+')) AS INTEGER)
+             AS n_matches,
+           coalesce(regexp_extract_all(text, '[bs][a-z]+')[1], '')
+             AS first_match,
+           array_to_string(regexp_extract_all(text, '[bs][a-z]+'), '|')
+             AS all_matches
+    FROM documents
+    """,
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all — ALL matches of a pattern per row (the
+    multi-capture sibling of fn_string_split_regex's single-capture
+    extract): match count, first match, and the full match list
+    serialized with array_join (G7: nested outputs never reach the
+    driver's value hash). The pattern keeps to the dialect-common
+    subset (character classes, no lookaround, G4). Scan-stage only —
+    zero exchanges at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all(F.col("text"), F.lit("[bs][a-z]+"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(matches).alias("n_matches"),
+        F.coalesce(F.element_at(matches, 1), F.lit("")).alias("first_match"),
+        F.array_join(matches, "|").alias("all_matches"),
+    )

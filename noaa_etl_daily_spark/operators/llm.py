@@ -3605,3 +3605,126 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@register(
+    "llm_safety_keyword_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN ('slow', 'big'))) AS n_latency,
+             len(list_filter(toks, t -> t = 'dup')) AS n_dup
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN n_dup > 0 THEN 'flag_dup'
+                WHEN n_latency >= 0.10 * n_tokens THEN 'flag_latency'
+                ELSE 'keep' END AS verdict,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def llm_safety_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist / safety-keyword screening — the category-keyword pass
+    every corpus runs before training (NSFW/violence/PII term lists in
+    production; a vocabulary-appropriate stand-in list here). Each doc
+    is scored against per-category term lists in ONE scan-stage pass
+    (array_contains-filter counts over the token array — the list
+    lives in the closure, broadcast-free because it is a literal), and
+    a first-match-wins CASE ladder yields disjoint verdicts, so the
+    census is one tiny (lang × verdict) aggregate. Adding a category
+    adds a filter expression, never a pass over the corpus — the
+    property that matters when the real blocklists hold thousands of
+    terms (swap the literal array for a broadcast join at that size)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    latency_terms = F.array(F.lit("slow"), F.lit("big"))
+    n_tokens = F.size(toks)
+    n_latency = F.size(F.filter(toks, lambda t: F.array_contains(latency_terms, t)))
+    n_dup = F.size(F.filter(toks, lambda t: t == "dup"))
+    verdict = (
+        F.when(n_dup > 0, "flag_dup")
+        .when(n_latency >= 0.10 * n_tokens, "flag_latency")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("lang", verdict.alias("verdict"), n_tokens.alias("nt"))
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "llm_winnowing_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(hashes) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(
+             list_transform(generate_series(1, len(hashes) - 4),
+                            i -> list_min(hashes[i:i+4]))
+           )) AS BIGINT) AS n_fingerprints,
+           list_min(hashes) AS fp_min,
+           round(len(list_distinct(
+             list_transform(generate_series(1, len(hashes) - 4),
+                            i -> list_min(hashes[i:i+4]))
+           )) / (len(hashes) - 4), 6) AS density
+    FROM (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 3),
+                i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                   toks[i+3]))) AS hashes
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents)
+    )
+    WHERE len(hashes) >= 5
+    """,
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm: Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): slide a window of w=5 consecutive
+    4-gram hashes and keep each window's MINIMUM — guaranteeing every
+    match of length ≥ w+3 tokens shares a fingerprint, at ~2/(w+1)
+    selection density. This is the position-aware upgrade of the
+    bottom-k sketch in llm_doc_fingerprint: local minima cover the
+    whole document, not just its globally smallest hashes.
+
+    Scale design: the ENTIRE selection — shingle hashing, windowed
+    minima, dedup, density — runs as scan-stage higher-order array
+    functions; ZERO exchanges at any corpus size (the oracle's
+    generate_series+list_min form mirrors it relationally). md5 hex
+    strings compare lexicographically identically in both engines, so
+    the selected minima are bit-identical (G3); density is
+    integer/integer division (G2)."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 3),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(4)))),
+    )
+    docs = docs.select("doc_id", hashes.alias("hashes")).filter(
+        F.size("hashes") >= 5
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hashes") - 4),
+            lambda i: F.array_min(F.slice(F.col("hashes"), i, F.lit(5))),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size("hashes").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min("hashes").alias("fp_min"),
+        F.round(F.size(fps) / (F.size("hashes") - 4), 6).alias("density"),
+    )

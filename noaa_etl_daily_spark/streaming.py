@@ -397,3 +397,90 @@ def stream_session_finalize_on_timeout(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def merge_user_partials(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Merge a micro-batch's per-user partials into the standing state
+    table: counts add, last_ts takes the max, value accumulates in
+    integer cents (re-mergeable and bit-stable in any order)."""
+    part = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    if existing is None:
+        return part
+    e, b = existing.alias("e"), part.alias("b")
+    zero = F.lit(0).cast("long")
+    return e.join(
+        b, F.col("e.user_id") == F.col("b.user_id"), "full_outer"
+    ).select(
+        F.coalesce("b.user_id", "e.user_id").alias("user_id"),
+        (
+            F.coalesce("e.n_events", zero) + F.coalesce("b.n_events", zero)
+        ).alias("n_events"),
+        # greatest() skips NULLs: one-sided rows keep their side's ts
+        F.greatest("e.last_ts", "b.last_ts").alias("last_ts"),
+        (
+            F.coalesce("e.value_cents", zero)
+            + F.coalesce("b.value_cents", zero)
+        ).alias("value_cents"),
+    )
+
+
+def run_foreachbatch_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    files_per_batch: int = 2,
+) -> int:
+    """The foreachBatch operational pattern: continuously fold a stream
+    into a keyed serving TABLE on plain parquet (no MERGE-capable
+    format needed). Each micro-batch pre-aggregates to per-user
+    partials (map-side combine inside the batch), full-outer-merges
+    with the standing table on user_id, and rewrites the table — cost
+    O(batch + table) per trigger, never a history re-scan; at real
+    scale the rewrite narrows to the partitions the batch touched
+    (pair with dynamic partition overwrite) and the table side stays
+    bucketed on user_id so the merge join never shuffles it.
+
+    Restart semantics: the checkpoint gives each batch_id exactly-once
+    input; the merge is deterministic and the overwrite idempotent, so
+    a replayed batch reproduces the same table state. Returns the
+    number of micro-batches executed."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    n_batches = 0
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        sp = batch_df.sparkSession
+        try:
+            existing = sp.read.parquet(target_dir)
+        except Exception:  # first batch: no table yet
+            existing = None
+        merged = merge_user_partials(existing, batch_df)
+        # materialize BEFORE overwriting the directory the lazy plan
+        # still reads from (classic read-overwrite-same-path hazard)
+        merged = merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_dir)
+        merged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

@@ -659,3 +659,44 @@ def test_stream_session_timeout_finalizes(spark, sf_dir, stream_src):
     settled_batch = {k for k in batch if k[1] < settle}
     missing = settled_batch - got
     assert not missing, f"settled sessions never finalized: {sorted(missing)[:3]}"
+
+
+def test_stream_foreachbatch_upsert_builds_serving_table(
+    spark, sf_dir, stream_src, tmp_path
+):
+    """foreachBatch incremental upsert: draining the 8-file source in
+    2-file micro-batches must leave a serving table identical to the
+    one-shot batch aggregation — per-user counts, last-seen timestamps
+    and cent-exact value totals all survive repeated merge+rewrite
+    cycles, and more than one micro-batch must actually have run (the
+    merge path, not a single-batch degenerate)."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    target = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    n_batches = st.run_foreachbatch_upsert(
+        spark, stream_src, target, ckpt, files_per_batch=2
+    )
+    assert n_batches >= 3, f"expected multiple micro-batches, got {n_batches}"
+
+    got = {
+        r.user_id: (r.n_events, r.last_ts, r.value_cents)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.last_ts, r.value_cents)
+        for r in load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
