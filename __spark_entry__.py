@@ -144,6 +144,8 @@ _PRIORITY = [
     "llm_safety_keyword_filter",
     "llm_winnowing_fingerprint",
     "fn_regexp_extract_all",
+    "evt_activity_autocorr",
+    "sql_parameterized_query",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1202,3 +1202,37 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", key).alias("o_orderkey"),
         F.round(F.max("o_totalprice"), 2).alias("top_price"),
     )
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(query, args={...})``, the
+    Spark 4 parameter-marker API): the query text carries ``:min_price``
+    / ``:status`` markers and the values bind server-side as LITERALS
+    in the analyzed plan — so Catalyst constant-folds and pushes them
+    into the parquet scan exactly like hand-inlined literals (no
+    string interpolation, no injection surface, plan-cache friendly).
+    The oracle runs the same query with the parameters inlined,
+    proving binding semantics match literal semantics."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM _param_orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 200000.0, "status": "F"},
+    )

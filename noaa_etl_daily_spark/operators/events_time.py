@@ -1540,3 +1540,93 @@ def evt_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("first_view").cast("timestamp"))
         ).alias("us_to_convert"),
     )
+
+
+@register(
+    "evt_activity_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT c,
+             lead(c, 1) OVER (ORDER BY d) AS c1,
+             lead(c, 7) OVER (ORDER BY d) AS c7
+      FROM daily
+    ),
+    m1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS sx, sum(c1) AS sy,
+             sum(c * c1) AS sxy, sum(c * c) AS sxx, sum(c1 * c1) AS syy
+      FROM lagged WHERE c1 IS NOT NULL
+    ),
+    m7 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS sx, sum(c7) AS sy,
+             sum(c * c7) AS sxy, sum(c * c) AS sxx, sum(c7 * c7) AS syy
+      FROM lagged WHERE c7 IS NOT NULL
+    )
+    SELECT m1.n AS n_pairs_lag1,
+           round((m1.n * m1.sxy - m1.sx * m1.sy)
+                 / sqrt((m1.n * m1.sxx - m1.sx * m1.sx)
+                        * (m1.n * m1.syy - m1.sy * m1.sy)), 6) AS r_lag1,
+           m7.n AS n_pairs_lag7,
+           round((m7.n * m7.sxy - m7.sx * m7.sy)
+                 / sqrt((m7.n * m7.sxx - m7.sx * m7.sx)
+                        * (m7.n * m7.syy - m7.sy * m7.sy)), 6) AS r_lag7
+    FROM m1, m7
+    """,
+)
+def evt_activity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity periodicity check: Pearson autocorrelation of the daily
+    event-count series at lag 1 and lag 7 — the signal that tells an
+    ops team whether traffic has a weekly rhythm (r_lag7 high) vs
+    day-over-day momentum. Shape: the corpus reduces to ≤|days| rows
+    in ONE hash aggregate; the lead() window and the moment fold then
+    run over day-cardinality rows. Determinism (G2): every moment
+    (Σx, Σy, Σxy, Σx², Σy²) is an INTEGER sum of integer counts —
+    order-independent and engine-exact — so the final r is one float
+    expression over exact integers; sqrt/divide are IEEE-identical.
+    The m1×m7 join is a 1-row × 1-row cross of scalar aggregates."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c",
+        F.lead("c", 1).over(w).alias("c1"),
+        F.lead("c", 7).over(w).alias("c7"),
+    )
+
+    def moments(col):
+        src = lagged.filter(F.col(col).isNotNull())
+        return src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sx"),
+            F.sum(col).alias("sy"),
+            F.sum(F.col("c") * F.col(col)).alias("sxy"),
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+            F.sum(F.col(col) * F.col(col)).alias("syy"),
+        )
+
+    def pearson(p):
+        n, sx, sy = F.col(f"{p}.n"), F.col(f"{p}.sx"), F.col(f"{p}.sy")
+        sxy, sxx, syy = (
+            F.col(f"{p}.sxy"),
+            F.col(f"{p}.sxx"),
+            F.col(f"{p}.syy"),
+        )
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    m1 = moments("c1").alias("m1")
+    m7 = moments("c7").alias("m7")
+    # 1-row × 1-row: scalar-aggregate cross, bounded at any scale
+    return m1.crossJoin(m7).select(
+        F.col("m1.n").alias("n_pairs_lag1"),
+        pearson("m1").alias("r_lag1"),
+        F.col("m7.n").alias("n_pairs_lag7"),
+        pearson("m7").alias("r_lag7"),
+    )

@@ -265,6 +265,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # IVF scoring pass is map-only by
                                       # design; K is a constant)
         "evt_power_users",            # 1-row p90 threshold scalar
+        "evt_activity_autocorr",      # 1-row × 1-row moment scalars
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -290,6 +291,12 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "validate_expectations",      # 1-row rule summaries
         "win_year_over_year",         # lag(12) over MONTH rows
         "evt_power_users",            # 1-row p90 threshold scalar
+        "llm_vocab_coverage",         # coverage windows over VOCAB rows
+                                      # (sublinear in corpus; documented)
+        "evt_activity_autocorr",      # lead window over DAY rows + 1-row
+                                      # integer-moment reduces
+        "pipeline_small_qty_revenue", # 1-row Q17 global aggregate
+        "pipeline_disjunctive_filter",# 1-row Q19 global aggregate
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
