@@ -146,6 +146,7 @@ _PRIORITY = [
     "fn_regexp_extract_all",
     "evt_activity_autocorr",
     "sql_parameterized_query",
+    "evt_peak_concurrency",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1630,3 +1630,90 @@ def evt_activity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m7.n").alias("n_pairs_lag7"),
         pearson("m7").alias("r_lag7"),
     )
+
+
+@register(
+    "evt_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ), bounds AS (
+      SELECT CAST(s_start AS DATE) AS d, s_start AS t, 1 AS delta
+      FROM sessions
+      UNION ALL
+      SELECT CAST(s_start AS DATE) AS d, s_end AS t, -1 AS delta
+      FROM sessions
+    ), running AS (
+      SELECT d, delta,
+             sum(delta) OVER (PARTITION BY d ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM bounds
+    )
+    SELECT d,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
+    FROM running
+    GROUP BY d
+    """,
+)
+def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (licenses, connection pools, autoscaling floors). Sessions come
+    from the same native session_window as evt_session_window; each
+    becomes a +1/-1 boundary pair and a running sum over the day's
+    boundaries yields instantaneous concurrency, maxed per day.
+    Sessions attribute to their START day (the stated metric
+    definition, so midnight-crossers count once).
+
+    Scale shape: the corpus reduces to SESSION boundaries (2 rows per
+    session) before any ordering work; the sweep window partitions by
+    DAY, so no global single-partition pass exists and each day's sort
+    is over its own session count. Tie discipline (G3): boundaries
+    order by (t, delta) with -1 < +1, so a session starting exactly at
+    another's end never double-counts — deterministic in both engines.
+    All arithmetic is integer."""
+    ev = load(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("s.start").alias("s_start"), F.col("s.end").alias("s_end")
+        )
+    )
+    starts = sessions.select(
+        F.col("s_start").cast("date").alias("d"),
+        F.col("s_start").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = sessions.select(
+        F.col("s_start").cast("date").alias("d"),
+        F.col("s_end").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = starts.unionAll(ends).select(
+        "d", "delta", F.sum("delta").over(w).alias("conc")
+    )
+    return running.groupBy("d").agg(
+        F.max("conc").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_sessions"),
+    )

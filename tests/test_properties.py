@@ -601,3 +601,98 @@ def test_kll_quantile_sketch_rank_accuracy(spark, sf_dir):
     for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
         rank = bisect.bisect_left(vals, got) / n
         assert abs(rank - q) < 0.03, f"q={q}: value {got} sits at rank {rank:.4f}"
+
+
+def test_winnowing_shared_run_guarantees_shared_fingerprint(spark, sf_dir):
+    """The winnowing GUARANTEE (Schleimer et al. 2003): any two
+    documents sharing a token run of length >= w + k - 1 (here 5+4-1=8)
+    must share at least one selected fingerprint. Construct doc pairs
+    with a planted 12-token common run inside otherwise-different text
+    and assert the per-doc fingerprint sets intersect — and that a pair
+    WITHOUT a planted run (different vocab) shares nothing."""
+    from pyspark.sql import functions as F
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + run + " four five six seven"),
+            (2, "red green blue yellow " + run + " purple orange pink"),
+            (3, "cat dog bird fish lion tiger bear wolf fox deer owl bat"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 3),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(4)))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hashes") - 4),
+            lambda i: F.array_min(F.slice(F.col("hashes"), i, F.lit(5))),
+        )
+    )
+    got = {
+        r.doc_id: set(r.fps)
+        for r in docs.select("doc_id", hashes.alias("hashes"))
+        .select("doc_id", fps.alias("fps"))
+        .collect()
+    }
+    assert got[1] & got[2], "planted 12-token run must share a fingerprint"
+    assert not (got[1] & got[3]), "disjoint vocab must share nothing"
+    assert not (got[2] & got[3])
+
+
+def test_foreachbatch_upsert_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Operational restart: drain HALF the source files, then 'new data
+    arrives' (the rest of the files) and the SAME checkpoint resumes —
+    the second run must fold in only the unseen files, leaving the
+    serving table equal to the batch answer with no double-counted
+    users (the merge ran at least twice, so idempotence + exactly-once
+    input are both exercised)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import noaa_etl_daily_spark.streaming as st
+    from noaa_etl_daily_spark.tables import load
+
+    src_all = str(tmp_path / "src")
+    st.prepare_stream_source(spark, sf_dir, src_all)
+    files = sorted(glob.glob(os.path.join(src_all, "part-*.parquet")))
+    assert len(files) >= 4
+    held_back = files[len(files) // 2 :]
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for f in held_back:
+        shutil.move(f, stash / os.path.basename(f))
+
+    target = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = st.run_foreachbatch_upsert(spark, src_all, target, ckpt, 2)
+    assert n1 >= 1
+    # new data arrives; same checkpoint resumes
+    for f in held_back:
+        shutil.move(str(stash / os.path.basename(f)), f)
+    n2 = st.run_foreachbatch_upsert(spark, src_all, target, ckpt, 2)
+    assert n2 >= 1
+
+    got = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
