@@ -147,6 +147,7 @@ _PRIORITY = [
     "evt_activity_autocorr",
     "sql_parameterized_query",
     "evt_peak_concurrency",
+    "win_locf_gap_fill",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

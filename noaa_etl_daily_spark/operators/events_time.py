@@ -111,7 +111,7 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        IS NULL
                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
@@ -131,9 +131,11 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize per user with a 30-minute inactivity gap using Spark's
     native ``session_window`` (batch-capable). Session range is
-    [first_ts, last_ts + gap): an event arriving exactly at the previous
-    end starts a new session — the gaps-and-islands oracle encodes the
-    same ``>=`` boundary. One shuffle on user_id; merge is in-partition."""
+    [first_ts, last_ts + gap): an event arriving EXACTLY at the previous
+    end EXTENDS the session (verified empirically by the boundary fuzz in
+    tests/test_fuzz_differential.py — native windows touching at a point
+    merge), so the gaps-and-islands oracle encodes the matching strict
+    ``>`` split. One shuffle on user_id; merge is in-partition."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
@@ -1352,7 +1354,7 @@ def evt_resurrection_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1640,7 +1642,7 @@ def evt_activity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        IS NULL
                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (

@@ -548,3 +548,56 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") - F.lag("revenue", 12).over(w), 2
         ).alias("yoy_delta"),
     )
+
+
+@register(
+    "win_locf_gap_fill",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+           lead(v, 1 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS v_next_known,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_first_known
+    FROM src
+    """,
+)
+def win_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window surface — last-observation-carried-forward
+    gap fill (the sensor-reading repair every telemetry ETL runs):
+    error readings are NULLed out, then ``last(v, ignorenulls)`` over
+    the running frame carries the previous good value forward,
+    ``lead(v) IGNORE NULLS`` fetches the next good value (the
+    interpolation partner), and ``first(v, ignorenulls)`` anchors the
+    series. All four live on ONE user_id window — one shuffle serves
+    the whole repair. Ordering ties break on event_id (G3); values
+    pass through unmodified, so no rounding is needed (G2)."""
+    ev = load(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return src.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(run).alias("v_locf"),
+        # the DataFrame API has no ignoreNulls arg for lead(); the SQL
+        # expression form reaches the same LEAD(..., ignoreNulls=true)
+        F.expr("lead(v, 1) IGNORE NULLS").over(w).alias("v_next_known"),
+        F.first("v", ignorenulls=True).over(run).alias("v_first_known"),
+    )

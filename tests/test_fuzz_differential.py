@@ -290,3 +290,142 @@ def test_fuzz_max_by_struct_equals_window_top1(spark, oracle, rows):
         rows,
         oracle,
     )
+
+
+LEFT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=25
+)
+RIGHT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(-99, 99)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=LEFT_ROWS, right=RIGHT_ROWS)
+@settings(**SETTINGS)
+def test_fuzz_union_window_asof_equals_native_asof(spark, oracle, left, right):
+    """The engine's as-of join technique (union both sides + per-key
+    ordered window carrying the last quote forward — joins.py
+    join_asof), fuzzed against DuckDB's NATIVE ASOF JOIN on adversarial
+    cases the fixtures never hit: empty sides, keys with no quotes,
+    exact timestamp ties (>= must match), and quote-before-everything
+    rows. Right side is deduped to unique (k, t) so both engines have
+    a deterministic winner."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    lpdf = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lid"]
+    ).astype("int64")
+    rpdf = (
+        pd.DataFrame(right, columns=["k", "t", "val"])
+        .astype("int64")
+        .groupby(["k", "t"], as_index=False)["val"]
+        .max()
+    )
+    ldf = spark.createDataFrame(lpdf, "k long, t long, lid long")
+    rdf = spark.createDataFrame(rpdf, "k long, t long, val long")
+
+    # union + window: right rows (src=0) sort before left (src=1) at the
+    # same t, so the running last-non-null implements t_right <= t_left
+    tagged = rdf.select(
+        "k", "t", F.lit(0).alias("src"), F.lit(None).cast("long").alias("lid"), "val"
+    ).unionByName(
+        ldf.select(
+            "k", "t", F.lit(1).alias("src"), "lid", F.lit(None).cast("long").alias("val")
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got_df = (
+        tagged.withColumn("asof_val", F.last("val", ignorenulls=True).over(w))
+        .filter(F.col("src") == 1)
+        .select("k", "t", "lid", "asof_val")
+    )
+
+    oracle.register("lt", lpdf)
+    oracle.register("rt", rpdf)
+    try:
+        got = _canon(got_df.toPandas())
+        want = _canon(
+            oracle.execute(
+                """
+                SELECT l.k, l.t, l.lid, r.val AS asof_val
+                FROM lt l ASOF LEFT JOIN rt r
+                  ON l.k = r.k AND l.t >= r.t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("lt")
+        oracle.unregister("rt")
+    assert got == want
+
+
+SESSION_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=30
+)
+
+
+@given(rows=SESSION_ROWS)
+@settings(**SETTINGS)
+def test_fuzz_session_window_boundary_semantics(spark, oracle, rows):
+    """Native session_window vs the gaps-and-islands desugaring, fuzzed
+    over integer-second timestamps dense enough to hit the EXACT-gap
+    boundary constantly. Documents an empirically-established boundary
+    semantic: an event arriving exactly gap seconds after the previous
+    one EXTENDS the session (touching windows merge), so the correct
+    desugaring splits on STRICTLY greater — the first draft of this
+    test used >= and hypothesis immediately produced the
+    counterexample, which is why the engine's session oracles use >."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    gap = 10
+    pdf = pd.DataFrame(rows, columns=["k", "s"]).drop_duplicates().astype("int64")
+    sdf = spark.createDataFrame(pdf, "k long, s long").withColumn(
+        "ts", F.to_timestamp(F.col("s"))
+    )
+    got_df = (
+        sdf.groupBy("k", F.session_window("ts", f"{gap} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "k",
+            F.unix_timestamp("w.start").alias("s_start"),
+            F.unix_timestamp("w.end").alias("s_end"),
+            "n",
+        )
+    )
+    oracle.register("t_sess", pdf)
+    try:
+        got = _canon(got_df.toPandas())
+        want = _canon(
+            oracle.execute(
+                f"""
+                WITH flagged AS (
+                  SELECT k, s,
+                         CASE WHEN lag(s) OVER (PARTITION BY k ORDER BY s)
+                                   IS NULL
+                              OR s - lag(s) OVER (PARTITION BY k ORDER BY s)
+                                   > {gap}
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM t_sess
+                ), numbered AS (
+                  SELECT *, sum(new_s) OVER (PARTITION BY k ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM flagged
+                )
+                SELECT k, min(s) AS s_start, max(s) + {gap} AS s_end,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM numbered GROUP BY k, sid
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t_sess")
+    assert got == want
