@@ -148,6 +148,8 @@ _PRIORITY = [
     "sql_parameterized_query",
     "evt_peak_concurrency",
     "win_locf_gap_fill",
+    "fn_aes_roundtrip",
+    "join_scd2_temporal",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1093,3 +1093,32 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at(matches, 1), F.lit("")).alias("first_match"),
         F.array_join(matches, "|").alias("all_matches"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS decrypted, CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt → aes_decrypt
+    round-trip (GCM mode, the at-rest/PII-column pattern). DuckDB has
+    no AES functions, so the oracle is the IDENTITY check — the
+    decrypted text must equal the original column byte-for-byte (the
+    same round-trip-fidelity oracle style as scan_binary_files). The
+    key is a literal here; in production it arrives per-task from a
+    KMS callback, but the plan shape is identical: both functions are
+    scan-stage expressions, zero exchanges at any scale. GCM is
+    randomized (fresh IV per row per run), so ciphertexts are
+    intentionally NOT part of the output — only the invariant is."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key literal
+    cipher = F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary"))
+    plain = F.aes_decrypt(cipher, key.cast("binary"))
+    return docs.select(
+        "doc_id",
+        plain.cast("string").alias("decrypted"),
+        F.length("text").alias("n_chars"),
+    )

@@ -675,3 +675,83 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, left.pr.eqNullSafe(right.pr)).select(
         left.pr, "n_orders", "finished_rev"
     )
+
+
+@register(
+    "join_scd2_temporal",
+    oracle="""
+    WITH dim0 AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ), flagged AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM dim0
+    ), dim AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             event_type AS status
+      FROM (SELECT * FROM flagged WHERE chg = 1)
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.status
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD2) dimension lookup: each purchase joins the status
+    row valid AT its timestamp — the fact-to-versioned-dimension join
+    every warehouse runs. The textbook form is a RANGE predicate join
+    (valid_from <= ts < valid_to — the oracle runs exactly that); at
+    scale a range join degenerates to per-key nested loops, so the
+    engine instead interleaves dimension change-points and facts in
+    ONE per-user ordered window and carries the last status forward —
+    the same union+window technique as join_asof, O(n log n) within
+    one user_id shuffle and co-partitioned with the change-point
+    derivation (no second exchange). Boundary semantics: a status
+    change at exactly the purchase instant applies (dim rows sort
+    before fact rows at equal ts); same-instant dim changes resolve by
+    event_id, mirroring the oracle's empty-interval exclusion."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn(
+            "chg",
+            (
+                ~F.lag("event_type")
+                .over(w)
+                .eqNullSafe(F.col("event_type"))
+            ).cast("int"),
+        )
+        .filter(F.col("chg") == 1)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(0).alias("src"),
+            F.col("event_type").alias("status"),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("src"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dim.unionByName(fact)
+        .withColumn("carried", F.last("status", ignorenulls=True).over(ws))
+        .filter(F.col("src") == 1)
+        .select("event_id", "user_id", "ts", F.col("carried").alias("status"))
+    )
