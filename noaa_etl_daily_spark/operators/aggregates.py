@@ -253,7 +253,11 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotal hierarchy: (region, nation) → (region) → (). Spark
     plans rollup as Expand + single hash aggregate — one pass over the
-    input regardless of grouping-set count."""
+    input regardless of grouping-set count. Edge divergence (found by
+    the rollup fuzz, tests/test_fuzz_differential.py): on EMPTY input
+    Spark emits zero rows while the SQL standard (and DuckDB) emits a
+    count-0 grand-total row — irrelevant on non-empty data, but worth
+    knowing when a filter can drain the input."""
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")

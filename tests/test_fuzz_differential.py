@@ -429,3 +429,49 @@ def test_fuzz_session_window_boundary_semantics(spark, oracle, rows):
     finally:
         oracle.unregister("t_sess")
     assert got == want
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_fuzz_rollup_grouping_nulls(spark, oracle, rows):
+    """ROLLUP under NULLABLE group keys — the classic trap where a DATA
+    NULL group is indistinguishable from the subtotal row unless
+    GROUPING() disambiguates. The fixture-based rollup oracle never
+    exercises NULL keys; this fuzz does, asserting Spark's rollup +
+    grouping() flags agree with DuckDB's for every (k, c) combination
+    including the all-NULL input.
+
+    Documented divergence (found by this fuzz): on EMPTY input the SQL
+    standard (and DuckDB) still emits the grand-total grouping set —
+    one row with count 0 — while Spark's Expand-based rollup emits
+    nothing. The empty branch asserts exactly that difference so a
+    behavior change in either engine trips the test."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(_pdf(rows), schema=SCHEMA)
+    got_df = sdf.rollup("k", "c").agg(
+        F.grouping("k").cast("long").alias("gk"),
+        F.grouping("c").cast("long").alias("gc"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+    )
+    duck_sql = """
+        SELECT k, c,
+               CAST(GROUPING(k) AS BIGINT) AS gk,
+               CAST(GROUPING(c) AS BIGINT) AS gc,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS sv
+        FROM t GROUP BY ROLLUP (k, c)
+        """
+    if not rows:
+        t = _pdf(rows)
+        oracle.register("t", t)
+        try:
+            got = _canon(got_df.toPandas())
+            want = _canon(oracle.execute(duck_sql).df())
+        finally:
+            oracle.unregister("t")
+        assert got == []
+        assert want == [(None, 1, 1, None, 0, None)]
+        return
+    _compare(got_df, duck_sql, rows, oracle)
