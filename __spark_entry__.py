@@ -150,6 +150,8 @@ _PRIORITY = [
     "win_locf_gap_fill",
     "fn_aes_roundtrip",
     "join_scd2_temporal",
+    "sql_transpose",
+    "scan_text_lines",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

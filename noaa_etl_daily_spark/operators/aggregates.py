@@ -1240,3 +1240,40 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 200000.0, "status": "F"},
     )
+
+
+@register(
+    "sql_transpose",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n_rows,
+             round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'n_rows' AS key,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'A') AS A,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'N') AS N,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'R') AS R
+    UNION ALL
+    SELECT 'total_qty',
+           (SELECT total_qty FROM s WHERE l_returnflag = 'A'),
+           (SELECT total_qty FROM s WHERE l_returnflag = 'N'),
+           (SELECT total_qty FROM s WHERE l_returnflag = 'R')
+    """,
+)
+def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``df.transpose()`` — flip a small summary so metrics
+    become rows and group values become columns (the report-friendly
+    orientation of agg_pivot's output). Transpose COLLECTS the index
+    column to mint the new column names, so it is strictly a
+    small-result operation: here it runs over the 3-row pre-aggregated
+    summary, never raw data — the corpus-sized work is the ordinary
+    partial+final hash aggregate underneath. The oracle rebuilds the
+    transposed shape with scalar subqueries."""
+    li = load(spark, sf_dir, "lineitem")
+    summary = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    return summary.transpose()

@@ -600,3 +600,35 @@ def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "scan_text_lines",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-line ingestion (``spark.read.text``) — the
+    door raw crawl dumps and log files come through before any schema
+    exists. Round-trip oracle: the corpus is written one document per
+    line (fixture text is newline-free), read back as lines, and the
+    order-insensitive aggregate census (line count, char volume,
+    distinct-content count) must equal DuckDB over the original
+    parquet — proving the codec/splitting layer loses nothing. At
+    100 TB line-splittable text files scan in parallel per 128 MB
+    split, unlike the gzip path documented in scan_csv_gzip_roundtrip."""
+    docs = load(spark, sf_dir, "documents")
+    out = _scratch("text_lines", _sf_tag(sf_dir), "documents")
+    docs.select("text").write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.countDistinct(F.md5(F.col("value").cast("binary"))).alias(
+            "n_distinct"
+        ),
+    )

@@ -297,6 +297,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # integer-moment reduces
         "pipeline_small_qty_revenue", # 1-row Q17 global aggregate
         "pipeline_disjunctive_filter",# 1-row Q19 global aggregate
+        "scan_text_lines",            # 1-row round-trip census aggregate
+        "sql_transpose",              # transpose of a 3-row summary
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
@@ -463,3 +465,53 @@ def test_range_sorted_layout_enables_file_skipping(spark, sf_dir):
     assert rows_read < total / 2, (rows_read, total)
     if files_read is not None:
         assert files_read == 1, f"expected 1 file read, got {files_read}"
+
+
+def test_zorder_beats_lexicographic_on_second_dimension(spark, sf_dir):
+    """The REASON to z-order instead of plain sort: write the same
+    events lexicographically sorted by (user_id, ts) and compare
+    per-file ts spans against the z-ordered layout — the lexicographic
+    layout's mean ts span must be near-global (its files each contain
+    a full slice of users, hence the whole month), while z-order's is
+    materially tighter, i.e. only the Morton layout can skip files on
+    the SECOND predicate column."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from noaa_etl_daily_spark.operators.scale_ops import sink_zorder_layout
+    from noaa_etl_daily_spark.operators.scans import SCRATCH
+    from noaa_etl_daily_spark.tables import load
+
+    sink_zorder_layout(spark, sf_dir).count()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    lex_out = os.path.join(SCRATCH, "lex_sorted", tag, "events")
+    (
+        load(spark, sf_dir, "events")
+        .repartitionByRange(8, "user_id", "ts")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(lex_out)
+    )
+
+    def mean_ts_span(root):
+        spans = []
+        for path in glob.glob(os.path.join(root, "*.parquet")):
+            pf = pq.ParquetFile(path)
+            idx = pf.schema_arrow.names.index("ts")
+            mins, maxs = [], []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((max(maxs) - min(mins)).total_seconds())
+        assert len(spans) > 1
+        return sum(spans) / len(spans)
+
+    z_span = mean_ts_span(os.path.join(SCRATCH, "zorder", tag, "events"))
+    lex_span = mean_ts_span(lex_out)
+    # lexicographic files each cover ~the whole month on ts; z-order
+    # files must be materially tighter on the same dimension
+    assert z_span < 0.75 * lex_span, (z_span, lex_span)
