@@ -152,6 +152,8 @@ _PRIORITY = [
     "join_scd2_temporal",
     "sql_transpose",
     "scan_text_lines",
+    "pipeline_dormant_customers",
+    "pipeline_supplier_part_census",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

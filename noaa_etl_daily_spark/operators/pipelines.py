@@ -859,3 +859,86 @@ def pipeline_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "pipeline_dormant_customers",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = r.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def pipeline_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance-above-average customers who
+    have never ordered — the dormant-capital report. Two classic plan
+    elements in one query: an UNCORRELATED scalar subquery (the global
+    average becomes a 1-row broadcast the filter rides — computed once,
+    never per row) and a LEFT ANTI hash join against orders (NOT
+    EXISTS; null-safe by construction, unlike NOT IN — the
+    sql_not_in_null_aware lesson applied). Both full-table passes are
+    aggregates with map-side combine; the anti join is the only
+    customer-cardinality shuffle."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "pipeline_supplier_part_census",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def pipeline_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    surviving (brand, size) part class — the sourcing-diversity census.
+    The brand exclusion and the size IN-list push into the part scan
+    (PushedFilters: Not(EqualTo), In); the count(DISTINCT supplier) is
+    the expensive exact-distinct path, planned as dedup-then-count over
+    (brand, size, suppkey) — at 100 TB the HLL sibling
+    (agg_approx_count_distinct) substitutes with the same join tree."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )

@@ -475,3 +475,31 @@ def test_fuzz_rollup_grouping_nulls(spark, oracle, rows):
         assert want == [(None, 1, 1, None, 0, None)]
         return
     _compare(got_df, duck_sql, rows, oracle)
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_fuzz_median_interpolation(spark, oracle, rows):
+    """Exact interpolated median over integers: Spark percentile(0.5)
+    and DuckDB quantile_cont(0.5) both linear-interpolate, and for the
+    0.5 quantile of integers the interpolation (a+b)/2 is IEEE-exact —
+    so the engines must agree bit-for-bit on adversarial group shapes
+    (singletons, NULL keys, even/odd counts, duplicates). Locks the
+    agg_percentile pairing beyond the fixture distribution."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(_pdf(rows), schema=SCHEMA)
+    got_df = sdf.groupBy("k").agg(
+        F.percentile("v", F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    _compare(
+        got_df,
+        """
+        SELECT k, quantile_cont(v, 0.5) AS med,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY k
+        """,
+        rows,
+        oracle,
+    )

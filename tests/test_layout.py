@@ -266,6 +266,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # design; K is a constant)
         "evt_power_users",            # 1-row p90 threshold scalar
         "evt_activity_autocorr",      # 1-row × 1-row moment scalars
+        "pipeline_dormant_customers", # 1-row global-average scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -299,6 +300,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_disjunctive_filter",# 1-row Q19 global aggregate
         "scan_text_lines",            # 1-row round-trip census aggregate
         "sql_transpose",              # transpose of a 3-row summary
+        "pipeline_dormant_customers", # 1-row global-average scalar
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
