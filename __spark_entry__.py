@@ -154,6 +154,8 @@ _PRIORITY = [
     "scan_text_lines",
     "pipeline_dormant_customers",
     "pipeline_supplier_part_census",
+    "mv_incremental_refresh",
+    "join_asof_nearest",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -755,3 +755,86 @@ def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") == 1)
         .select("event_id", "user_id", "ts", F.col("carried").alias("status"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT purchase_id, purchase_ts, user_id, view_id, view_ts, delta_us
+    FROM (
+        SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, p.user_id,
+               v.event_id AS view_id, v.ts AS view_ts,
+               CAST(date_diff('microseconds', p.ts, v.ts) AS BIGINT)
+                 AS delta_us,
+               row_number() OVER (
+                 PARTITION BY p.event_id
+                 ORDER BY abs(date_diff('microseconds', p.ts, v.ts)),
+                          CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+                          CASE WHEN v.ts <= p.ts THEN -v.event_id
+                               ELSE v.event_id END
+               ) AS rn
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+                   FROM events WHERE event_type = 'view') v
+          ON v.user_id = p.user_id
+    )
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join (either direction): each purchase pairs
+    with the temporally CLOSEST view by the same user — the sensor-
+    alignment flavor of as-of (pair each reading with the nearest
+    calibration, before or after). Completes the as-of family:
+    backward (join_asof), forward (join_asof_forward), bounded
+    (join_asof_tolerance), nearest (this).
+
+    Tie discipline (G3), mirrored exactly in the oracle: equal
+    distance prefers the BACKWARD candidate; equal-ts backward views
+    prefer the highest event_id, equal-ts forward views the lowest.
+
+    Scale shape: TWO frame passes over ONE per-user ordered window
+    (running last-non-null backward, first-non-null over the strictly-
+    following frame forward) on the same union — still a single
+    user_id shuffle and O(n log n) per key; the oracle's per-purchase
+    ranked join over ALL same-user views is the O(n·m) form this
+    pattern replaces."""
+    events = load(spark, sf_dir, "events")
+    view_info = F.struct("ts", "event_id").alias("view_info")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("is_purchase"), "event_id", view_info
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.lit(None)
+        .cast("struct<ts:timestamp_ntz,event_id:bigint>")
+        .alias("view_info"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "is_purchase", "event_id")
+    back_w = base.rowsBetween(Window.unboundedPreceding, 0)
+    fwd_w = base.rowsBetween(1, Window.unboundedFollowing)
+    tagged = (
+        views.unionByName(purchases)
+        .withColumn("back", F.last("view_info", ignorenulls=True).over(back_w))
+        .withColumn("fwd", F.first("view_info", ignorenulls=True).over(fwd_w))
+    )
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    back_d = p_us - F.unix_micros(F.col("back.ts").cast("timestamp"))
+    fwd_d = F.unix_micros(F.col("fwd.ts").cast("timestamp")) - p_us
+    pick_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (back_d <= fwd_d)
+    )
+    chosen = F.when(pick_back, F.col("back")).otherwise(F.col("fwd"))
+    signed = F.when(pick_back, -back_d).otherwise(fwd_d)
+    return tagged.filter(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+        chosen.getField("event_id").alias("view_id"),
+        chosen.getField("ts").alias("view_ts"),
+        F.when(chosen.isNull(), None).otherwise(signed).alias("delta_us"),
+    )

@@ -390,3 +390,60 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the nightly pattern
+    that keeps a (day × event_type) rollup current WITHOUT recomputing
+    history: the standing MV covers days before the cutoff; the new
+    batch (the cutoff day onward) aggregates ALONE, and a keyed
+    full-outer merge folds the partial into the MV (counts add, cent
+    sums add — both re-mergeable integer partials, the same algebra
+    evt_daily_rollup_reaggregate proves lossless). Cost per refresh is
+    O(batch + affected-MV-rows), never O(history) — with the MV
+    partitioned by day, only touched partitions rewrite. The oracle is
+    the FULL recomputation over all of events: incremental == full is
+    exactly the correctness claim of the pattern."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("ts").cast("date").alias("d"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+
+    mv = rollup(ev.filter(F.col("ts") < cutoff))  # the standing view
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))  # tonight's batch
+    m, b = mv.alias("m"), delta.alias("b")
+    zero = F.lit(0).cast("long")
+    return m.join(
+        b,
+        (F.col("m.d") == F.col("b.d"))
+        & (F.col("m.event_type") == F.col("b.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce("m.d", "b.d").alias("d"),
+        F.coalesce("m.event_type", "b.event_type").alias("event_type"),
+        (
+            F.coalesce("m.n_events", zero) + F.coalesce("b.n_events", zero)
+        ).alias("n_events"),
+        (
+            F.coalesce("m.value_cents", zero)
+            + F.coalesce("b.value_cents", zero)
+        ).alias("value_cents"),
+    )
