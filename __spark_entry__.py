@@ -156,6 +156,10 @@ _PRIORITY = [
     "pipeline_supplier_part_census",
     "mv_incremental_refresh",
     "join_asof_nearest",
+    "scan_json_multiline",
+    "agg_geometric_mean",
+    "evt_segment_transitions",
+    "udtf_table_argument",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

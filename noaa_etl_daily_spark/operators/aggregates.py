@@ -1277,3 +1277,34 @@ def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
     return summary.transpose()
+
+
+@register(
+    "agg_geometric_mean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(sum(CAST(round(ln(o_totalprice) * 1000000000) AS BIGINT))
+                     / count(*) / 1000000000.0), 4) AS geo_mean
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per group — the right average for multiplicative
+    quantities (growth factors, price ratios); neither engine ships it
+    as a builtin, so it is composed as exp(mean(ln x)). Determinism
+    (G2): a float sum of logs is order-dependent, so each ln term is
+    quantized to integer nano-units BEFORE the sum (the
+    evt_decay_weighted_value discipline); the integer sum divides
+    exactly by the count, and the final exp of an identical double
+    rounds identically on both engines. One hash aggregate with
+    map-side combine — the same plan as any sum/avg."""
+    orders = load(spark, sf_dir, "orders")
+    term = F.round(F.log(F.col("o_totalprice")) * 1_000_000_000, 0).cast("long")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.exp(F.sum(term) / F.count(F.lit(1)) / 1_000_000_000.0), 4
+        ).alias("geo_mean"),
+    )

@@ -1719,3 +1719,63 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").alias("peak_concurrency"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_sessions"),
     )
+
+
+@register(
+    "evt_segment_transitions",
+    oracle="""
+    WITH weekly AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), tiered AS (
+      SELECT user_id, wk,
+             CASE WHEN n >= 25 THEN 'high'
+                  WHEN n >= 10 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lag(CASE WHEN n >= 25 THEN 'high'
+                      WHEN n >= 10 THEN 'mid'
+                      ELSE 'low' END)
+               OVER (PARTITION BY user_id ORDER BY wk) AS prev_tier
+      FROM weekly
+    )
+    SELECT prev_tier, tier, CAST(count(*) AS BIGINT) AS n_users
+    FROM tiered
+    WHERE prev_wk = wk - INTERVAL 7 DAY
+    GROUP BY prev_tier, tier
+    """,
+)
+def evt_segment_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-tier migration matrix: users bucketed into weekly
+    activity tiers, counting tier→tier transitions between CONSECUTIVE
+    weeks (the retention team's upgrade/downgrade flow; complements
+    evt_transition_matrix, which is event-type Markov). The adjacency
+    filter (prev week exactly 7 days back) keeps gap weeks from
+    minting false transitions. Shape: the corpus reduces to (user,
+    week) rows in ONE hash aggregate; the lag window and the final
+    census run over that reduced grain, all integer arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tier = (
+        F.when(F.col("n") >= 25, "high")
+        .when(F.col("n") >= 10, "mid")
+        .otherwise("low")
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    tiered = weekly.select(
+        "user_id",
+        "wk",
+        tier.alias("tier"),
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lag(tier).over(w).alias("prev_tier"),
+    )
+    return (
+        tiered.filter(
+            F.col("prev_wk") == F.col("wk") - F.expr("INTERVAL 7 DAYS")
+        )
+        .groupBy("prev_tier", "tier")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

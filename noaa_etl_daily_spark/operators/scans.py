@@ -632,3 +632,50 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct"
         ),
     )
+
+
+@register(
+    "scan_json_multiline",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiLine JSON ingestion — a single pretty-printed JSON ARRAY
+    document (the shape REST exports and config dumps arrive in), as
+    opposed to scan_json_lines' one-object-per-line. The file is
+    produced executor-side as one JSON document (a collect_list fold
+    over the 25-row nation dim — bounded by construction), read back
+    with ``multiLine=true``, and the aggregate census must match
+    DuckDB over the original parquet. The operational lesson is in the
+    contrast: a multiLine JSON document is NOT line-splittable — ONE
+    task parses the whole file, so at 100 TB this format is for small
+    payloads only; the line-delimited source is the scalable door."""
+    nation = load(spark, sf_dir, "nation")
+    out = _scratch("json_multiline", _sf_tag(sf_dir), "nation")
+    doc = nation.agg(
+        F.concat(
+            F.lit("[\n"),
+            F.concat_ws(
+                ",\n",
+                F.collect_list(
+                    F.to_json(
+                        F.struct("n_nationkey", "n_name", "n_regionkey")
+                    )
+                ),
+            ),
+            F.lit("\n]"),
+        ).alias("value")
+    )
+    doc.write.mode("overwrite").text(out)
+    back = spark.read.option("multiLine", "true").json(
+        out, schema="n_nationkey long, n_name string, n_regionkey long"
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )

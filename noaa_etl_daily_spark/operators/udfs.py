@@ -430,3 +430,63 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", tag("o_totalprice", "o_orderpriority").alias("bucket_tag")
     )
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE argument + PARTITION BY — the
+    'whole-relation in, relation out' Python boundary: each UDTF
+    instance receives ONE priority partition's rows through eval() and
+    emits its summary from terminate(). This is the SQL-native sibling
+    of udaf_pandas_grouped (applyInPandas): the planner shuffles on
+    the PARTITION BY key exactly as for a groupBy, Python holds only
+    per-partition running state (three scalars here — O(1) memory
+    regardless of partition size), and the oracle is the plain SQL
+    aggregate the UDTF must reproduce. Integer-cent accumulation keeps
+    the Python-side fold order-independent (G2)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "o_orderpriority string, n_orders bigint, "
+        "total_cents bigint, max_key bigint"
+    ))
+    class PriorityStats:
+        def __init__(self):
+            self.pri = None
+            self.n = 0
+            self.cents = 0
+            self.max_key = None
+
+        def eval(self, row):
+            self.pri = row["o_orderpriority"]
+            self.n += 1
+            self.cents += int(round(row["o_totalprice"] * 100))
+            k = row["o_orderkey"]
+            self.max_key = k if self.max_key is None else max(self.max_key, k)
+
+        def terminate(self):
+            if self.n:
+                yield self.pri, self.n, self.cents, self.max_key
+
+    spark.udtf.register("priority_stats_udtf", PriorityStats)
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).createOrReplaceTempView("_udtf_orders")
+    return spark.sql(
+        """
+        SELECT * FROM priority_stats_udtf(
+          TABLE(_udtf_orders) PARTITION BY o_orderpriority
+        )
+        """
+    )

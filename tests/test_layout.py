@@ -301,6 +301,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "scan_text_lines",            # 1-row round-trip census aggregate
         "sql_transpose",              # transpose of a 3-row summary
         "pipeline_dormant_customers", # 1-row global-average scalar
+        "scan_json_multiline",        # 1-document fold of the 25-row dim
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
