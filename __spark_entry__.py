@@ -160,6 +160,7 @@ _PRIORITY = [
     "agg_geometric_mean",
     "evt_segment_transitions",
     "udtf_table_argument",
+    "llm_length_histogram",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -3728,3 +3728,48 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("hashes").alias("fp_min"),
         F.round(F.size(fps) / (F.size("hashes") - 4), 6).alias("density"),
     )
+
+
+@register(
+    "llm_length_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(floor(log2(len(list_filter(string_split(lower(text), ' '),
+                                             t -> t <> '')))) AS BIGINT)
+               AS log2_bucket,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '), t -> t <> '')) > 0
+    )
+    SELECT log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM lens
+    GROUP BY log2_bucket
+    """,
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in log2 buckets — the curation
+    diagnostic behind truncation-limit and packing decisions (token
+    budgets follow a power law; the linear histogram agg_histogram_bins
+    runs hides the tail this one exposes). floor(log2(n)) of an
+    INTEGER token count is engine-exact (log2 of an exact power-of-two
+    boundary value is exact in both libms, and counts between
+    boundaries have slack >> 1 ulp), so the bucketing is deterministic
+    without quantization. Scan-stage tokenize + ONE tiny hash
+    aggregate over ≤64 bucket rows."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    n = F.size(_tokens())
+    lens = docs.select(
+        F.floor(F.log2(n)).alias("log2_bucket"),
+        n.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    return lens.groupBy("log2_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
