@@ -503,3 +503,71 @@ def test_fuzz_median_interpolation(spark, oracle, rows):
         rows,
         oracle,
     )
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_fuzz_null_safe_join(spark, oracle, a, b):
+    """eqNullSafe (<=>) vs IS NOT DISTINCT FROM, fuzzed: NULL keys must
+    MATCH each other (unlike the plain equi-join fuzz above where they
+    never do), across empty sides, NULL-only sides, and duplicate
+    keys. Locks join_null_safe_eq's semantics beyond the fixture."""
+    from pyspark.sql import functions as F
+
+    da = spark.createDataFrame(_pdf(a), schema=SCHEMA)
+    db = spark.createDataFrame(_pdf(b), schema=SCHEMA)
+    agg_a = da.groupBy("k").agg(F.sum("v").alias("sa"))
+    agg_b = db.groupBy("k").agg(F.sum("v").alias("sb"))
+    q = agg_a.join(agg_b, agg_a.k.eqNullSafe(agg_b.k)).select(
+        agg_a.k.alias("k"), "sa", "sb"
+    )
+    t_a, t_b = _pdf(a), _pdf(b)
+    oracle.register("ta", t_a)
+    oracle.register("tb", t_b)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """SELECT x.k, CAST(x.sa AS BIGINT) AS sa,
+                          CAST(y.sb AS BIGINT) AS sb
+                   FROM (SELECT k, sum(v) AS sa FROM ta GROUP BY k) x
+                   JOIN (SELECT k, sum(v) AS sb FROM tb GROUP BY k) y
+                     ON x.k IS NOT DISTINCT FROM y.k"""
+            ).df()
+        )
+    finally:
+        oracle.unregister("ta")
+        oracle.unregister("tb")
+    assert got == want, f"\na={a}\nb={b}\nspark={got}\nduck ={want}"
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_fuzz_pivot_case_sum(spark, oracle, rows):
+    """The CASE-sum pivot formulation (agg_pivot's plan) fuzzed against
+    DuckDB's explicit conditional aggregation under NULL categories and
+    NULL keys: a NULL category row must land in NO pivot column while
+    still counting toward the group's row total."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(_pdf(rows), schema=SCHEMA)
+    got_df = sdf.groupBy("k").agg(
+        *[
+            F.sum(F.when(F.col("c") == cat, F.col("v"))).alias(f"v_{cat}")
+            for cat in ("a", "b", "c")
+        ],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    _compare(
+        got_df,
+        """
+        SELECT k,
+               sum(CASE WHEN c = 'a' THEN v END) AS v_a,
+               sum(CASE WHEN c = 'b' THEN v END) AS v_b,
+               sum(CASE WHEN c = 'c' THEN v END) AS v_c,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM t GROUP BY k
+        """,
+        rows,
+        oracle,
+    )
