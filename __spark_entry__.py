@@ -161,6 +161,7 @@ _PRIORITY = [
     "evt_segment_transitions",
     "udtf_table_argument",
     "llm_length_histogram",
+    "pipeline_corpus_curation",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -3773,3 +3773,81 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             len(list_distinct(tk)) / len(tk) AS uniq_ratio
+      FROM toks WHERE len(tk) > 0
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 1000 AND uniq_ratio >= 0.3
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) < 52429
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition proof that the
+    engine's LLM operators fuse into one plan the way a real corpus
+    build runs them: tokenize → quality gate (length window + lexical
+    diversity) → exact dedup (keep-lowest-doc_id per content hash) →
+    deterministic 80% hash sample → per-language census. One scan
+    stage carries tokenize+quality+sample expressions; the ONLY
+    corpus-sized exchange is the dedup's content-hash shuffle (text
+    itself never shuffles beyond it); the census aggregate is
+    lang-cardinality. The md5-prefix sample is the same
+    seed-free reproducible device as llm_sample_stratified_hash —
+    re-running the pipeline on the same corpus yields byte-identical
+    training data, the property curation teams audit against."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    tk = _tokens()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tk).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(tk)) / F.size(tk)).alias("uniq_ratio"),
+    ).filter(F.col("n_tokens") > 0)
+    quality = scored.filter(
+        F.col("n_tokens").between(20, 1000) & (F.col("uniq_ratio") >= 0.3)
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    sampled = deduped.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        < 52429  # 0.8 * 65536
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -700,3 +700,40 @@ def test_stream_foreachbatch_upsert_builds_serving_table(
         .collect()
     }
     assert got == want
+
+
+def test_stream_processing_time_trigger_converges(spark, sf_dir, stream_src):
+    """Wall-clock micro-batch trigger (Trigger.ProcessingTime) — the
+    mode a 24/7 production stream actually runs, vs the finite
+    availableNow drains used elsewhere: the query keeps firing on a
+    cadence, and once the finite source is exhausted its complete-mode
+    sink must equal the batch answer; the query is then stopped
+    explicitly (no natural termination — the operational difference
+    this test exists to cover)."""
+    import time
+
+    batch = REGISTRY["evt_tumbling_window"].builder(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    want = _rows(batch, cols)
+
+    q = (
+        st.stream_tumbling_counts(st.read_events_stream(spark, stream_src))
+        .writeStream.format("memory")
+        .queryName("t_proctime")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = None
+        while time.time() < deadline:
+            got = _table_rows(spark, "t_proctime", cols)
+            if got == want:
+                break
+            time.sleep(1)
+        assert got == want
+        assert q.isActive  # processingTime never self-terminates
+    finally:
+        q.stop()
+        q.awaitTermination(30)
