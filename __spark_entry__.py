@@ -162,6 +162,7 @@ _PRIORITY = [
     "udtf_table_argument",
     "llm_length_histogram",
     "pipeline_corpus_curation",
+    "llm_sim_topk_cosine_local_prune",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

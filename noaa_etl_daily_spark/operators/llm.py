@@ -3851,3 +3851,73 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register("llm_sim_topk_cosine_local_prune", oracle=_COSINE_ORACLE)
+def llm_sim_topk_cosine_local_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine — the SHUFFLE-MINIMIZED form of
+    llm_sim_topk_cosine (same oracle, so the driver proves them
+    equal): before the per-query ranking window, a mapInPandas pass
+    keeps only each PHYSICAL PARTITION's local top-5 per query, so the
+    exchange feeding the global window carries ≤ k·|queries| rows PER
+    PARTITION instead of the full |queries|×|corpus| score stream. At
+    100 TB that is the difference between shuffling the whole scored
+    cross space and shuffling a few thousand rows. Correctness of the
+    prune: any global top-5 row has at most 4 rows ranked above it
+    ANYWHERE, hence at most 4 in its own partition — local top-5 can
+    never drop it. Local and global ranking share the identical
+    (rounded sim desc, cand_id asc) order (G2/G3), and the rolling
+    per-batch compaction keeps Python memory at O(k·|queries|).
+
+    Measured honestly at sf0.1 (bench, same session): 0.51 s vs the
+    plain window's 0.31 s — below the shuffle-bound regime the Arrow
+    boundary costs more than the pruned exchange saves, so the plain
+    form stays the bench headline and THIS form is the one you deploy
+    when the scored stream (|queries|×|corpus|) no longer fits an
+    exchange."""
+    import pandas as _pd
+
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    nrm = _dot(F.col("embedding"), F.col("embedding"))
+    d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    q = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_e"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    scored = joined.select(
+        "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+    )
+
+    def local_topk(batches):
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else _pd.concat((acc, pdf))
+            acc = (
+                acc.sort_values(
+                    ["query_id", "sim", "cand_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(5)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = scored.mapInPandas(
+        local_topk, schema="query_id long, cand_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
