@@ -163,6 +163,7 @@ _PRIORITY = [
     "llm_length_histogram",
     "pipeline_corpus_curation",
     "llm_sim_topk_cosine_local_prune",
+    "fn_datetime_format_patterns",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1122,3 +1122,35 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         plain.cast("string").alias("decrypted"),
         F.length("text").alias("n_chars"),
     )
+
+
+@register(
+    "fn_datetime_format_patterns",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m')                AS month_key,
+           strftime(ts, '%Y-%m-%d %H:%M')       AS minute_key,
+           strftime(ts, '%a')                   AS dow_short,
+           strftime(ts, '%j')                   AS day_of_year,
+           strftime(ts, '%H')                   AS hour_24
+    FROM events
+    """,
+)
+def fn_datetime_format_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp → string rendering (``date_format`` ↔ ``strftime``) —
+    the partition-key and report-label minting surface of every ETL.
+    The two engines use DIFFERENT pattern languages (JDK
+    DateTimeFormatter 'yyyy-MM' vs C strftime '%Y-%m'); this op pins
+    the cross-dialect pattern map for the common keys: month bucket,
+    minute bucket, abbreviated weekday (locale-stable for en), zero-
+    padded day-of-year and 24h hour. Scan-stage only, zero exchanges;
+    byte-identical outputs are the oracle claim."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM").alias("month_key"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_key"),
+        F.date_format("ts", "EEE").alias("dow_short"),
+        F.date_format("ts", "DDD").alias("day_of_year"),
+        F.date_format("ts", "HH").alias("hour_24"),
+    )

@@ -696,3 +696,40 @@ def test_foreachbatch_upsert_restart_is_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_concurrent_queries_share_one_session(spark, oracle, sf_dir):
+    """Thread-safety of the shared SparkSession: eight different
+    registered queries submitted CONCURRENTLY from threads (the
+    multi-user notebook / JDBC-server pattern) must each produce
+    exactly the rows they produce when run alone — no temp-view
+    cross-talk, no conf races, no scheduler interference. Spark's
+    scheduler interleaves the jobs; FAIR or FIFO, results must be
+    identical."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    registry = load_all()
+    names = [
+        "agg_groupby_multi",
+        "join_broadcast_chain",
+        "win_topk_per_group",
+        "filter_compound",
+        "fn_string_basic",
+        "evt_tumbling_window",
+        "llm_text_tokenize_counts",
+        "pipeline_regional_volume",
+    ]
+    solo = {
+        n: sorted(map(repr, registry[n].builder(spark, sf_dir).collect()))
+        for n in names
+    }
+
+    def run(n):
+        return n, sorted(map(repr, registry[n].builder(spark, sf_dir).collect()))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        concurrent = dict(pool.map(run, names))
+    for n in names:
+        assert concurrent[n] == solo[n], f"{n} differs under concurrency"
