@@ -733,3 +733,41 @@ def test_concurrent_queries_share_one_session(spark, oracle, sf_dir):
         concurrent = dict(pool.map(run, names))
     for n in names:
         assert concurrent[n] == solo[n], f"{n} differs under concurrency"
+
+
+def test_bigram_lm_probabilities_sum_to_one(spark, sf_dir):
+    """llm_bigram_lm invariant: for every conditioning token w1, the
+    conditional probabilities over its continuations must sum to 1
+    (within the 1e-6 rounding the op applies per row) — the property
+    that makes the table a usable language model, checked over every
+    w1 in the corpus rather than sampled."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    df = load_all()["llm_bigram_lm"].builder(spark, sf_dir)
+    sums = df.groupBy("w1").agg(
+        F.sum("cond_p").alias("p_sum"), F.count(F.lit(1)).alias("n_conts")
+    )
+    bad = sums.filter(
+        F.abs(F.col("p_sum") - 1.0) > F.col("n_conts") * 1e-6
+    ).collect()
+    assert not bad, bad[:5]
+
+
+def test_vocab_coverage_monotone_and_complete(spark, sf_dir):
+    """llm_vocab_coverage invariants: cumulative share is strictly
+    positive, non-decreasing in rank, and reaches exactly 1.0 at the
+    last rank; counts are non-increasing along the ranking."""
+    from noaa_etl_daily_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["llm_vocab_coverage"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows[-1].cum_share == 1.0
+    prev_share, prev_cnt = 0.0, None
+    for r in rows:
+        assert r.cum_share >= prev_share > -1
+        assert prev_cnt is None or r.cnt <= prev_cnt
+        prev_share, prev_cnt = r.cum_share, r.cnt
