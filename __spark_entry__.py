@@ -164,6 +164,8 @@ _PRIORITY = [
     "pipeline_corpus_curation",
     "llm_sim_topk_cosine_local_prune",
     "fn_datetime_format_patterns",
+    "win_rolling_median",
+    "sink_parquet_zstd",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

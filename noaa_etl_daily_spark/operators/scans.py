@@ -679,3 +679,36 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+
+
+@register(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec control: rewrite lineitem as zstd parquet
+    (the modern lake default — snappy-class decode speed at gzip-class
+    ratios; at 100 TB the codec choice IS a double-digit storage and
+    scan-IO delta) and prove byte-level fidelity by aggregating the
+    rewritten copy against DuckDB over the original.
+    tests/test_layout.py asserts the written column chunks really
+    carry ZSTD, so the option reached the files rather than silently
+    falling back to the session default."""
+    li = load(spark, sf_dir, "lineitem")
+    out = _scratch("zstd", _sf_tag(sf_dir), "lineitem")
+    (
+        li.write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

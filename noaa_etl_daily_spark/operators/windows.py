@@ -601,3 +601,44 @@ def win_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("lead(v, 1) IGNORE NULLS").over(w).alias("v_next_known"),
         F.first("v", ignorenulls=True).over(run).alias("v_first_known"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_median,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_median
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust smoothing: the 5-event windowed MEDIAN per user
+    (the outlier-resistant alternative to win_moving_avg_rows — one
+    spiked reading cannot drag it) plus the expanding running median.
+    Exact percentile as a WINDOW aggregate re-sorts each frame, so at
+    100 TB this stays affordable only because frames are bounded (5
+    rows) or per-user; for corpus-wide rolling quantiles the KLL
+    sketch path substitutes. Median interpolation (a+b)/2 of
+    parquet-exact doubles is IEEE-identical cross-engine (the
+    median-fuzz property); ordering ties break on event_id (G3)."""
+    ev = load(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roll = base.rowsBetween(-4, Window.currentRow)
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(roll), 6).alias(
+            "rolling_median"
+        ),
+        F.round(F.percentile("value", F.lit(0.5)).over(run), 6).alias(
+            "running_median"
+        ),
+    )

@@ -518,3 +518,26 @@ def test_zorder_beats_lexicographic_on_second_dimension(spark, sf_dir):
     # lexicographic files each cover ~the whole month on ts; z-order
     # files must be materially tighter on the same dimension
     assert z_span < 0.75 * lex_span, (z_span, lex_span)
+
+
+def test_zstd_sink_writes_zstd_chunks(spark, sf_dir):
+    """sink_parquet_zstd's codec option must actually reach the files:
+    every column chunk of the written parquet reports ZSTD
+    compression."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from noaa_etl_daily_spark.operators.scans import SCRATCH
+    from noaa_etl_daily_spark.operators.scans import sink_parquet_zstd
+
+    sink_parquet_zstd(spark, sf_dir).count()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    files = glob.glob(os.path.join(SCRATCH, "zstd", tag, "lineitem", "*.parquet"))
+    assert files
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            for c in range(md.row_group(rg).num_columns):
+                assert md.row_group(rg).column(c).compression == "ZSTD", path
