@@ -166,6 +166,7 @@ _PRIORITY = [
     "fn_datetime_format_patterns",
     "win_rolling_median",
     "sink_parquet_zstd",
+    "evt_slo_burn_rate",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1779,3 +1779,67 @@ def evt_segment_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_tier", "tier")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "evt_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS errors
+      FROM events GROUP BY 1
+    ), windows AS (
+      SELECT h, total, errors,
+             sum(errors) OVER w6 AS err_6h,
+             sum(total)  OVER w6 AS tot_6h
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h,
+           round(errors / total, 6)           AS fast_rate,
+           round(err_6h / tot_6h, 6)          AS slow_rate,
+           round(errors / total / 0.25, 6)    AS fast_burn,
+           round(err_6h / tot_6h / 0.25, 6)   AS slow_burn,
+           (errors / total / 0.25 >= 1.2)
+             AND (err_6h / tot_6h / 0.25 >= 1.1) AS page_alert
+    FROM windows
+    """,
+)
+def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    a 25% error budget consumed at ≥1.2× over the last hour AND ≥1.1×
+    over the trailing 6 hours pages — the two windows together
+    suppress both blips (fast-only) and slow leaks already visible in
+    the long window alone. ONE hourly pre-aggregate feeds both
+    windows (the reaggregation-from-partials trick of
+    evt_daily_rollup_reaggregate applied to alerting); the sliding
+    window runs over HOUR-cardinality rows — bounded by the time
+    range, never by event volume, which is why the global ordering is
+    affordable (same justification as evt_cumulative_new_users).
+    Integer counts divide exactly; both engines produce identical
+    doubles (G2)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, Window.currentRow)
+    windows = hourly.select(
+        "h",
+        "total",
+        "errors",
+        F.sum("errors").over(w6).alias("err_6h"),
+        F.sum("total").over(w6).alias("tot_6h"),
+    )
+    fast = F.col("errors") / F.col("total")
+    slow = F.col("err_6h") / F.col("tot_6h")
+    return windows.select(
+        "h",
+        F.round(fast, 6).alias("fast_rate"),
+        F.round(slow, 6).alias("slow_rate"),
+        F.round(fast / 0.25, 6).alias("fast_burn"),
+        F.round(slow / 0.25, 6).alias("slow_burn"),
+        ((fast / 0.25 >= 1.2) & (slow / 0.25 >= 1.1)).alias("page_alert"),
+    )

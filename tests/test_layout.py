@@ -302,6 +302,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "sql_transpose",              # transpose of a 3-row summary
         "pipeline_dormant_customers", # 1-row global-average scalar
         "scan_json_multiline",        # 1-document fold of the 25-row dim
+        "evt_slo_burn_rate",          # sliding window over HOUR rows
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
