@@ -236,6 +236,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
     # regardless of corpus size (documented in each docstring).
     BNLJ_OK = {
         "llm_sim_topk_cosine",        # ~20-row query side broadcast
+        "llm_sim_topk_cosine_local_prune",  # same bounded query broadcast
         "llm_dedup_embed_cosine_bruteforce",  # documented O(n²) baseline
         "llm_text_perplexity_proxy",  # 1-row corpus-total scalar
         "llm_embed_norm_outliers",    # 1-row (mu, sigma) scalar
