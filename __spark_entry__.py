@@ -167,6 +167,8 @@ _PRIORITY = [
     "win_rolling_median",
     "sink_parquet_zstd",
     "evt_slo_burn_rate",
+    "join_shuffle_hash_hint",
+    "llm_skipgram_pairs",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -838,3 +838,37 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.getField("ts").alias("view_ts"),
         F.when(chosen.isNull(), None).otherwise(signed).alias("delta_us"),
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT surface: the same orders⋈customer join forced
+    onto a SHUFFLED HASH join via ``hint('shuffle_hash')`` (plan-locked
+    in tests/test_layout.py). Why a user reaches for it at 100 TB:
+    when both sides are too big to broadcast, Spark's default is
+    sort-merge — two full sorts; a shuffled hash join skips both sorts
+    when the build side's PER-PARTITION slice fits memory, which the
+    optimizer can't always prove but an operator often knows. The
+    oracle certifies the hint changes the PLAN, never the result."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(
+            cust.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -3921,3 +3921,69 @@ def llm_sim_topk_cosine_local_prune(spark: SparkSession, sf_dir: str) -> DataFra
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "llm_skipgram_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), p AS (
+      SELECT tk[i] AS center, tk[i+1] AS context
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+      UNION ALL
+      SELECT tk[i+1], tk[i]
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+      UNION ALL
+      SELECT tk[i], tk[i+2]
+      FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+      UNION ALL
+      SELECT tk[i+2], tk[i]
+      FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY center, context
+    """,
+)
+def llm_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts with a ±2
+    window — the word2vec / GloVe training-pair extraction step. Pair
+    construction is pure scan-stage array slicing (one zipped
+    transform per offset-direction, concatenated and exploded — no
+    self-join of positions); the corpus then collapses in ONE
+    (center, context) hash aggregate with map-side combine, so the
+    shuffle is vocab²-bounded like llm_bigram_lm's. Window radius is a
+    code constant: radius R costs 2R scan-stage transforms, never an
+    extra pass or exchange."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+
+    def off_pairs(off):
+        return F.when(
+            F.size(toks) >= off + 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - off),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("c"),
+                    F.element_at(toks, i + off).alias("x"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<c:string,x:string>>"))
+
+    def rev(col):
+        return F.transform(
+            col,
+            lambda s: F.struct(
+                s.getField("x").alias("c"), s.getField("c").alias("x")
+            ),
+        )
+
+    p1, p2 = off_pairs(1), off_pairs(2)
+    pairs = F.concat(p1, rev(p1), p2, rev(p2))
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.c").alias("center"), F.col("p.x").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

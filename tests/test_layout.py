@@ -543,3 +543,19 @@ def test_zstd_sink_writes_zstd_chunks(spark, sf_dir):
         for rg in range(md.num_row_groups):
             for c in range(md.row_group(rg).num_columns):
                 assert md.row_group(rg).column(c).compression == "ZSTD", path
+
+
+def test_shuffle_hash_hint_plans_shuffled_hash_join(spark, sf_dir):
+    """join_shuffle_hash_hint's claim: the hint must produce a
+    ShuffledHashJoin even where auto-broadcast would normally win, and
+    with broadcast disabled it must displace the SortMergeJoin default
+    (no per-partition sorts)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["join_shuffle_hash_hint"].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
