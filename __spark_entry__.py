@@ -169,6 +169,8 @@ _PRIORITY = [
     "evt_slo_burn_rate",
     "join_shuffle_hash_hint",
     "llm_skipgram_pairs",
+    "llm_collocation_pmi",
+    "evt_dow_hour_heatmap",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1843,3 +1843,31 @@ def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slow / 0.25, 6).alias("slow_burn"),
         ((fast / 0.25 >= 1.2) & (slow / 0.25 >= 1.1)).alias("page_alert"),
     )
+
+
+@register(
+    "evt_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def evt_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour activity heatmap — the first chart every ops
+    dashboard draws (when do users show up?). One hash aggregate over
+    a ≤7×24-cell key space; the exact per-cell distinct-user count is
+    the expensive exact path (one dedup Expand), swapped for HLL at
+    100 TB with the identical join tree. dayofweek numbering differs
+    across engines (G4): Spark Sun=1, DuckDB Sun=0 — reconciled in the
+    oracle."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -3987,3 +3987,88 @@ def llm_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "llm_collocation_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), pairs AS (
+      SELECT tk[i] AS w1, tk[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ), pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY w1, w2
+    ), uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+      FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM uni
+    )
+    SELECT p.w1, p.w2, p.n_pair,
+           round(ln((p.n_pair * t.n_total)
+                    / (CAST(a.n_tok AS DOUBLE) * b.n_tok)), 6) AS pmi
+    FROM pc p
+    JOIN uni a ON p.w1 = a.tok
+    JOIN uni b ON p.w2 = b.tok
+    CROSS JOIN tot t
+    WHERE p.n_pair >= 5
+    """,
+)
+def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent-word pairs — the
+    collocation detector ("new york" ≫ chance) used for phrase-mining
+    before tokenizer training. PMI = ln(n_pair·N / (n_w1·n_w2)): the
+    argument is an exact integer ratio in doubles, ONE ln per output
+    row (no float summation anywhere), so round(...,6) is
+    engine-stable without quantization (G2). Shape: bigram + unigram
+    hash aggregates (both map-side combinable), two vocab-bounded
+    equi-joins, a 1-row corpus-total broadcast, and a min-support
+    filter (n≥5) that also keeps the PMI estimate statistically
+    meaningful."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pc = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tot = uni.agg(F.sum("n_tok").alias("n_total"))
+    a = uni.alias("a")
+    b = uni.alias("b")
+    return (
+        pc.join(a, F.col("w1") == F.col("a.tok"))
+        .join(b, F.col("w2") == F.col("b.tok"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_total"))
+                    / (F.col("a.n_tok").cast("double") * F.col("b.n_tok"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -268,6 +268,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_power_users",            # 1-row p90 threshold scalar
         "evt_activity_autocorr",      # 1-row × 1-row moment scalars
         "pipeline_dormant_customers", # 1-row global-average scalar
+        "llm_collocation_pmi",        # 1-row corpus-total scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -304,6 +305,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_dormant_customers", # 1-row global-average scalar
         "scan_json_multiline",        # 1-document fold of the 25-row dim
         "evt_slo_burn_rate",          # sliding window over HOUR rows
+        "llm_collocation_pmi",        # 1-row corpus-total reduce
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
