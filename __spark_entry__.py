@@ -171,6 +171,7 @@ _PRIORITY = [
     "llm_skipgram_pairs",
     "llm_collocation_pmi",
     "evt_dow_hour_heatmap",
+    "evt_new_vs_returning_daily",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1871,3 +1871,52 @@ def evt_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "evt_new_vs_returning_daily",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_d
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(e.ts AS DATE) AS d,
+           CAST(count(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.first_d
+                                    THEN e.user_id END) AS BIGINT)
+             AS new_users,
+           CAST(count(DISTINCT CASE WHEN CAST(e.ts AS DATE) <> f.first_d
+                                    THEN e.user_id END) AS BIGINT)
+             AS returning_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1
+    """,
+)
+def evt_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split — the growth dashboard's first
+    breakdown: a user counts as NEW only on their first-seen calendar
+    day, RETURNING on every later active day. Shape: the first-seen
+    table is a per-user min (one user_id shuffle, map-side combinable)
+    joined back co-partitioned on the same key, then one day-grain
+    aggregate whose conditional distincts share a single dedup pass.
+    Complements evt_cumulative_new_users (the accretion curve) and
+    evt_resurrection_analysis (gap-based comebacks) with the daily
+    operational view."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_d")
+    )
+    d = F.col("ts").cast("date")
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(d.alias("d"))
+        .agg(
+            F.countDistinct(
+                F.when(d == F.col("first_d"), F.col("user_id"))
+            ).alias("new_users"),
+            F.countDistinct(
+                F.when(d != F.col("first_d"), F.col("user_id"))
+            ).alias("returning_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
