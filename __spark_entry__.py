@@ -172,6 +172,15 @@ _PRIORITY = [
     "llm_collocation_pmi",
     "evt_dow_hour_heatmap",
     "evt_new_vs_returning_daily",
+    "pipeline_basket_affinity",
+    "agg_gini_concentration",
+    "agg_benford_digit_quality",
+    "evt_inter_arrival_stats",
+    "llm_readability_complexity",
+    "join_bloom_prefilter",
+    "win_ewma_bounded",
+    "evt_business_days_sla",
+    "sql_execute_immediate",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     events_time,
     filters,
     functions,

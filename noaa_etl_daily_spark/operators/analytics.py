@@ -1,0 +1,666 @@
+"""Advanced analytics operators (SURVEY.md §2.12, round-4 additions).
+
+Data-science shapes a warehouse team runs daily — market-basket affinity,
+inequality/concentration indices, Benford-law data-quality screening,
+inter-arrival latency profiles, readability scoring. Spark-first design
+notes per operator; the shared discipline is the repo-wide one:
+
+- exact integer arithmetic (cents / counts / epoch-µs) wherever a sum
+  crosses an exchange, so summation order can never change the answer;
+- divisions and logs happen once per OUTPUT row and are quantized with
+  ``round(..., 6)`` identically on both engines;
+- every join/aggregate keys on a real entity key so one logical shuffle
+  serves each query stage; windows only ever run over group-cardinality
+  rows (brands², customers-per-segment, event types), never raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "pipeline_basket_affinity",
+    oracle="""
+    WITH order_brand AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_tot
+        FROM order_brand
+    ),
+    brand_counts AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand
+        FROM order_brand GROUP BY p_brand
+    ),
+    pair_counts AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM order_brand a
+        JOIN order_brand b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / n_tot, 6)                 AS support,
+           round(CAST(n_ab AS DOUBLE) / ca.n_brand, 6)            AS confidence,
+           round(CAST(n_ab AS DOUBLE) * n_tot
+                 / (CAST(ca.n_brand AS DOUBLE) * cb.n_brand), 6)  AS lift
+    FROM pair_counts
+    JOIN brand_counts ca ON pair_counts.brand_a = ca.p_brand
+    JOIN brand_counts cb ON pair_counts.brand_b = cb.p_brand
+    CROSS JOIN n_orders
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def pipeline_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) over
+    co-purchased part brands.
+
+    Scale design: the corpus-sized work is ONE dedup to the
+    (order, brand) grain — ≤25 brand rows per order regardless of how
+    many lineitems an order has — so the self-join fan-out is bounded at
+    C(25,2) = 300 candidate pairs per order, co-partitioned on
+    l_orderkey (the dedup's own shuffle key, reused by the self-join).
+    Brand marginals and the order total are 25-row / 1-row broadcasts.
+    All counts are exact integers; support/confidence/lift are one
+    quantized division per OUTPUT row (≤300 rows), so the result is
+    bit-identical cross-engine.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    order_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = order_brand.agg(
+        F.countDistinct("l_orderkey").alias("n_tot")
+    )
+    brand_counts = order_brand.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_brand")
+    )
+    a = order_brand.alias("a")
+    b = order_brand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ca = brand_counts.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    cb = brand_counts.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_tot"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_tot")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_mktsegment,
+               c.c_custkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, rev_cents,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY rev_cents, c_custkey
+               ) AS rn
+        FROM cust_rev
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+           round(2.0 * sum(rn * rev_cents)
+                 / (count(*) * CAST(sum(rev_cents) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of customer revenue per market segment
+    (the revenue-inequality sibling of win_pareto_8020).
+
+    Scale design: lineitem reduces to customer grain in ONE keyed
+    aggregate (integer cents, order-independent); the ranking window and
+    the final aggregate then run over customers-per-segment rows only —
+    at 100 TB that is the |customer| table, never the fact table. The
+    Gini closed form 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n uses exact integer
+    Σ(i·xᵢ) and Σx, so the single quantized division per segment is
+    bit-identical cross-engine; ties rank deterministically by custkey.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cust_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("rev_cents", "c_custkey")
+    ranked = cust_rev.withColumn("rn", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    tot = F.sum("rev_cents")
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            n.alias("n_customers"),
+            tot.alias("total_cents"),
+            F.round(
+                2.0 * F.sum(F.col("rn") * F.col("rev_cents"))
+                / (n * tot.cast("double"))
+                - (n + F.lit(1.0)) / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_benford_digit_quality",
+    oracle="""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS first_digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM digits)
+    SELECT first_digit,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(count(*) AS DOUBLE) / n_tot, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / CAST(first_digit AS INT)), 6)
+               AS benford_share,
+           round(CAST(count(*) AS DOUBLE) / n_tot
+                 - log10(1.0 + 1.0 / CAST(first_digit AS INT)), 6)
+               AS deviation
+    FROM digits CROSS JOIN tot
+    GROUP BY first_digit, n_tot
+    ORDER BY first_digit
+    """,
+)
+def agg_benford_digit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screening over order totals —
+    the classic fabricated-data / unit-mixup detector for financial ETL.
+
+    Scale design: the first digit is taken from the INTEGER cents value
+    rendered as a string (integer→string is byte-identical cross-engine;
+    ×100 shifts the decimal point without changing the leading digit), so
+    the whole query is one 9-group hash aggregate plus a 1-row total
+    broadcast. The only floats are the 9 output-row shares and the
+    log10 Benford expectation, each quantized once.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        ).alias("first_digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_tot"))
+    benford = F.round(
+        F.log10(1.0 + 1.0 / F.col("first_digit").cast("int")), 6
+    )
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("first_digit", "n_tot")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "first_digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n_tot"), 6).alias(
+                "obs_share"
+            ),
+            benford.alias("benford_share"),
+            F.round(
+                F.col("n_obs").cast("double") / F.col("n_tot")
+                - F.log10(1.0 + 1.0 / F.col("first_digit").cast("int")),
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@register(
+    "evt_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT)            AS n_gaps,
+           round(quantile_cont(gap_us, 0.5), 4)     AS median_gap_us,
+           round(quantile_cont(gap_us, 0.9), 4)     AS p90_gap_us,
+           CAST(max(gap_us) AS BIGINT)              AS max_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def evt_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival latency profile: the gap from each user's
+    previous event to this one, summarized as median/p90/max — the
+    latency-SLO view of user activity cadence.
+
+    Scale design: gaps are exact epoch-µs BIGINT differences computed
+    under ONE user_id window shuffle (event_id tiebreak makes lag
+    deterministic); the percentile aggregate then groups by event type —
+    5 groups. Exact ``percentile`` ↔ ``quantile_cont`` interpolation is
+    (a+b)/2 IEEE-exact on integer inputs (the repo's median-fuzz result),
+    quantized at 4dp only to guard the p90 interpolation's x·0.9 term.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (us - F.lag(us).over(w)).cast("bigint").alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("median_gap_us"),
+            F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "llm_readability_complexity",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(list_aggregate(
+                   list_transform(
+                       string_split(text, ' '),
+                       w -> len(regexp_extract_all(w, '[aeiou]+'))
+                   ), 'sum') AS BIGINT) AS n_syllables,
+               CAST(len(list_filter(
+                   string_split(text, ' '),
+                   w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3
+               )) AS BIGINT) AS n_polysyllabic,
+               n_chars
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables, n_polysyllabic,
+           round(CAST(n_syllables AS DOUBLE) / n_words, 6)    AS avg_syllables,
+           round(CAST(n_polysyllabic AS DOUBLE) / n_words, 6) AS poly_share,
+           round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6)
+               AS avg_word_len
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def llm_readability_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability / lexical-complexity scoring per document: vowel-group
+    syllable estimate, polysyllabic-word share, average word length — the
+    SMOG/ARI-style difficulty signals a corpus-quality filter thresholds on.
+
+    Scale design: ZERO shuffles — every metric is a scan-stage
+    higher-order-function fold over the token array (one tokenization,
+    reused by all three counters), so the operator is map-only and
+    codegen-fused at any scale. Counts are exact integers; the three
+    per-doc ratios are quantized divisions. The syllable regex
+    ``[aeiou]+`` sits in the dialect-common subset both engines compile
+    identically.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    toks = F.split(F.col("text"), " ")
+    syll = "size(regexp_extract_all(w, '[aeiou]+', 0))"
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_words"),
+            F.expr(
+                f"aggregate(transform(split(text, ' '), w -> {syll}), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("n_syllables"),
+            F.expr(
+                f"size(filter(split(text, ' '), w -> {syll} >= 3))"
+            ).cast("bigint").alias("n_polysyllabic"),
+            "n_chars",
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_syllables",
+            "n_polysyllabic",
+            F.round(
+                F.col("n_syllables").cast("double") / F.col("n_words"), 6
+            ).alias("avg_syllables"),
+            F.round(
+                F.col("n_polysyllabic").cast("double") / F.col("n_words"), 6
+            ).alias("poly_share"),
+            F.round(
+                (F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
+                / F.col("n_words"),
+                6,
+            ).alias("avg_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (runtime row-level filtering built
+    from primitives): the filtered build side publishes a 64 Kbit Bloom
+    bitmap; the fact scan probes it BEFORE the real join, so only
+    candidate rows (true matches + a bounded false-positive trickle) pay
+    the join shuffle. The oracle is the PLAIN join — Bloom filters have
+    no false negatives, so prefilter + join must equal join exactly.
+
+    Scale design: this is the hand-built form of Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injection, built
+    explicitly so m/k are controllable. The bitmap aggregate is ~1024
+    rows (bit_or of 64-bit words), broadcast to the fact side as k=3
+    broadcast hash joins — the fact table never shuffles until it has
+    been reduced to candidates. At 100 TB with a 1%-selective build
+    side, shuffle bytes drop ~100× for the cost of one tiny broadcast.
+    False positives are eliminated by the real join; with m=65536,
+    k=3 and ~3k keys the FP rate is ~0.2%.
+    """
+    m = 1 << 16
+    k = 3
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    def pos_expr(key: str, i: int):
+        return F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m))
+
+    mask_of = "shiftleft(cast(1 as bigint), cast({p} % 64 as int))"
+
+    bitmap = None
+    for i in range(k):
+        part = build.withColumn("pos", pos_expr("o_orderkey", i)).select(
+            F.floor(F.col("pos") / 64).cast("int").alias("word"),
+            F.expr(mask_of.format(p="pos")).alias("mask"),
+        )
+        bitmap = part if bitmap is None else bitmap.unionByName(part)
+    bitmap = bitmap.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    probe = li
+    for i in range(k):
+        bm = bitmap.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
+        )
+        probe = (
+            probe.withColumn(f"pos{i}", pos_expr("l_orderkey", i))
+            .withColumn(f"word{i}", F.floor(F.col(f"pos{i}") / 64).cast("int"))
+            .withColumn(f"mask{i}", F.expr(mask_of.format(p=f"pos{i}")))
+            .join(F.broadcast(bm), F.col(f"word{i}") == F.col(f"w{i}"), "left")
+            .filter(F.col(f"b{i}").bitwiseAND(F.col(f"mask{i}")) != 0)
+        )
+    candidates = probe.select("l_orderkey", "l_returnflag", "l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        candidates.join(build, candidates.l_orderkey == build.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "win_ewma_bounded",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS val_micro
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    framed AS (
+        SELECT event_type, day, val_micro,
+               list(CAST(val_micro AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+               ) AS frame
+        FROM daily
+    )
+    SELECT event_type, day, val_micro,
+           round(
+               list_reduce(frame, (acc, x) -> acc * 0.5 + x)
+               / list_reduce(list_transform(frame, x -> CAST(1.0 AS DOUBLE)),
+                             (acc, x) -> acc * 0.5 + x)
+               / 1000000.0, 6) AS ewma
+    FROM framed
+    ORDER BY event_type, day
+    """,
+)
+def win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon EWMA smoothing (α=½) of the daily value series per
+    event type — the time-decay trend line dashboards draw, as a window op.
+
+    Scale design: the corpus reduces to (type, day) grain in ONE
+    integer-µ-unit aggregate; the EWMA then runs over day-cardinality
+    rows only. The decay fold is an ordered left fold ``acc·0.5 + x``
+    over the 8-row frame (collect_list/list respect frame order in both
+    engines), and α=½ makes every weight a dyadic rational — the fold is
+    IEEE-exact and order-identical cross-engine, normalized by the same
+    fold over ones (handles the short frames at series start). Exact
+    recursive EWMA over unbounded history needs sequential state — that
+    form lives in the streaming mirrors; the bounded frame (weights
+    below 2⁻⁸ truncated) is the batch-parallel shape.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    micro = F.round(F.col("value") * 1000000).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(micro).alias("val_micro"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    framed = daily.withColumn(
+        "frame", F.collect_list(F.col("val_micro").cast("double")).over(w)
+    )
+    fold = "aggregate(frame, cast(0.0 as double), (acc, x) -> acc * 0.5 + x)"
+    norm = (
+        "aggregate(transform(frame, x -> cast(1.0 as double)), "
+        "cast(0.0 as double), (acc, x) -> acc * 0.5 + x)"
+    )
+    return framed.select(
+        "event_type",
+        "day",
+        "val_micro",
+        F.round(F.expr(fold) / F.expr(norm) / 1000000.0, 6).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "evt_business_days_sla",
+    oracle="""
+    WITH latency AS (
+        SELECT o.o_orderpriority,
+               -- weekdays in (orderdate, shipdate]: g(m) = 5*(m/7) +
+               -- min(m%7, 5) counts weekdays from the Monday origin
+               -- 1969-12-29; m = epoch_days + 3 (+1 for the exclusive
+               -- start bound)
+               CAST(
+                 (5 * ((date_diff('day', DATE '1970-01-01',
+                                  CAST(l.l_shipdate AS DATE)) + 4) // 7)
+                  + least((date_diff('day', DATE '1970-01-01',
+                                     CAST(l.l_shipdate AS DATE)) + 4) % 7, 5))
+                 -
+                 (5 * ((date_diff('day', DATE '1970-01-01',
+                                  CAST(o.o_orderdate AS DATE)) + 4) // 7)
+                  + least((date_diff('day', DATE '1970-01-01',
+                                     CAST(o.o_orderdate AS DATE)) + 4) % 7, 5))
+                 AS BIGINT) AS biz_days
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)       AS n_lineitems,
+           CAST(min(biz_days) AS BIGINT)  AS min_biz_days,
+           CAST(max(biz_days) AS BIGINT)  AS max_biz_days,
+           round(avg(biz_days), 6)        AS avg_biz_days
+    FROM latency
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def evt_business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS days (weekends excluded) per order
+    priority — the SLA arithmetic ops teams actually report, computed in
+    closed form (no calendar table, no per-day explode).
+
+    Scale design: weekday counting uses the closed form g(m) = 5·⌊m/7⌋ +
+    min(m mod 7, 5) with m = epoch_days+4 anchored to a Monday origin —
+    pure integer arithmetic on epoch days, engine-exact and scan-stage
+    (the G4 dayofweek-numbering hazard never enters). One fact join on
+    the shared orderkey, one 5-group aggregate. avg() of exact integers
+    is the only float, quantized once per output row.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+
+    def weekdays_to(d):
+        m = F.datediff(d.cast("date"), F.lit("1970-01-01").cast("date")) + 4
+        return 5 * F.floor(m / 7) + F.least(m % 7, F.lit(5))
+
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    biz = (
+        weekdays_to(F.col("l_shipdate")) - weekdays_to(F.col("o_orderdate"))
+    ).cast("bigint")
+    return (
+        joined.select("o_orderpriority", biz.alias("biz_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.min("biz_days").alias("min_biz_days"),
+            F.max("biz_days").alias("max_biz_days"),
+            F.round(F.avg("biz_days"), 6).alias("avg_biz_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    WHERE c_acctbal > 1000.0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 EXECUTE IMMEDIATE: dynamic SQL with positional parameter
+    binding — the templated-report surface (a query string built by a
+    scheduler, parameters bound server-side instead of string-spliced).
+
+    Scale design: parameters are bound as literals BEFORE analysis, so
+    the bound plan is identical to the inlined query — the threshold
+    constant-folds and pushes into the parquet scan exactly like
+    sql_parameterized_query's named markers (this key locks the
+    positional USING form). The oracle is the inlined query: binding
+    must never change semantics.
+    """
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("ei_customer")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_mktsegment,
+                count(*)                 AS n_customers,
+                round(sum(c_acctbal), 2) AS total_balance
+         FROM ei_customer
+         WHERE c_acctbal > ?
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment'
+        USING 1000.0
+        """
+    )

@@ -269,6 +269,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_activity_autocorr",      # 1-row × 1-row moment scalars
         "pipeline_dormant_customers", # 1-row global-average scalar
         "llm_collocation_pmi",        # 1-row corpus-total scalar
+        "agg_benford_digit_quality",  # 1-row total-count scalar
+        "pipeline_basket_affinity",   # 1-row order-total scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -306,6 +308,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "scan_json_multiline",        # 1-document fold of the 25-row dim
         "evt_slo_burn_rate",          # sliding window over HOUR rows
         "llm_collocation_pmi",        # 1-row corpus-total reduce
+        "agg_benford_digit_quality",  # 1-row total-count reduce
+        "pipeline_basket_affinity",   # 1-row order-total reduce
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
