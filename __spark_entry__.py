@@ -181,6 +181,10 @@ _PRIORITY = [
     "win_ewma_bounded",
     "evt_business_days_sla",
     "sql_execute_immediate",
+    "fn_geohash_encode",
+    "llm_bpe_merge_step",
+    "validate_profile_census",
+    "agg_crosstab_contingency",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

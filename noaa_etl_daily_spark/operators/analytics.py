@@ -664,3 +664,300 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 1000.0
         """
     )
+
+
+_GEO32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@register(
+    "fn_geohash_encode",
+    oracle="""
+    WITH pts AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey * 7 % 180 - 90 AS BIGINT)   AS lat,
+               CAST(s_suppkey * 13 % 360 - 180 AS BIGINT) AS lon
+        FROM supplier
+    ),
+    cells AS (
+        SELECT s_suppkey, lat, lon,
+               (lat + 90) * 32768 // 180  AS lat_idx,
+               (lon + 180) * 32768 // 360 AS lon_idx
+        FROM pts
+    ),
+    z AS (
+        SELECT s_suppkey, lat, lon,
+               list_aggregate(
+                   list_transform(generate_series(0, 14), j ->
+                       ((lon_idx // CAST(pow(2, 14 - j) AS BIGINT)) % 2)
+                           * CAST(pow(2, 29 - 2 * j) AS BIGINT)
+                       + ((lat_idx // CAST(pow(2, 14 - j) AS BIGINT)) % 2)
+                           * CAST(pow(2, 28 - 2 * j) AS BIGINT)),
+                   'sum') AS zval
+        FROM cells
+    )
+    SELECT s_suppkey, lat, lon,
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST((zval // 33554432) % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST((zval // 1048576) % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST((zval // 32768) % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST((zval // 1024) % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST((zval // 32) % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(zval % 32 AS INT) + 1, 1) AS geohash6
+    FROM z
+    ORDER BY s_suppkey
+    """,
+)
+def fn_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (6-char base32) of station coordinates — the
+    spatial bucketing key that blocks geo joins (the grid-cell discipline
+    fn_haversine_distance's docstring promises). Standard geohash bit
+    layout: lon/lat cell indices at 15 bits each, interleaved lon-first
+    from the MSB, then base32-rendered 5 bits per character.
+
+    Scale design: pure scan-stage integer arithmetic (quantize → shift →
+    interleave → table-lookup), zero shuffles, no floats anywhere —
+    engine-exact by construction. Pseudo-coordinates derive from supplier
+    keys exactly as in fn_haversine_distance (fixtures carry no lat/lon).
+    At 100 TB the emitted geohash is the equi-join/partition key that
+    turns O(n²) radius joins into neighboring-cell hash joins.
+    """
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey")
+    pts = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 7 % 180 - 90).cast("bigint").alias("lat"),
+        (F.col("s_suppkey") * 13 % 360 - 180).cast("bigint").alias("lon"),
+    )
+    cells = pts.select(
+        "s_suppkey",
+        "lat",
+        "lon",
+        F.expr("(lat + 90) * 32768 div 180").alias("lat_idx"),
+        F.expr("(lon + 180) * 32768 div 360").alias("lon_idx"),
+    )
+    zbits = sum(
+        (
+            F.expr(f"(lon_idx div {1 << (14 - j)}) % 2") * (1 << (29 - 2 * j))
+            + F.expr(f"(lat_idx div {1 << (14 - j)}) % 2") * (1 << (28 - 2 * j))
+        )
+        for j in range(15)
+    )
+    z = cells.withColumn("zval", zbits.cast("bigint"))
+    # substring with a dynamic start needs expr(); build the 6 chars off
+    # 5-bit slices of zval from the MSB down
+    chars = [
+        F.expr(
+            f"substr('{_GEO32}', cast((zval div {1 << (25 - 5 * c)}) % 32 "
+            "as int) + 1, 1)"
+        )
+        for c in range(6)
+    ]
+    return z.select(
+        "s_suppkey",
+        "lat",
+        "lon",
+        F.concat(*chars).alias("geohash6"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "llm_bpe_merge_step",
+    oracle="""
+    WITH word_freq AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE len(w) >= 2
+        GROUP BY w
+    ),
+    pair_counts AS (
+        SELECT p AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM (
+            SELECT freq,
+                   unnest(list_transform(
+                       generate_series(1, len(word) - 1),
+                       i -> substr(word, CAST(i AS INT), 2))) AS p
+            FROM word_freq
+        )
+        GROUP BY p
+    )
+    SELECT pair, n
+    FROM pair_counts
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: count adjacent character pairs
+    weighted by word frequency and surface the top merge candidates —
+    the inner loop of byte-pair-encoding tokenizer training.
+
+    Scale design: the REAL BPE trick is executed, not simulated — the
+    corpus collapses to the word-frequency table first (one vocab-bounded
+    shuffle), and pair extraction then explodes over VOCAB rows, never
+    raw text; each further merge iteration would rewrite only the vocab
+    table. Pair counts are exact integers (sum of freqs), the top-20 is
+    deterministic via the (count desc, pair) tiebreak — no floats in the
+    whole query.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    word_freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = word_freq.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "validate_profile_census",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           CAST(count(*) AS BIGINT)                        AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT)             AS n_nonnull,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT)    AS n_distinct,
+           CAST(min(o_totalprice) AS VARCHAR)              AS min_repr,
+           CAST(max(o_totalprice) AS VARCHAR)              AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) AS BIGINT), CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) AS BIGINT), CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def validate_profile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling census (the ingest-gate health report): per-column
+    row/non-null/distinct counts and min/max rendered as strings — the
+    summary a pipeline publishes before downstream jobs trust a batch.
+
+    Scale design: ALL columns profile in ONE pass — a single wide
+    aggregate computes every per-column statistic simultaneously (one
+    corpus scan, one reduce), then a bounded 4-row stack reshapes the
+    1-row wide result long. Spark plans the multi-distinct via one
+    Expand; at 100 TB the distinct counts swap to approx_count_distinct
+    with the same plan shape (the documented sketch path). min/max
+    rendered via CAST AS STRING keeps one schema across numeric and
+    string columns; doubles render identically cross-engine for these
+    2-dp fixture values.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_orderstatus", "o_custkey", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nonnull, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                "(column_name, n_nonnull, n_distinct, min_repr, max_repr)"
+            ),
+        )
+        .select(
+            "column_name", "n_rows", "n_nonnull", "n_distinct",
+            "min_repr", "max_repr",
+        )
+        .orderBy("column_name")
+    )
+
+
+@register(
+    "agg_crosstab_contingency",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                    END) AS BIGINT) AS p1_urgent,
+           CAST(sum(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0
+                    END) AS BIGINT) AS p2_high,
+           CAST(sum(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0
+                    END) AS BIGINT) AS p3_medium,
+           CAST(sum(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1
+                    ELSE 0 END) AS BIGINT) AS p4_not_specified,
+           CAST(sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0
+                    END) AS BIGINT) AS p5_low
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def agg_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
+    surface (pair-frequency matrix for segment × priority independence
+    checks), normalized to deterministic column names.
+
+    Scale design: crosstab plans as ONE hash aggregate over the joined
+    input with the value domain pivoted into columns — same single-pass
+    shape as agg_pivot's CASE-sum form; the orders→customer join keys the
+    only corpus shuffle. The output matrix is |segments|×|priorities| —
+    bounded. Column renames make the engine-generated headers
+    (`1-URGENT` …) schema-stable for the oracle comparison.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderpriority")
+    ct = joined.stat.crosstab("c_mktsegment", "o_orderpriority")
+    renames = {
+        "c_mktsegment_o_orderpriority": "segment",
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    for old, new in renames.items():
+        ct = ct.withColumnRenamed(old, new)
+    return ct.select(
+        "segment",
+        F.col("p1_urgent").cast("bigint"),
+        F.col("p2_high").cast("bigint"),
+        F.col("p3_medium").cast("bigint"),
+        F.col("p4_not_specified").cast("bigint"),
+        F.col("p5_low").cast("bigint"),
+    ).orderBy("segment")

@@ -310,6 +310,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_collocation_pmi",        # 1-row corpus-total reduce
         "agg_benford_digit_quality",  # 1-row total-count reduce
         "pipeline_basket_affinity",   # 1-row order-total reduce
+        "validate_profile_census",    # 1-row wide profile reduce
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
