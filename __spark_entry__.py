@@ -185,6 +185,7 @@ _PRIORITY = [
     "llm_bpe_merge_step",
     "validate_profile_census",
     "agg_crosstab_contingency",
+    "llm_minhash_calibration",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -961,3 +961,130 @@ def agg_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p4_not_specified").cast("bigint"),
         F.col("p5_low").cast("bigint"),
     ).orderBy("segment")
+
+
+_MH_SEEDS = [f"s{i:02d}" for i in range(16)]
+
+
+@register(
+    "llm_minhash_calibration",
+    oracle=f"""
+    WITH sample AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, len(string_split(lower(text), ' '))
+                                          - 2),
+                       i -> string_split(lower(text), ' ')[CAST(i AS INT)]
+                            || ' ' ||
+                            string_split(lower(text), ' ')[CAST(i AS INT) + 1]
+                            || ' ' ||
+                            string_split(lower(text), ' ')[CAST(i AS INT) + 2]
+                   )) AS shingles
+        FROM documents
+        WHERE doc_id % 10 = 0
+          AND len(string_split(lower(text), ' ')) >= 3
+    ),
+    sigs AS (
+        SELECT doc_id, shingles,
+               list_transform(
+                   {(" ").join(["["] + [", ".join("'" + s + "'" for s in _MH_SEEDS)] + ["]"])},
+                   s -> list_aggregate(
+                       list_transform(shingles, sh -> md5(s || sh)), 'min')
+               ) AS sig
+        FROM sample
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> CASE WHEN a.sig[CAST(i AS INT)]
+                                  = b.sig[CAST(i AS INT)]
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_matching,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                   AS n_inter,
+               CAST(len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+                   AS n_union
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    )
+    SELECT n_matching,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(n_inter * 1000000 // n_union) / 1000000.0, 6)
+               AS avg_exact_jaccard,
+           round(CAST(n_matching AS DOUBLE) / 16, 6) AS est_jaccard
+    FROM pairs
+    GROUP BY n_matching
+    ORDER BY n_matching
+    """,
+)
+def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration audit: on a deterministic 10% doc
+    sample, compare the k=16 signature-agreement estimate against EXACT
+    trigram Jaccard for every sample pair, bucketed by agreement count —
+    the measurement that justifies (or indicts) the production banding
+    thresholds in llm_dedup_near_minhash.
+
+    Scale design: this is the audit-on-a-sample pattern — the all-pairs
+    comparison runs over the SAMPLE (10% of docs → 1% of pairs, and the
+    sample rate shrinks with corpus growth), while signatures and
+    shingle sets are zero-shuffle scan-stage HOFs. Exact Jaccard is
+    integer-quantized to ppm BEFORE the per-bucket average so the group
+    sum is order-independent; md5 renders identical hex on both engines.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), " ")
+    sample = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.size(toks) >= 3)
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
+                "i -> concat_ws(' ', split(lower(text), ' ')[i - 1], "
+                "split(lower(text), ' ')[i], split(lower(text), ' ')[i + 1]))"
+            )
+        ).alias("shingles"),
+    )
+    seeds = ", ".join(f"'{s}'" for s in _MH_SEEDS)
+    sigs = sample.withColumn(
+        "sig",
+        F.expr(
+            f"transform(array({seeds}), "
+            "s -> array_min(transform(shingles, sh -> md5(concat(s, sh)))))"
+        ),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> "
+            "CASE WHEN x = y THEN 1 ELSE 0 END), 0L, (acc, v) -> acc + v)"
+        ).alias("n_matching"),
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+        (
+            F.size("sh_a") + F.size("sh_b")
+            - F.size(F.array_intersect("sh_a", "sh_b"))
+        ).cast("bigint").alias("n_union"),
+    )
+    return (
+        pairs.groupBy("n_matching")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.avg(F.expr("n_inter * 1000000 div n_union")) / 1000000.0, 6
+            ).alias("avg_exact_jaccard"),
+        )
+        .withColumn(
+            "est_jaccard", F.round(F.col("n_matching").cast("double") / 16, 6)
+        )
+        .select("n_matching", "n_pairs", "avg_exact_jaccard", "est_jaccard")
+        .orderBy("n_matching")
+    )

@@ -271,6 +271,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_collocation_pmi",        # 1-row corpus-total scalar
         "agg_benford_digit_quality",  # 1-row total-count scalar
         "pipeline_basket_affinity",   # 1-row order-total scalar
+        "llm_minhash_calibration",    # 10% sample all-pairs audit (bounded
+                                      # by the sample rate, documented)
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
