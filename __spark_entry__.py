@@ -186,6 +186,7 @@ _PRIORITY = [
     "validate_profile_census",
     "agg_crosstab_contingency",
     "llm_minhash_calibration",
+    "llm_embed_pq_codebook",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

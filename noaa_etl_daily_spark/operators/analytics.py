@@ -1088,3 +1088,138 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_matching", "n_pairs", "avg_exact_jaccard", "est_jaccard")
         .orderBy("n_matching")
     )
+
+
+@register(
+    "llm_embed_pq_codebook",
+    oracle="""
+    WITH eq AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000)
+                        AS BIGINT) AS DOUBLE))
+                   AS e
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    pe AS (
+        SELECT label, CAST((i - 1) // 8 AS INT) AS sub, i,
+               CAST(e[CAST(i AS INT)] AS BIGINT) AS val
+        FROM eq CROSS JOIN dims
+    ),
+    cent AS (
+        SELECT label, sub, i,
+               CAST(sum(val) AS DOUBLE) / count(*) AS c
+        FROM pe GROUP BY label, sub, i
+    ),
+    cent_arr AS (
+        SELECT label, sub, list(c ORDER BY i) AS c_arr
+        FROM cent GROUP BY label, sub
+    ),
+    subs_idx AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    subs AS (
+        SELECT vec_id, sub,
+               e[CAST(sub * 8 + 1 AS INT):CAST(sub * 8 + 8 AS INT)] AS subvec
+        FROM eq CROSS JOIN subs_idx
+    ),
+    scored AS (
+        SELECT s.vec_id, s.sub, c.label,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(generate_series(1, 8),
+                           j -> (s.subvec[CAST(j AS INT)]
+                                 - c.c_arr[CAST(j AS INT)])
+                                * (s.subvec[CAST(j AS INT)]
+                                   - c.c_arr[CAST(j AS INT)]))),
+                   (acc, v) -> acc + v) AS dist
+        FROM subs s JOIN cent_arr c ON s.sub = c.sub
+    ),
+    assigned AS (
+        SELECT vec_id, sub, label AS code, dist,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, label) AS rn
+        FROM scored
+    )
+    SELECT sub, code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(CAST(round(dist) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000000000.0, 6) AS avg_sq_err
+    FROM assigned
+    WHERE rn = 1
+    GROUP BY sub, code
+    ORDER BY sub, code
+    """,
+)
+def llm_embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) of the embedding corpus: 8 subspaces ×
+    8 dims, per-subspace codebooks, nearest-code assignment, and the
+    per-(subspace, code) population + reconstruction-error report — the
+    compression layer of IVF-PQ ANN indexes (completes the family next
+    to int8, Matryoshka, PCA and k-means). Codebooks are the
+    per-label subvector means — the deterministic stand-in for the
+    k-means iterations llm_embed_kmeans implements (rows-only); here
+    determinism buys a full value-level oracle for the assignment logic.
+
+    Scale design: the codebook is a (10 labels × 8 subspaces)-row
+    aggregate — broadcast-sized forever; assignment is a map-side join
+    fan-out of 10 scored candidates per (vector, subspace), reduced by a
+    10-row ranking window. Exactness: values quantize to integer
+    micro-units first, so centroid = Σint/count is one exact division;
+    distances are ordered zip_with folds (bit-identical cross-engine);
+    per-row errors round to integers BEFORE the group sum.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    eq = emb.withColumn(
+        "e",
+        F.expr(
+            "transform(embedding, x -> cast(cast(round("
+            "cast(x as double) * 1000000) as bigint) as double))"
+        ),
+    )
+    pe = eq.select(
+        "label", F.posexplode("e").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") / 8).cast("int").alias("sub"),
+        F.col("pos0").alias("i"),
+        F.col("val").cast("bigint").alias("val"),
+    )
+    cent = pe.groupBy("label", "sub", "i").agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cent_arr = cent.groupBy("label", "sub").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .alias("c_arr")
+    )
+    subs = eq.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+        ).alias("sub", "subvec"),
+    )
+    scored = subs.join(F.broadcast(cent_arr), "sub").select(
+        "vec_id",
+        "sub",
+        "label",
+        F.expr(
+            "aggregate(zip_with(subvec, c_arr, (x, c) -> (x - c) * (x - c)), "
+            "cast(0 as double), (acc, v) -> acc + v)"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "label")
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        assigned.groupBy("sub", F.col("label").alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.round("dist").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 1.0e12,
+                6,
+            ).alias("avg_sq_err"),
+        )
+        .orderBy("sub", "code")
+    )
