@@ -187,6 +187,10 @@ _PRIORITY = [
     "agg_crosstab_contingency",
     "llm_minhash_calibration",
     "llm_embed_pq_codebook",
+    "llm_sim_pq_adc_topk",
+    "agg_winsorized_mean",
+    "llm_kanonymity_census",
+    "evt_calendar_dim_join",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1223,3 +1223,365 @@ def llm_embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub", "code")
     )
+
+
+@register(
+    "llm_sim_pq_adc_topk",
+    oracle="""
+    WITH eq AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000)
+                        AS BIGINT) AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    cent AS (
+        SELECT label, CAST((i - 1) // 8 AS INT) AS sub, i,
+               CAST(sum(CAST(e[CAST(i AS INT)] AS BIGINT)) AS DOUBLE)
+                   / count(*) AS c
+        FROM eq CROSS JOIN dims
+        GROUP BY label, sub, i
+    ),
+    cent_arr AS (
+        SELECT label, sub, list(c ORDER BY i) AS c_arr
+        FROM cent GROUP BY label, sub
+    ),
+    subs_idx AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    subs AS (
+        SELECT vec_id, sub,
+               e[CAST(sub * 8 + 1 AS INT):CAST(sub * 8 + 8 AS INT)] AS subvec
+        FROM eq CROSS JOIN subs_idx
+    ),
+    assigned AS (
+        SELECT vec_id, sub, label AS code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(generate_series(1, 8),
+                           j -> (subvec[CAST(j AS INT)]
+                                 - c_arr[CAST(j AS INT)])
+                                * (subvec[CAST(j AS INT)]
+                                   - c_arr[CAST(j AS INT)]))),
+                       (acc, v) -> acc + v),
+                   label) AS rn
+        FROM subs JOIN cent_arr USING (sub)
+    ),
+    codes AS (SELECT vec_id, sub, code FROM assigned WHERE rn = 1),
+    queries AS (
+        SELECT vec_id AS q_id, sub, subvec AS q_sub
+        FROM subs WHERE vec_id % 100 = 0
+    ),
+    lut AS (
+        SELECT q.q_id, q.sub, c.label AS code,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, 8),
+                       j -> (q.q_sub[CAST(j AS INT)]
+                             - c.c_arr[CAST(j AS INT)])
+                            * (q.q_sub[CAST(j AS INT)]
+                               - c.c_arr[CAST(j AS INT)]))),
+                   (acc, v) -> acc + v) AS d
+        FROM queries q JOIN cent_arr c ON q.sub = c.sub
+    ),
+    adc AS (
+        SELECT l.q_id, cd.vec_id,
+               CAST(sum(CAST(round(l.d) AS BIGINT)) AS BIGINT) AS adc_dist
+        FROM codes cd
+        JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+        WHERE cd.vec_id != l.q_id
+        GROUP BY l.q_id, cd.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, vec_id) AS rk
+        FROM adc
+    )
+    SELECT q_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY q_id, rk
+    """,
+)
+def llm_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ-compressed
+    corpus: each query builds an 8×10 lookup table of query-to-centroid
+    distances, and every corpus vector is scored by summing 8 table
+    lookups keyed by its PQ codes — the scoring kernel of IVF-PQ indexes
+    (completes the family: llm_embed_pq_codebook compresses, this
+    searches the compressed form).
+
+    Scale design: the corpus never touches raw floats at query time —
+    codes are 8 small ints per vector (the 100 TB memory story: 64 B →
+    8 B). The per-query LUT is an 80-row broadcast; scoring is a
+    broadcast hash join on (sub, code) + one (query, vector) aggregate of
+    integer-rounded cells, so the only corpus-sized exchange is the
+    final per-query ranking, itself bounded by the top-k window. All
+    distances are ordered folds over integer-µ quantized values —
+    bit-exact, so ADC ranks identically cross-engine (vec_id tiebreak).
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    eq = emb.withColumn(
+        "e",
+        F.expr(
+            "transform(embedding, x -> cast(cast(round("
+            "cast(x as double) * 1000000) as bigint) as double))"
+        ),
+    )
+    pe = eq.select("label", F.posexplode("e").alias("pos0", "val")).select(
+        "label",
+        (F.col("pos0") / 8).cast("int").alias("sub"),
+        F.col("pos0").alias("i"),
+        F.col("val").cast("bigint").alias("val"),
+    )
+    cent = pe.groupBy("label", "sub", "i").agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cent_arr = cent.groupBy("label", "sub").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .alias("c_arr")
+    )
+    subs = eq.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+        ).alias("sub", "subvec"),
+    )
+    sqdist = (
+        "aggregate(zip_with({v}, c_arr, (x, c) -> (x - c) * (x - c)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w_assign = Window.partitionBy("vec_id", "sub").orderBy("dist", "label")
+    codes = (
+        subs.join(F.broadcast(cent_arr), "sub")
+        .select(
+            "vec_id", "sub", "label",
+            F.expr(sqdist.format(v="subvec")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("label").alias("code"))
+    )
+    queries = subs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("subvec").alias("q_sub")
+    )
+    lut = queries.join(F.broadcast(cent_arr), "sub").select(
+        "q_id", "sub", F.col("label").alias("code"),
+        F.expr(sqdist.format(v="q_sub")).alias("d"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.round("d").cast("bigint")).alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "adc_dist", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(price_cents, 0.05) AS p05,
+               quantile_cont(price_cents, 0.95) AS p95
+        FROM cents GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(avg(c.price_cents) / 100.0, 6) AS raw_mean,
+           round(avg(CAST(floor(least(greatest(
+                     CAST(c.price_cents AS DOUBLE), b.p05), b.p95))
+                     AS BIGINT))
+                 / 100.0, 6) AS winsorized_mean,
+           CAST(sum(CASE WHEN CAST(c.price_cents AS DOUBLE) < b.p05
+                           OR CAST(c.price_cents AS DOUBLE) > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM cents c JOIN bounds b ON c.l_returnflag = b.l_returnflag
+    GROUP BY c.l_returnflag
+    ORDER BY c.l_returnflag
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp values into the [p5, p95] band
+    before averaging — the outlier-robust estimator (sibling of
+    agg_median_abs_deviation) a QC pipeline reports next to the raw mean.
+
+    Scale design: the percentile bounds reduce to one row per group
+    (3 flags) and broadcast back onto the fact rows, so the query is two
+    aggregates sharing the same group key — no window over raw data, no
+    second shuffle of the corpus (at 100 TB the exact percentile swaps
+    for the KLL sketch with the same plan). Clamped values round back to
+    integer cents before averaging: the group average is an exact
+    rational, quantized once per output row.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    bounds = cents.groupBy("l_returnflag").agg(
+        F.expr("percentile(price_cents, 0.05)").alias("p05"),
+        F.expr("percentile(price_cents, 0.95)").alias("p95"),
+    )
+    clamped = F.floor(
+        F.least(
+            F.greatest(F.col("price_cents").cast("double"), F.col("p05")),
+            F.col("p95"),
+        )
+    ).cast("bigint")
+    out_of_band = (F.col("price_cents").cast("double") < F.col("p05")) | (
+        F.col("price_cents").cast("double") > F.col("p95")
+    )
+    return (
+        cents.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("price_cents") / 100.0, 6).alias("raw_mean"),
+            F.round(F.avg(clamped) / 100.0, 6).alias("winsorized_mean"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).alias("n_clamped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "llm_kanonymity_census",
+    oracle="""
+    WITH groups AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs,
+           CASE WHEN n_docs < 5 THEN 'suppress' ELSE 'release' END
+               AS k5_disposition
+    FROM groups
+    ORDER BY lang, source
+    """,
+)
+def llm_kanonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over the quasi-identifier pair (lang, source):
+    equivalence-class sizes with a k=5 suppress/release disposition —
+    the privacy-compliance gate (sibling of llm_text_pii_redact) a
+    corpus release runs before publishing per-slice statistics.
+
+    Scale design: one hash aggregate to the quasi-identifier grain
+    (bounded at |langs|×|sources|), the disposition is a scan-stage CASE
+    over the aggregated rows. Adding quasi-identifier columns widens the
+    group key, never adds a pass.
+    """
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "k5_disposition",
+            F.when(F.col("n_docs") < 5, "suppress").otherwise("release"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "evt_calendar_dim_join",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+        FROM events
+    ),
+    calendar AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS cal_day
+        FROM span
+    ),
+    cal_dim AS (
+        SELECT cal_day,
+               CASE WHEN (date_diff('day', DATE '1970-01-01', cal_day) + 3)
+                         % 7 >= 5
+                    THEN 1 ELSE 0 END AS is_weekend
+        FROM calendar
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY 1
+    )
+    SELECT c.is_weekend,
+           CAST(count(*) AS BIGINT)                 AS n_days,
+           CAST(sum(COALESCE(d.n_events, 0)) AS BIGINT)    AS n_events,
+           CAST(sum(COALESCE(d.value_cents, 0)) AS BIGINT) AS value_cents,
+           round(CAST(sum(COALESCE(d.n_events, 0)) AS DOUBLE)
+                 / count(*), 6) AS events_per_day
+    FROM cal_dim c LEFT JOIN daily d ON c.cal_day = d.day
+    GROUP BY c.is_weekend
+    ORDER BY c.is_weekend
+    """,
+)
+def evt_calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension joined to the fact table: a dense
+    day spine built with sequence() (no calendar table shipped), tagged
+    weekend/weekday by pure epoch-day arithmetic, LEFT-joined so silent
+    days still count in the per-day averages — the standard warehouse
+    calendar-dim pattern.
+
+    Scale design: the spine derives from a 1-row min/max aggregate and
+    explodes to |days| rows — broadcast-sized for any horizon (100 years
+    ≈ 37k rows); the fact table reduces to day grain BEFORE the join.
+    Weekend tagging uses (epoch_days+3) mod 7 ≥ 5 (Monday-anchored,
+    the evt_business_days_sla discipline) so the G4 dayofweek-numbering
+    hazard never enters; integer cents make every sum order-independent.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    span = ev.agg(
+        F.min(F.date_trunc("day", F.col("ts"))).cast("date").alias("d0"),
+        F.max(F.date_trunc("day", F.col("ts"))).cast("date").alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("cal_day")
+    ).withColumn(
+        "is_weekend",
+        F.when(
+            (F.datediff(F.col("cal_day"), F.lit("1970-01-01").cast("date")) + 3)
+            % 7
+            >= 5,
+            1,
+        ).otherwise(0),
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "value_cents"
+        ),
+    )
+    return (
+        cal.join(daily, cal.cal_day == daily.day, "left")
+        .groupBy("is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.coalesce("n_events", F.lit(0))).alias("n_events"),
+            F.sum(F.coalesce("value_cents", F.lit(0))).alias("value_cents"),
+            F.round(
+                F.sum(F.coalesce("n_events", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("events_per_day"),
+        )
+        .orderBy("is_weekend")
+    )

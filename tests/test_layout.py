@@ -313,6 +313,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_benford_digit_quality",  # 1-row total-count reduce
         "pipeline_basket_affinity",   # 1-row order-total reduce
         "validate_profile_census",    # 1-row wide profile reduce
+        "evt_calendar_dim_join",      # 1-row min/max span seed for the
+                                      # generated calendar spine
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
