@@ -191,6 +191,10 @@ _PRIORITY = [
     "agg_winsorized_mean",
     "llm_kanonymity_census",
     "evt_calendar_dim_join",
+    "fn_luhn_checksum",
+    "agg_mutual_information",
+    "llm_negative_sampling",
+    "sql_distribute_cluster_by",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1585,3 +1585,305 @@ def evt_calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_weekend")
     )
+
+
+@register(
+    "fn_luhn_checksum",
+    oracle="""
+    WITH ids AS (
+        SELECT o_orderpriority,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS acct
+        FROM orders
+    ),
+    checked AS (
+        SELECT o_orderpriority,
+               CASE WHEN list_reduce(list_prepend(0,
+                   list_transform(generate_series(1, 12), i ->
+                       CASE WHEN i % 2 = 0 THEN
+                           CASE WHEN CAST(substr(acct, 13 - CAST(i AS INT), 1)
+                                     AS INT) * 2 > 9
+                                THEN CAST(substr(acct, 13 - CAST(i AS INT), 1)
+                                     AS INT) * 2 - 9
+                                ELSE CAST(substr(acct, 13 - CAST(i AS INT), 1)
+                                     AS INT) * 2 END
+                       ELSE CAST(substr(acct, 13 - CAST(i AS INT), 1) AS INT)
+                       END)),
+                   (acc, v) -> acc + v) % 10 = 0
+               THEN 1 ELSE 0 END AS is_valid
+        FROM ids
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(sum(is_valid) AS BIGINT) AS n_luhn_valid
+    FROM checked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation over 12-digit account-style
+    identifiers — the classic ingest-time format validator for card/ID
+    columns, folded from scratch with HOFs (double every second digit
+    from the right, subtract 9 above 9, valid iff sum ≡ 0 mod 10).
+
+    Scale design: pure scan-stage integer folding over a per-row
+    12-element sequence — zero shuffles before the 5-group census;
+    engine-exact by construction (string indexing + integer arithmetic
+    only). Roughly 1 in 10 synthetic keys pass, as Luhn predicts.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    ids = orders.select(
+        "o_orderpriority",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("acct"),
+    )
+    digit = "cast(substring(acct, 13 - i, 1) as int)"
+    luhn_sum = (
+        f"aggregate(transform(sequence(1, 12), i -> CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 ELSE {digit} * 2 END "
+        f"ELSE {digit} END), 0, (acc, v) -> acc + v)"
+    )
+    checked = ids.withColumn(
+        "is_valid",
+        F.when(F.expr(luhn_sum) % 10 == 0, 1).otherwise(0),
+    )
+    return (
+        checked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.sum("is_valid").alias("n_luhn_valid"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS INT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x
+           FROM joint GROUP BY event_type),
+    my AS (SELECT hr, CAST(sum(n_xy) AS BIGINT) AS n_y
+           FROM joint GROUP BY hr),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM joint),
+    terms AS (
+        SELECT j.event_type,
+               CAST(round(
+                   (CAST(j.n_xy AS DOUBLE) / t.n)
+                   * ln(CAST(j.n_xy AS DOUBLE) * t.n
+                        / (CAST(x.n_x AS DOUBLE) * y.n_y))
+                   * 1000000000) AS BIGINT) AS term_nano
+        FROM joint j
+        JOIN mx x ON j.event_type = x.event_type
+        JOIN my y ON j.hr = y.hr
+        CROSS JOIN tot t
+    )
+    SELECT event_type,
+           round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 6)
+               AS mutual_info_nats
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    dependence strength behind the diurnal heatmap (near zero ⇒ the type
+    has no daily rhythm), a feature-selection staple.
+
+    Scale design: the corpus reduces to the |types|×24 joint-count
+    matrix in ONE hash aggregate; marginals and the total are tiny
+    reaggregations of that matrix (broadcast joins). Each MI term takes
+    one ln of an exact integer-count ratio (the llm_collocation_pmi
+    discipline) and quantizes to integer nano-nats BEFORE the per-type
+    sum, so the reduction is order-independent and engine-exact.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    joint = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    term = F.round(
+        (F.col("n_xy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("n_xy").cast("double")
+            * F.col("n")
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        )
+        * 1e9
+    ).cast("bigint")
+    return (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select("event_type", term.alias("term_nano"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("term_nano").cast("double") / 1e9, 6).alias(
+                "mutual_info_nats"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "llm_negative_sampling",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    pairs AS (
+        SELECT doc_id, t[CAST(i AS INT)] AS center,
+               t[CAST(i AS INT) + 1] AS context
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    vocab AS (
+        SELECT w AS word,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS BIGINT)
+                   AS rank,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    negs AS (
+        SELECT p.doc_id, p.center, p.context, u.k,
+               CAST(('0x' || substr(md5(p.center || '|' || p.context || '|'
+                                        || CAST(u.k AS VARCHAR)), 1, 4))
+                    AS BIGINT) % s.v + 1 AS neg_rank
+        FROM pairs p
+        CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS k) u
+        CROSS JOIN vsize s
+    )
+    SELECT n.center, n.context, CAST(n.k AS BIGINT) AS k,
+           v.word AS negative,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM negs n JOIN vocab v ON n.neg_rank = v.rank
+    GROUP BY n.center, n.context, n.k, v.word
+    ORDER BY n.center, n.context, k, negative
+    """,
+)
+def llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for skip-gram training pairs: each
+    (center, context) pair draws k=2 vocabulary negatives by hashing the
+    pair identity into a frequency-ranked vocabulary — reproducible
+    training data with no RNG state (the llm_sample_stratified_hash
+    seed-free discipline applied to word2vec-style contrastive pairs).
+
+    Scale design: the vocabulary (with ranks) is a vocab-bounded
+    aggregate broadcast to the pair stream; negative assignment is a
+    pure scan-stage md5 → 16-bit integer → mod-V lookup (conv(hex) and
+    DuckDB's 0x-cast agree exactly on 16-bit values), so the only
+    corpus-sized work is the pair extraction itself. Sampled to 5% of
+    docs here; the plan is sample-rate independent.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS center, t[i] AS context))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.center", "p.context")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "word"))
+            .cast("bigint"),
+        )
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    ks = spark.range(1, 3).select(F.col("id").alias("k"))
+    negs = (
+        pairs.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "neg_rank",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", "center", "context", F.col("k").cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("v")
+            + 1,
+        )
+    )
+    return (
+        negs.join(
+            F.broadcast(vocab.select("rank", F.col("word").alias("negative"))),
+            negs.neg_rank == F.col("rank"),
+        )
+        .groupBy("center", "context", "k", "negative")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("center", "context", "k", "negative")
+    )
+
+
+@register(
+    "sql_distribute_cluster_by",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL CLUSTER BY surface (DISTRIBUTE BY + SORT BY): pre-partition
+    the scan output by the grouping key so the downstream aggregate
+    reuses the exchange instead of inserting its own — the
+    'shuffle once, consume twice' contract explicit in SQL.
+
+    Scale design: the aggregate over the CLUSTER BY subquery plans
+    exactly ONE hashpartitioning exchange (asserted in
+    tests/test_layout.py); the sort rides the shuffle's local sort.
+    The oracle is the plain aggregate — partitioning hints must never
+    change results, only placement.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("cb_lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    clustered = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, l_extendedprice
+        FROM cb_lineitem
+        CLUSTER BY l_returnflag, l_linestatus
+        """
+    )
+    return (
+        clustered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

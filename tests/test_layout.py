@@ -273,6 +273,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_basket_affinity",   # 1-row order-total scalar
         "llm_minhash_calibration",    # 10% sample all-pairs audit (bounded
                                       # by the sample rate, documented)
+        "agg_mutual_information",     # 1-row total-count scalar
+        "llm_negative_sampling",      # 1-row vocab-size + 2-row k literals
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -315,6 +317,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "validate_profile_census",    # 1-row wide profile reduce
         "evt_calendar_dim_join",      # 1-row min/max span seed for the
                                       # generated calendar spine
+        "llm_negative_sampling",      # frequency-rank window over VOCAB
+                                      # rows (sublinear in corpus)
+        "agg_mutual_information",     # 1-row total reduce of the
+                                      # types×24 joint matrix
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
@@ -570,3 +576,28 @@ def test_shuffle_hash_hint_plans_shuffled_hash_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cluster_by_reuses_single_hash_exchange(spark, sf_dir):
+    """sql_distribute_cluster_by's contract: the CLUSTER BY subquery's
+    REPARTITION_BY_COL exchange is the ONLY hash exchange — the
+    downstream aggregate satisfies its distribution requirement from it
+    instead of inserting a second shuffle (the final rangepartitioning
+    belongs to the output ORDER BY, not the aggregate)."""
+    from noaa_etl_daily_spark.registry import load_all
+
+    reg = load_all()
+    plan = (
+        reg["sql_distribute_cluster_by"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hash_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "REPARTITION_BY_COL" in hash_exchanges[0], plan
