@@ -195,6 +195,9 @@ _PRIORITY = [
     "agg_mutual_information",
     "llm_negative_sampling",
     "sql_distribute_cluster_by",
+    "win_quantile_normalize",
+    "llm_token_budget_selection",
+    "evt_cusum_changepoint",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -1887,3 +1887,206 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "win_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    ref AS (
+        SELECT rk, round(avg(n_chars), 6) AS ref_value,
+               CAST(count(*) AS BIGINT) AS n_sources_at_rank
+        FROM ranked GROUP BY rk
+    )
+    SELECT r.source, r.doc_id, r.n_chars, CAST(r.rk AS BIGINT) AS rk,
+           f.ref_value AS normalized_chars
+    FROM ranked r JOIN ref f ON r.rk = f.rk
+    ORDER BY r.source, r.rk
+    """,
+)
+def win_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the microarray/feature-prep
+    classic): each document's length is replaced by the MEAN length at
+    its within-source rank, forcing every source onto one reference
+    distribution — the drift-removal step before cross-source quality
+    thresholds can share a cutoff.
+
+    Scale design: two shuffles total — rank within source (the window),
+    then a rank-keyed aggregate + equi-join back; the rank table is
+    max(|source|) rows. Ranks tie-break on doc_id; the reference value
+    avg() is an exact rational of integers, quantized once. Restricted
+    to 4 sources to keep the fixture's rank table fully populated.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    docs = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_src",
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint"),
+    )
+    ref = ranked.groupBy("rk").agg(
+        F.round(F.avg("n_chars"), 6).alias("ref_value"),
+        F.count(F.lit(1)).alias("n_sources_at_rank"),
+    )
+    return (
+        ranked.join(ref, "rk")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("ref_value").alias("normalized_chars"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "llm_token_budget_selection",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 // len(string_split(text, ' ')) AS quality_ppm
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens, quality_ppm,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY quality_ppm DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_selected,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+           CAST(min(quality_ppm) AS BIGINT) AS min_quality_ppm
+    FROM ranked
+    WHERE cum_tokens <= 10000
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def llm_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy corpus selection under a token budget: rank documents by a
+    quality score (lexical diversity, integer ppm), admit in rank order
+    until the running token total crosses the budget — the
+    budget-constrained curation step between scoring and training.
+
+    Scale design: scoring is zero-shuffle scan-stage HOF arithmetic;
+    the admission pass is ONE global running sum — legitimately global,
+    but over the (doc_id, score, tokens) projection, never text, and at
+    100 TB the same decision runs on the quality-score HISTOGRAM
+    (find the admitting threshold from vocab-sized bins, then a
+    map-only filter) with this exact query as its oracle. Quality is
+    integer ppm (// floor division both engines), so ordering and the
+    budget crossover are engine-exact; ties break on doc_id.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L "
+            "div size(split(text, ' '))"
+        ).alias("quality_ppm"),
+    )
+    w = (
+        Window.orderBy(F.col("quality_ppm").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= 10000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+            F.min("quality_ppm").alias("min_quality_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "evt_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(sum(n_events) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily
+    ),
+    cusum AS (
+        SELECT day, n_events,
+               CAST(sum(n_events * s.n_days - s.total) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cusum_scaled
+        FROM daily CROSS JOIN stats s
+    )
+    SELECT day, n_events, cusum_scaled,
+           CASE WHEN abs(cusum_scaled) = (SELECT max(abs(cusum_scaled))
+                                          FROM cusum)
+                THEN 1 ELSE 0 END AS is_changepoint
+    FROM cusum
+    ORDER BY day
+    """,
+)
+def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-volume series:
+    the cumulative sum of deviations from the global mean peaks (in
+    absolute value) at the most likely level-shift day — the monitoring
+    primitive behind 'did traffic step-change, and when?'.
+
+    Scale design: the corpus reduces to DAY grain in one aggregate; the
+    CUSUM window and the argmax run over day-cardinality rows only.
+    Deviations are kept integer by scaling with n_days (x·n − total
+    instead of x − total/n), so the running sum is exact and the peak
+    day is engine-unambiguous — no float mean ever enters.
+    """
+    ev = load(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "cusum_scaled",
+        F.sum(
+            F.col("n_events") * F.col("n_days") - F.col("total")
+        ).over(w).cast("bigint"),
+    )
+    peak = cusum.agg(F.max(F.abs("cusum_scaled")).alias("peak"))
+    return (
+        cusum.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "n_events",
+            "cusum_scaled",
+            F.when(F.abs("cusum_scaled") == F.col("peak"), 1)
+            .otherwise(0)
+            .alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )

@@ -275,6 +275,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # by the sample rate, documented)
         "agg_mutual_information",     # 1-row total-count scalar
         "llm_negative_sampling",      # 1-row vocab-size + 2-row k literals
+        "evt_cusum_changepoint",      # 1-row stats + 1-row peak scalars
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -321,6 +322,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # rows (sublinear in corpus)
         "agg_mutual_information",     # 1-row total reduce of the
                                       # types×24 joint matrix
+        "llm_token_budget_selection", # global admission cumsum over the
+                                      # (id, score, tokens) projection
+                                      # (documented histogram form at scale)
+        "evt_cusum_changepoint",      # CUSUM window over DAY rows
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
