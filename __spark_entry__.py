@@ -198,6 +198,9 @@ _PRIORITY = [
     "win_quantile_normalize",
     "llm_token_budget_selection",
     "evt_cusum_changepoint",
+    "agg_countmin_sketch",
+    "llm_preference_pairs",
+    "agg_wilson_interval",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -2090,3 +2090,279 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    cells AS (
+        SELECT d.d,
+               CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || w),
+                                    1, 4)) AS BIGINT) % 256 AS col,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM words CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) d
+        GROUP BY d.d, col
+    ),
+    probes AS (
+        SELECT p.w AS probe_word, d.d,
+               CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || p.w),
+                                    1, 4)) AS BIGINT) % 256 AS col
+        FROM (SELECT unnest(['join', 'filter', 'window', 'scan',
+                             'zzz_absent']) AS w) p
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) d
+    ),
+    estimates AS (
+        SELECT pr.probe_word,
+               CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+        FROM probes pr
+        LEFT JOIN cells c ON pr.d = c.d AND pr.col = c.col
+        GROUP BY pr.probe_word
+    ),
+    truth AS (
+        SELECT w AS probe_word, CAST(count(*) AS BIGINT) AS true_count
+        FROM words
+        WHERE w IN ('join', 'filter', 'window', 'scan', 'zzz_absent')
+        GROUP BY w
+    )
+    SELECT e.probe_word, e.cm_estimate,
+           CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count,
+           e.cm_estimate - CAST(COALESCE(t.true_count, 0) AS BIGINT)
+               AS overcount
+    FROM estimates e LEFT JOIN truth t ON e.probe_word = t.probe_word
+    ORDER BY e.probe_word
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built from primitives (d=4 rows × w=256 counters,
+    md5 row-hashes) with point queries for known-hot and absent words —
+    the mergeable frequency sketch for heavy-hitter estimation when the
+    key domain is too large for exact counts (completes the sketch
+    family: HLL/theta/KLL/bitmap/Bloom + CM).
+
+    Scale design: the sketch is ONE hash aggregate to d×w = 1024 cells —
+    constant size regardless of corpus (and mergeable across partitions/
+    days by cell-wise addition, like the HLL partials). Point queries
+    probe 4 cells each via a broadcast join. Determinism: md5-derived
+    16-bit columns agree exactly cross-engine, so estimates (and the
+    CM guarantee estimate ≥ truth, visible in the overcount column)
+    hash-match.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    depths = spark.range(0, 4).select(F.col("id").cast("int").alias("d"))
+    col_of = (
+        lambda side: F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("d").cast("string"), F.col(side))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 256
+    )
+    cells = (
+        words.crossJoin(F.broadcast(depths))
+        .withColumn("col", col_of("w"))
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe_words = spark.createDataFrame(
+        [("join",), ("filter",), ("window",), ("scan",), ("zzz_absent",)],
+        "probe_word string",
+    )
+    probes = probe_words.crossJoin(F.broadcast(depths)).withColumn(
+        "col", col_of("probe_word")
+    )
+    estimates = (
+        probes.join(F.broadcast(cells), ["d", "col"], "left")
+        .groupBy("probe_word")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
+    )
+    truth = (
+        words.filter(
+            F.col("w").isin("join", "filter", "window", "scan", "zzz_absent")
+        )
+        .groupBy(F.col("w").alias("probe_word"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        estimates.join(F.broadcast(truth), "probe_word", "left")
+        .select(
+            "probe_word",
+            "cm_estimate",
+            F.coalesce("true_count", F.lit(0)).cast("bigint").alias(
+                "true_count"
+            ),
+            (
+                F.col("cm_estimate")
+                - F.coalesce("true_count", F.lit(0)).cast("bigint")
+            ).alias("overcount"),
+        )
+        .orderBy("probe_word")
+    )
+
+
+@register(
+    "llm_preference_pairs",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 // len(string_split(text, ' ')) AS quality_ppm
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, quality_ppm,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality_ppm DESC, doc_id)
+                   AS rk_best,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality_ppm ASC, doc_id DESC)
+                   AS rk_worst
+        FROM scored
+    )
+    SELECT b.source,
+           b.doc_id AS chosen_doc, b.quality_ppm AS chosen_ppm,
+           w.doc_id AS rejected_doc, w.quality_ppm AS rejected_ppm,
+           b.quality_ppm - w.quality_ppm AS margin_ppm
+    FROM (SELECT * FROM ranked WHERE rk_best <= 2) b
+    JOIN (SELECT * FROM ranked WHERE rk_worst <= 2) w
+      ON b.source = w.source AND b.rk_best = w.rk_worst
+    WHERE b.doc_id != w.doc_id AND b.quality_ppm > w.quality_ppm
+    ORDER BY b.source, b.rk_best
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for reward-model / DPO training: within
+    each source, pair the top-quality documents (chosen) against the
+    bottom-quality ones (rejected) with their score margin — turning a
+    scalar quality signal into the contrastive (chosen, rejected) rows
+    preference optimization consumes.
+
+    Scale design: both rankings stack on ONE source-keyed window shuffle
+    (same partition key, opposite orders); only rank ≤ 2 rows survive to
+    the join, so the pair join is 2·|sources| rows a side — broadcast
+    forever. Integer-ppm quality makes ranks and margins engine-exact;
+    the guard clauses (distinct docs, strictly positive margin) keep
+    degenerate single-doc sources out.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L "
+            "div size(split(text, ' '))"
+        ).alias("quality_ppm"),
+    )
+    w_best = Window.partitionBy("source").orderBy(
+        F.col("quality_ppm").desc(), "doc_id"
+    )
+    w_worst = Window.partitionBy("source").orderBy(
+        F.col("quality_ppm").asc(), F.col("doc_id").desc()
+    )
+    ranked = scored.withColumn(
+        "rk_best", F.row_number().over(w_best)
+    ).withColumn("rk_worst", F.row_number().over(w_worst))
+    best = ranked.filter(F.col("rk_best") <= 2).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality_ppm").alias("chosen_ppm"),
+        "rk_best",
+    )
+    worst = ranked.filter(F.col("rk_worst") <= 2).select(
+        F.col("source").alias("w_source"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality_ppm").alias("rejected_ppm"),
+        "rk_worst",
+    )
+    return (
+        best.join(
+            worst,
+            (best.source == worst.w_source)
+            & (best.rk_best == worst.rk_worst),
+        )
+        .filter(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (F.col("chosen_ppm") > F.col("rejected_ppm"))
+        )
+        .select(
+            "source",
+            "chosen_doc",
+            "chosen_ppm",
+            "rejected_doc",
+            "rejected_ppm",
+            (F.col("chosen_ppm") - F.col("rejected_ppm")).alias("margin_ppm"),
+        )
+        .orderBy("source", "rk_best")
+    )
+
+
+@register(
+    "agg_wilson_interval",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(props ->> 'k' AS INT) >= 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM counts
+    ORDER BY event_type
+    """,
+)
+def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for a per-group success rate (the
+    high-value-payload share per event type) — the interval that stays
+    honest at small n and extreme rates, where the naive ±1.96·SE band
+    leaves [0, 1] (pairs with evt_experiment_ab_analysis's z-test).
+
+    Scale design: one hash aggregate to (type, n, k); the closed-form
+    interval is scan-stage arithmetic over the 5 aggregated rows. The
+    formula pins z² = 3.8416 etc. as literals so both engines evaluate
+    the identical expression tree on exact integer n, k; one
+    quantization per output column.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "props")
+    hit = F.when(
+        F.get_json_object("props", "$.k").cast("int") >= 50, 1
+    ).otherwise(0)
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(hit).alias("k")
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(
+        p * (1.0 - p) / n + 0.9604 / (n.cast("double") * n)
+    )
+    denom = 1.0 + 3.8416 / n
+    return counts.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("event_type")

@@ -276,6 +276,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_mutual_information",     # 1-row total-count scalar
         "llm_negative_sampling",      # 1-row vocab-size + 2-row k literals
         "evt_cusum_changepoint",      # 1-row stats + 1-row peak scalars
+        "agg_countmin_sketch",        # 4-row depth literal fan-out
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
