@@ -484,3 +484,96 @@ def run_foreachbatch_upsert(
     )
     q.awaitTermination()
     return n_batches
+
+
+def countmin_cells(df: DataFrame) -> DataFrame:
+    """d=4 × w=256 count-min cells over the payload key ``props.k`` —
+    the same md5 row-hash construction as agg_countmin_sketch, reduced
+    to (d, col, cnt) partials. Mergeable by cell-wise addition."""
+    keys = df.select(
+        F.get_json_object("props", "$.k").cast("string").alias("k")
+    ).filter(F.col("k").isNotNull())
+    depths = df.sparkSession.range(0, 4).select(
+        F.col("id").cast("int").alias("d")
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("d").cast("string"), "k")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    return (
+        keys.crossJoin(F.broadcast(depths))
+        .withColumn("col", col)
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_countmin(existing: DataFrame | None, batch_cells: DataFrame) -> DataFrame:
+    """Cell-wise addition of count-min partials — the sketch's merge
+    operator (commutative + associative, so micro-batch arrival order
+    can never change the final sketch)."""
+    if existing is None:
+        return batch_cells
+    e, b = existing.alias("e"), batch_cells.alias("b")
+    zero = F.lit(0).cast("long")
+    return e.join(
+        b,
+        (F.col("e.d") == F.col("b.d")) & (F.col("e.col") == F.col("b.col")),
+        "full_outer",
+    ).select(
+        F.coalesce("b.d", "e.d").alias("d"),
+        F.coalesce("b.col", "e.col").alias("col"),
+        (F.coalesce("e.cnt", zero) + F.coalesce("b.cnt", zero)).alias("cnt"),
+    )
+
+
+def run_streaming_countmin_merge(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    files_per_batch: int = 2,
+) -> int:
+    """Streaming sketch maintenance: each micro-batch reduces to its
+    1024-cell count-min partial (constant bytes regardless of batch
+    size) and folds into the standing sketch table — the pattern that
+    keeps heavy-hitter estimates fresh at ingest time without any
+    corpus re-scan. Because the merge is cell-wise addition, the final
+    sketch is bit-identical to the one-shot batch sketch — asserted in
+    tests/test_streaming.py. Returns micro-batch count."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src_dir)
+    )
+    n_batches = 0
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        sp = batch_df.sparkSession
+        try:
+            existing = sp.read.parquet(target_dir)
+        except Exception:  # first batch: no sketch yet
+            existing = None
+        merged = merge_countmin(existing, countmin_cells(batch_df))
+        merged = merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_dir)
+        merged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

@@ -737,3 +737,47 @@ def test_stream_processing_time_trigger_converges(spark, sf_dir, stream_src):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_stream_countmin_merge_equals_batch_sketch(
+    spark, sf_dir, stream_src, tmp_path
+):
+    """Streaming sketch maintenance: folding per-micro-batch count-min
+    partials cell-wise must land on the EXACT batch sketch (merge is
+    commutative addition — arrival order can't matter), across more
+    than one micro-batch; estimates must dominate true counts."""
+    from noaa_etl_daily_spark.tables import load
+
+    target = str(tmp_path / "cm_sketch")
+    ckpt = str(tmp_path / "cm_ckpt")
+    n_batches = st.run_streaming_countmin_merge(spark, stream_src, target, ckpt)
+    assert n_batches > 1, "merge path not exercised"
+
+    got = {
+        (r.d, r.col): r.cnt for r in spark.read.parquet(target).collect()
+    }
+    batch = load(spark, sf_dir, "events")
+    want = {
+        (r.d, r.col): r.cnt for r in st.countmin_cells(batch).collect()
+    }
+    assert got == want
+
+    # CM guarantee on a point query: estimate >= true count
+    truth = (
+        batch.select(F.get_json_object("props", "$.k").cast("string").alias("k"))
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+    true_counts = {r.k: r["count"] for r in truth}
+    probe = max(true_counts, key=true_counts.get)
+    import hashlib
+
+    est = min(
+        got.get(
+            (d, int(hashlib.md5(f"{d}|{probe}".encode()).hexdigest()[:4], 16) % 256),
+            0,
+        )
+        for d in range(4)
+    )
+    assert est >= true_counts[probe]
