@@ -201,6 +201,10 @@ _PRIORITY = [
     "agg_countmin_sketch",
     "llm_preference_pairs",
     "agg_wilson_interval",
+    "pipeline_product_profit",
+    "pipeline_shipmode_priority",
+    "agg_ab_srm_check",
+    "fn_ip_subnet_rollup",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

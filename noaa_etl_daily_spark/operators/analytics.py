@@ -2366,3 +2366,261 @@ def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
         F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("event_type")
+
+
+@register(
+    "pipeline_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l.l_quantity) AS BIGINT) // 100
+               ) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY n.n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def pipeline_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by supplier nation and order
+    year): revenue minus a unit-cost proxy (the fixtures carry no
+    partsupp supplycost; p_retailprice/100 per unit stands in), over the
+    PROMO product slice.
+
+    Scale design: the p_type filter pushes into the part scan and the
+    part join halves the fact stream before supplier/nation broadcasts
+    tag it; orders joins on the shared l_orderkey key for the year.
+    Profit terms quantize to integer cents PER ROW before the nation ×
+    year aggregate (intermediate division floors in integer space
+    identically on both engines), so group sums are order-independent.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    revenue_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cost_c = F.expr(
+        "cast(round(p_retailprice * 100) as bigint) "
+        "* cast(round(l_quantity) as bigint) div 100"
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(revenue_c - cost_c).alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "pipeline_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY ship_class
+    """,
+)
+def pipeline_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping class vs order priority): per ship
+    class (l_linestatus stands in for the fixtures' missing shipmode),
+    count high- vs low-priority lineitems in a two-year shipping window
+    — one conditional aggregate over the orderkey join.
+
+    Scale design: the date-range predicate pushes into the lineitem
+    scan (PushedFilters on l_shipdate); both CASE branches ride ONE
+    partial+final aggregate, so adding priority classes adds
+    expressions, never passes. The join keys on the fact's natural
+    orderkey; orders arrives projected to two columns.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "agg_ab_srm_check",
+    oracle="""
+    WITH arms AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 4)) AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               user_id
+        FROM events
+        GROUP BY user_id
+    ),
+    counts AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users FROM arms GROUP BY arm
+    ),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM counts)
+    SELECT arm, n_users,
+           round(CAST(n_users AS DOUBLE) / n, 6) AS observed_share,
+           round(CAST((2 * n_users - n) AS DOUBLE)
+                 * (2 * n_users - n) / (2.0 * n), 6) AS chi2_contribution,
+           CASE WHEN CAST((2 * n_users - n) AS DOUBLE)
+                     * (2 * n_users - n) / (2.0 * n) > 3.841
+                THEN 1 ELSE 0 END AS srm_flag_95
+    FROM counts CROSS JOIN tot
+    ORDER BY arm
+    """,
+)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail for the A/B assignment in
+    evt_experiment_ab_analysis: chi-square the observed 50/50 arm split
+    before trusting any experiment read-out — the most common silent
+    A/B corruption (broken assignment, bot filtering one arm).
+
+    Scale design: users dedup once (the same hash-bucket assignment as
+    the AB op), arms reduce to 2 rows; the chi-square term
+    (obs−exp)²/exp with exp = n/2 simplifies to (2·obs−n)²/(2n) —
+    all-integer numerator, one quantized division per arm row.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    arms = ev.distinct().select(arm.alias("arm"))
+    counts = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = counts.agg(F.sum("n_users").alias("n"))
+    dev = 2 * F.col("n_users") - F.col("n")
+    chi2 = dev.cast("double") * dev / (2.0 * F.col("n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("n"), 6).alias(
+                "observed_share"
+            ),
+            F.round(chi2, 6).alias("chi2_contribution"),
+            F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag_95"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "fn_ip_subnet_rollup",
+    oracle="""
+    WITH ips AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1048576 + 167772160 AS ip_int
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    rendered AS (
+        SELECT user_id, ip_int,
+               CAST(ip_int // 16777216 AS VARCHAR) || '.' ||
+               CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((ip_int // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(ip_int % 256 AS VARCHAR) AS ip_dotted,
+               ip_int // 256 * 256 AS subnet24_base
+        FROM ips
+    )
+    SELECT CAST(subnet24_base // 16777216 AS VARCHAR) || '.' ||
+           CAST((subnet24_base // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((subnet24_base // 256) % 256 AS VARCHAR) || '.0/24'
+               AS subnet,
+           CAST(count(*) AS BIGINT) AS n_users,
+           min(ip_dotted) AS first_ip
+    FROM rendered
+    GROUP BY subnet24_base
+    HAVING count(*) >= 2
+    ORDER BY subnet
+    """,
+)
+def fn_ip_subnet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 toolkit: integer ↔ dotted-quad conversion and /24 subnet
+    aggregation (the abuse-detection primitive: many accounts from one
+    subnet) — synthetic IPs derive deterministically from user ids
+    since the fixtures carry none.
+
+    Scale design: conversion is pure scan-stage integer div/mod
+    arithmetic plus string rendering (byte-identical cross-engine,
+    no inet type needed); the rollup is one hash aggregate on the
+    integer subnet base. The HAVING keeps only multi-user subnets —
+    the investigation shortlist, not the full IP census.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id").distinct()
+    ip_int = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(1048576)
+        + F.lit(167772160)
+    )
+    octet = lambda e: e.cast("bigint").cast("string")  # noqa: E731
+    ips = ev.select("user_id", ip_int.alias("ip_int"))
+    rendered = ips.select(
+        "user_id",
+        "ip_int",
+        F.concat_ws(
+            ".",
+            octet(F.expr("ip_int div 16777216")),
+            octet(F.expr("(ip_int div 65536) % 256")),
+            octet(F.expr("(ip_int div 256) % 256")),
+            octet(F.expr("ip_int % 256")),
+        ).alias("ip_dotted"),
+        F.expr("ip_int div 256 * 256").alias("subnet24_base"),
+    )
+    subnet = F.concat(
+        octet(F.expr("subnet24_base div 16777216")),
+        F.lit("."),
+        octet(F.expr("(subnet24_base div 65536) % 256")),
+        F.lit("."),
+        octet(F.expr("(subnet24_base div 256) % 256")),
+        F.lit(".0/24"),
+    )
+    return (
+        rendered.groupBy("subnet24_base")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("ip_dotted").alias("first_ip"),
+        )
+        .filter(F.col("n_users") >= 2)
+        .select(subnet.alias("subnet"), "n_users", "first_ip")
+        .orderBy("subnet")
+    )

@@ -277,6 +277,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_negative_sampling",      # 1-row vocab-size + 2-row k literals
         "evt_cusum_changepoint",      # 1-row stats + 1-row peak scalars
         "agg_countmin_sketch",        # 4-row depth literal fan-out
+        "agg_ab_srm_check",           # 1-row total-count scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -327,6 +328,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # (id, score, tokens) projection
                                       # (documented histogram form at scale)
         "evt_cusum_changepoint",      # CUSUM window over DAY rows
+        "agg_ab_srm_check",           # 1-row total reduce of 2 arm rows
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):
