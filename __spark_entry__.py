@@ -205,6 +205,10 @@ _PRIORITY = [
     "pipeline_shipmode_priority",
     "agg_ab_srm_check",
     "fn_ip_subnet_rollup",
+    "fn_rounding_modes",
+    "agg_percentile_disc",
+    "llm_corpus_diff_census",
+    "fn_xpath_extract",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

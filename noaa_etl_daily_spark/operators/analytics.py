@@ -2624,3 +2624,216 @@ def fn_ip_subnet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(subnet.alias("subnet"), "n_users", "first_ip")
         .orderBy("subnet")
     )
+
+
+@register(
+    "fn_rounding_modes",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS DOUBLE) + 0.5 AS half_val,
+           round(CAST(o_orderkey AS DOUBLE) + 0.5, 0) AS round_half_away,
+           roundbankers(CAST(o_orderkey AS DOUBLE) + 0.5, 0)
+               AS round_half_even,
+           roundbankers(CAST(o_orderkey AS DOUBLE) / 8, 2)
+               AS bankers_2dp
+    FROM orders
+    WHERE o_orderkey < 20
+    ORDER BY o_orderkey
+    """,
+)
+def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode surface: HALF_UP ``round`` vs banker's HALF_EVEN
+    ``bround`` on exact .5 ties (x+0.5 for integer x is an exact double,
+    so every row IS a tie case) — the financial-rounding control that
+    determines whether cent totals drift upward over millions of rows.
+
+    Scale design: pure scan-stage arithmetic on a pushed-down key
+    filter. Cross-engine: Spark round/bround pair exactly with DuckDB
+    round/roundbankers on doubles (verified at build time); /8 keeps the
+    2dp case exactly representable so the tie behavior, not float fuzz,
+    is what's compared.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    x = F.col("o_orderkey").cast("double")
+    return (
+        orders.filter(F.col("o_orderkey") < 20)
+        .select(
+            "o_orderkey",
+            (x + 0.5).alias("half_val"),
+            F.round(x + 0.5, 0).alias("round_half_away"),
+            F.bround(x + 0.5, 0).alias("round_half_even"),
+            F.bround(x / 8, 2).alias("bankers_2dp"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT),
+                              0.5) AS BIGINT) AS p50_cents_disc,
+           CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT),
+                              0.9) AS BIGINT) AS p90_cents_disc,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.5), 4) AS p50_cents_cont
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc ↔ quantile_disc): the
+    quantile that returns an ACTUAL data value instead of an
+    interpolation — what you want when the value must exist (a real
+    order you can look up) rather than a synthetic midpoint; reported
+    next to the continuous form to expose the difference.
+
+    Scale design: same single-aggregate shape as agg_percentile; disc
+    returns an exact integer cent value (no float at all for the disc
+    columns), making this the most hash-stable percentile in the repo.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    src = li.select("l_returnflag", cents.alias("c"))
+    return (
+        src.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) within group (order by c)"
+            ).cast("bigint").alias("p50_cents_disc"),
+            F.expr(
+                "percentile_disc(0.9) within group (order by c)"
+            ).cast("bigint").alias("p90_cents_disc"),
+            F.round(F.expr("percentile(c, 0.5)"), 4).alias("p50_cents_cont"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "llm_corpus_diff_census",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents WHERE doc_id % 11 != 0
+    ),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN md5(upper(text))
+                    ELSE md5(text) END AS content_hash
+        FROM documents WHERE doc_id % 13 != 0
+    ),
+    diff AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE
+                   WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'removed'
+                   WHEN a.content_hash != b.content_hash THEN 'modified'
+                   ELSE 'unchanged'
+               END AS change
+        FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT change, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM diff
+    GROUP BY change
+    ORDER BY change
+    """,
+)
+def llm_corpus_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the between-crawls changelog): full-outer
+    join two corpus versions on doc_id, classify each document
+    added / removed / modified / unchanged by content hash, and report
+    the census — the observability layer every incremental ingest needs
+    before deciding what to re-process. Versions are carved
+    deterministically from the fixture (v1 drops multiples of 11, v2
+    drops multiples of 13 and rewrites multiples of 7).
+
+    Scale design: each side reduces to (doc_id, content_hash) — 16
+    bytes of digest, never text — before the co-partitioned full-outer
+    join on the shared doc_id key; the census is a 4-row aggregate.
+    The downstream incremental pipeline consumes the 'modified'+'added'
+    slice only, which is the O(changes) contract.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.md5(F.upper("text")))
+        .otherwise(F.md5("text"))
+        .alias("content_hash"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    diff = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce("a.doc_id", "b.doc_id").alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.content_hash") != F.col("b.content_hash"), "modified")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        diff.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("change")
+    )
+
+
+@register(
+    "fn_xpath_extract",
+    oracle="""
+    WITH xml AS (
+        SELECT n_nationkey,
+               '<nation id="' || CAST(n_nationkey AS VARCHAR) || '"><name>'
+               || n_name || '</name><region>'
+               || CAST(n_regionkey AS VARCHAR) || '</region></nation>'
+                   AS doc
+        FROM nation
+    )
+    SELECT n_nationkey,
+           regexp_extract(doc, '<name>([^<]*)</name>', 1) AS name_x,
+           CAST(regexp_extract(doc, '<region>([^<]*)</region>', 1) AS BIGINT)
+               AS region_x,
+           regexp_extract(doc, 'id="([^"]*)"', 1) AS id_attr
+    FROM xml
+    ORDER BY n_nationkey
+    """,
+)
+def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath point extraction over XML strings (xpath_string /
+    xpath_long / attribute axes) — the scalar-function sibling of the
+    scan_xml_roundtrip source: parse fields out of XML payload COLUMNS
+    without a document-level reader. The oracle re-derives the same
+    fields with regexes (DuckDB has no XPath), which also pins the
+    extraction semantics to the simple-element subset both can express.
+
+    Scale design: scan-stage only — the XML is constructed and parsed
+    per row in one codegen stage, no exchanges; at 100 TB this is the
+    map-only payload-flattening step before columnar rewrite.
+    """
+    nation = load(spark, sf_dir, "nation")
+    xml = nation.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('<nation id="'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('"><name>'),
+            F.col("n_name"),
+            F.lit("</name><region>"),
+            F.col("n_regionkey").cast("string"),
+            F.lit("</region></nation>"),
+        ).alias("doc"),
+    )
+    return xml.select(
+        "n_nationkey",
+        F.expr("xpath_string(doc, '/nation/name')").alias("name_x"),
+        F.expr("xpath_long(doc, '/nation/region')").alias("region_x"),
+        F.expr("xpath_string(doc, '/nation/@id')").alias("id_attr"),
+    ).orderBy("n_nationkey")
