@@ -209,6 +209,10 @@ _PRIORITY = [
     "agg_percentile_disc",
     "llm_corpus_diff_census",
     "fn_xpath_extract",
+    "llm_topic_keywords_chi2",
+    "evt_alert_debounce",
+    "fn_uuid_deterministic",
+    "graph_triangle_census",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -2837,3 +2837,320 @@ def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_long(doc, '/nation/region')").alias("region_x"),
         F.expr("xpath_string(doc, '/nation/@id')").alias("id_attr"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "llm_topic_keywords_chi2",
+    oracle="""
+    WITH wl AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    cell AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS a
+        FROM wl GROUP BY lang, word
+    ),
+    word_tot AS (
+        SELECT word, CAST(sum(a) AS BIGINT) AS wt FROM cell GROUP BY word
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(sum(a) AS BIGINT) AS lt FROM cell GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cell),
+    scored AS (
+        SELECT c.lang, c.word, c.a,
+               -- chi2 = n*(a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d)) with
+               -- b = wt-a, c = lt-a, d = n-wt-lt+a; all-integer numerator
+               round(CAST(t.n AS DOUBLE)
+                     * (CAST(c.a AS DOUBLE) * (t.n - w.wt - l.lt + c.a)
+                        - CAST(w.wt - c.a AS DOUBLE) * (l.lt - c.a))
+                     * (CAST(c.a AS DOUBLE) * (t.n - w.wt - l.lt + c.a)
+                        - CAST(w.wt - c.a AS DOUBLE) * (l.lt - c.a))
+                     / (CAST(w.wt AS DOUBLE) * (t.n - w.wt)
+                        * l.lt * (t.n - l.lt)), 4) AS chi2
+        FROM cell c
+        JOIN word_tot w ON c.word = w.word
+        JOIN lang_tot l ON c.lang = l.lang
+        CROSS JOIN tot t
+        WHERE c.a >= 5
+    ),
+    ranked AS (
+        SELECT lang, word, a, chi2,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY chi2 DESC, word) AS rk
+        FROM scored
+    )
+    SELECT lang, word, a AS n_in_lang, chi2, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def llm_topic_keywords_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keywords per language by chi-square association (the
+    group-level sibling of per-doc TF-IDF): for each (lang, word) cell,
+    the 2×2 contingency chi-square against the rest of the corpus, top-5
+    per language — the slice-characterization tool for corpus cards.
+
+    Scale design: the corpus reduces to the (lang, word) count matrix in
+    ONE aggregate; marginals are vocab/|langs|-bounded reaggregations
+    broadcast back; the ranking window runs over vocab-per-lang rows.
+    The chi-square numerator n·(ad−bc)² is computed from exact integer
+    counts (doubles hold these products exactly at fixture scale; the
+    min-support filter a ≥ 5 also guards degenerate cells), quantized
+    once per surviving cell.
+    """
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    wl = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    cell = wl.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("a"))
+    word_tot = cell.groupBy("word").agg(F.sum("a").alias("wt"))
+    lang_tot = cell.groupBy("lang").agg(F.sum("a").alias("lt"))
+    tot = cell.agg(F.sum("a").alias("n"))
+    a = F.col("a").cast("double")
+    d = (F.col("n") - F.col("wt") - F.col("lt") + F.col("a")).cast("double")
+    b = (F.col("wt") - F.col("a")).cast("double")
+    cc = (F.col("lt") - F.col("a")).cast("double")
+    chi2 = F.round(
+        F.col("n").cast("double")
+        * (a * d - b * cc)
+        * (a * d - b * cc)
+        / (
+            F.col("wt").cast("double")
+            * (F.col("n") - F.col("wt"))
+            * F.col("lt")
+            * (F.col("n") - F.col("lt"))
+        ),
+        4,
+    )
+    scored = (
+        cell.join(word_tot, "word")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("a") >= 5)
+        .select("lang", "word", "a", chi2.alias("chi2"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "word", F.col("a").alias("n_in_lang"), "chi2", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "evt_alert_debounce",
+    oracle="""
+    WITH hours AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
+    ),
+    flagged AS (
+        SELECT hour, n_events,
+               CASE WHEN n_events >= 16 THEN 1 ELSE 0 END AS anomalous
+        FROM hours
+    ),
+    runs AS (
+        SELECT hour, n_events, anomalous,
+               CAST(row_number() OVER (ORDER BY hour) AS BIGINT)
+               - CAST(row_number() OVER (PARTITION BY anomalous
+                                         ORDER BY hour) AS BIGINT)
+                   AS grp
+        FROM flagged
+    ),
+    episodes AS (
+        SELECT anomalous, grp,
+               min(hour) AS run_start,
+               max(hour) AS run_end,
+               CAST(count(*) AS BIGINT) AS run_hours,
+               CAST(sum(n_events) AS BIGINT) AS run_events
+        FROM runs GROUP BY anomalous, grp
+    )
+    SELECT run_start, run_end, run_hours, run_events
+    FROM episodes
+    WHERE anomalous = 1 AND run_hours >= 3
+    ORDER BY run_start
+    """,
+)
+def evt_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing: page only when traffic stays above threshold
+    for ≥ 3 consecutive hours (gaps-and-islands run grouping on the
+    threshold flag) — the flap suppressor between raw anomaly flags and
+    a pager.
+
+    Scale design: the corpus reduces to HOUR grain first (one
+    aggregate); both run-numbering windows and the episode rollup
+    operate on hour-cardinality rows. The classic rn − rn_by_flag
+    island id is pure integer arithmetic; episode boundaries are
+    min/max over exact timestamps — engine-identical throughout.
+    """
+    ev = load(spark, sf_dir, "events").select("ts")
+    hours = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    flagged = hours.withColumn(
+        "anomalous", F.when(F.col("n_events") >= 16, 1).otherwise(0)
+    )
+    w_all = Window.orderBy("hour")
+    w_flag = Window.partitionBy("anomalous").orderBy("hour")
+    runs = flagged.withColumn(
+        "grp",
+        F.row_number().over(w_all).cast("bigint")
+        - F.row_number().over(w_flag).cast("bigint"),
+    )
+    episodes = runs.groupBy("anomalous", "grp").agg(
+        F.min("hour").alias("run_start"),
+        F.max("hour").alias("run_end"),
+        F.count(F.lit(1)).alias("run_hours"),
+        F.sum("n_events").alias("run_events"),
+    )
+    return (
+        episodes.filter(
+            (F.col("anomalous") == 1) & (F.col("run_hours") >= 3)
+        )
+        .select("run_start", "run_end", "run_hours", "run_events")
+        .orderBy("run_start")
+    )
+
+
+@register(
+    "fn_uuid_deterministic",
+    oracle="""
+    SELECT doc_id,
+           substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+           substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+           '3' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 14, 3)
+           || '-' ||
+           CASE CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)),
+                                     17, 1)) AS BIGINT) % 4
+                WHEN 0 THEN '8' WHEN 1 THEN '9'
+                WHEN 2 THEN 'a' ELSE 'b' END
+           || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 18, 3)
+           || '-' ||
+           substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 21, 12)
+               AS uuid_v3
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based deterministic UUID (v3, md5-derived) rendering — the
+    stable surrogate-key generator for cross-system entity identity
+    (same input → same UUID on every engine, rerun, and cluster; Spark's
+    built-in uuid() is random and therefore useless for keys that must
+    reproduce).
+
+    Scale design: pure scan-stage string slicing of one md5 per row —
+    no state, no shuffle, no RNG. Version nibble pinned to '3' and the
+    variant nibble folded into {8, 9, a, b} per RFC 4122, both as
+    deterministic arithmetic on the digest.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    variant = (
+        F.conv(F.substring(h, 17, 1), 16, 10).cast("bigint") % 4
+    )
+    uuid = F.concat(
+        F.substring(h, 1, 8),
+        F.lit("-"),
+        F.substring(h, 9, 4),
+        F.lit("-3"),
+        F.substring(h, 14, 3),
+        F.lit("-"),
+        F.when(variant == 0, "8")
+        .when(variant == 1, "9")
+        .when(variant == 2, "a")
+        .otherwise("b"),
+        F.substring(h, 18, 3),
+        F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", uuid.alias("uuid_v3"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+    WITH order_brand AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    edges AS (
+        SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
+        FROM order_brand a
+        JOIN order_brand b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+        HAVING count(*) >= 12
+    ),
+    triangles AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM triangles
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the brand co-purchase graph (edges =
+    brand pairs co-bought in ≥ 12 orders): the clustering-structure
+    probe that distinguishes a clique-ish market from a hub-and-spoke
+    one — the graph-analytics sibling of llm_dedup_cluster_components.
+
+    Scale design: the graph PROJECTION is where scale lives — the
+    corpus reduces to the bounded brand-pair edge list (≤ C(25,2) rows)
+    through the same orderkey-co-partitioned dedup as
+    pipeline_basket_affinity; the triangle join then runs entirely on
+    the node-bounded edge list (oriented u<v edges make each triangle
+    count exactly once). On an unbounded vertex domain the same query
+    partitions edges by min-degree vertex first (the standard
+    distributed-triangle trick, documented here as the scale path).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    order_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = order_brand.alias("a")
+    b = order_brand.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("u"), F.col("b.p_brand").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 12)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
+    e2 = edges.select(F.col("u").alias("t_b2"), F.col("v").alias("t_c"))
+    e3 = edges.select(F.col("u").alias("t_a3"), F.col("v").alias("t_c3"))
+    triangles = (
+        e1.join(e2, F.col("t_b") == F.col("t_b2"))
+        .join(
+            e3,
+            (F.col("t_a3") == F.col("t_a")) & (F.col("t_c3") == F.col("t_c")),
+        )
+    )
+    n_edges = edges.count()
+    return triangles.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )

@@ -278,6 +278,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_cusum_changepoint",      # 1-row stats + 1-row peak scalars
         "agg_countmin_sketch",        # 4-row depth literal fan-out
         "agg_ab_srm_check",           # 1-row total-count scalar
+        "llm_topic_keywords_chi2",    # 1-row corpus-total scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -329,6 +330,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # (documented histogram form at scale)
         "evt_cusum_changepoint",      # CUSUM window over DAY rows
         "agg_ab_srm_check",           # 1-row total reduce of 2 arm rows
+        "llm_topic_keywords_chi2",    # 1-row total reduce of the count matrix
+        "evt_alert_debounce",         # run windows over HOUR rows
+        "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
+                                      # edge list
     }
     cart_bad, bnlj_bad, sp_bad, errors = [], [], [], []
     for name, q in sorted(REGISTRY.items()):

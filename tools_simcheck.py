@@ -72,7 +72,7 @@ def main():
             print(f"FAIL {name}: cols {sorted(a.columns)} vs {sorted(b.columns)}")
             bad += 1
             continue
-        if not a.map(repr).equals(b.map(repr)):
+        if a.map(repr).values.tolist() != b.map(repr).values.tolist():
             neq = (a.map(repr) != b.map(repr)).any(axis=1)
             print(f"FAIL {name}: {int(neq.sum())} mismatched rows, first:")
             print(a[neq].head(3))
