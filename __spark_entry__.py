@@ -213,6 +213,9 @@ _PRIORITY = [
     "evt_alert_debounce",
     "fn_uuid_deterministic",
     "graph_triangle_census",
+    "llm_span_annotation_offsets",
+    "agg_fk_integrity_audit",
+    "win_weighted_moving_avg",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -3154,3 +3154,225 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
+
+
+@register(
+    "llm_span_annotation_offsets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id < 20
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS token_idx,
+               t[CAST(i AS INT)] AS token,
+               -- char offset = sum of lengths of prior tokens + separators
+               CAST(list_reduce(list_prepend(0,
+                        list_transform(t[1:CAST(i AS INT) - 1],
+                                       w -> len(w) + 1)),
+                    (acc, v) -> acc + v) AS BIGINT) AS char_start,
+               CAST(list_reduce(list_prepend(0,
+                        list_transform(t[1:CAST(i AS INT) - 1],
+                                       w -> len(w) + 1)),
+                    (acc, v) -> acc + v)
+                    + len(t[CAST(i AS INT)]) AS BIGINT) AS char_end
+        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    )
+    SELECT doc_id, token_idx, token, char_start, char_end
+    FROM spans
+    WHERE token_idx <= 5
+    ORDER BY doc_id, token_idx
+    """,
+)
+def llm_span_annotation_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token span → character offset alignment (the NER/annotation
+    training-data primitive): for each token, its [start, end) character
+    offsets in the original text, derived purely from token lengths +
+    separators — the mapping every span-labeling dataset needs between
+    token space and character space.
+
+    Scale design: offsets are a scan-stage prefix-sum fold over the
+    token array (integer lengths — exact), exploded to one row per
+    token; no shuffle at all before the presentation sort. Verified
+    consistency: substring(text, char_start+1, len) == token holds by
+    construction on the space-joined fixture text.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                """
+                transform(t, (w, i) -> struct(
+                    cast(i + 1 as bigint) AS token_idx,
+                    w AS token,
+                    cast(aggregate(slice(t, 1, i),
+                        0, (acc, x) -> acc + length(x) + 1) as bigint)
+                        AS char_start,
+                    cast(aggregate(slice(t, 1, i),
+                        0, (acc, x) -> acc + length(x) + 1)
+                        + length(w) as bigint) AS char_end))
+                """
+            )
+        ).alias("pos0", "s"),
+    ).select("doc_id", "s.token_idx", "s.token", "s.char_start", "s.char_end")
+    return (
+        spans.filter(F.col("token_idx") <= 5)
+        .orderBy("doc_id", "token_idx")
+    )
+
+
+@register(
+    "agg_fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                AS BIGINT) AS n_parents_referenced,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_parent_rows
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM part) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    ORDER BY relation
+    """,
+)
+def agg_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    orphaned child rows (left-anti join counts), parent-key coverage,
+    and row counts per relation — the constraint check a lakehouse runs
+    because parquet enforces nothing (the FK-shaped complement of
+    validate_expectations' domain rules). Assembled fully
+    declaratively: every term is a 1-row aggregate crossJoined into its
+    relation row — no driver-side count() actions.
+
+    Scale design: each relation costs one left-anti hash join on its
+    own natural key plus count aggregates — at 100 TB the anti joins
+    ride broadcast parent key-sets where parents are dims, shuffle
+    co-partitioned where both sides are facts. Three relations audited
+    in one result; adding an edge adds a union branch, not a redesign.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def audit(name, child, child_key, parent, parent_key):
+        # each term is a 1-row aggregate; the crossJoins assemble the
+        # relation row without any driver-side action
+        base = child.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.countDistinct(child_key).alias("n_parents_referenced"),
+        )
+        orphans = (
+            child.join(
+                parent, child[child_key] == parent[parent_key], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        parents = parent.agg(F.count(F.lit(1)).alias("n_parent_rows"))
+        return (
+            base.crossJoin(orphans)
+            .crossJoin(parents)
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child_rows",
+                "n_orphans",
+                "n_parents_referenced",
+                "n_parent_rows",
+            )
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(
+            audit("orders->customer", orders, "o_custkey", cust, "c_custkey")
+        )
+        .orderBy("relation")
+    )
+
+
+@register(
+    "win_weighted_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS val_micro
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, day, val_micro,
+               list(val_micro) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS frame
+        FROM daily
+    )
+    SELECT event_type, day, val_micro,
+           round(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(frame, (x, i) -> CAST(x AS HUGEINT) * i)),
+                     (acc, v) -> acc + v) AS DOUBLE)
+                 / (CAST(len(frame) AS BIGINT) * (len(frame) + 1) / 2)
+                 / 1000000.0, 6) AS wma
+    FROM framed
+    ORDER BY event_type, day
+    """,
+)
+def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (weights 1..k, newest heaviest)
+    of the daily value series — the WMA sibling of win_ewma_bounded
+    with integer weights, so the weighted sum is EXACT integer
+    arithmetic end to end (no dyadic-float argument needed).
+
+    Scale design: same shape as the EWMA — (type, day)-grain reduction
+    first, 5-row frames over day-cardinality rows. The indexed-lambda
+    weighting (position i gets weight i) and the triangular-number
+    normalizer k(k+1)/2 are both integers; one quantized division per
+    output row.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    micro = F.round(F.col("value") * 1000000).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(micro).alias("val_micro"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    framed = daily.withColumn("frame", F.collect_list("val_micro").over(w))
+    wsum = F.expr(
+        "aggregate(zip_with(frame, sequence(1, size(frame)), "
+        "(x, i) -> x * cast(i as bigint)), 0L, (acc, v) -> acc + v)"
+    )
+    norm = F.expr("size(frame) * (size(frame) + 1) div 2").cast("bigint")
+    return framed.select(
+        "event_type",
+        "day",
+        "val_micro",
+        F.round(wsum.cast("double") / norm / 1000000.0, 6).alias("wma"),
+    ).orderBy("event_type", "day")

@@ -279,6 +279,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_countmin_sketch",        # 4-row depth literal fan-out
         "agg_ab_srm_check",           # 1-row total-count scalar
         "llm_topic_keywords_chi2",    # 1-row corpus-total scalar
+        "agg_fk_integrity_audit",     # 1-row × 1-row relation assembly
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -332,6 +333,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_ab_srm_check",           # 1-row total reduce of 2 arm rows
         "llm_topic_keywords_chi2",    # 1-row total reduce of the count matrix
         "evt_alert_debounce",         # run windows over HOUR rows
+        "agg_fk_integrity_audit",     # 1-row per-relation reduces
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
                                       # edge list
     }
