@@ -216,6 +216,10 @@ _PRIORITY = [
     "llm_span_annotation_offsets",
     "agg_fk_integrity_audit",
     "win_weighted_moving_avg",
+    "agg_stratified_topn_sample",
+    "evt_cohort_revenue_ltv",
+    "llm_bloom_decontaminate",
+    "evt_control_chart",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -3376,3 +3376,334 @@ def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val_micro",
         F.round(wsum.cast("double") / norm / 1000000.0, 6).alias("wma"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "agg_stratified_topn_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= 3
+    ORDER BY lang, rk
+    """,
+)
+def agg_stratified_topn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic N-examples-per-stratum sampling (3 docs per
+    language) via md5-rank windows — the 'show me a few examples from
+    every slice' op behind eval set construction and data debugging,
+    reproducible across reruns and engines (llm_sample_stratified_hash
+    samples a deterministic FRACTION; this takes a deterministic COUNT).
+
+    Scale design: one window shuffle on the stratum key; the md5 sort
+    key makes the pick pseudorandom-but-stable, doc_id breaks the
+    (astronomically unlikely) digest tie. At 100 TB the window's sort
+    cost bounds by stratum size; heavily-skewed strata pre-filter with
+    a coarse digest-prefix predicate first (the top-k-per-group
+    discipline from win_topk_per_group applies unchanged).
+    """
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "evt_cohort_revenue_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week,
+                              date_trunc('week', e.ts)) AS BIGINT) AS week_k,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY e.user_id, f.cohort_week, week_k
+    ),
+    cohort_week_value AS (
+        SELECT cohort_week, week_k,
+               CAST(sum(value_cents) AS BIGINT) AS week_value_cents,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM weekly GROUP BY cohort_week, week_k
+    ),
+    cohort_size AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT v.cohort_week, v.week_k, v.week_value_cents, v.active_users,
+           CAST(sum(v.week_value_cents) OVER (
+               PARTITION BY v.cohort_week ORDER BY v.week_k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_value_cents,
+           round(CAST(sum(v.week_value_cents) OVER (
+                     PARTITION BY v.cohort_week ORDER BY v.week_k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / s.cohort_users / 100.0, 6)
+               AS ltv_per_user
+    FROM cohort_week_value v
+    JOIN cohort_size s ON v.cohort_week = s.cohort_week
+    ORDER BY v.cohort_week, v.week_k
+    """,
+)
+def evt_cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen week,
+    weekly value accumulated into the running LTV-per-user curve — the
+    revenue-weighted extension of evt_retention_cohorts (retention says
+    who came back; LTV says what that was worth).
+
+    Scale design: the corpus reduces through (user, week) grain — every
+    join and aggregate keys on user_id or cohort_week, one logical
+    shuffle each; the LTV running sum is a window over cohort×week
+    rows (≤ 5×5 here, calendar-bounded forever). Integer cents
+    throughout; the only division is the final per-user normalization,
+    quantized per output row.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        F.min(week(F.col("ts"))).alias("cohort_week")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    weekly = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_k"),
+        )
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    cwv = weekly.groupBy("cohort_week", "week_k").agg(
+        F.sum("value_cents").alias("week_value_cents"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    size = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cwv.join(F.broadcast(size), "cohort_week")
+        .withColumn(
+            "cum_value_cents", F.sum("week_value_cents").over(w).cast("bigint")
+        )
+        .withColumn(
+            "ltv_per_user",
+            F.round(
+                F.col("cum_value_cents").cast("double")
+                / F.col("cohort_users")
+                / 100.0,
+                6,
+            ),
+        )
+        .select(
+            "cohort_week", "week_k", "week_value_cents", "active_users",
+            "cum_value_cents", "ltv_per_user",
+        )
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+@register(
+    "llm_bloom_decontaminate",
+    oracle="""
+    WITH eval_docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE doc_id % 10 = 7
+    ),
+    train_docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE doc_id % 10 != 7
+    ),
+    eval_grams AS (
+        SELECT DISTINCT md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                            || ' ' || t[CAST(i AS INT) + 2] || ' '
+                            || t[CAST(i AS INT) + 3]) AS g
+        FROM eval_docs, unnest(generate_series(1, len(t) - 3)) AS u(i)
+    ),
+    train_grams AS (
+        SELECT doc_id,
+               md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' '
+                   || t[CAST(i AS INT) + 2] || ' '
+                   || t[CAST(i AS INT) + 3]) AS g
+        FROM train_docs, unnest(generate_series(1, len(t) - 3)) AS u(i)
+    ),
+    contaminated AS (
+        SELECT DISTINCT tg.doc_id
+        FROM train_grams tg JOIN eval_grams eg ON tg.g = eg.g
+    )
+    SELECT CAST((SELECT count(*) FROM train_docs) AS BIGINT) AS n_train,
+           CAST((SELECT count(*) FROM contaminated) AS BIGINT)
+               AS n_contaminated,
+           CAST((SELECT count(*) FROM train_docs) -
+                (SELECT count(*) FROM contaminated) AS BIGINT) AS n_clean
+    """,
+)
+def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated eval-set decontamination: the eval corpus's
+    4-gram digests compress into a 64 Kbit Bloom bitmap; training grams
+    probe the bitmap FIRST, and only Bloom-positive grams (true overlaps
+    + a ~0.2% false-positive trickle) pay the exact digest join that
+    decides contamination — llm_decontaminate_overlap's semantics behind
+    join_bloom_prefilter's reduction.
+
+    Scale design: at 100 TB the training side dominates; the Bloom
+    probe is 3 broadcast lookups per gram (map-only), so the exact join
+    — the only shuffle — sees roughly |true overlaps| rows instead of
+    every training gram. No false negatives ⇒ the final census is
+    IDENTICAL to the exact pipeline, which is what the oracle computes.
+    """
+    m, k = 1 << 16, 3
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gram = (
+        "transform(sequence(1, size(t) - 3), i -> md5(concat_ws(' ', "
+        "t[i - 1], t[i], t[i + 1], t[i + 2])))"
+    )
+    toks = docs.withColumn("t", F.split(F.lower("text"), " "))
+    eval_grams = (
+        toks.filter(F.col("doc_id") % 10 == 7)
+        .select(F.explode(F.expr(gram)).alias("g"))
+        .distinct()
+    )
+    train_grams = toks.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.explode(F.expr(gram)).alias("g")
+    )
+    mask_of = "shiftleft(cast(1 as bigint), cast({p} % 64 as int))"
+    bitmap = None
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col("g"), F.lit(i)), F.lit(m))
+        part = eval_grams.withColumn("pos", pos).select(
+            F.floor(F.col("pos") / 64).cast("int").alias("word"),
+            F.expr(mask_of.format(p="pos")).alias("mask"),
+        )
+        bitmap = part if bitmap is None else bitmap.unionByName(part)
+    bitmap = bitmap.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    probe = train_grams
+    for i in range(k):
+        bm = bitmap.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
+        )
+        probe = (
+            probe.withColumn(
+                f"pos{i}", F.pmod(F.xxhash64(F.col("g"), F.lit(i)), F.lit(m))
+            )
+            .withColumn(f"word{i}", F.floor(F.col(f"pos{i}") / 64).cast("int"))
+            .withColumn(f"mask{i}", F.expr(mask_of.format(p=f"pos{i}")))
+            .join(F.broadcast(bm), F.col(f"word{i}") == F.col(f"w{i}"), "left")
+            .filter(F.col(f"b{i}").bitwiseAND(F.col(f"mask{i}")) != 0)
+        )
+    candidates = probe.select("doc_id", "g")
+    contaminated = (
+        candidates.join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_train = toks.filter(F.col("doc_id") % 10 != 7).agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    return (
+        n_train.crossJoin(F.broadcast(contaminated))
+        .select(
+            "n_train",
+            "n_contaminated",
+            (F.col("n_train") - F.col("n_contaminated")).alias("n_clean"),
+        )
+    )
+
+
+@register(
+    "evt_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ),
+    center AS (
+        SELECT CAST(sum(n_errors) AS BIGINT) AS tot_err,
+               CAST(sum(n_total) AS BIGINT) AS tot
+        FROM daily
+    )
+    SELECT d.day, d.n_total, d.n_errors,
+           round(CAST(d.n_errors AS DOUBLE) / d.n_total, 6) AS p_day,
+           round(CAST(c.tot_err AS DOUBLE) / c.tot, 6) AS p_bar,
+           CASE WHEN abs(CAST(d.n_errors AS DOUBLE) / d.n_total
+                         - CAST(c.tot_err AS DOUBLE) / c.tot)
+                     > 3 * sqrt((CAST(c.tot_err AS DOUBLE) / c.tot)
+                                * (1 - CAST(c.tot_err AS DOUBLE) / c.tot)
+                                / d.n_total)
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM daily d CROSS JOIN center c
+    ORDER BY d.day
+    """,
+)
+def evt_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute control chart (p-chart) over the daily error share:
+    each day's proportion tested against p̄ ± 3·√(p̄(1−p̄)/n) — the SPC
+    primitive that separates common-cause noise from assignable-cause
+    days (the frequentist sibling of evt_anomaly_zscore, with
+    per-day-n-aware limits).
+
+    Scale design: the corpus reduces to DAY grain in one conditional
+    aggregate; the center line is a 1-row broadcast; limits are
+    scan-stage arithmetic over day rows. Counts are exact integers;
+    the comparison reuses the same two divisions on both engines so
+    the flag is stable (a boundary-exact day would need quantized
+    comparison — none exists in the fixture, and the flag quantizes
+    implicitly through the identical expression tree).
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    center = daily.agg(
+        F.sum("n_errors").alias("tot_err"), F.sum("n_total").alias("tot")
+    )
+    p_day = F.col("n_errors").cast("double") / F.col("n_total")
+    p_bar = F.col("tot_err").cast("double") / F.col("tot")
+    sigma = F.sqrt(p_bar * (1 - p_bar) / F.col("n_total"))
+    return (
+        daily.crossJoin(F.broadcast(center))
+        .select(
+            "day",
+            "n_total",
+            "n_errors",
+            F.round(p_day, 6).alias("p_day"),
+            F.round(p_bar, 6).alias("p_bar"),
+            F.when(F.abs(p_day - p_bar) > 3 * sigma, 1)
+            .otherwise(0)
+            .alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

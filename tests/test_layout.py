@@ -280,6 +280,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_ab_srm_check",           # 1-row total-count scalar
         "llm_topic_keywords_chi2",    # 1-row corpus-total scalar
         "agg_fk_integrity_audit",     # 1-row × 1-row relation assembly
+        "evt_control_chart",          # 1-row center-line scalar
+        "llm_bloom_decontaminate",    # 1-row census assembly scalars
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -334,6 +336,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_topic_keywords_chi2",    # 1-row total reduce of the count matrix
         "evt_alert_debounce",         # run windows over HOUR rows
         "agg_fk_integrity_audit",     # 1-row per-relation reduces
+        "evt_control_chart",          # 1-row center-line reduce
+        "llm_bloom_decontaminate",    # 1-row census reduces
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
                                       # edge list
     }
