@@ -220,6 +220,10 @@ _PRIORITY = [
     "evt_cohort_revenue_ltv",
     "llm_bloom_decontaminate",
     "evt_control_chart",
+    "evt_linear_attribution",
+    "evt_seasonal_decompose",
+    "llm_sft_pair_format",
+    "agg_data_freshness_sla",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -3707,3 +3707,295 @@ def evt_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "evt_linear_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id,
+               p.purchase_id, p.purchase_ts
+        FROM events e
+        JOIN purchases p
+          ON e.user_id = p.user_id
+         AND e.ts < p.purchase_ts
+         AND e.ts >= p.purchase_ts - INTERVAL 24 HOURS
+        WHERE e.event_type IN ('view', 'click')
+    ),
+    credited AS (
+        SELECT purchase_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_type_touches,
+               CAST(sum(count(*)) OVER (PARTITION BY purchase_id) AS BIGINT)
+                   AS n_touches
+        FROM touches
+        GROUP BY purchase_id, event_type
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(n_type_touches * 1000000 // n_touches) AS BIGINT)
+               AS credit_ppm
+    FROM credited
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def evt_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 24 h
+    before a purchase shares the conversion credit equally — the
+    equal-weight sibling of evt_session_attribution's first-touch
+    model, reported as total credit per channel (event type).
+
+    Scale design: the touch window is a per-user range join — both
+    sides pre-filtered and joined on user_id (the equi key) with the
+    24 h bound as a residual predicate, so it plans as a hash join,
+    never BNLJ; per-purchase credit shares quantize to integer ppm
+    BEFORE the channel sum (floor division both engines), keeping the
+    rollup order-independent.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("purchase_ts"))
+            & (
+                F.col("ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS")
+            ),
+        )
+    )
+    credited = touches.groupBy("purchase_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_type_touches")
+    ).withColumn(
+        "n_touches",
+        F.sum("n_type_touches")
+        .over(Window.partitionBy("purchase_id"))
+        .cast("bigint"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.countDistinct("purchase_id").alias("n_purchases_touched"),
+            F.sum(
+                F.expr("n_type_touches * 1000000L div n_touches")
+            ).alias("credit_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "evt_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT day, n,
+               round(avg(n) OVER (
+                   ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ), 6) AS trend
+        FROM daily
+    ),
+    detrended AS (
+        SELECT day, n, trend,
+               (date_diff('day', DATE '1970-01-01', day) + 3) % 7 AS dow,
+               round(n - trend, 6) AS detrended
+        FROM trended
+    ),
+    dow_effect AS (
+        SELECT dow, round(avg(detrended), 6) AS weekday_effect
+        FROM detrended GROUP BY dow
+    )
+    SELECT d.day, d.n, d.trend, CAST(d.dow AS BIGINT) AS dow,
+           e.weekday_effect,
+           round(d.n - d.trend - e.weekday_effect, 6) AS residual
+    FROM detrended d JOIN dow_effect e ON d.dow = e.dow
+    ORDER BY d.day
+    """,
+)
+def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily series: a centered
+    7-day moving-average trend, a Monday-anchored weekday effect
+    (mean of the detrended values per day-of-week), and the residual —
+    classical STL-lite, the explainer behind 'is Monday really down or
+    is it trend?'.
+
+    Scale design: everything after the one day-grain reduction runs
+    over day-cardinality rows (trend window, 7-row weekday table
+    broadcast back). Trend is avg over an exact integer frame and the
+    weekday effect averages already-quantized detrended values — each
+    stage quantizes identically on both engines before feeding the
+    next, so the composition stays hash-stable (the G4 dow hazard is
+    avoided with epoch-day arithmetic).
+    """
+    ev = load(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_trend = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend", F.round(F.avg("n").over(w_trend), 6)
+    )
+    detrended = trended.withColumn(
+        "dow",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) + 3
+        ) % 7,
+    ).withColumn("detrended", F.round(F.col("n") - F.col("trend"), 6))
+    dow_effect = detrended.groupBy("dow").agg(
+        F.round(F.avg("detrended"), 6).alias("weekday_effect")
+    )
+    return (
+        detrended.join(F.broadcast(dow_effect), "dow")
+        .select(
+            "day",
+            "n",
+            "trend",
+            F.col("dow").cast("bigint").alias("dow"),
+            "weekday_effect",
+            F.round(
+                F.col("n") - F.col("trend") - F.col("weekday_effect"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "llm_sft_pair_format",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           '{"instruction":"Continue the text: '
+           || array_to_string(t[1:8], ' ')
+           || '","response":"' || array_to_string(t[9:len(t)], ' ')
+           || '","meta":{"lang":"' || lang || '","n_prompt_tokens":8,'
+           || '"n_response_tokens":' || CAST(len(t) - 8 AS VARCHAR) || '}}'
+               AS sft_jsonl
+    FROM toks
+    WHERE len(t) > 8
+    ORDER BY doc_id
+    """,
+)
+def llm_sft_pair_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-fine-tuning pair formatting: split each document into
+    a prompt prefix (8 tokens) and a completion, rendered as the JSONL
+    training line with metadata — the last hop between a curated corpus
+    and a trainer's input format.
+
+    Scale design: map-only string surgery over the token array — zero
+    shuffles, trivially parallel, ordering irrelevant to the sink. The
+    JSON is rendered with explicit concatenation on BOTH engines (not
+    to_json) so byte-level agreement is by construction; fixture text
+    is alphanumeric+spaces, so no JSON escaping is exercised (escaping
+    lives in fn_json_roundtrip_nested).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.filter(F.col("doc_id") < 30).select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("t")
+    )
+    prompt = F.expr("array_join(slice(t, 1, 8), ' ')")
+    response = F.expr("array_join(slice(t, 9, size(t) - 8), ' ')")
+    line = F.concat(
+        F.lit('{"instruction":"Continue the text: '),
+        prompt,
+        F.lit('","response":"'),
+        response,
+        F.lit('","meta":{"lang":"'),
+        F.col("lang"),
+        F.lit('","n_prompt_tokens":8,"n_response_tokens":'),
+        (F.size("t") - 8).cast("string"),
+        F.lit("}}"),
+    )
+    return (
+        toks.filter(F.size("t") > 8)
+        .select("doc_id", line.alias("sft_jsonl"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "agg_data_freshness_sla",
+    oracle="""
+    SELECT 'events' AS table_name,
+           max(ts) AS latest_record,
+           CAST(date_diff('hour', max(ts), TIMESTAMP '2024-02-01 00:00:00')
+                AS BIGINT) AS staleness_hours,
+           CASE WHEN date_diff('hour', max(ts),
+                               TIMESTAMP '2024-02-01 00:00:00') <= 48
+                THEN 'fresh' ELSE 'stale' END AS sla_48h
+    FROM events
+    UNION ALL
+    SELECT 'orders', max(o_orderdate),
+           CAST(date_diff('hour', max(o_orderdate),
+                          TIMESTAMP '2024-02-01 00:00:00') AS BIGINT),
+           CASE WHEN date_diff('hour', max(o_orderdate),
+                               TIMESTAMP '2024-02-01 00:00:00') <= 48
+                THEN 'fresh' ELSE 'stale' END
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', max(l_shipdate),
+           CAST(date_diff('hour', max(l_shipdate),
+                          TIMESTAMP '2024-02-01 00:00:00') AS BIGINT),
+           CASE WHEN date_diff('hour', max(l_shipdate),
+                               TIMESTAMP '2024-02-01 00:00:00') <= 48
+                THEN 'fresh' ELSE 'stale' END
+    FROM lineitem
+    ORDER BY table_name
+    """,
+)
+def agg_data_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA census across tables: latest record timestamp,
+    staleness versus a fixed reference instant, and a 48 h SLA verdict —
+    the first panel of every pipeline health dashboard (the reference
+    instant is pinned as a literal for determinism; production binds
+    current_timestamp() at the orchestrator layer).
+
+    Scale design: each table contributes ONE max() aggregate — a
+    metadata-cheap scan (parquet footers alone can answer max(ts) when
+    stats are trusted); the union is 3 rows. Staleness arithmetic is
+    exact integer hour differences.
+    """
+    ref = F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+
+    def fresh(table, ts_col):
+        df = load(spark, sf_dir, table)
+        # DuckDB's date_diff counts BOUNDARY crossings, not elapsed
+        # hours — mirror with floor(epoch/3600) differences
+        hours = (
+            F.floor(F.unix_micros(ref.cast("timestamp")) / 3600000000)
+            - F.floor(
+                F.unix_micros(F.max(ts_col).cast("timestamp")) / 3600000000
+            )
+        ).cast("bigint")
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.max(ts_col).alias("latest_record"),
+            hours.alias("staleness_hours"),
+            F.when(hours <= 48, "fresh").otherwise("stale").alias("sla_48h"),
+        )
+
+    return (
+        fresh("events", "ts")
+        .unionByName(fresh("orders", "o_orderdate"))
+        .unionByName(fresh("lineitem", "l_shipdate"))
+        .orderBy("table_name")
+    )

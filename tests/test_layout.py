@@ -337,6 +337,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_alert_debounce",         # run windows over HOUR rows
         "agg_fk_integrity_audit",     # 1-row per-relation reduces
         "evt_control_chart",          # 1-row center-line reduce
+        "agg_data_freshness_sla",     # 1-row max() per table
+        "evt_seasonal_decompose",     # trend window over DAY rows
         "llm_bloom_decontaminate",    # 1-row census reduces
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
                                       # edge list
