@@ -224,6 +224,9 @@ _PRIORITY = [
     "evt_seasonal_decompose",
     "llm_sft_pair_format",
     "agg_data_freshness_sla",
+    "evt_audience_overlap_daily",
+    "llm_source_priority_dedup",
+    "fn_format_bytes_human",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

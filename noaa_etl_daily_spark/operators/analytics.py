@@ -3999,3 +3999,214 @@ def agg_data_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fresh("lineitem", "l_shipdate"))
         .orderBy("table_name")
     )
+
+
+@register(
+    "evt_audience_overlap_daily",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    day_sizes AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_users
+        FROM du GROUP BY day
+    ),
+    ovl AS (
+        SELECT a.day AS day_a, b.day AS day_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM du a
+        JOIN du b ON a.user_id = b.user_id
+                 AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY a.day, b.day
+    )
+    SELECT o.day_a, o.day_b, sa.n_users AS users_a, sb.n_users AS users_b,
+           o.n_both,
+           CAST(o.n_both * 1000000 //
+                (sa.n_users + sb.n_users - o.n_both) AS BIGINT)
+               AS jaccard_ppm
+    FROM ovl o
+    JOIN day_sizes sa ON o.day_a = sa.day
+    JOIN day_sizes sb ON o.day_b = sb.day
+    ORDER BY o.day_a
+    """,
+)
+def evt_audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap: the Jaccard similarity of
+    consecutive days' active-user sets — the churn-velocity dial
+    (overlap falling = audience turning over) next to the cohort views.
+
+    Scale design: the corpus dedups once to (day, user) grain; the
+    consecutive-day constraint rides the USER-keyed self-join as a
+    residual equi-on-day+1 predicate, so overlap counting shuffles only
+    the dedup'd pairs; day sizes broadcast back onto day-pair rows.
+    Jaccard quantizes to integer ppm via floor division — no floats
+    anywhere.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    day_sizes = du.groupBy("day").agg(F.count(F.lit(1)).alias("n_users"))
+    a = du.select(F.col("day").alias("day_a"), "user_id")
+    b = du.select(F.col("day").alias("day_b"), F.col("user_id").alias("uid_b"))
+    overlaps = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("day_b") == F.date_add(F.col("day_a"), 1)),
+        )
+        .groupBy("day_a", "day_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = day_sizes.select(
+        F.col("day").alias("day_a"), F.col("n_users").alias("users_a")
+    )
+    sb = day_sizes.select(
+        F.col("day").alias("day_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        overlaps.join(F.broadcast(sa), "day_a")
+        .join(F.broadcast(sb), "day_b")
+        .select(
+            "day_a",
+            "day_b",
+            "users_a",
+            "users_b",
+            "n_both",
+            F.expr(
+                "n_both * 1000000L div (users_a + users_b - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("day_a")
+    )
+
+
+@register(
+    "llm_source_priority_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h,
+               CAST(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0
+                         WHEN source IN ('src3', 'src4', 'src5') THEN 1
+                         ELSE 2 END AS INT) AS tier
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, h, tier,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY tier, doc_id) AS rk
+        FROM hashed
+    )
+    SELECT CAST(tier AS BIGINT) AS tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_as_dup
+    FROM ranked
+    GROUP BY tier
+    ORDER BY tier
+    """,
+)
+def llm_source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority dedup survivorship: when the same content appears
+    in multiple sources, keep the copy from the most-trusted tier
+    (curated > standard > scraped) — the editorial policy layered on
+    exact dedup (llm_dedup_survivors keeps the longest doc; this keeps
+    the authoritative one).
+
+    Scale design: one digest shuffle (text never moves), the keep/drop
+    decision is a rank window over same-digest groups ordered by
+    (tier, doc_id) — deterministic authority order; the census
+    aggregates per tier. Changing the trust policy edits the ORDER BY,
+    not the plan shape.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tier = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 0)
+        .when(F.col("source").isin("src3", "src4", "src5"), 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        tier.alias("tier"),
+    )
+    w = Window.partitionBy("h").orderBy("tier", "doc_id")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("tier").cast("bigint").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias(
+                "n_dropped_as_dup"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
+    "fn_format_bytes_human",
+    oracle="""
+    WITH sizes AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 1000) AS BIGINT) AS n_bytes
+        FROM orders WHERE o_orderkey < 30
+    )
+    SELECT o_orderkey, n_bytes,
+           CASE
+               WHEN n_bytes >= 1073741824 THEN
+                   CAST(n_bytes // 1073741824 AS VARCHAR) || '.' ||
+                   CAST((n_bytes % 1073741824) * 10 // 1073741824 AS VARCHAR)
+                   || ' GiB'
+               WHEN n_bytes >= 1048576 THEN
+                   CAST(n_bytes // 1048576 AS VARCHAR) || '.' ||
+                   CAST((n_bytes % 1048576) * 10 // 1048576 AS VARCHAR)
+                   || ' MiB'
+               WHEN n_bytes >= 1024 THEN
+                   CAST(n_bytes // 1024 AS VARCHAR) || '.' ||
+                   CAST((n_bytes % 1024) * 10 // 1024 AS VARCHAR) || ' KiB'
+               ELSE CAST(n_bytes AS VARCHAR) || ' B'
+           END AS human
+    FROM sizes
+    ORDER BY o_orderkey
+    """,
+)
+def fn_format_bytes_human(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable byte formatting (the `ls -h` of dashboards):
+    binary-unit rendering with one truncated decimal, built from integer
+    div/mod so the rendered string is byte-identical cross-engine
+    (float printf of 1.0e9/2^30 would not be).
+
+    Scale design: scan-stage only; the unit ladder is a CASE over
+    integer thresholds, the fractional digit is (rem·10)//unit — no
+    floats, no locale, no printf.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sizes = orders.filter(F.col("o_orderkey") < 30).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1000).cast("bigint").alias("n_bytes"),
+    )
+
+    def unit(base, suffix):
+        return F.concat(
+            F.expr(f"cast(n_bytes div {base} as string)"),
+            F.lit("."),
+            F.expr(f"cast((n_bytes % {base}) * 10 div {base} as string)"),
+            F.lit(suffix),
+        )
+
+    human = (
+        F.when(F.col("n_bytes") >= 1073741824, unit(1073741824, " GiB"))
+        .when(F.col("n_bytes") >= 1048576, unit(1048576, " MiB"))
+        .when(F.col("n_bytes") >= 1024, unit(1024, " KiB"))
+        .otherwise(F.concat(F.col("n_bytes").cast("string"), F.lit(" B")))
+    )
+    return sizes.select("o_orderkey", "n_bytes", human.alias("human")).orderBy(
+        "o_orderkey"
+    )
