@@ -227,6 +227,8 @@ _PRIORITY = [
     "evt_audience_overlap_daily",
     "llm_source_priority_dedup",
     "fn_format_bytes_human",
+    "agg_rfm_segmentation",
+    "llm_interpolated_lm_ppl",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -4210,3 +4210,216 @@ def fn_format_bytes_human(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.select("o_orderkey", "n_bytes", human.alias("human")).orderBy(
         "o_orderkey"
     )
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, last_order, frequency, monetary_cents,
+               ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+        FROM rfm
+    ),
+    labeled AS (
+        SELECT *,
+               CASE
+                   WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                       THEN 'champion'
+                   WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                   WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                   WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                   ELSE 'regular'
+               END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents,
+           round(avg(frequency), 6) AS avg_frequency
+    FROM labeled
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (ntile with deterministic custkey tiebreak) mapped to
+    the classic champion / loyal / at-risk / hibernating labels — the
+    marketing-analytics workhorse, as one window pass over customer
+    grain.
+
+    Scale design: orders reduce to customer grain first (integer cents,
+    one shuffle); all three ntile windows run over customer-cardinality
+    rows (global windows, but post-reduction — at 100 TB the quintile
+    boundaries swap to percentile_approx thresholds broadcast back,
+    same labels). The census output is 5 segment rows.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy("last_order", "o_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy("frequency", "o_custkey")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")),
+        )
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("total_cents"),
+            F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "llm_interpolated_lm_ppl",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    unigrams AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    uni_tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM unigrams),
+    bigrams AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM (
+            SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ) GROUP BY w1, w2
+    ),
+    doc_bigrams AS (
+        SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+               CAST(i AS BIGINT) AS pos
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    scored AS (
+        SELECT d.doc_id, d.pos,
+               -- interpolated P = 0.75 * P(w2|w1) + 0.25 * P(w2)
+               CAST(round(ln(
+                   0.75 * (CAST(b.c2 AS DOUBLE) / u1.c1)
+                   + 0.25 * (CAST(u2.c1 AS DOUBLE) / t.n)
+               ) * 1000000) AS BIGINT) AS logp_micro
+        FROM doc_bigrams d
+        JOIN bigrams b ON d.w1 = b.w1 AND d.w2 = b.w2
+        JOIN unigrams u1 ON d.w1 = u1.w
+        JOIN unigrams u2 ON d.w2 = u2.w
+        CROSS JOIN uni_tot t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(logp_micro) AS DOUBLE)
+                 / count(*) / -1000000.0, 6) AS neg_mean_logp
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
+def llm_interpolated_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring per document
+    (λ·P(w₂|w₁) + (1−λ)·P(w₂), λ=0.75) — the Jelinek-Mercer smoothing
+    upgrade over llm_text_perplexity_proxy's unigram model and the
+    quality signal CCNet-style filters threshold on (neg mean log-prob
+    ≈ log-perplexity).
+
+    Scale design: the LM tables are vocab- and vocab²-bounded
+    aggregates; scoring joins each document bigram against them (the
+    bigram join keys on (w1, w2) — the one corpus-sized shuffle).
+    Every per-position log term quantizes to integer micro-nats BEFORE
+    the per-doc mean, so the reduction is order-independent; the ln
+    argument is the identical two-division expression on both engines.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    unigrams = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    uni_tot = unigrams.agg(F.sum("c1").alias("n"))
+    pair_expr = (
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+    )
+    doc_bigrams = toks.select(
+        "doc_id", F.posexplode(F.expr(pair_expr)).alias("pos0", "p")
+    ).select("doc_id", "p.w1", "p.w2")
+    bigrams = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    logp = F.round(
+        F.log(
+            0.75 * (F.col("c2").cast("double") / F.col("c1_w1"))
+            + 0.25 * (F.col("c1_w2").cast("double") / F.col("n"))
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        doc_bigrams.join(bigrams, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(uni_tot))
+        .select("doc_id", logp.alias("logp_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("logp_micro").cast("double")
+                / F.count(F.lit(1))
+                / -1000000.0,
+                6,
+            ).alias("neg_mean_logp"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

@@ -282,6 +282,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_fk_integrity_audit",     # 1-row × 1-row relation assembly
         "evt_control_chart",          # 1-row center-line scalar
         "llm_bloom_decontaminate",    # 1-row census assembly scalars
+        "llm_interpolated_lm_ppl",    # 1-row unigram-total scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -340,6 +341,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_data_freshness_sla",     # 1-row max() per table
         "evt_seasonal_decompose",     # trend window over DAY rows
         "llm_bloom_decontaminate",    # 1-row census reduces
+        "llm_interpolated_lm_ppl",    # 1-row unigram-total reduce
+        "agg_rfm_segmentation",       # ntile windows over CUSTOMER rows
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
                                       # edge list
     }
