@@ -229,6 +229,8 @@ _PRIORITY = [
     "fn_format_bytes_human",
     "agg_rfm_segmentation",
     "llm_interpolated_lm_ppl",
+    "evt_distribution_drift_jsd",
+    "llm_embedding_drift_check",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -4423,3 +4423,191 @@ def llm_interpolated_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "evt_distribution_drift_jsd",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'p' ELSE 'q' END AS half,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, half
+    ),
+    tot AS (
+        SELECT half, CAST(sum(n) AS BIGINT) AS t FROM halves GROUP BY half
+    ),
+    dist AS (
+        SELECT h.event_type,
+               max(CASE WHEN h.half = 'p'
+                   THEN CAST(h.n AS DOUBLE) / t.t END) AS p,
+               max(CASE WHEN h.half = 'q'
+                   THEN CAST(h.n AS DOUBLE) / t.t END) AS q
+        FROM halves h JOIN tot t ON h.half = t.half
+        GROUP BY h.event_type
+    ),
+    terms AS (
+        SELECT event_type, p, q,
+               CAST(round((p * ln(2 * p / (p + q))
+                           + q * ln(2 * q / (p + q))) / 2
+                          * 1000000000) AS BIGINT) AS jsd_nano
+        FROM dist
+    )
+    SELECT event_type, round(p, 6) AS share_first_half,
+           round(q, 6) AS share_second_half,
+           round(CAST(jsd_nano AS DOUBLE) / 1000000000, 6)
+               AS jsd_contribution
+    FROM terms
+    ORDER BY event_type
+    """,
+)
+def evt_distribution_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: Jensen-Shannon divergence terms of
+    the event-type mix between the first and second half of the month —
+    the symmetric, bounded drift metric monitoring pipelines alert on
+    (KL blows up on vanishing categories; JSD doesn't).
+
+    Scale design: the corpus reduces to |types|×2 counts in one
+    conditional aggregate; shares, logs and the per-type JSD
+    contribution are scan-stage arithmetic over those rows, each term
+    quantized to integer nano-nats (the llm_collocation_pmi paired-ln
+    discipline). The oracle emits per-type contributions rather than
+    the single summed JSD so the comparison stays row-anchored.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), "p"
+    ).otherwise("q")
+    halves = ev.groupBy("event_type", half.alias("half")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = halves.groupBy("half").agg(F.sum("n").alias("t"))
+    dist = (
+        halves.join(F.broadcast(tot), "half")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("half") == "p",
+                    F.col("n").cast("double") / F.col("t"),
+                )
+            ).alias("p"),
+            F.max(
+                F.when(
+                    F.col("half") == "q",
+                    F.col("n").cast("double") / F.col("t"),
+                )
+            ).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    jsd_nano = F.round(
+        (p * F.log(2 * p / (p + q)) + q * F.log(2 * q / (p + q))) / 2 * 1e9
+    ).cast("bigint")
+    return (
+        dist.withColumn("jsd_nano", jsd_nano)
+        .select(
+            "event_type",
+            F.round(p, 6).alias("share_first_half"),
+            F.round(q, 6).alias("share_second_half"),
+            F.round(F.col("jsd_nano").cast("double") / 1e9, 6).alias(
+                "jsd_contribution"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "llm_embedding_drift_check",
+    oracle="""
+    WITH eq AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'new' END AS batch,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS e
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    per_dim AS (
+        SELECT batch, i,
+               CAST(sum(e[CAST(i AS INT)]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM eq CROSS JOIN dims
+        GROUP BY batch, i
+    ),
+    shifts AS (
+        SELECT r.i,
+               CAST(r.s AS DOUBLE) / r.n AS mu_ref,
+               CAST(w.s AS DOUBLE) / w.n AS mu_new,
+               abs(CAST(r.s AS DOUBLE) / r.n - CAST(w.s AS DOUBLE) / w.n)
+                   AS shift
+        FROM (SELECT * FROM per_dim WHERE batch = 'ref') r
+        JOIN (SELECT * FROM per_dim WHERE batch = 'new') w ON r.i = w.i
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           round(max(shift) / 1000000, 6) AS max_dim_shift,
+           round(CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(shift * shift ORDER BY i)),
+                     (acc, v) -> acc + v) AS DOUBLE), 4) AS shift_sq_micro,
+           CAST(sum(CASE WHEN shift > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dims_drifted
+    FROM shifts
+    """,
+)
+def llm_embedding_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift check between a reference batch and
+    a new batch (deterministic even/odd split): per-dimension mean
+    shift, the centroid-displacement norm, and a drifted-dimension
+    count — the canary that fires when the upstream embedding model
+    changed or inputs shifted domain.
+
+    Scale design: each batch reduces to 64 per-dimension integer sums
+    (one aggregate, exact); everything after runs on 64 rows. The
+    centroid displacement squared-norm folds in dimension order on
+    both engines (ordered list fold ↔ aggregate over sorted struct
+    array), so even the accumulated float agrees bit-for-bit.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eq = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("new").alias(
+            "batch"
+        ),
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("e"),
+    )
+    per_dim = (
+        eq.select("batch", F.posexplode("e").alias("pos0", "val"))
+        .groupBy("batch", (F.col("pos0") + 1).alias("i"))
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    ref = per_dim.filter(F.col("batch") == "ref").select(
+        "i", (F.col("s").cast("double") / F.col("n")).alias("mu_ref")
+    )
+    new = per_dim.filter(F.col("batch") == "new").select(
+        F.col("i").alias("i2"),
+        (F.col("s").cast("double") / F.col("n")).alias("mu_new"),
+    )
+    shifts = ref.join(new, ref.i == F.col("i2")).select(
+        "i", F.abs(F.col("mu_ref") - F.col("mu_new")).alias("shift")
+    )
+    return shifts.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(F.max("shift") / 1000000, 6).alias("max_dim_shift"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(i, shift))), s -> s.shift * s.shift), "
+                "cast(0 as double), (acc, v) -> acc + v)"
+            ),
+            4,
+        ).alias("shift_sq_micro"),
+        F.sum(F.when(F.col("shift") > 50000, 1).otherwise(0)).alias(
+            "n_dims_drifted"
+        ),
+    )

@@ -343,6 +343,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_bloom_decontaminate",    # 1-row census reduces
         "llm_interpolated_lm_ppl",    # 1-row unigram-total reduce
         "agg_rfm_segmentation",       # ntile windows over CUSTOMER rows
+        "llm_embedding_drift_check",  # 1-row reduce of 64 dim rows
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
                                       # edge list
     }
