@@ -231,6 +231,8 @@ _PRIORITY = [
     "llm_interpolated_lm_ppl",
     "evt_distribution_drift_jsd",
     "llm_embedding_drift_check",
+    "llm_watermark_detection",
+    "evt_bot_regularity_detection",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

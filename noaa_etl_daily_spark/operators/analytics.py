@@ -4611,3 +4611,176 @@ def llm_embedding_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dims_drifted"
         ),
     )
+
+
+@register(
+    "llm_watermark_detection",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               t[CAST(i AS INT)] AS prev_tok,
+               t[CAST(i AS INT) + 1] AS tok
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN
+                   CAST(('0x' || substr(md5(prev_tok || '#' || tok), 1, 4))
+                        AS BIGINT) % 2 = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+        FROM pairs
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_scored, n_green,
+           round(CAST(n_green AS DOUBLE) / n_scored, 6) AS green_fraction,
+           round((CAST(n_green AS DOUBLE) - 0.5 * n_scored)
+                 / sqrt(0.25 * n_scored), 6) AS z_score,
+           CASE WHEN (CAST(n_green AS DOUBLE) - 0.5 * n_scored)
+                     / sqrt(0.25 * n_scored) > 4.0
+                THEN 1 ELSE 0 END AS watermark_flag
+    FROM scored
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
+def llm_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LLM-watermark detection (Kirchenbauer-style): a
+    watermarking sampler biases each token toward a 'green list' seeded
+    by the previous token; the detector recomputes the green/red
+    partition (here: md5 of the (prev, tok) pair, γ=½) and z-tests each
+    document's green fraction against the unwatermarked null — the
+    synthetic-text screen a human-data pipeline runs before training.
+
+    Scale design: scoring is scan-stage pair hashing + one doc-grain
+    aggregate (integer counts); the z arithmetic runs per output row
+    from exact n_green/n_scored. Natural fixture text scores near
+    z=0 — the detector's null behavior, property-visible in the
+    green_fraction column; the z > 4 flag fires only on actually-biased
+    token streams.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    pair_expr = (
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(t[i - 1], '#', t[i]))"
+    )
+    pairs = toks.select(
+        "doc_id", F.explode(F.expr(pair_expr)).alias("pair")
+    )
+    green = (
+        F.conv(F.substring(F.md5("pair"), 1, 4), 16, 10).cast("bigint") % 2
+        == 0
+    )
+    scored = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.when(green, 1).otherwise(0)).alias("n_green"),
+    )
+    z = (F.col("n_green").cast("double") - 0.5 * F.col("n_scored")) / F.sqrt(
+        0.25 * F.col("n_scored")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_scored",
+            "n_green",
+            F.round(
+                F.col("n_green").cast("double") / F.col("n_scored"), 6
+            ).alias("green_fraction"),
+            F.round(z, 6).alias("z_score"),
+            F.when(z > 4.0, 1).otherwise(0).alias("watermark_flag"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "evt_bot_regularity_detection",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) AS BIGINT) AS gap_us
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_us) AS BIGINT) AS sum_us,
+               CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS HUGEINT)
+                   AS sum_sq
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(sum_us // n_gaps AS BIGINT) AS mean_gap_us,
+           -- coefficient of variation from exact integer moments:
+           -- cv² = n·Σx²/（Σx)² − 1 ; regular (bot-like) traffic has
+           -- cv ≪ 1, human burstiness cv ≈ 1+
+           round(sqrt(greatest(
+               CAST(n_gaps AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+               / (CAST(sum_us AS DOUBLE) * CAST(sum_us AS DOUBLE)) - 1.0,
+               0.0)), 6) AS gap_cv,
+           CASE WHEN n_gaps >= 20 AND sqrt(greatest(
+                    CAST(n_gaps AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                    / (CAST(sum_us AS DOUBLE) * CAST(sum_us AS DOUBLE))
+                    - 1.0, 0.0)) < 0.3
+                THEN 1 ELSE 0 END AS bot_flag
+    FROM stats
+    WHERE n_gaps >= 10
+    ORDER BY user_id
+    """,
+)
+def evt_bot_regularity_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-event regularity: the coefficient of
+    variation of each user's event gaps — scripted traffic ticks like a
+    metronome (cv ≪ 1) while humans are bursty (cv ≈ 1+); pairs with
+    fn_ip_subnet_rollup as the behavioral half of the abuse screen.
+
+    Scale design: one user_id window shuffle for the gaps (event_id
+    tiebreak), one user-grain aggregate of EXACT integer moments
+    (Σx as bigint, Σx² as 128-bit — hugeint ↔ Spark decimal(38,0));
+    cv derives per output row from the closed form n·Σx²/(Σx)²−1, so
+    no float ever crosses an exchange.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).cast("bigint").alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_us"),
+        F.sum(
+            F.col("gap_us").cast("decimal(38,0)")
+            * F.col("gap_us").cast("decimal(38,0)")
+        ).alias("sum_sq"),
+    )
+    cv_sq = (
+        F.col("n_gaps").cast("double")
+        * F.col("sum_sq").cast("double")
+        / (F.col("sum_us").cast("double") * F.col("sum_us").cast("double"))
+        - 1.0
+    )
+    cv = F.sqrt(F.greatest(cv_sq, F.lit(0.0)))
+    return (
+        stats.filter(F.col("n_gaps") >= 10)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("cast(sum_us div n_gaps as bigint)").alias("mean_gap_us"),
+            F.round(cv, 6).alias("gap_cv"),
+            F.when((F.col("n_gaps") >= 20) & (cv < 0.3), 1)
+            .otherwise(0)
+            .alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )
