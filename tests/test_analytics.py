@@ -181,3 +181,64 @@ def test_token_budget_selection_is_greedy_optimal_prefix(spark, sf_dir):
     )
     assert sum(r.tokens_selected for r in got) == want_tokens
     assert sum(r.n_docs_selected for r in got) == len(selected)
+
+
+def test_watermark_detector_fires_on_biased_stream(spark, sf_dir):
+    """Constructive positive: a synthetic token stream that greedily
+    picks green-list continuations must trip the z>4 watermark flag,
+    while the natural fixture corpus must sit near the null."""
+    import hashlib
+
+    vocab = [f"w{i}" for i in range(50)]
+
+    def is_green(prev, tok):
+        return int(hashlib.md5(f"{prev}#{tok}".encode()).hexdigest()[:4], 16) % 2 == 0
+
+    toks = ["w0"]
+    for i in range(400):
+        cands = [vocab[(i * 7 + j) % 50] for j in range(4)]
+        green = [c for c in cands if is_green(toks[-1], c)]
+        toks.append(green[0] if green else cands[0])
+    wm_text = " ".join(toks)
+
+    from noaa_etl_daily_spark import registry as reg_mod
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, wm_text)], "doc_id long, text string")
+    pairs = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                "i -> concat(split(lower(text), ' ')[i - 1], '#', "
+                "split(lower(text), ' ')[i]))"
+            )
+        ).alias("pair"),
+    )
+    green = (
+        F.conv(F.substring(F.md5("pair"), 1, 4), 16, 10).cast("bigint") % 2
+        == 0
+    )
+    row = (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(green, 1).otherwise(0)).alias("g"),
+        )
+        .collect()[0]
+    )
+    z = (row.g - 0.5 * row.n) / (0.25 * row.n) ** 0.5
+    assert z > 4.0, f"biased stream not detected: z={z}"
+
+    # natural corpus: the flag rate stays at the tail (repetitive
+    # fixture docs can legitimately exceed z=4 — token pairs are not
+    # i.i.d. — but the population must sit at the null overall)
+    natural = (
+        reg_mod.REGISTRY["llm_watermark_detection"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    flag_rate = sum(r.watermark_flag for r in natural) / len(natural)
+    assert flag_rate <= 0.05, f"natural flag rate {flag_rate}"
+    mean_green = sum(r.green_fraction for r in natural) / len(natural)
+    assert 0.4 < mean_green < 0.6, f"null green fraction {mean_green}"
