@@ -233,6 +233,8 @@ _PRIORITY = [
     "llm_embedding_drift_check",
     "llm_watermark_detection",
     "evt_bot_regularity_detection",
+    "evt_survival_km",
+    "pipeline_daily_kpis",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

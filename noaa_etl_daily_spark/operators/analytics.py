@@ -4784,3 +4784,215 @@ def evt_bot_regularity_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "evt_survival_km",
+    oracle="""
+    WITH spans AS (
+        SELECT e.user_id,
+               CAST(date_diff('day',
+                    CAST(min(CAST(e.ts AS TIMESTAMP)) AS DATE),
+                    CAST(COALESCE(p.first_purchase,
+                                  max(CAST(e.ts AS TIMESTAMP))) AS DATE))
+                    AS BIGINT) AS lifetime_days,
+               CASE WHEN p.first_purchase IS NULL THEN 0 ELSE 1 END
+                   AS churned
+        FROM events e
+        LEFT JOIN (SELECT user_id,
+                          min(CAST(ts AS TIMESTAMP)) AS first_purchase
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id) p
+          ON e.user_id = p.user_id
+        GROUP BY e.user_id, p.first_purchase
+    ),
+    risk AS (
+        SELECT lifetime_days AS t,
+               CAST(sum(churned) AS BIGINT) AS d
+        FROM spans GROUP BY lifetime_days
+        HAVING sum(churned) > 0
+    ),
+    at_risk AS (
+        SELECT r.t, r.d,
+               (SELECT CAST(count(*) AS BIGINT) FROM spans s
+                WHERE s.lifetime_days >= r.t) AS n
+        FROM risk r
+    ),
+    terms AS (
+        SELECT t, d, n,
+               CAST(round(ln(CAST(n - d AS DOUBLE) / n) * 1000000000)
+                    AS BIGINT) AS logterm_nano
+        FROM at_risk WHERE n > d
+    )
+    SELECT t AS lifetime_days, d AS n_churned, n AS n_at_risk,
+           round(exp(CAST(sum(logterm_nano) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS DOUBLE) / 1000000000), 6)
+               AS survival_prob
+    FROM terms
+    ORDER BY t
+    """,
+)
+def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve for time-to-first-purchase (the 'event' is the
+    first purchase; users who never purchase are right-censored at
+    their last observed day): S(t) = Π (1 − dᵢ/nᵢ) over event times —
+    THE time-to-event estimator behind conversion and churn modeling,
+    handling censoring correctly where naive conversion rates can't.
+
+    Scale design: the corpus reduces to user grain (one aggregate); the
+    risk table is lifetime-cardinality (≤ days in the window). The
+    running product is computed as exp of a running sum of
+    nano-quantized log terms — quantize-then-accumulate makes the
+    window fold integer-exact, so the curve hash-matches cross-engine.
+    The at-risk counts use the ≥t self-aggregation over the BOUNDED
+    lifetime table (≤30×30 pairs), never the corpus.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("first_purchase"))
+    )
+    spans = (
+        ev.join(F.broadcast(first_purchase), "user_id", "left")
+        .groupBy("user_id", "first_purchase")
+        .agg(
+            F.min(F.col("ts").cast("timestamp")).alias("first_ev"),
+            F.max(F.col("ts").cast("timestamp")).alias("last_ev"),
+        )
+        .select(
+            F.datediff(
+                F.coalesce("first_purchase", "last_ev").cast("date"),
+                F.col("first_ev").cast("date"),
+            ).cast("bigint").alias("lifetime_days"),
+            F.when(F.col("first_purchase").isNull(), 0)
+            .otherwise(1)
+            .alias("churned"),
+        )
+    )
+    risk = (
+        spans.groupBy(F.col("lifetime_days").alias("t"))
+        .agg(F.sum("churned").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    lifetimes = spans.groupBy(
+        F.col("lifetime_days").alias("lt")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    at_risk = (
+        risk.join(F.broadcast(lifetimes), F.col("lt") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.sum("n_users").alias("n"))
+        .filter(F.col("n") > F.col("d"))
+    )
+    logterm = F.round(
+        F.log((F.col("n") - F.col("d")).cast("double") / F.col("n")) * 1e9
+    ).cast("bigint")
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        at_risk.withColumn("logterm_nano", logterm)
+        .withColumn(
+            "survival_prob",
+            F.round(
+                F.exp(F.sum("logterm_nano").over(w).cast("double") / 1e9), 6
+            ),
+        )
+        .select(
+            F.col("t").alias("lifetime_days"),
+            F.col("d").alias("n_churned"),
+            F.col("n").alias("n_at_risk"),
+            "survival_prob",
+        )
+        .orderBy("lifetime_days")
+    )
+
+
+@register(
+    "pipeline_daily_kpis",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM events GROUP BY 1
+    ),
+    firsts AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
+               user_id
+        FROM events GROUP BY user_id
+    ),
+    new_users AS (
+        SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT d.day, d.n_events, d.dau, d.value_cents, d.n_purchases,
+           COALESCE(n.n_new_users, 0) AS n_new_users,
+           CAST(d.n_errors * 1000000 // d.n_events AS BIGINT)
+               AS error_rate_ppm,
+           CAST(d.n_events * 1000000 // d.dau AS BIGINT)
+               AS events_per_user_ppm
+    FROM daily d LEFT JOIN new_users n ON d.day = n.day
+    ORDER BY d.day
+    """,
+)
+def pipeline_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily KPI table every dashboard reads: events, DAU, value,
+    purchases, new users, error rate, and events-per-user in ONE row per
+    day — the end-to-end composition that replaces seven separate
+    queries with one two-pass plan.
+
+    Scale design: one conditional aggregate computes every same-grain
+    KPI simultaneously (adding a KPI adds an expression, never a pass);
+    the only second pass is first-seen attribution (per-user min —
+    inherently a different grain), joined back at day grain. Integer
+    cents and ppm floor-divisions keep every column engine-exact.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("dau"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "value_cents"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    )
+    new_users = (
+        ev.groupBy("user_id")
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new_users"))
+    )
+    return (
+        daily.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_events",
+            "dau",
+            "value_cents",
+            "n_purchases",
+            F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"),
+            F.expr("n_errors * 1000000L div n_events").alias(
+                "error_rate_ppm"
+            ),
+            F.expr("n_events * 1000000L div dau").alias(
+                "events_per_user_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
