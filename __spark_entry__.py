@@ -235,6 +235,8 @@ _PRIORITY = [
     "evt_bot_regularity_detection",
     "evt_survival_km",
     "pipeline_daily_kpis",
+    "scan_parquet_footer_census",
+    "llm_multimodal_image_tiles",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -4996,3 +4996,139 @@ def pipeline_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "scan_parquet_footer_census",
+    oracle="""
+    SELECT regexp_extract(file_name, '([^/]+)[.]parquet$', 1) AS table_name,
+           -- DuckDB renders nested paths 'a, list, element';
+           -- pyarrow renders 'a.list.element' — normalize to dots
+           replace(path_in_schema, ', ', '.') AS column_name,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           min(compression) AS codec
+    FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+    GROUP BY file_name, path_in_schema
+    ORDER BY table_name, column_name
+    """,
+)
+def scan_parquet_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage introspection as a query: per-column parquet footer
+    census (chunk counts, compressed bytes, codec) across every fixture
+    table — the layout-audit surface behind compaction and
+    codec-tuning decisions (DuckDB exposes this as parquet_metadata;
+    Spark has no SQL equivalent, so the engine reads footers itself).
+
+    Scale design: footers are read DISTRIBUTED — the file list fans out
+    over executors and each task reads only its files' metadata tails
+    via pyarrow inside mapInPandas (never the data pages); at 100 TB
+    this is the pattern for auditing a million-file table without
+    scanning it. Footer fields are verbatim metadata — byte-exact
+    cross-engine by construction.
+    """
+    import glob as globmod
+
+    import pandas as pd
+
+    paths = sorted(globmod.glob(f"{sf_dir}/*.parquet"))
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(4)
+
+    def read_footers(batches):
+        import os
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {
+                "table_name": [],
+                "column_name": [],
+                "n_chunks": [],
+                "compressed_bytes": [],
+                "codec": [],
+            }
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                table = os.path.basename(path).replace(".parquet", "")
+                agg: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    for c in range(md.num_columns):
+                        col = md.row_group(rg).column(c)
+                        rec = agg.setdefault(col.path_in_schema, [0, 0, ""])
+                        rec[0] += 1
+                        rec[1] += col.total_compressed_size
+                        rec[2] = col.compression
+                for name, (n, sz, codec) in agg.items():
+                    out["table_name"].append(table)
+                    out["column_name"].append(name)
+                    out["n_chunks"].append(n)
+                    out["compressed_bytes"].append(sz)
+                    out["codec"].append(codec)
+            yield pd.DataFrame(out)
+
+    return (
+        files.mapInPandas(
+            read_footers,
+            "table_name string, column_name string, n_chunks long, "
+            "compressed_bytes long, codec string",
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
+@register("llm_multimodal_image_tiles", tags=("rows-only",))
+def llm_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image tiling: treat each document's payload as an
+    opaque image blob, reshape it into a square byte grid, and emit the
+    4×4 patch grid with per-tile offsets and digests — the
+    vision-transformer patch-extraction plumbing (completes the
+    modality set next to frame sampling for video and chunking for
+    audio; the real decoder is a library call inside the same
+    mapInPandas, stubbed deterministically per the survey's stub
+    policy).
+
+    The Spark-side contract this locks: 1→16 bounded expansion per row
+    inside Arrow batches, deterministic tile geometry from payload
+    length alone, and per-tile digests for downstream exact dedup.
+    Rows-only; tests/test_analytics.py re-derives the tile inventory
+    and digests from payload lengths in pure Python.
+    """
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def tile(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "tile_row": [],
+                "tile_col": [],
+                "tile_bytes": [],
+                "tile_sha": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = text.encode("utf-8")
+                side = max(int(len(blob) ** 0.5), 4)
+                tile_h = side // 4
+                for r in range(4):
+                    for c in range(4):
+                        start = (r * 4 + c) * tile_h * tile_h
+                        t = blob[start : start + tile_h * tile_h]
+                        out["doc_id"].append(doc_id)
+                        out["tile_row"].append(r)
+                        out["tile_col"].append(c)
+                        out["tile_bytes"].append(len(t))
+                        out["tile_sha"].append(
+                            hashlib.sha256(t).hexdigest()
+                        )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        tile,
+        "doc_id long, tile_row int, tile_col int, tile_bytes int, "
+        "tile_sha string",
+    )

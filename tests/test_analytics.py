@@ -242,3 +242,29 @@ def test_watermark_detector_fires_on_biased_stream(spark, sf_dir):
     assert flag_rate <= 0.05, f"natural flag rate {flag_rate}"
     mean_green = sum(r.green_fraction for r in natural) / len(natural)
     assert 0.4 < mean_green < 0.6, f"null green fraction {mean_green}"
+
+
+def test_image_tiles_inventory_matches_python(spark, sf_dir):
+    """The tile grid must be re-derivable from payload lengths alone:
+    16 tiles per doc, geometry and digests matching a pure-Python
+    re-computation."""
+    import hashlib
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = (
+        REGISTRY["llm_multimodal_image_tiles"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == 16 * len(docs)
+    import random
+
+    for r in random.Random(7).sample(rows, 50):
+        blob = docs[r.doc_id].encode("utf-8")
+        side = max(int(len(blob) ** 0.5), 4)
+        th = side // 4
+        start = (r.tile_row * 4 + r.tile_col) * th * th
+        t = blob[start : start + th * th]
+        assert r.tile_bytes == len(t)
+        assert r.tile_sha == hashlib.sha256(t).hexdigest()
