@@ -237,6 +237,8 @@ _PRIORITY = [
     "pipeline_daily_kpis",
     "scan_parquet_footer_census",
     "llm_multimodal_image_tiles",
+    "agg_ks_two_sample",
+    "llm_annotation_kappa",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -5132,3 +5132,218 @@ def llm_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, tile_row int, tile_col int, tile_bytes int, "
         "tile_sha string",
     )
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH samples AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 2 END AS grp,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+    ),
+    sizes AS (
+        SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM samples
+    ),
+    cdf AS (
+        SELECT v,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS c2,
+               row_number() OVER (ORDER BY v) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n_tot
+        FROM samples
+    ),
+    stepped AS (
+        SELECT v, c1, c2, rn, n_tot,
+               lead(v) OVER (ORDER BY rn) AS next_v
+        FROM cdf
+    ),
+    steps AS (
+        -- evaluate the CDF gap only at the LAST row of each tied value
+        SELECT v, c1, c2
+        FROM stepped
+        WHERE rn = n_tot OR v != next_v
+    )
+    SELECT s.n1, s.n2,
+           CAST(max(abs(c1 * s.n2 - c2 * s.n1)) AS BIGINT)
+               AS d_scaled,
+           round(CAST(max(abs(c1 * s.n2 - c2 * s.n1)) AS DOUBLE)
+                 / (CAST(s.n1 AS DOUBLE) * s.n2), 6) AS ks_d
+    FROM steps CROSS JOIN sizes s
+    GROUP BY s.n1, s.n2
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the month
+    halves' value distributions — the continuous-distribution drift test
+    beside evt_distribution_drift_jsd's categorical one. D is computed
+    in INTEGER space: max |c₁·n₂ − c₂·n₁| over CDF steps, divided once
+    at the end — no float ever enters the argmax, so the statistic is
+    engine-exact (tied values evaluated once, at the tie group's end,
+    as the KS definition requires).
+
+    Scale design: one global sort-window over the merged sample — the
+    honest cost of an exact KS (it IS a sort); at 100 TB the same
+    query runs on the value-HISTOGRAM (KLL-sketched CDF steps), with
+    this exact form as its oracle on samples. Value ties are handled
+    via the lead() step filter, not left to chance.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    grp = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), 1
+    ).otherwise(2)
+    samples = ev.select(
+        grp.alias("grp"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    sizes = samples.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    w_cdf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_seq = Window.orderBy("rn")
+    cdf = (
+        samples.withColumn(
+            "c1",
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(w_cdf)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "c2",
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).over(w_cdf)
+            .cast("bigint"),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("v")))
+        .withColumn("n_tot", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    steps = cdf.withColumn("next_v", F.lead("v").over(w_seq)).filter(
+        (F.col("rn") == F.col("n_tot")) | (F.col("v") != F.col("next_v"))
+    )
+    return (
+        steps.crossJoin(F.broadcast(sizes))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("d_scaled"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+                    )
+                ).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                6,
+            ).alias("ks_d"),
+        )
+        .select("n1", "n2", "d_scaled", "ks_d")
+    )
+
+
+@register(
+    "llm_annotation_kappa",
+    oracle="""
+    WITH labeled AS (
+        SELECT doc_id,
+               -- annotator A: lexical-diversity rule
+               CASE WHEN len(list_distinct(string_split(text, ' ')))
+                         * 1000000 // len(string_split(text, ' ')) >= 500000
+                    THEN 1 ELSE 0 END AS label_a,
+               -- annotator B: length rule
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS label_b
+        FROM documents
+    ),
+    cm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN label_a = 1 AND label_b = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN label_a = 1 AND label_b = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN label_a = 0 AND label_b = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN label_a = 0 AND label_b = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM labeled
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS observed_agreement,
+           round(CAST((n11 + n10) AS DOUBLE) * (n11 + n01) / n / n
+                 + CAST((n01 + n00) AS DOUBLE) * (n10 + n00) / n / n, 6)
+               AS expected_agreement,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01) / n / n
+                     + CAST((n01 + n00) AS DOUBLE) * (n10 + n00) / n / n))
+                 / (1.0
+                    - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01) / n / n
+                       + CAST((n01 + n00) AS DOUBLE) * (n10 + n00) / n / n)),
+                 6) AS cohens_kappa
+    FROM cm
+    """,
+)
+def llm_annotation_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two independent
+    document labelers (a lexical-diversity rule and a length rule) —
+    the chance-corrected agreement metric every labeling pipeline
+    reports before trusting its labels (raw agreement flatters
+    imbalanced label sets; kappa doesn't).
+
+    Scale design: both labelers are scan-stage expressions over one
+    pass; the confusion matrix is a single 1-row aggregate of exact
+    integer cells; kappa derives per output row from the closed form
+    with the identical expression tree on both engines.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    label_a = F.when(
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L "
+            "div size(split(text, ' '))"
+        )
+        >= 500000,
+        1,
+    ).otherwise(0)
+    label_b = F.when(F.col("n_chars") >= 250, 1).otherwise(0)
+    labeled = docs.select(label_a.alias("a"), label_b.alias("b"))
+    cm = labeled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        / n
+        / n
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+        / n
+        / n
+    )
+    return cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
+    )

@@ -285,6 +285,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_interpolated_lm_ppl",    # 1-row unigram-total scalar
         "evt_survival_km",            # >=t join over the <=30-row
                                       # lifetime table (calendar-bounded)
+        "agg_ks_two_sample",          # 1-row sizes scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -345,6 +346,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_bloom_decontaminate",    # 1-row census reduces
         "llm_interpolated_lm_ppl",    # 1-row unigram-total reduce
         "evt_survival_km",            # KM window over <=30 risk rows
+        "agg_ks_two_sample",          # global CDF sort (the honest exact-KS
+                                      # cost; sketched form documented)
+        "llm_annotation_kappa",       # 1-row confusion-matrix reduce
         "agg_rfm_segmentation",       # ntile windows over CUSTOMER rows
         "llm_embedding_drift_check",  # 1-row reduce of 64 dim rows
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
