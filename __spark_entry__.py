@@ -239,6 +239,9 @@ _PRIORITY = [
     "llm_multimodal_image_tiles",
     "agg_ks_two_sample",
     "llm_annotation_kappa",
+    "llm_prefix_cache_analysis",
+    "agg_theil_index",
+    "evt_type_correlation_matrix",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

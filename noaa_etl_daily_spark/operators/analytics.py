@@ -5347,3 +5347,240 @@ def llm_annotation_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("expected_agreement"),
         F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
     )
+
+
+@register(
+    "llm_prefix_cache_analysis",
+    oracle="""
+    WITH pfx AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                   AS prefix8
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ),
+    groups AS (
+        SELECT prefix8,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               -- every doc after the first reuses the 8 cached
+               -- prefix tokens
+               CAST((count(*) - 1) * 8 AS BIGINT) AS tokens_saved
+        FROM pfx GROUP BY prefix8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_prefix_groups,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_groups,
+           CAST(sum(tokens_saved) AS BIGINT) AS prefill_tokens_saved,
+           round(CAST(sum(tokens_saved) AS DOUBLE)
+                 / sum(total_tokens), 6) AS savings_fraction
+    FROM groups
+    """,
+)
+def llm_prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache (KV-cache) hit analysis for LLM serving: group
+    documents by their first-8-token prefix digest and report how many
+    prefill tokens a shared-prefix cache would save — the capacity-
+    planning calculation behind prompt-caching economics.
+
+    Scale design: one digest shuffle at prefix grain (text reduces to a
+    16-byte digest before moving), a prefix-cardinality rollup, and a
+    1-row census. Exact integer token accounting; the only division is
+    the final savings fraction.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    pfx = docs.filter(F.size(toks) >= 8).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.md5(F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')")).alias(
+            "prefix8"
+        ),
+    )
+    groups = pfx.groupBy("prefix8").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        ((F.count(F.lit(1)) - 1) * 8).alias("tokens_saved"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_prefix_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+            "n_shared_groups"
+        ),
+        F.sum("tokens_saved").alias("prefill_tokens_saved"),
+        F.round(
+            F.sum("tokens_saved").cast("double") / F.sum("total_tokens"), 6
+        ).alias("savings_fraction"),
+    )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rev) AS BIGINT) AS tot
+        FROM cust_rev GROUP BY c_mktsegment
+    ),
+    terms AS (
+        SELECT r.c_mktsegment,
+               -- Theil T term: (x/μ)·ln(x/μ) with x/μ = x·n/tot —
+               -- one ln of an exact integer ratio, nano-quantized
+               CAST(round(
+                   (CAST(r.rev AS DOUBLE) * s.n / s.tot)
+                   * ln(CAST(r.rev AS DOUBLE) * s.n / s.tot)
+                   * 1000000000) AS BIGINT) AS term_nano
+        FROM cust_rev r JOIN seg s ON r.c_mktsegment = s.c_mktsegment
+        WHERE r.rev > 0
+    )
+    SELECT t.c_mktsegment,
+           s.n AS n_customers,
+           round(CAST(sum(t.term_nano) AS DOUBLE) / s.n / 1000000000, 6)
+               AS theil_t
+    FROM terms t JOIN seg s ON t.c_mktsegment = s.c_mktsegment
+    GROUP BY t.c_mktsegment, s.n
+    ORDER BY t.c_mktsegment
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue per segment — the
+    entropy-based inequality measure that (unlike Gini) decomposes
+    additively into within-group and between-group components, reported
+    beside agg_gini_concentration for the same slices.
+
+    Scale design: same reduction as the Gini — fact to customer grain
+    in one integer-cent aggregate; each customer's (x/μ)·ln(x/μ) term
+    takes one ln of an exact integer ratio and quantizes to nano units
+    BEFORE the segment sum (order-independent); segment totals are a
+    5-row broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cust_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    seg = cust_rev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot")
+    )
+    ratio = F.col("rev").cast("double") * F.col("n") / F.col("tot")
+    term = F.round(ratio * F.log(ratio) * 1e9).cast("bigint")
+    return (
+        cust_rev.filter(F.col("rev") > 0)
+        .join(F.broadcast(seg), "c_mktsegment")
+        .select("c_mktsegment", "n", term.alias("term_nano"))
+        .groupBy("c_mktsegment", "n")
+        .agg(
+            F.round(
+                F.sum("term_nano").cast("double") / F.col("n") / 1e9, 6
+            ).alias("theil_t")
+        )
+        .select(
+            "c_mktsegment", F.col("n").alias("n_customers"), "theil_t"
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "evt_type_correlation_matrix",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(a.n) AS BIGINT) AS sx,
+               CAST(sum(b.n) AS BIGINT) AS sy,
+               CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+               CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+               CAST(sum(b.n * b.n) AS BIGINT) AS syy
+        FROM daily a
+        JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_days,
+           round((CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n_days AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n_days AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+               AS pearson_r
+    FROM pairs
+    ORDER BY type_a, type_b
+    """,
+)
+def evt_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-metric correlation matrix: Pearson r between every pair of
+    event types' daily volume series — the dependency map behind
+    'errors spike when traffic spikes' diagnostics (the pairwise
+    generalization of evt_activity_autocorr's self-correlation).
+
+    Scale design: the corpus reduces to the |types|×|days| matrix in
+    one aggregate; the pair join is day-keyed over that bounded matrix
+    (C(5,2) pairs × 30 days); r derives per pair from EXACT integer
+    moment sums (Σx, Σy, Σxy, Σx², Σy²) with one quantized division —
+    the order of summation can never move the result.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(
+        F.col("day").alias("day_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("xa"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("xb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("day_a") == F.col("day_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return (
+        pairs.select(
+            "type_a", "type_b", "n_days", F.round(r, 6).alias("pearson_r")
+        )
+        .orderBy("type_a", "type_b")
+    )

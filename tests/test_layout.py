@@ -349,6 +349,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_ks_two_sample",          # global CDF sort (the honest exact-KS
                                       # cost; sketched form documented)
         "llm_annotation_kappa",       # 1-row confusion-matrix reduce
+        "llm_prefix_cache_analysis",  # 1-row census over prefix groups
         "agg_rfm_segmentation",       # ntile windows over CUSTOMER rows
         "llm_embedding_drift_check",  # 1-row reduce of 64 dim rows
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
