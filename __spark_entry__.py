@@ -242,6 +242,8 @@ _PRIORITY = [
     "llm_prefix_cache_analysis",
     "agg_theil_index",
     "evt_type_correlation_matrix",
+    "agg_lorenz_curve",
+    "evt_max_drawdown",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -5584,3 +5584,153 @@ def evt_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+        FROM cust_rev
+    ),
+    tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n FROM cust_rev)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS decile_cents,
+           round(CAST(sum(sum(rev)) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / max(t.t), 6) AS cum_revenue_share
+    FROM ranked CROSS JOIN tot t
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles: cumulative revenue share at each customer
+    decile (poorest→richest) — the curve whose area complement IS the
+    Gini (agg_gini_concentration reports the scalar; this reports the
+    curve dashboards actually draw).
+
+    Scale design: customer-grain reduction, one decile ntile window
+    over customer rows (deterministic custkey tiebreak), then the
+    cumulative share runs over exactly 10 rows. Integer cents end to
+    end; one quantized division per decile row.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust_rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    ranked = cust_rev.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("rev", "o_custkey"))
+    )
+    tot = cust_rev.agg(F.sum("rev").alias("t"))
+    deciles = (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("decile_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deciles.withColumn(
+            "cum_revenue_share",
+            F.round(
+                F.sum("decile_cents").over(w).cast("double") / F.col("t"), 6
+            ),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_customers",
+            "decile_cents",
+            "cum_revenue_share",
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "evt_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events GROUP BY 1
+    ),
+    curve AS (
+        SELECT day,
+               CAST(sum(day_cents) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+        FROM daily
+    ),
+    dd AS (
+        SELECT day, cum_cents,
+               CAST(max(cum_cents) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_peak,
+               CAST(max(cum_cents) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cum_cents AS BIGINT) AS drawdown_cents
+        FROM curve
+    )
+    SELECT day, cum_cents, running_peak, drawdown_cents,
+           CASE WHEN drawdown_cents = (SELECT max(drawdown_cents) FROM dd)
+                THEN 1 ELSE 0 END AS is_max_drawdown
+    FROM dd
+    ORDER BY day
+    """,
+)
+def evt_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value curve: distance
+    below the running peak, with the worst day flagged — the
+    risk-analytics primitive (and the SLO-budget analogue: how far has
+    the error budget fallen behind its best point).
+
+    Scale design: day-grain reduction first; running sum, running max
+    and the argmax all operate over day-cardinality rows in integer
+    cents — every comparison is exact, so the flagged day can never
+    differ between engines.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("day_cents"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = (
+        daily.withColumn("cum_cents", F.sum("day_cents").over(w).cast("bigint"))
+        .withColumn(
+            "running_peak", F.max("cum_cents").over(w).cast("bigint")
+        )
+        .withColumn(
+            "drawdown_cents",
+            (F.col("running_peak") - F.col("cum_cents")).cast("bigint"),
+        )
+    )
+    peak = dd.agg(F.max("drawdown_cents").alias("worst"))
+    return (
+        dd.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "cum_cents",
+            "running_peak",
+            "drawdown_cents",
+            F.when(F.col("drawdown_cents") == F.col("worst"), 1)
+            .otherwise(0)
+            .alias("is_max_drawdown"),
+        )
+        .orderBy("day")
+    )

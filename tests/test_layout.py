@@ -286,6 +286,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_survival_km",            # >=t join over the <=30-row
                                       # lifetime table (calendar-bounded)
         "agg_ks_two_sample",          # 1-row sizes scalar
+        "evt_max_drawdown",           # 1-row worst-drawdown scalar
+        "agg_lorenz_curve",           # 1-row revenue-total scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -350,6 +352,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # cost; sketched form documented)
         "llm_annotation_kappa",       # 1-row confusion-matrix reduce
         "llm_prefix_cache_analysis",  # 1-row census over prefix groups
+        "agg_lorenz_curve",           # decile windows over CUSTOMER rows
+        "evt_max_drawdown",           # running windows over DAY rows
         "agg_rfm_segmentation",       # ntile windows over CUSTOMER rows
         "llm_embedding_drift_check",  # 1-row reduce of 64 dim rows
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
