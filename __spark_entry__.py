@@ -244,6 +244,9 @@ _PRIORITY = [
     "evt_type_correlation_matrix",
     "agg_lorenz_curve",
     "evt_max_drawdown",
+    "fn_tiered_pricing",
+    "join_fallback_lookup_chain",
+    "evt_anomaly_iqr_fences",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -5734,3 +5734,185 @@ def evt_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "fn_tiered_pricing",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_orderkey < 100
+    )
+    SELECT o_orderkey, c AS total_cents,
+           -- progressive tiers: 1% below 100k cents, 2% on
+           -- 100k-500k, 5% above 500k — marginal, like tax brackets
+           CAST(least(c, 100000) * 1 // 100
+                + least(greatest(c - 100000, 0), 400000) * 2 // 100
+                + greatest(c - 500000, 0) * 5 // 100 AS BIGINT)
+               AS fee_cents
+    FROM cents
+    ORDER BY o_orderkey
+    """,
+)
+def fn_tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive tiered fee computation (marginal tax-bracket logic):
+    each slice of the amount pays its own tier's rate — the billing
+    primitive everyone writes wrong the first time (marginal, not
+    cliff-edge), expressed as the standard least/greatest slice
+    decomposition.
+
+    Scale design: pure scan-stage integer arithmetic on a pushed key
+    filter; each tier adds one least/greatest term — no joins against a
+    bracket table needed until brackets become data (then the interval
+    join pattern of join_range_interval_bucketed applies).
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    fee = (
+        F.expr("least(total_cents, 100000) * 1 div 100")
+        + F.expr("least(greatest(total_cents - 100000, 0), 400000) * 2 div 100")
+        + F.expr("greatest(total_cents - 500000, 0) * 5 div 100")
+    ).cast("bigint")
+    return (
+        orders.filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", c.alias("total_cents"))
+        .select("o_orderkey", "total_cents", fee.alias("fee_cents"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_fallback_lookup_chain",
+    oracle="""
+    WITH overrides_cust AS (
+        -- per-customer override: customers with key % 37 = 0
+        SELECT c_custkey, CAST(c_custkey % 5 + 10 AS BIGINT) AS disc_pct
+        FROM customer WHERE c_custkey % 37 = 0
+    ),
+    overrides_seg AS (
+        SELECT 'AUTOMOBILE' AS seg, CAST(5 AS BIGINT) AS disc_pct
+        UNION ALL SELECT 'MACHINERY', CAST(4 AS BIGINT)
+    )
+    SELECT o.o_orderkey,
+           COALESCE(oc.disc_pct, os.disc_pct, 2) AS effective_disc_pct,
+           CASE WHEN oc.disc_pct IS NOT NULL THEN 'customer'
+                WHEN os.disc_pct IS NOT NULL THEN 'segment'
+                ELSE 'default' END AS rule_level
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN overrides_cust oc ON c.c_custkey = oc.c_custkey
+    LEFT JOIN overrides_seg os ON c.c_mktsegment = os.seg
+    WHERE o.o_orderkey < 200
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_fallback_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical fallback lookup (the override-table pattern):
+    per-customer override → segment override → global default, resolved
+    with a chain of LEFT joins + COALESCE and an audit column saying
+    which level won — how pricing/config/entitlement systems actually
+    resolve rules.
+
+    Scale design: override tables are broadcast (they are small BY
+    construction — that's what makes them overrides); the fact stream
+    never shuffles for the lookups; precedence is expressed in COALESCE
+    order, so adding a level adds one broadcast join, never a rescan.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    oc = (
+        cust.filter(F.col("c_custkey") % 37 == 0)
+        .select(
+            F.col("c_custkey").alias("ov_custkey"),
+            (F.col("c_custkey") % 5 + 10).cast("bigint").alias("cust_disc"),
+        )
+    )
+    os_df = spark.createDataFrame(
+        [("AUTOMOBILE", 5), ("MACHINERY", 4)], "seg string, seg_disc long"
+    )
+    return (
+        orders.filter(F.col("o_orderkey") < 200)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(oc), F.col("c_custkey") == F.col("ov_custkey"), "left")
+        .join(F.broadcast(os_df), F.col("c_mktsegment") == F.col("seg"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("cust_disc", "seg_disc", F.lit(2).cast("bigint")).alias(
+                "effective_disc_pct"
+            ),
+            F.when(F.col("cust_disc").isNotNull(), "customer")
+            .when(F.col("seg_disc").isNotNull(), "segment")
+            .otherwise("default")
+            .alias("rule_level"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "evt_anomaly_iqr_fences",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+    ),
+    fences AS (
+        SELECT event_type,
+               quantile_cont(v, 0.25) AS q1,
+               quantile_cont(v, 0.75) AS q3
+        FROM vals GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(f.q1 / 1000000, 6) AS q1_value,
+           round(f.q3 / 1000000, 6) AS q3_value,
+           CAST(sum(CASE WHEN v.v < f.q1 - 1.5 * (f.q3 - f.q1)
+                           OR v.v > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM vals v JOIN fences f ON v.event_type = f.event_type
+    GROUP BY v.event_type, f.q1, f.q3
+    ORDER BY v.event_type
+    """,
+)
+def evt_anomaly_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census: values beyond Q1−1.5·IQR / Q3+1.5·IQR
+    per event type — the boxplot rule, completing the robust-outlier
+    trio (z-score assumes normality, MAD resists it, IQR fences are
+    what BI tools draw).
+
+    Scale design: quartiles reduce to one row per type and broadcast
+    back; the fence comparison is scan-stage (quartile interpolation is
+    (a+b)-scaled IEEE-exact on integer µ-units, and both engines
+    evaluate the identical fence expression, so the flag can't split).
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    vals = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    fences = vals.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("v") < F.col("q1") - 1.5 * iqr) | (
+        F.col("v") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        vals.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            F.round(F.col("q1") / 1000000, 6).alias("q1_value"),
+            F.round(F.col("q3") / 1000000, 6).alias("q3_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
