@@ -247,6 +247,8 @@ _PRIORITY = [
     "fn_tiered_pricing",
     "join_fallback_lookup_chain",
     "evt_anomaly_iqr_fences",
+    "llm_rouge_bleu_eval",
+    "evt_forecast_backtest",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

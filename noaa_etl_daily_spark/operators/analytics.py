@@ -5916,3 +5916,191 @@ def evt_anomaly_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "llm_rouge_bleu_eval",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+               string_split(lower(a.text), ' ') AS cand,
+               string_split(lower(b.text), ' ') AS ref
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0 AND a.doc_id < 100
+    ),
+    grams AS (
+        SELECT cand_id, ref_id,
+               CAST(len(cand) AS BIGINT) AS n_cand,
+               CAST(len(ref) AS BIGINT) AS n_ref,
+               CAST(len(list_intersect(list_distinct(cand),
+                                       list_distinct(ref))) AS BIGINT)
+                   AS uni_overlap,
+               CAST(len(list_distinct(ref)) AS BIGINT) AS uni_ref,
+               CAST(len(list_distinct(cand)) AS BIGINT) AS uni_cand,
+               CAST(len(list_intersect(
+                   list_distinct(list_transform(
+                       generate_series(1, len(cand) - 1),
+                       i -> cand[CAST(i AS INT)] || ' '
+                            || cand[CAST(i AS INT) + 1])),
+                   list_distinct(list_transform(
+                       generate_series(1, len(ref) - 1),
+                       i -> ref[CAST(i AS INT)] || ' '
+                            || ref[CAST(i AS INT) + 1]))
+               )) AS BIGINT) AS bi_overlap,
+               CAST(len(list_distinct(list_transform(
+                   generate_series(1, len(ref) - 1),
+                   i -> ref[CAST(i AS INT)] || ' '
+                        || ref[CAST(i AS INT) + 1]))) AS BIGINT) AS bi_ref
+        FROM pairs
+    )
+    SELECT cand_id, ref_id,
+           round(CAST(uni_overlap AS DOUBLE) / uni_ref, 6) AS rouge1_recall,
+           round(CAST(bi_overlap AS DOUBLE) / bi_ref, 6) AS rouge2_recall,
+           round(CAST(uni_overlap AS DOUBLE) / uni_cand, 6)
+               AS bleu1_precision,
+           round(CASE WHEN n_cand >= n_ref THEN 1.0
+                      ELSE exp(1.0 - CAST(n_ref AS DOUBLE) / n_cand) END, 6)
+               AS brevity_penalty
+    FROM grams
+    ORDER BY cand_id
+    """,
+)
+def llm_rouge_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-eval metrics: ROUGE-1/2 recall, BLEU-1 modified
+    precision, and the BLEU brevity penalty for (candidate, reference)
+    document pairs — the summarization/translation scoring kernel an
+    eval harness runs over millions of model outputs (pairs here are
+    consecutive fixture docs; in production the join key is the prompt
+    id).
+
+    Scale design: the pair join keys on the id (equi, co-partitioned);
+    n-gram sets build scan-stage per pair, and all overlaps are exact
+    integer set sizes (distinct-gram semantics — the standard
+    implementation), so only the final ratios and the exp() of the
+    brevity penalty are floats, quantized per row.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).select(
+        F.col("doc_id").alias("cand_id"),
+        F.split(F.lower("text"), " ").alias("cand"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("ref_id"), F.split(F.lower("text"), " ").alias("ref")
+    )
+    bigrams = (
+        "array_distinct(transform(sequence(1, size({c}) - 1), "
+        "i -> concat({c}[i - 1], ' ', {c}[i])))"
+    )
+    grams = (
+        a.join(b, F.col("ref_id") == F.col("cand_id") + 1)
+        .withColumn("n_cand", F.size("cand").cast("bigint"))
+        .withColumn("n_ref", F.size("ref").cast("bigint"))
+        .withColumn(
+            "uni_overlap",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct("cand"), F.array_distinct("ref")
+                )
+            ).cast("bigint"),
+        )
+        .withColumn("uni_ref", F.size(F.array_distinct("ref")).cast("bigint"))
+        .withColumn(
+            "uni_cand", F.size(F.array_distinct("cand")).cast("bigint")
+        )
+        .withColumn(
+            "bi_overlap",
+            F.size(
+                F.array_intersect(
+                    F.expr(bigrams.format(c="cand")),
+                    F.expr(bigrams.format(c="ref")),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "bi_ref", F.size(F.expr(bigrams.format(c="ref"))).cast("bigint")
+        )
+    )
+    bp = F.when(F.col("n_cand") >= F.col("n_ref"), 1.0).otherwise(
+        F.exp(1.0 - F.col("n_ref").cast("double") / F.col("n_cand"))
+    )
+    return grams.select(
+        "cand_id",
+        "ref_id",
+        F.round(F.col("uni_overlap").cast("double") / F.col("uni_ref"), 6)
+        .alias("rouge1_recall"),
+        F.round(F.col("bi_overlap").cast("double") / F.col("bi_ref"), 6)
+        .alias("rouge2_recall"),
+        F.round(F.col("uni_overlap").cast("double") / F.col("uni_cand"), 6)
+        .alias("bleu1_precision"),
+        F.round(bp, 6).alias("brevity_penalty"),
+    ).orderBy("cand_id")
+
+
+@register(
+    "evt_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    forecasts AS (
+        SELECT day, n,
+               lag(n, 1) OVER (ORDER BY day) AS naive_yesterday,
+               lag(n, 7) OVER (ORDER BY day) AS naive_lastweek
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(abs(n - naive_yesterday)) AS BIGINT) AS mae_yday_sum,
+           CAST(sum(abs(n - naive_lastweek)) AS BIGINT) AS mae_lastwk_sum,
+           round(CAST(sum(abs(n - naive_yesterday)) AS DOUBLE)
+                 / count(*), 6) AS mae_yesterday,
+           round(CAST(sum(abs(n - naive_lastweek)) AS DOUBLE)
+                 / count(*), 6) AS mae_lastweek,
+           CAST(sum(abs(n - naive_yesterday) * 1000000 // n) AS BIGINT)
+               AS mape_yday_ppm_sum
+    FROM forecasts
+    WHERE naive_yesterday IS NOT NULL AND naive_lastweek IS NOT NULL
+    """,
+)
+def evt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-forecast backtest: score 'same as yesterday' against 'same
+    weekday last week' on the daily series (MAE + ppm-quantized MAPE) —
+    the baseline every real forecasting model must beat, and the
+    seasonality litmus (last-week winning ⇒ weekly rhythm dominates,
+    confirming evt_activity_autocorr's lag-7 signal).
+
+    Scale design: day-grain reduction, two lag windows over DAY rows,
+    one 1-row score census. Errors are exact integer |diffs|; MAPE
+    terms floor-divide to ppm BEFORE summation.
+    """
+    ev = load(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day")
+    fc = daily.withColumn("naive_yesterday", F.lag("n", 1).over(w)).withColumn(
+        "naive_lastweek", F.lag("n", 7).over(w)
+    )
+    scored = fc.filter(
+        F.col("naive_yesterday").isNotNull()
+        & F.col("naive_lastweek").isNotNull()
+    )
+    e1 = F.abs(F.col("n") - F.col("naive_yesterday"))
+    e7 = F.abs(F.col("n") - F.col("naive_lastweek"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum(e1).alias("mae_yday_sum"),
+        F.sum(e7).alias("mae_lastwk_sum"),
+        F.round(F.sum(e1).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae_yesterday"
+        ),
+        F.round(F.sum(e7).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae_lastweek"
+        ),
+        F.sum(
+            F.expr(
+                "abs(n - naive_yesterday) * 1000000L div n"
+            )
+        ).alias("mape_yday_ppm_sum"),
+    )

@@ -354,6 +354,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_prefix_cache_analysis",  # 1-row census over prefix groups
         "agg_lorenz_curve",           # decile windows over CUSTOMER rows
         "evt_max_drawdown",           # running windows over DAY rows
+        "evt_forecast_backtest",      # lag windows over DAY rows + 1-row
+                                      # score census
         "agg_rfm_segmentation",       # ntile windows over CUSTOMER rows
         "llm_embedding_drift_check",  # 1-row reduce of 64 dim rows
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
