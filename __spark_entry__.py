@@ -249,6 +249,8 @@ _PRIORITY = [
     "evt_anomaly_iqr_fences",
     "llm_rouge_bleu_eval",
     "evt_forecast_backtest",
+    "agg_population_stability_index",
+    "llm_eval_winrate",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -6104,3 +6104,201 @@ def evt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mape_yday_ppm_sum"),
     )
+
+
+@register(
+    "agg_population_stability_index",
+    oracle="""
+    WITH vals AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS half,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+    ),
+    edges AS (
+        -- decile edges from the REFERENCE half only (the PSI contract)
+        SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS e
+        FROM vals WHERE half = 'ref'
+    ),
+    binned AS (
+        SELECT half,
+               1 + CAST(len(list_filter(e.e, edge -> v > edge)) AS INT)
+                   AS bin
+        FROM vals CROSS JOIN edges e
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ref,
+               CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+               CAST(sum(n_cur) AS BIGINT) AS tc
+        FROM counts
+    )
+    SELECT c.bin, c.n_ref, c.n_cur,
+           round(CAST(c.n_ref AS DOUBLE) / t.tr, 6) AS ref_share,
+           round(CAST(c.n_cur AS DOUBLE) / t.tc, 6) AS cur_share,
+           CAST(round((CAST(c.n_cur AS DOUBLE) / t.tc
+                       - CAST(c.n_ref AS DOUBLE) / t.tr)
+                      * ln((CAST(c.n_cur AS DOUBLE) / t.tc)
+                           / (CAST(c.n_ref AS DOUBLE) / t.tr))
+                      * 1000000000) AS BIGINT) AS psi_term_nano
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.bin
+    """,
+)
+def agg_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms between a reference and a
+    current period over reference-derived decile bins — THE model-input
+    monitoring metric risk teams threshold at 0.1/0.25 (the binned,
+    reference-anchored sibling of the JSD and KS drift tests).
+
+    Scale design: decile edges come from the reference half only (the
+    PSI contract — current data must not move the bins) as ONE 9-value
+    quantile row broadcast to the scan; binning is a scan-stage
+    list_filter count; the PSI term per bin takes one ln of the share
+    ratio, nano-quantized so the 10-row table (and any rollup of it)
+    is engine-exact. At 100 TB the reference edges come from the KLL
+    sketch with this exact form as oracle.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+        "ref",
+    ).otherwise("cur")
+    vals = ev.select(
+        half.alias("half"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    edges = vals.filter(F.col("half") == "ref").agg(
+        F.expr(
+            "array("
+            + ", ".join(
+                f"percentile_disc(0.{d}) within group (order by v)"
+                for d in range(1, 10)
+            )
+            + ") as e"
+        )
+    )
+    binned = vals.crossJoin(F.broadcast(edges)).select(
+        "half",
+        (1 + F.expr("size(filter(e, edge -> v > edge))")).cast("int").alias(
+            "bin"
+        ),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    rs = F.col("n_ref").cast("double") / F.col("tr")
+    cs = F.col("n_cur").cast("double") / F.col("tc")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(rs, 6).alias("ref_share"),
+            F.round(cs, 6).alias("cur_share"),
+            F.round((cs - rs) * F.log(cs / rs) * 1e9)
+            .cast("bigint")
+            .alias("psi_term_nano"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "llm_eval_winrate",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               -- model A: lexical diversity; model B: char-per-token
+               -- efficiency — two orthogonal quality scorers
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 // len(string_split(text, ' ')) AS score_a,
+               CAST(n_chars AS BIGINT) * 1000000
+                   // len(string_split(text, ' ')) AS score_b,
+               ntile(4) OVER (ORDER BY n_chars, doc_id) AS length_quartile
+        FROM documents
+    ),
+    verdicts AS (
+        SELECT length_quartile,
+               CASE WHEN score_a > score_b THEN 'a_wins'
+                    WHEN score_b > score_a THEN 'b_wins'
+                    ELSE 'tie' END AS verdict
+        FROM scored
+    )
+    SELECT CAST(length_quartile AS BIGINT) AS length_quartile,
+           CAST(sum(CASE WHEN verdict = 'a_wins' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_wins,
+           CAST(sum(CASE WHEN verdict = 'b_wins' THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_wins,
+           CAST(sum(CASE WHEN verdict = 'tie' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties,
+           round((sum(CASE WHEN verdict = 'a_wins' THEN 1.0 ELSE 0 END)
+                  - sum(CASE WHEN verdict = 'b_wins' THEN 1.0 ELSE 0 END))
+                 / sqrt(sum(CASE WHEN verdict != 'tie' THEN 1.0 ELSE 0
+                            END)), 6) AS sign_test_z
+    FROM verdicts
+    GROUP BY length_quartile
+    ORDER BY length_quartile
+    """,
+)
+def llm_eval_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win-rate evaluation between two scorers with a sign-test
+    z per length quartile — the A-vs-B eval harness readout (win/tie/
+    loss census + 'is the preference significant' in one table),
+    sliced by a confounder the way a real eval report must be.
+
+    Scale design: both scorers are scan-stage integer-ppm expressions;
+    the quartile slice is one ntile window over doc rows; the verdict
+    census is a 4-row aggregate with the z statistic derived from
+    exact integer win counts per output row.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    score_a = F.expr(
+        "size(array_distinct(split(text, ' '))) * 1000000L "
+        "div size(split(text, ' '))"
+    )
+    score_b = F.expr(
+        "cast(n_chars as bigint) * 1000000L div size(split(text, ' '))"
+    )
+    scored = docs.select(
+        score_a.alias("score_a"),
+        score_b.alias("score_b"),
+        F.ntile(4)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("length_quartile"),
+    )
+    verdict = (
+        F.when(F.col("score_a") > F.col("score_b"), "a_wins")
+        .when(F.col("score_b") > F.col("score_a"), "b_wins")
+        .otherwise("tie")
+    )
+    a_w = F.sum(F.when(F.col("verdict") == "a_wins", 1).otherwise(0))
+    b_w = F.sum(F.when(F.col("verdict") == "b_wins", 1).otherwise(0))
+    nt = F.sum(F.when(F.col("verdict") != "tie", 1.0).otherwise(0.0))
+    return (
+        scored.withColumn("verdict", verdict)
+        .groupBy(F.col("length_quartile").cast("bigint").alias("length_quartile"))
+        .agg(
+            a_w.alias("a_wins"),
+            b_w.alias("b_wins"),
+            F.sum(F.when(F.col("verdict") == "tie", 1).otherwise(0)).alias(
+                "ties"
+            ),
+            F.round(
+                (a_w.cast("double") - b_w.cast("double")) / F.sqrt(nt), 6
+            ).alias("sign_test_z"),
+        )
+        .orderBy("length_quartile")
+    )

@@ -288,6 +288,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_ks_two_sample",          # 1-row sizes scalar
         "evt_max_drawdown",           # 1-row worst-drawdown scalar
         "agg_lorenz_curve",           # 1-row revenue-total scalar
+        "agg_population_stability_index",  # 1-row decile-edge + totals
+                                           # scalars
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -352,6 +354,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # cost; sketched form documented)
         "llm_annotation_kappa",       # 1-row confusion-matrix reduce
         "llm_prefix_cache_analysis",  # 1-row census over prefix groups
+        "agg_population_stability_index",  # 1-row edge/total reduces
+        "llm_eval_winrate",           # quartile ntile over DOC rows
         "agg_lorenz_curve",           # decile windows over CUSTOMER rows
         "evt_max_drawdown",           # running windows over DAY rows
         "evt_forecast_backtest",      # lag windows over DAY rows + 1-row
