@@ -251,6 +251,7 @@ _PRIORITY = [
     "evt_forecast_backtest",
     "agg_population_stability_index",
     "llm_eval_winrate",
+    "agg_harmonic_mean",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -6302,3 +6302,64 @@ def llm_eval_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("length_quartile")
     )
+
+
+@register(
+    "agg_harmonic_mean",
+    oracle="""
+    WITH rates AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               -- reciprocal in integer pico-units so the sum is exact
+               CAST(1000000000000 // CAST(round(l_extendedprice * 100)
+                    AS BIGINT) AS BIGINT) AS recip_pico
+        FROM lineitem WHERE l_extendedprice > 0
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(avg(price_cents) / 100.0, 6) AS arithmetic_mean,
+           round(CAST(count(*) AS DOUBLE) * 1000000000000
+                 / CAST(sum(recip_pico) AS DOUBLE) / 100.0, 6)
+               AS harmonic_mean
+    FROM rates
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic mean per group beside the arithmetic mean — the correct
+    average for rates and price-per-unit figures (harmonic ≤ geometric
+    ≤ arithmetic; completes the Pythagorean-means trio with
+    agg_geometric_mean). The gap between the two columns is itself a
+    dispersion signal.
+
+    Scale design: one hash aggregate; reciprocals quantize to integer
+    pico-units BEFORE the sum (floor division both engines) so the
+    reduction is order-independent, with the two divisions deferred to
+    the 3 output rows.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rates = li.filter(F.col("l_extendedprice") > 0).select(
+        "l_returnflag",
+        cents.alias("price_cents"),
+        F.expr(
+            "cast(1000000000000L div cast(round(l_extendedprice * 100) "
+            "as bigint) as bigint)"
+        ).alias("recip_pico"),
+    )
+    return (
+        rates.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("price_cents") / 100.0, 6).alias("arithmetic_mean"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                * 1e12
+                / F.sum("recip_pico").cast("double")
+                / 100.0,
+                6,
+            ).alias("harmonic_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
