@@ -252,6 +252,8 @@ _PRIORITY = [
     "agg_population_stability_index",
     "llm_eval_winrate",
     "agg_harmonic_mean",
+    "llm_dup_cluster_size_dist",
+    "evt_dn_retention",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -6363,3 +6363,131 @@ def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "llm_dup_cluster_size_dist",
+    oracle="""
+    WITH clusters AS (
+        SELECT md5(lower(trim(text))) AS h,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM documents GROUP BY h
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def llm_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many exact-duplicate
+    families exist at each multiplicity, with the removable-docs column
+    that prices the dedup pass — the census that turns 'we have dupes'
+    into 'dedup will cut the corpus by X%' (web crawls follow a power
+    law here; a spike at one size usually means a template).
+
+    Scale design: one digest shuffle to cluster grain (text never
+    moves), then a size-cardinality rollup — the reporting layer over
+    the same digest partitioning every exact-dedup op in the repo uses.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    clusters = docs.groupBy(
+        F.md5(F.lower(F.trim("text"))).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_removable"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "evt_dn_retention",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(day) AS d0 FROM du GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT d0, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY d0
+    ),
+    returns AS (
+        SELECT f.d0,
+               CAST(sum(CASE WHEN u.day = f.d0 + INTERVAL 1 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d1_returned,
+               CAST(sum(CASE WHEN u.day = f.d0 + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d7_returned
+        FROM firsts f JOIN du u ON f.user_id = u.user_id
+        GROUP BY f.d0
+    )
+    SELECT c.d0 AS cohort_day, c.cohort_size,
+           r.d1_returned, r.d7_returned,
+           CAST(r.d1_returned * 1000000 // c.cohort_size AS BIGINT)
+               AS d1_retention_ppm,
+           CAST(r.d7_returned * 1000000 // c.cohort_size AS BIGINT)
+               AS d7_retention_ppm
+    FROM cohorts c JOIN returns r ON c.d0 = r.d0
+    WHERE c.d0 <= DATE '2024-01-23'
+    ORDER BY cohort_day
+    """,
+)
+def evt_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7 retention rates per signup-day cohort (did the
+    user come back exactly N days later) — the growth team's headline
+    metric, windowed to cohorts old enough to have a full D7
+    observation (no right-censoring bias).
+
+    Scale design: one (user, day) dedup pass feeds everything; the
+    return check joins first-days back to active days on user_id (the
+    shared key — co-partitioned), and retention quantizes to integer
+    ppm. Cohort × offset output is calendar-bounded.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    du = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    cohorts = firsts.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = firsts.join(du, "user_id")
+    returns = joined.groupBy("d0").agg(
+        F.sum(
+            F.when(F.col("day") == F.date_add(F.col("d0"), 1), 1).otherwise(0)
+        ).alias("d1_returned"),
+        F.sum(
+            F.when(F.col("day") == F.date_add(F.col("d0"), 7), 1).otherwise(0)
+        ).alias("d7_returned"),
+    )
+    return (
+        cohorts.join(returns, "d0")
+        .filter(F.col("d0") <= F.lit("2024-01-23").cast("date"))
+        .select(
+            F.col("d0").alias("cohort_day"),
+            "cohort_size",
+            "d1_returned",
+            "d7_returned",
+            F.expr("d1_returned * 1000000L div cohort_size").alias(
+                "d1_retention_ppm"
+            ),
+            F.expr("d7_returned * 1000000L div cohort_size").alias(
+                "d7_retention_ppm"
+            ),
+        )
+        .orderBy("cohort_day")
+    )
