@@ -254,6 +254,8 @@ _PRIORITY = [
     "agg_harmonic_mean",
     "llm_dup_cluster_size_dist",
     "evt_dn_retention",
+    "llm_zipf_exponent_fit",
+    "fn_trigram_similarity",
     # never-sampled rows-only / special-scan keys: sampled last so a
     # no_oracle (or byte-fidelity) row lands in the record at least once
     "scan_binary_files",

@@ -6491,3 +6491,165 @@ def evt_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+@register(
+    "llm_zipf_exponent_fit",
+    oracle="""
+    WITH freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS r,
+               f
+        FROM freq
+    ),
+    pts AS (
+        -- quantize the log-log points to integer micro so every
+        -- regression moment is an exact integer sum
+        SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM ranked WHERE f >= 5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round((CAST(count(*) AS DOUBLE) * sum(x * y)
+                  - CAST(sum(x) AS DOUBLE) * sum(y))
+                 / (CAST(count(*) AS DOUBLE) * sum(x * x)
+                    - CAST(sum(x) AS DOUBLE) * sum(x)), 6)
+               AS zipf_slope,
+           round((CAST(sum(y) AS DOUBLE)
+                  - ((CAST(count(*) AS DOUBLE) * sum(x * y)
+                      - CAST(sum(x) AS DOUBLE) * sum(y))
+                     / (CAST(count(*) AS DOUBLE) * sum(x * x)
+                        - CAST(sum(x) AS DOUBLE) * sum(x))) * sum(x))
+                 / count(*) / 1000000, 6) AS intercept_ln
+    FROM pts
+    """,
+)
+def llm_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent fit over the word-frequency distribution:
+    least-squares slope of ln(freq) on ln(rank) — natural language sits
+    near −1; strong deviation flags templated or synthetic text (the
+    parametric summary of llm_vocab_coverage's curve).
+
+    Scale design: the corpus reduces to the vocab-bounded frequency
+    table; ranking runs over vocab rows; the regression consumes
+    INTEGER-micro-quantized log points, so all five moment sums are
+    exact and the closed-form slope/intercept is one quantized
+    division per output value — the agg_regr_trend discipline with the
+    quantize-at-input twist that makes even log-log regression
+    hash-stable.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), "w")).cast(
+            "bigint"
+        ),
+    )
+    pts = ranked.filter(F.col("f") >= 5).select(
+        F.round(F.log(F.col("r").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1e6).cast("bigint").alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x")
+    sy = F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx.cast("double") * sy) / (
+        n * sxx - sx.cast("double") * sx
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (sy.cast("double") - slope * sx) / F.count(F.lit(1)) / 1e6, 6
+        ).alias("intercept_ln"),
+    )
+
+
+@register(
+    "fn_trigram_similarity",
+    oracle="""
+    WITH names AS (
+        SELECT n_nationkey, lower(n_name) AS nm FROM nation
+    ),
+    grams AS (
+        SELECT n_nationkey, nm,
+               list_distinct(list_transform(
+                   generate_series(1, len(nm) - 2),
+                   i -> substr(nm, CAST(i AS INT), 3))) AS g
+        FROM names WHERE len(nm) >= 3
+    )
+    SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+           a.nm AS name_a, b.nm AS name_b,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS shared_grams,
+           CAST(len(list_intersect(a.g, b.g)) * 1000000 //
+                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                AS BIGINT) AS similarity_ppm
+    FROM grams a JOIN grams b ON a.n_nationkey < b.n_nationkey
+    WHERE len(list_intersect(a.g, b.g)) >= 2
+    ORDER BY similarity_ppm DESC, key_a, key_b
+    """,
+)
+def fn_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style character-trigram similarity between entity names
+    (shared-trigram Jaccard in integer ppm) — the fuzzy-match scorer
+    that, unlike edit distance, survives word reordering and is
+    BLOCKABLE: a shared-trigram equi-join prunes candidates before any
+    pairwise scoring (the fn_levenshtein_fuzzy_match sibling with the
+    index-friendly shape).
+
+    Scale design: trigram sets build scan-stage; the pair space here is
+    the bounded 25-row dim (same discipline as levenshtein/haversine);
+    at scale candidates come from exploding trigrams into an inverted
+    (gram → key) index and equi-joining — documented as the production
+    path. Integer set sizes + ppm floor division keep it engine-exact.
+    """
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    grams_expr = (
+        "array_distinct(transform(sequence(1, length(nm) - 2), "
+        "i -> substring(nm, i, 3)))"
+    )
+    grams = (
+        nation.select(
+            "n_nationkey", F.lower(F.col("n_name")).alias("nm")
+        )
+        .filter(F.length("nm") >= 3)
+        .withColumn("g", F.expr(grams_expr))
+    )
+    a = grams.select(
+        F.col("n_nationkey").alias("key_a"),
+        F.col("nm").alias("name_a"),
+        F.col("g").alias("ga"),
+    )
+    b = grams.select(
+        F.col("n_nationkey").alias("key_b"),
+        F.col("nm").alias("name_b"),
+        F.col("g").alias("gb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(inter >= 2)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            inter.cast("bigint").alias("shared_grams"),
+            F.expr(
+                "size(array_intersect(ga, gb)) * 1000000L div "
+                "(size(ga) + size(gb) - size(array_intersect(ga, gb)))"
+            ).alias("similarity_ppm"),
+        )
+        .orderBy(F.col("similarity_ppm").desc(), "key_a", "key_b")
+    )

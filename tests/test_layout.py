@@ -262,6 +262,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # docstring documents the blocked-join
                                       # rewrite for unbounded dims)
         "fn_levenshtein_fuzzy_match", # 25-row nation-name pair space
+        "fn_trigram_similarity",      # same 25-row dim pair space
+                                      # (inverted-index path documented)
         "llm_sim_ivf_topk",           # K=10-row codebook broadcast (the
                                       # IVF scoring pass is map-only by
                                       # design; K is a constant)
@@ -356,6 +358,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_prefix_cache_analysis",  # 1-row census over prefix groups
         "agg_population_stability_index",  # 1-row edge/total reduces
         "llm_eval_winrate",           # quartile ntile over DOC rows
+        "llm_zipf_exponent_fit",      # rank window over VOCAB rows +
+                                      # 1-row regression reduce
         "agg_lorenz_curve",           # decile windows over CUSTOMER rows
         "evt_max_drawdown",           # running windows over DAY rows
         "evt_forecast_backtest",      # lag windows over DAY rows + 1-row
