@@ -16,12 +16,22 @@ notes per operator; the shared discipline is the repo-wide one:
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+
+#: The one oracle that reads parquet FOOTERS (not the table views) must
+#: point at the same fixture dir the harness binds its views to —
+#: conftest honors SPARK_GRAFT_TEST_SF_DIR, and the driver always runs
+#: at the default, so both resolve consistently.
+_ORACLE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 @register(
@@ -3149,10 +3159,14 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_a3") == F.col("t_a")) & (F.col("t_c3") == F.col("t_c")),
         )
     )
-    n_edges = edges.count()
-    return triangles.agg(
-        F.lit(n_edges).cast("bigint").alias("n_edges"),
-        F.count(F.lit(1)).alias("n_triangles"),
+    # n_edges rides along declaratively (agg_fk_integrity_audit pattern):
+    # an eager edges.count() here would execute the corpus dedup +
+    # self-join twice per run for a driver-side scalar
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_edges", "n_triangles")
     )
 
 
@@ -5000,7 +5014,7 @@ def pipeline_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_parquet_footer_census",
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(file_name, '([^/]+)[.]parquet$', 1) AS table_name,
            -- DuckDB renders nested paths 'a, list, element';
            -- pyarrow renders 'a.list.element' — normalize to dots
@@ -5008,7 +5022,7 @@ def pipeline_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
            min(compression) AS codec
-    FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+    FROM parquet_metadata('{_ORACLE_SF_DIR}/*.parquet')
     GROUP BY file_name, path_in_schema
     ORDER BY table_name, column_name
     """,
@@ -6562,8 +6576,16 @@ def llm_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).cast("double")
     sx = F.sum("x")
     sy = F.sum("y")
-    sxy = F.sum(F.col("x") * F.col("y"))
-    sxx = F.sum(F.col("x") * F.col("x"))
+    # Σxy / Σx² accumulate in decimal(38,0): each product is ~2.6e14,
+    # so a bigint sum would hit ANSI overflow near ~35k fitted vocab
+    # points while DuckDB silently promotes to hugeint — the
+    # evt_bot_regularity_detection 128-bit-moment discipline
+    sxy = F.sum(
+        F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+    )
+    sxx = F.sum(
+        F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+    )
     slope = (n * sxy - sx.cast("double") * sy) / (
         n * sxx - sx.cast("double") * sx
     )

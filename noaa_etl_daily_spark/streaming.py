@@ -447,9 +447,10 @@ def run_foreachbatch_upsert(
     (pair with dynamic partition overwrite) and the table side stays
     bucketed on user_id so the merge join never shuffles it.
 
-    Restart semantics: the checkpoint gives each batch_id exactly-once
-    input; the merge is deterministic and the overwrite idempotent, so
-    a replayed batch reproduces the same table state. Returns the
+    Restart semantics: foreachBatch is AT-LEAST-ONCE, so the fold must
+    be idempotent under micro-batch replay — handled by the versioned
+    fold (``_fold_versioned``): a batch whose merge already committed
+    is detected by its version marker and never re-added. Returns the
     number of micro-batches executed."""
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -463,18 +464,13 @@ def run_foreachbatch_upsert(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        sp = batch_df.sparkSession
-        try:
-            existing = sp.read.parquet(target_dir)
-        except Exception:  # first batch: no table yet
-            existing = None
-        merged = merge_user_partials(existing, batch_df)
-        # materialize BEFORE overwriting the directory the lazy plan
-        # still reads from (classic read-overwrite-same-path hazard)
-        merged = merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_dir)
-        merged.unpersist()
+        _fold_versioned(
+            batch_df.sparkSession,
+            target_dir,
+            batch_id,
+            merge_user_partials,
+            batch_df,
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -484,6 +480,70 @@ def run_foreachbatch_upsert(
     )
     q.awaitTermination()
     return n_batches
+
+
+def _committed_versions(vroot: str) -> list[int]:
+    """Batch ids under ``vroot`` whose parquet write fully committed
+    (``_SUCCESS`` marker), ascending. Local-FS listing is fine here; on
+    an object store the same check walks the FileSystem API or a
+    manifest table."""
+    if not os.path.isdir(vroot):
+        return []
+    out = []
+    for d in os.listdir(vroot):
+        if d.startswith("v=") and os.path.exists(
+            os.path.join(vroot, d, "_SUCCESS")
+        ):
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def _fold_versioned(
+    sp: SparkSession,
+    target_dir: str,
+    batch_id: int,
+    merge_fn,
+    batch_partial: DataFrame,
+) -> None:
+    """Replay-safe foreachBatch fold: merge ``batch_partial`` into the
+    standing state via ``merge_fn(existing, partial)``.
+
+    foreachBatch delivers each micro-batch AT LEAST once (a crash
+    between sink write and checkpoint commit replays the batch), and a
+    read-modify-overwrite fold would re-add the replayed partial,
+    permanently inflating the state. Instead each merged result is
+    written to a batch_id-versioned directory
+    ``<target>.versions/v=<batch_id>`` and the live ``target_dir`` is a
+    mirror of the newest committed version:
+
+    - a replayed batch whose version already committed (``_SUCCESS``
+      present) SKIPS the merge — only the idempotent mirror reruns;
+    - the merge reads the PREVIOUS version and writes a NEW directory,
+      so the read-then-overwrite-same-path hazard (and the
+      cache()+count() barrier it forced) disappears structurally — a
+      torn write without ``_SUCCESS`` is simply overwritten on replay;
+    - all but the two newest committed versions are pruned, so storage
+      stays O(state), not O(state × batches).
+    """
+    import shutil
+
+    vroot = target_dir + ".versions"
+    vdir = os.path.join(vroot, f"v={batch_id}")
+    committed = _committed_versions(vroot)
+    prev = [b for b in committed if b < batch_id]
+    if batch_id not in committed:
+        existing = (
+            sp.read.parquet(os.path.join(vroot, f"v={prev[-1]}"))
+            if prev
+            else None
+        )
+        merge_fn(existing, batch_partial).write.mode("overwrite").parquet(
+            vdir
+        )
+    # mirror the newest committed version to the live serving path
+    sp.read.parquet(vdir).write.mode("overwrite").parquet(target_dir)
+    for b in prev[:-1]:
+        shutil.rmtree(os.path.join(vroot, f"v={b}"), ignore_errors=True)
 
 
 def countmin_cells(df: DataFrame) -> DataFrame:
@@ -544,9 +604,13 @@ def run_streaming_countmin_merge(
     1024-cell count-min partial (constant bytes regardless of batch
     size) and folds into the standing sketch table — the pattern that
     keeps heavy-hitter estimates fresh at ingest time without any
-    corpus re-scan. Because the merge is cell-wise addition, the final
-    sketch is bit-identical to the one-shot batch sketch — asserted in
-    tests/test_streaming.py. Returns micro-batch count."""
+    corpus re-scan. Because the merge is cell-wise addition AND the
+    versioned fold skips already-committed batches on replay
+    (cell addition is NOT idempotent — a replayed batch added twice
+    would inflate counts forever), the final sketch is bit-identical
+    to the one-shot batch sketch — asserted in tests/test_streaming.py,
+    including under a simulated crash-replay. Returns micro-batch
+    count."""
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -558,16 +622,13 @@ def run_streaming_countmin_merge(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        sp = batch_df.sparkSession
-        try:
-            existing = sp.read.parquet(target_dir)
-        except Exception:  # first batch: no sketch yet
-            existing = None
-        merged = merge_countmin(existing, countmin_cells(batch_df))
-        merged = merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_dir)
-        merged.unpersist()
+        _fold_versioned(
+            batch_df.sparkSession,
+            target_dir,
+            batch_id,
+            merge_countmin,
+            countmin_cells(batch_df),
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)

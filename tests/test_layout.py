@@ -292,6 +292,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_lorenz_curve",           # 1-row revenue-total scalar
         "agg_population_stability_index",  # 1-row decile-edge + totals
                                            # scalars
+        "graph_triangle_census",      # 1-row n_edges × 1-row n_triangles
+                                      # scalar assembly
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a

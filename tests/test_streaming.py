@@ -781,3 +781,65 @@ def test_stream_countmin_merge_equals_batch_sketch(
         for d in range(4)
     )
     assert est >= true_counts[probe]
+
+
+def test_fold_versioned_survives_batch_replay(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch replayed after a
+    crash between the sink write and the checkpoint commit must NOT be
+    added twice (count-min cell addition is not idempotent). Drive the
+    versioned fold directly and replay both a committed batch and an
+    out-of-order earlier batch — the sketch must be bit-identical to
+    applying each batch exactly once."""
+    from noaa_etl_daily_spark.tables import load
+
+    target = str(tmp_path / "cm_state")
+    ev = load(spark, sf_dir, "events")
+    b0 = st.countmin_cells(ev.filter(F.col("event_id") % 2 == 0))
+    b1 = st.countmin_cells(ev.filter(F.col("event_id") % 2 == 1))
+
+    def snap():
+        return {
+            (r.d, r.col): r.cnt
+            for r in spark.read.parquet(target).collect()
+        }
+
+    st._fold_versioned(spark, target, 0, st.merge_countmin, b0)
+    after_b0 = snap()
+    # replay of batch 0 (already committed) must be a no-op merge
+    st._fold_versioned(spark, target, 0, st.merge_countmin, b0)
+    assert snap() == after_b0
+
+    st._fold_versioned(spark, target, 1, st.merge_countmin, b1)
+    want = {(r.d, r.col): r.cnt for r in st.countmin_cells(ev).collect()}
+    assert snap() == want
+    # late replay of batch 1 after it committed: still a no-op
+    st._fold_versioned(spark, target, 1, st.merge_countmin, b1)
+    assert snap() == want
+
+
+def test_fold_versioned_recovers_torn_write(spark, sf_dir, tmp_path):
+    """A crash mid-write leaves a version directory WITHOUT _SUCCESS;
+    the replayed batch must overwrite the torn output and produce the
+    same final state as a clean run."""
+    import os as _os
+
+    from noaa_etl_daily_spark.tables import load
+
+    target = str(tmp_path / "cm_state")
+    ev = load(spark, sf_dir, "events")
+    b0 = st.countmin_cells(ev.filter(F.col("event_id") % 2 == 0))
+    b1 = st.countmin_cells(ev.filter(F.col("event_id") % 2 == 1))
+    st._fold_versioned(spark, target, 0, st.merge_countmin, b0)
+
+    # simulate a torn batch-1 write: version dir exists, no _SUCCESS
+    torn = _os.path.join(target + ".versions", "v=1")
+    _os.makedirs(torn, exist_ok=True)
+    with open(_os.path.join(torn, "part-torn.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+
+    st._fold_versioned(spark, target, 1, st.merge_countmin, b1)
+    got = {
+        (r.d, r.col): r.cnt for r in spark.read.parquet(target).collect()
+    }
+    want = {(r.d, r.col): r.cnt for r in st.countmin_cells(ev).collect()}
+    assert got == want
