@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     llm,
     pipelines,
     scale_ops,
+    scale_rank,
     scans,
     setops,
     sorting,

@@ -476,12 +476,18 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch a 100 TB profiler uses to find dominant categories without a
     full groupBy). Rows-only: the sketch may over-report (false
     positives allowed, false negatives not) — tests/test_properties.py
-    asserts every truly-frequent value is present."""
+    asserts every truly-frequent value is present. Output is exploded
+    to one flat row per reported item (the driver's canonicalizer
+    cannot hash the raw array cell — G7)."""
     li = load(spark, sf_dir, "lineitem")
     combo = li.select(
         F.concat_ws("|", "l_returnflag", "l_linestatus").alias("combo")
     )
-    return combo.stat.freqItems(["combo"], 0.1)
+    return (
+        combo.stat.freqItems(["combo"], 0.1)
+        .select(F.explode("combo_freqItems").alias("frequent_combo"))
+        .orderBy("frequent_combo")
+    )
 
 
 @register(

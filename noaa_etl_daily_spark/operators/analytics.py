@@ -1999,6 +1999,10 @@ def llm_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only filter) with this exact query as its oracle. Quality is
     integer ppm (// floor division both engines), so ordering and the
     budget crossover are engine-exact; ties break on doc_id.
+
+    Scale-safe twin: llm_token_budget_selection_atscale
+    (operators/scale_rank.py) — same oracle, bit-identical output, no
+    global window.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = F.split(F.col("text"), " ")
@@ -4278,6 +4282,10 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (global windows, but post-reduction — at 100 TB the quintile
     boundaries swap to percentile_approx thresholds broadcast back,
     same labels). The census output is 5 segment rows.
+
+    Scale-safe twin: agg_rfm_segmentation_atscale
+    (operators/scale_rank.py) — distributed range-rank ntiles, same
+    oracle, bit-identical output.
     """
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
@@ -5210,6 +5218,10 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     query runs on the value-HISTOGRAM (KLL-sketched CDF steps), with
     this exact form as its oracle on samples. Value ties are handled
     via the lead() step filter, not left to chance.
+
+    Scale-safe twin: agg_ks_two_sample_atscale
+    (operators/scale_rank.py) — value-grain reduction + distributed
+    prefix-sum CDFs, same oracle, still EXACT (not sketched).
     """
     ev = load(spark, sf_dir, "events").select("ts", "value")
     grp = F.when(
@@ -5641,6 +5653,9 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     cust_rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    # scale note: this decile window is customer-grain and global; the
+    # bit-identical scale-safe form is agg_lorenz_curve_atscale
+    # (operators/scale_rank.py, distributed range-rank ntile)
     ranked = cust_rev.withColumn(
         "decile", F.ntile(10).over(Window.orderBy("rev", "o_custkey"))
     )
@@ -6277,6 +6292,10 @@ def llm_eval_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quartile slice is one ntile window over doc rows; the verdict
     census is a 4-row aggregate with the z statistic derived from
     exact integer win counts per output row.
+
+    Scale-safe twin: llm_eval_winrate_atscale
+    (operators/scale_rank.py) — distributed range-rank quartiles, same
+    oracle, bit-identical output.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     score_a = F.expr(

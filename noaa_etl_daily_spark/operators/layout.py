@@ -157,19 +157,34 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4 relative error. The sketch merges associatively across
     partitions — one map-side pass + tiny shuffle, versus the exact
     percentile's full sort per group. Rows-only by design (sketch
-    output is implementation-defined); tests/test_properties.py bounds
-    its error against the exact percentile, and the result row carries
-    the exact percentiles alongside (``exact_pcts``) for eyeballing.
-    Oracled exact twin: ``agg_percentile`` certifies the exact
-    quantile semantics this sketch approximates."""
+    output is implementation-defined); tests/test_layout.py bounds
+    its error against the exact percentile, and each output row carries
+    the exact percentile alongside (``exact_val``) for eyeballing.
+    Output is exploded to one flat row per (flag, percentile) — the
+    driver's canonicalizer cannot hash array cells (G7). Oracled exact
+    twin: ``agg_percentile`` certifies the exact quantile semantics
+    this sketch approximates."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
             "approx_pcts"
         ),
         F.expr(
             "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
         ).alias("exact_pcts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode(F.arrays_zip("approx_pcts", "exact_pcts")).alias(
+            "pos", "vals"
+        ),
+    ).select(
+        "l_returnflag",
+        F.element_at(
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.col("pos") + 1
+        ).alias("p"),
+        F.col("vals.approx_pcts").alias("approx_val"),
+        F.col("vals.exact_pcts").alias("exact_val"),
     )
 
 

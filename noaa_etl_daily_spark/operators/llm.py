@@ -1319,25 +1319,24 @@ def llm_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     count over a stable doc order, shard = floor(prefix_sum/budget) —
     the standard sequence-packing preprocessing step.
 
-    The batch form uses one global-ordered running sum, which is the
-    honest semantics of sequential packing; at 100 TB you shard the
-    order key first (pack per day/source partition, exactly how
-    sequence packing is run in practice) so each partition's window is
-    independent — the per-partition variant is this same plan with the
-    window additionally PARTITIONed BY the shard key."""
+    The global-ordered running sum runs as a DISTRIBUTED prefix sum
+    (scale_rank.with_cumsum: range-repartition + per-partition running
+    sums + broadcast partition offsets), never a single-partition
+    window — exact, so the oracle is unchanged. At 100 TB you
+    additionally shard the order key first (pack per day/source
+    partition, how sequence packing is run in practice) so even the
+    range shuffle is per-partition."""
+    from .scale_rank import with_cumsum
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(_tokens()).alias("n_tokens")
     )
-    running = (
-        F.sum("n_tokens").over(
-            Window.orderBy("doc_id").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        - F.col("n_tokens")
+    cum = with_cumsum(
+        toks, [F.col("doc_id").asc()], ["n_tokens"], ["__cum_incl"]
     )
-    packed = toks.withColumn(
+    running = F.col("__cum_incl") - F.col("n_tokens")
+    packed = cum.withColumn(
         "shard_id", F.floor(running / 2000.0).cast("int")
     )
     return packed.groupBy("shard_id").agg(

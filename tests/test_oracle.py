@@ -26,11 +26,19 @@ def test_oracle_match(name, spark, oracle, sf_dir):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(name, spark, sf_dir):
+    """Rows-only queries still pass through the driver's canonicalizer
+    for row counting, so their outputs must ALSO be free of nested
+    cells (arrays/maps/structs) — same G7 guard as the oracled path
+    (VERDICT r4 task 4: r3's only red rows were canonicalizer crashes
+    on array columns)."""
+    from .conftest import _assert_no_nested_cells
+
     q = REGISTRY[name]
     df = q.builder(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
     assert len(df.schema.fields) > 0
+    _assert_no_nested_cells(pdf, "spark")
 
 
 def test_entry_smoke(spark):

@@ -185,8 +185,10 @@ def test_freq_items_contains_all_truly_frequent(spark, sf_dir):
 
     from noaa_etl_daily_spark.tables import load
 
-    row = REGISTRY["agg_freq_items"].builder(spark, sf_dir).collect()[0]
-    sketched = set(row[0])
+    sketched = {
+        r.frequent_combo
+        for r in REGISTRY["agg_freq_items"].builder(spark, sf_dir).collect()
+    }
     li = load(spark, sf_dir, "lineitem")
     total = li.count()
     truly = {
