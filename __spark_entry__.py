@@ -35,7 +35,15 @@ FLAGSHIP = "agg_groupby_multi"
 #: now fixed, so the record turns green; (2) pipeline_* / sql_* (the
 #: likeliest real-user queries); (3) the rest of the never-sampled set.
 _PRIORITY = [
-    # r3 red rows, fixed this round (array outputs now serialized)
+    # round-5 scale-safe twins (operators/scale_rank.py): new keys whose
+    # driver certification proves the distributed-rank rewrites are
+    # bit-identical to their originals (same oracle SQL)
+    "agg_rfm_segmentation_atscale",
+    "agg_lorenz_curve_atscale",
+    "llm_eval_winrate_atscale",
+    "agg_ks_two_sample_atscale",
+    "llm_token_budget_selection_atscale",
+    # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",
     "fn_array_setops",

@@ -85,6 +85,28 @@ def stream_tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_sliding_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of evt_sliding_window: 1-hour windows sliding
+    every 15 minutes — each event expands into duration/slide = 4 open
+    windows of state, all expired by the same watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def stream_session_counts(events: DataFrame) -> DataFrame:
     """Streaming twin of evt_session_window: native session_window with
     per-user merging state."""

@@ -43,6 +43,26 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, stream_src):
     assert _table_rows(spark, "t_tumbling", cols) == _rows(batch, cols)
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir, stream_src):
+    """Window membership and counts must match exactly; avg_value is a
+    double whose summation ORDER differs between micro-batch partials
+    and the one-shot batch agg, so the rounded 4th decimal may
+    legitimately flip by one ulp — compare it with a 1e-3 tolerance."""
+    batch = REGISTRY["evt_sliding_window"].builder(spark, sf_dir)
+    st.run_to_memory(
+        st.stream_sliding_counts(st.read_events_stream(spark, stream_src)),
+        "t_sliding",
+        "complete",
+    )
+    cols = ["window_start", "event_type", "n_events", "avg_value"]
+    got = _table_rows(spark, "t_sliding", cols)
+    want = _rows(batch, cols)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert abs(g[3] - w[3]) < 1e-3, (g, w)
+
+
 def test_stream_session_equals_batch(spark, sf_dir, stream_src):
     batch = REGISTRY["evt_session_window"].builder(spark, sf_dir)
     st.run_to_memory(
