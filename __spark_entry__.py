@@ -43,6 +43,13 @@ _PRIORITY = [
     "llm_eval_winrate_atscale",
     "agg_ks_two_sample_atscale",
     "llm_token_budget_selection_atscale",
+    # round-5 new operators (TPC-H Q21/Q11/Q20 completing all 22 shapes,
+    # gaps-and-islands, log2-histogram percentiles)
+    "pipeline_waiting_suppliers",
+    "pipeline_important_stock",
+    "pipeline_promo_part_suppliers",
+    "win_activity_islands",
+    "agg_log2_histogram_percentiles",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -6694,3 +6694,124 @@ def fn_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("similarity_ppm").desc(), "key_a", "key_b")
     )
+
+
+@register(
+    "win_activity_islands",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+    isl AS (SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                         PARTITION BY user_id ORDER BY day) AS INTEGER)
+                       AS grp
+            FROM du)
+    SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM isl GROUP BY user_id, grp HAVING count(*) >= 5
+    ORDER BY user_id, island_start
+    """,
+)
+def win_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (islands of ≥5 days), via the classic day − row_number
+    constant-per-island key — the general form of win_longest_streak
+    (which keeps only each user's best run; this keeps every
+    qualifying island with its boundaries).
+
+    Scale design: one distinct to (user, day) grain, one
+    user-PARTITIONED window (never global), one keyed aggregate —
+    all three shuffles share the user key, and days-per-user is
+    calendar-bounded.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    du = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = du.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        isl.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 5)
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
+    )
+
+
+@register(
+    "agg_log2_histogram_percentiles",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(log2(CAST(round(value * 100) AS BIGINT)))
+                           AS BIGINT) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE value > 0 GROUP BY 1, 2),
+    c AS (SELECT *,
+                 CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+          FROM b)
+    SELECT event_type,
+           CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN bucket END)
+                AS BIGINT) AS p50_bucket,
+           CAST(min(CASE WHEN cum * 100 >= tot * 95 THEN bucket END)
+                AS BIGINT) AS p95_bucket,
+           CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN bucket END)
+                AS BIGINT) AS p99_bucket
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_log2_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style percentiles: log₂-bucketed value histogram
+    per event type, percentile = first bucket whose cumulative count
+    crosses p·total — the fixed-error-bound latency-percentile pattern
+    (deterministic, mergeable, re-aggregatable), the production
+    alternative to both exact sorts and opaque sketches.
+
+    Scale design: the corpus reduces to (type × ~40 log buckets) in
+    ONE aggregate with map-side combine; cumulative and total windows
+    run over those bounded bucket rows, partitioned by type. All
+    integer — the crossing comparison is cum·100 ≥ tot·p, never a
+    float quantile.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    b = (
+        ev.filter(F.col("value") > 0)
+        .groupBy(
+            "event_type",
+            F.floor(F.log2(cents)).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = b.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_tot)
+    )
+    def pct(p):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("tot") * p, F.col("bucket"))
+        ).cast("bigint")
+    return (
+        c.groupBy("event_type")
+        .agg(
+            pct(50).alias("p50_bucket"),
+            pct(95).alias("p95_bucket"),
+            pct(99).alias("p99_bucket"),
+        )
+        .orderBy("event_type")
+    )

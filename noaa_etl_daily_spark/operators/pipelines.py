@@ -942,3 +942,230 @@ def pipeline_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
+
+
+@register(
+    "pipeline_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate
+                                            + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def pipeline_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finalized orders ("kept orders waiting" — late =
+    shipped >60 days after order date, adapted to this schema's
+    columns). The textbook form is a correlated EXISTS + NOT EXISTS
+    double self-join on lineitem (the oracle SQL runs it literally);
+    this plan DECORRELATES it into one per-order aggregate —
+
+      n_suppliers >= 2          ⟺  EXISTS other-supplier line
+      n_late_suppliers = 1      ⟺  NOT EXISTS other late supplier
+      numwait += n_late_lines   (all late lines belong to that one)
+
+    — so the fact table is touched once (join orders, one groupBy
+    l_orderkey) instead of three times, the classic rewrite a 100 TB
+    plan needs (two fact shuffles total: orderkey agg, suppkey join).
+    Deterministic: counts are integers; top-20 ties break on s_name.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"),
+        )
+    )
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("late_supp", "n_late_lines")
+    nation = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    return (
+        waiting.join(supp, waiting.late_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "pipeline_important_stock",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t FROM supply)
+    SELECT l_partkey AS partkey, value_cents,
+           CAST(value_cents * 1000000 // t AS BIGINT) AS share_ppm
+    FROM supply CROSS JOIN tot
+    WHERE value_cents * 1000 > t
+    ORDER BY value_cents DESC, partkey
+    """,
+)
+def pipeline_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supply value from one nation's
+    suppliers exceeds 0.1% of that nation's total supply value
+    (adapted: supply value = shipped line value, this schema having no
+    partsupp table). The plan elements Q11 exercises: a GROUP BY whose
+    HAVING compares against an uncorrelated scalar aggregate OVER THE
+    SAME derived table — computed once from the part-grain rows (never
+    a second fact pass) and broadcast into a map-only filter. The
+    nation's suppliers reduce lineitem via a semi-join BEFORE the
+    part-grain shuffle. Integer cents; share in ppm floor division.
+    """
+    nation = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supply = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("value_cents")
+        )
+    )
+    tot = supply.agg(F.sum("value_cents").alias("t"))
+    return (
+        supply.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "value_cents",
+            F.expr("value_cents * 1000000L div t").alias("share_ppm"),
+        )
+        .orderBy(F.col("value_cents").desc(), "partkey")
+    )
+
+
+@register(
+    "pipeline_promo_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND EXISTS (SELECT 1 FROM shipped sh
+                  JOIN part p ON sh.l_partkey = p.p_partkey
+                  WHERE p.p_name LIKE 'red%'
+                    AND sh.l_suppkey = s.s_suppkey
+                    AND sh.qty > 40)
+    ORDER BY s_name
+    """,
+)
+def pipeline_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: one nation's suppliers who shipped a meaningful
+    volume (>40 units in 1997) of promotion-candidate ('red%') parts —
+    the "who can stock this promo" sourcing query (adapted: shipped
+    volume stands in for partsupp availability). Plan elements: an
+    aggregated-subquery EXISTS decorrelated into semi-join chains —
+    part-name filter semi-reduces the (supp, part) shipping aggregate,
+    the qualifying suppkeys semi-reduce the nation's suppliers; the
+    fact table is aggregated once with its date filter pushed to the
+    scan. Every join is an equi-semi-join on a real key.
+    """
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qualified = (
+        shipped.join(red, shipped.l_partkey == red.p_partkey, "left_semi")
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_5")
+        .select("n_nationkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )

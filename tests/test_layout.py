@@ -296,6 +296,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # scalar assembly
         "agg_ks_two_sample_atscale",  # 1-row sizes scalar (as original)
         "agg_lorenz_curve_atscale",   # 1-row revenue-total scalar
+        "pipeline_important_stock",   # 1-row Q11 supply-total scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -372,6 +373,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_embedding_drift_check",  # 1-row reduce of 64 dim rows
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
                                       # edge list
+        "pipeline_important_stock",   # 1-row Q11 supply-total reduce
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
