@@ -50,6 +50,9 @@ _PRIORITY = [
     "pipeline_promo_part_suppliers",
     "win_activity_islands",
     "agg_log2_histogram_percentiles",
+    "agg_dp_noised_counts",
+    "llm_semdedup_cells",
+    "graph_pagerank_brands",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -6815,3 +6815,176 @@ def agg_log2_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_dp_noised_counts",
+    oracle="""
+    WITH groups AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source
+    ),
+    seeded AS (
+        SELECT lang, source, n_docs,
+               CAST(('0x' || substr(md5('dp1|' || lang || '|' || source),
+                                    1, 8)) AS BIGINT) % 1000000 AS u_ppm
+        FROM groups
+    ),
+    noised AS (
+        SELECT lang, source, n_docs, u_ppm,
+               CASE
+                   WHEN u_ppm < 333333 THEN 0
+                   WHEN u_ppm < 500000 THEN 1
+                   WHEN u_ppm < 666667 THEN -1
+                   WHEN u_ppm < 750000 THEN 2
+                   WHEN u_ppm < 833333 THEN -2
+                   WHEN u_ppm < 875000 THEN 3
+                   WHEN u_ppm < 916667 THEN -3
+                   WHEN u_ppm < 958333 THEN 4
+                   ELSE -4
+               END AS noise
+        FROM seeded
+    )
+    SELECT lang, source, CAST(noise AS BIGINT) AS noise,
+           CAST(greatest(0, n_docs + noise) AS BIGINT) AS released_count
+    FROM noised
+    ORDER BY lang, source
+    """,
+)
+def agg_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style noisy count release over the
+    (lang, source) slices: each group's count gets two-sided GEOMETRIC
+    noise (the discrete Laplace mechanism, α=1/2) drawn via an
+    integer-ppm inverse-CDF ladder from a SEEDED uniform
+    (md5 of release-tag + group key) — so a re-run releases identical
+    numbers (reproducible-release requirement) and the oracle is exact
+    across engines (no float log/exp enters the draw). Negative
+    releases clamp at 0. A real release drops the `noise` column and
+    rotates the seed tag per release period; the privacy ε follows
+    from α, not from the seeding. Completes the privacy surface next
+    to llm_kanonymity_census (suppression) and llm_text_pii_redact
+    (content).
+
+    Scale design: one hash aggregate to quasi-identifier grain
+    (bounded |langs|×|sources|); the draw and the ladder are scan-stage
+    expressions over the aggregated rows — adding noise never adds a
+    pass over raw data.
+    """
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    groups = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    seed = F.concat(F.lit("dp1|"), F.col("lang"), F.lit("|"), F.col("source"))
+    u = (
+        F.conv(F.substring(F.md5(seed.cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    seeded = groups.withColumn("u_ppm", u)
+    noise = (
+        F.when(F.col("u_ppm") < 333333, 0)
+        .when(F.col("u_ppm") < 500000, 1)
+        .when(F.col("u_ppm") < 666667, -1)
+        .when(F.col("u_ppm") < 750000, 2)
+        .when(F.col("u_ppm") < 833333, -2)
+        .when(F.col("u_ppm") < 875000, 3)
+        .when(F.col("u_ppm") < 916667, -3)
+        .when(F.col("u_ppm") < 958333, 4)
+        .otherwise(-4)
+    )
+    return (
+        seeded.withColumn("noise", noise)
+        .select(
+            "lang",
+            "source",
+            F.col("noise").cast("bigint").alias("noise"),
+            F.greatest(F.lit(0), F.col("n_docs") + F.col("noise"))
+            .cast("bigint")
+            .alias("released_count"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register("graph_pagerank_brands", tags=("rows-only", "iterative"))
+def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the brand co-purchase graph (edges = brand pairs
+    co-bought in ≥8 orders, symmetrized): 10 damped power-iteration
+    rounds (d=0.85) — the canonical iterative-graph algorithm, beside
+    llm_dedup_cluster_components (connected components) and
+    graph_triangle_census (clustering). Rows-only: float ranks are
+    iteration products with engine-specific summation order; the
+    numpy-agreement property test (tests/test_properties.py) pins the
+    values instead of a SQL oracle.
+
+    Scale design: the corpus reduces to the node-bounded edge list
+    ONCE (same orderkey-co-partitioned projection as triangle census);
+    every iteration is one edges⋈ranks equi-join + one dst-grain
+    aggregate — at web scale that is the per-iteration shuffle, with
+    ranks broadcast while node count stays bounded. Lineage is
+    truncated with a lazy localCheckpoint every 5 rounds so 10
+    iterations don't compound into one mega-plan. Dangling nodes keep
+    the (1−d)/N base term via the left join + coalesce.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    order_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = order_brand.alias("a")
+    b = order_brand.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("u"), F.col("b.p_brand").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 8)
+        .select("u", "v")
+    )
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("u").alias("brand")).distinct()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    d = 0.85
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "brand", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(10):
+        contribs = (
+            edges.join(deg, "u")
+            .join(ranks, edges.u == ranks.brand)
+            .select(
+                F.col("v").alias("brand"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("brand")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "brand", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "brand",
+                (
+                    (1.0 - d) / F.col("n")
+                    + d * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if i % 5 == 4:
+            ranks = ranks.localCheckpoint(eager=False)
+    w_rank = Window.orderBy(F.col("rank").desc(), "brand")
+    return ranks.select(
+        "brand",
+        F.round("rank", 9).alias("pagerank"),
+        F.row_number().over(w_rank).cast("bigint").alias("position"),
+    ).orderBy("position")

@@ -4071,3 +4071,143 @@ def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "llm_semdedup_cells",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS m
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label AS cell, CAST(i AS INT) AS i,
+             CAST(sum(m[CAST(i AS INT)]) AS BIGINT) AS s
+      FROM v, unnest(generate_series(1, 64)) u(i)
+      GROUP BY label, i
+    ),
+    cb AS (SELECT cell, list(s ORDER BY i) AS c FROM sums GROUP BY cell),
+    scored AS (
+      SELECT v.vec_id, v.m, cb.cell,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(v.m[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cb.c[CAST(i AS INT)] AS DOUBLE)))
+                   / sqrt(list_sum(list_transform(v.m,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                          * list_sum(list_transform(cb.c,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                   9) AS sim
+      FROM v CROSS JOIN cb
+    ),
+    assign AS (
+      SELECT vec_id, m, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell) AS rn
+      FROM scored
+    ),
+    mine AS (SELECT vec_id, m, cell FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT b.vec_id AS drop_id
+      FROM mine a JOIN mine b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(a.m[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(b.m[CAST(i AS INT)] AS DOUBLE)))
+                  / sqrt(list_sum(list_transform(a.m,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                         * list_sum(list_transform(b.m,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                  4) >= 0.25
+    )
+    SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell,
+           CASE WHEN d.drop_id IS NOT NULL THEN 'dropped' ELSE 'kept' END
+               AS disposition
+    FROM mine m
+    LEFT JOIN (SELECT DISTINCT drop_id FROM pairs) d
+      ON m.vec_id = d.drop_id
+    ORDER BY m.vec_id
+    """,
+)
+def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every embedding to its
+    nearest CENTROID cell, then near-dup only WITHIN cells (keep-first
+    by vec_id; drop any vector with a lower-id cell-mate at cosine
+    ≥0.25) — the cluster-then-dedup method that bounds the pair space
+    by cell population instead of corpus size (Abbas et al.'s SemDeDup
+    recipe, beside the LSH blocking of llm_dedup_embed_cosine).
+
+    Exactness: centroids are per-label SUM vectors of micro-quantized
+    integers (cosine is scale-invariant, so the sum vector assigns
+    identically to the mean — and integer sums are order-exact across
+    engines, unlike float means crossing an exchange). Assignment
+    tie-breaks on (round(sim,9) desc, cell); pair sims round at 4dp
+    before the threshold like every cosine op here.
+
+    Scale design: the codebook is K×64 integers (broadcast); assignment
+    is map-only; the within-cell self-join is the ONLY pair shuffle and
+    is equi-keyed on cell — at 100 TB, K grows with the corpus
+    (K ≈ √n keeps cells bounded) and the same plan holds. At fixture
+    scale the deterministic label-mean codebook stands in for trained
+    k-means centroids (llm_embed_kmeans) so the oracle can replicate
+    the whole pipeline, blocking included.
+    """
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x * 1000000).cast("bigint"),
+    )
+    v = emb.select("vec_id", "label", micro.alias("m"))
+    cb = v.groupBy(F.col("label").alias("cell")).agg(
+        F.array(
+            *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(64)]
+        ).alias("c")
+    )
+    sim9 = F.round(
+        _dot(F.col("m"), F.col("c"))
+        / F.sqrt(_dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))),
+        9,
+    )
+    scored = v.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "cell", sim9.alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), "cell"
+    )
+    mine = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cell")
+    )
+    a = mine.select(
+        F.col("cell"), F.col("vec_id").alias("keep_id"), F.col("m").alias("ma")
+    )
+    b = mine.select(
+        F.col("cell"), F.col("vec_id").alias("drop_id"), F.col("m").alias("mb")
+    )
+    pair_sim = F.round(
+        _dot(F.col("ma"), F.col("mb"))
+        / F.sqrt(
+            _dot(F.col("ma"), F.col("ma")) * _dot(F.col("mb"), F.col("mb"))
+        ),
+        4,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("keep_id") < F.col("drop_id"))
+        .where(pair_sim >= 0.25)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        mine.join(dropped, mine.vec_id == dropped.drop_id, "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.when(F.col("drop_id").isNotNull(), "dropped")
+            .otherwise("kept")
+            .alias("disposition"),
+        )
+        .orderBy("vec_id")
+    )

@@ -35,14 +35,18 @@ from .tables import load
 
 
 def prepare_stream_source(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 8,
+    table: str = "events",
 ) -> str:
-    """Fan the events fixture out into a directory of parquet files (the
+    """Fan a fixture table out into a directory of parquet files (the
     shape a streaming file source consumes). Idempotent per out_dir."""
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
         (
-            load(spark, sf_dir, "events")
+            load(spark, sf_dir, table)
             .repartition(n_files)
             .write.mode("overwrite")
             .parquet(out_dir)
@@ -660,3 +664,66 @@ def run_streaming_countmin_merge(
     )
     q.awaitTermination()
     return n_batches
+
+
+def stream_neardup_band_flags(docs: DataFrame) -> DataFrame:
+    """Streaming near-duplicate detection at INGEST time: each arriving
+    document's MinHash band signatures (identical construction to the
+    batch llm_dedup_near_minhash) probe per-(band_id, sig) keyed state
+    holding the bucket's first-arrived doc; any later bucket-mate is
+    emitted as a candidate-dup flag the moment it arrives — the
+    pattern that keeps a crawl frontier deduped WITHOUT re-scanning
+    the corpus per batch (the streaming sibling of
+    llm_dedup_incremental_batch).
+
+    State is one doc_id per occupied bucket (constant bytes/bucket,
+    the same band index the batch pipeline persists). Within a
+    micro-batch, arrival order is made deterministic by doc_id sort,
+    so the test can assert exact per-bucket flag counts against the
+    batch bucket census. Append mode; no watermark — the band index
+    legitimately lives forever (bounded by distinct signatures, not by
+    time); a production deployment ages buckets out with a TTL policy
+    if the frontier is time-scoped."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .operators.llm import (
+        _explode_bands,
+        _minhash_sig_cols,
+        _shingle_arrays,
+    )
+
+    sigs = _shingle_arrays(docs).select("doc_id", *_minhash_sig_cols())
+    bands = _explode_bands(sigs).filter(F.col("sig").isNotNull())
+    out_schema = "doc_id bigint, band_id int, sig string, first_doc_id bigint"
+    state_schema = "first bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        ids: list[int] = []
+        for pdf in pdf_iter:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        if state.exists:
+            (first,) = state.get
+            flagged = ids
+        else:
+            first = ids[0]
+            flagged = ids[1:]
+        state.update((first,))
+        if flagged:
+            yield pd.DataFrame(
+                {
+                    "doc_id": flagged,
+                    "band_id": [int(key[0])] * len(flagged),
+                    "sig": [key[1]] * len(flagged),
+                    "first_doc_id": [first] * len(flagged),
+                }
+            )
+
+    return bands.groupBy("band_id", "sig").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

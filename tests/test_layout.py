@@ -297,6 +297,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_ks_two_sample_atscale",  # 1-row sizes scalar (as original)
         "agg_lorenz_curve_atscale",   # 1-row revenue-total scalar
         "pipeline_important_stock",   # 1-row Q11 supply-total scalar
+        "llm_semdedup_cells",         # K-row centroid codebook broadcast
+                                      # (same bound as llm_sim_ivf_topk)
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -374,6 +376,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "graph_triangle_census",      # 1-row count over the C(25,2)-bounded
                                       # edge list
         "pipeline_important_stock",   # 1-row Q11 supply-total reduce
+        "graph_pagerank_brands",      # 1-row node-count reduce + rank
+                                      # window over ≤|brands| rows
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
@@ -428,6 +432,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_top_supplier",      # SUPPLIER-grain revenue max
         "sql_recursive_cte",          # MONTH-grain (~80 rows) spine
         "win_year_over_year",         # MONTH-grain lag(12)
+        "graph_pagerank_brands",      # position window over ≤|brands| rows
     }
 
     def _walk(node):

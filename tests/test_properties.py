@@ -773,3 +773,64 @@ def test_vocab_coverage_monotone_and_complete(spark, sf_dir):
         assert r.cum_share >= prev_share > -1
         assert prev_cnt is None or r.cnt <= prev_cnt
         prev_share, prev_cnt = r.cum_share, r.cnt
+
+
+def test_pagerank_agrees_with_numpy_power_iteration(spark, sf_dir):
+    """graph_pagerank_brands must reproduce a plain numpy power
+    iteration on the same edge list: same damping, same 10 rounds,
+    same dangling handling — rank values within 1e-9 and an identical
+    position ordering."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    got = {
+        r.brand: (r.pagerank, r.position)
+        for r in REGISTRY["graph_pagerank_brands"].builder(spark, sf_dir).collect()
+    }
+
+    # rebuild the same edge list independently
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("u"), F.col("b.p_brand").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 8)
+        .select("u", "v")
+        .collect()
+    )
+    pairs = [(r.u, r.v) for r in und] + [(r.v, r.u) for r in und]
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    assert n >= 3, "fixture graph unexpectedly small"
+    out_deg = np.zeros(n)
+    for u, _ in pairs:
+        out_deg[idx[u]] += 1
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        new = np.full(n, (1 - d) / n)
+        for u, v in pairs:
+            new[idx[v]] += d * rank[idx[u]] / out_deg[idx[u]]
+        rank = new
+    for name, i in idx.items():
+        assert abs(got[name][0] - round(rank[i], 9)) < 1e-9, (
+            name, got[name][0], rank[i]
+        )
+    order = sorted(nodes, key=lambda x: (-rank[idx[x]], x))
+    for pos, name in enumerate(order, start=1):
+        assert got[name][1] == pos, (name, got[name][1], pos)

@@ -863,3 +863,55 @@ def test_fold_versioned_recovers_torn_write(spark, sf_dir, tmp_path):
     }
     want = {(r.d, r.col): r.cnt for r in st.countmin_cells(ev).collect()}
     assert got == want
+
+
+def test_stream_neardup_flags_match_batch_bucket_census(spark, sf_dir):
+    """Streaming MinHash near-dup flagging must agree with the batch
+    band index exactly: every band bucket of size k yields exactly k−1
+    flags (all members but the first arrival), flags never name a
+    non-member, and each flagged row's first_doc_id is a bucket member
+    distinct from the flagged doc."""
+    from collections import Counter
+
+    from noaa_etl_daily_spark.operators.llm import (
+        _explode_bands,
+        _minhash_sig_cols,
+        _shingle_arrays,
+    )
+    from noaa_etl_daily_spark.tables import load
+
+    src = _scratch(
+        "stream_src", os.path.basename(sf_dir.rstrip("/")), "documents"
+    )
+    st.prepare_stream_source(spark, sf_dir, src, table="documents")
+    schema = spark.read.parquet(src).schema
+    docs_stream = spark.readStream.schema(schema).parquet(src)
+    st.run_to_memory(
+        st.stream_neardup_band_flags(docs_stream), "t_neardup", "append"
+    )
+    flags = spark.sql("SELECT * FROM t_neardup").collect()
+
+    batch_bands = (
+        _explode_bands(
+            _shingle_arrays(load(spark, sf_dir, "documents")).select(
+                "doc_id", *_minhash_sig_cols()
+            )
+        )
+        .filter(F.col("sig").isNotNull())
+        .collect()
+    )
+    members: dict[tuple, set] = {}
+    for r in batch_bands:
+        members.setdefault((r.band_id, r.sig), set()).add(r.doc_id)
+
+    flag_counts = Counter((r.band_id, r.sig) for r in flags)
+    for key, mem in members.items():
+        want = len(mem) - 1
+        assert flag_counts.get(key, 0) == want, (key, len(mem))
+    assert sum(flag_counts.values()) == sum(
+        len(m) - 1 for m in members.values()
+    )
+    for r in flags:
+        mem = members[(r.band_id, r.sig)]
+        assert r.doc_id in mem and r.first_doc_id in mem
+        assert r.doc_id != r.first_doc_id
