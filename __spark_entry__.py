@@ -53,6 +53,7 @@ _PRIORITY = [
     "agg_dp_noised_counts",
     "llm_semdedup_cells",
     "graph_pagerank_brands",
+    "llm_bpe_train_merges",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

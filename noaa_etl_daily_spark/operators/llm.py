@@ -4211,3 +4211,83 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _bpe_merge_pair(syms_col, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b inside a
+    symbol array — the standard BPE apply-merge fold, as a sequential
+    higher-order aggregate (order is defined by the fold, so the
+    rewrite is deterministic)."""
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@register("llm_bpe_train_merges", tags=("rows-only", "iterative"))
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (8 merge rounds) — the full
+    loop whose single inner step llm_bpe_merge_step certifies: count
+    adjacent symbol pairs weighted by word frequency, adopt the most
+    frequent pair (count desc, then lexicographic — deterministic),
+    rewrite the vocabulary with the merge, repeat. Output is the
+    learned merge table (rank, left, right, pair_count) — the artifact
+    a tokenizer ships. Rows-only: the 8-round loop is not
+    SQL-expressible; tests/test_properties.py re-trains with a pure
+    Python reference BPE on the same word frequencies and requires the
+    IDENTICAL merge sequence.
+
+    Scale design: the corpus collapses ONCE to the word-frequency
+    table (vocab-bounded); every round touches only vocab rows —
+    pair explode + integer-sum aggregate + a ONE-ROW driver hop (the
+    adopted merge, the kmeans-codebook discipline) + a map-only fold
+    rewrite. An eager localCheckpoint per round keeps lineage flat so
+    round 8's plan is as small as round 1's.
+    """
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    word_freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = word_freq.select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, 9):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, int(top[0].n)
+        merges.append((rank, a, b, n))
+        vocab = vocab.select(
+            _bpe_merge_pair(F.col("syms"), a, b).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

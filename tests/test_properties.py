@@ -834,3 +834,54 @@ def test_pagerank_agrees_with_numpy_power_iteration(spark, sf_dir):
     order = sorted(nodes, key=lambda x: (-rank[idx[x]], x))
     for pos, name in enumerate(order, start=1):
         assert got[name][1] == pos, (name, got[name][1], pos)
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """llm_bpe_train_merges must learn the IDENTICAL merge sequence as
+    a pure-Python reference BPE trainer on the same word-frequency
+    table: same pairs, same order, same counts (integer arithmetic and
+    the (count desc, pair asc) tie-break make this exact, not
+    approximate)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in REGISTRY["llm_bpe_train_merges"].builder(spark, sf_dir).collect()
+    ]
+    assert len(got) == 8
+
+    wf = {
+        r.word: r.freq
+        for r in load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    vocab = {tuple(w): f for w, f in wf.items()}
+    want = []
+    for rank in range(1, 9):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, n))
+        new_vocab = Counter()
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += f
+        vocab = new_vocab
+    assert got == want
