@@ -54,6 +54,8 @@ _PRIORITY = [
     "llm_semdedup_cells",
     "graph_pagerank_brands",
     "llm_bpe_train_merges",
+    "sink_bloom_filter_layout",
+    "agg_neyman_allocation",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

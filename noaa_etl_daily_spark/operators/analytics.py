@@ -6988,3 +6988,119 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 9).alias("pagerank"),
         F.row_number().over(w_rank).cast("bigint").alias("position"),
     ).orderBy("position")
+
+
+@register(
+    "agg_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT l_returnflag AS stratum,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sx,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    weighted AS (
+        SELECT stratum, n_rows,
+               sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   / n_rows AS sigma_cents,
+               CAST(n_rows AS DOUBLE)
+                   * (sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      / n_rows) AS w
+        FROM strata
+    ),
+    tot AS (SELECT sum(w) AS wt FROM weighted),
+    frac AS (
+        SELECT stratum, n_rows, sigma_cents,
+               CAST(floor(1000 * w / wt) AS BIGINT) AS base_alloc,
+               1000 * w / wt - floor(1000 * w / wt) AS remainder
+        FROM weighted CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, stratum)
+                      AS remainder_rank,
+               CAST(sum(base_alloc) OVER () AS BIGINT) AS base_total
+        FROM frac
+    )
+    SELECT stratum, n_rows, round(sigma_cents, 6) AS sigma_cents,
+           CAST(base_alloc
+                + CASE WHEN remainder_rank <= 1000 - base_total
+                       THEN 1 ELSE 0 END AS BIGINT) AS allocation
+    FROM ranked
+    ORDER BY stratum
+    """,
+)
+def agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sampling allocation: split a 1000-row sampling
+    budget across strata proportionally to N_h·σ_h (minimum-variance
+    stratified sampling), with LARGEST-REMAINDER rounding so the
+    allocations are integers that sum exactly to the budget — the
+    design step in front of llm_sample_stratified_hash / 
+    agg_stratified_topn_sample, which sample what this op sizes.
+
+    Exactness: σ derives from exact integer moments (Σx bigint,
+    Σx² 128-bit ↔ DuckDB hugeint / Spark decimal(38,0) — the
+    evt_bot_regularity discipline); the only floats are one sqrt and
+    one division per STRATUM row, written identically on both engines.
+    The remainder window runs over |strata| rows with a deterministic
+    (remainder desc, stratum) tie-break.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    strata = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sx"),
+        F.sum(
+            cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    nd = F.col("n_rows").cast("double")
+    sigma = (
+        F.sqrt(
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        / F.col("n_rows")
+    )
+    weighted = strata.select(
+        "stratum",
+        "n_rows",
+        sigma.alias("sigma_cents"),
+        (nd * sigma).alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").alias("wt"))
+    share = F.lit(1000) * F.col("w") / F.col("wt")
+    frac = weighted.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "sigma_cents",
+        F.floor(share).cast("bigint").alias("base_alloc"),
+        (share - F.floor(share)).alias("remainder"),
+    )
+    w_rank = Window.orderBy(F.col("remainder").desc(), "stratum")
+    w_all = Window.partitionBy()
+    ranked = frac.withColumn(
+        "remainder_rank", F.row_number().over(w_rank)
+    ).withColumn("base_total", F.sum("base_alloc").over(w_all))
+    return (
+        ranked.select(
+            "stratum",
+            "n_rows",
+            F.round("sigma_cents", 6).alias("sigma_cents"),
+            (
+                F.col("base_alloc")
+                + F.when(
+                    F.col("remainder_rank") <= 1000 - F.col("base_total"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocation"),
+        )
+        .orderBy("stratum")
+    )

@@ -240,3 +240,62 @@ def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "sink_bloom_filter_layout",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    WHERE user_id IN (7, 42, 99)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sink_bloom_filter_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup write layout: events written with a parquet BLOOM
+    FILTER on user_id (plus dictionary/stats as usual), then the probe
+    query reads the bloom-indexed copy. Blooms are the row-group
+    skipping structure for high-cardinality EQUALITY predicates that
+    min/max stats can't prune (user ids are uniform across row groups —
+    range stats are useless; a bloom answers 'definitely not here' per
+    row group). The oracle runs the same probe on the ORIGINAL table,
+    so the round-trip through the bloom-indexed layout is hash-checked.
+
+    Engine nuance (measured here): parquet-mr SKIPS bloom writing for
+    fully dictionary-encoded columns — the dictionary page already
+    answers membership exactly — and at fixture scale every column
+    dict-encodes. Disabling dictionary for the bloom column reproduces
+    the 100 TB regime, where a high-cardinality user_id overflows the
+    dictionary limit and the bloom is what's left. Verified physically
+    in tests/test_layout.py: the bloom copy is strictly larger than an
+    identically-encoded bloom-free twin. At 100 TB, pair with
+    sink_range_sorted_layout: sort/partition by the RANGE key, bloom
+    the LOOKUP keys.
+    """
+    out = _scratch("bloom", _sf_tag(sf_dir), "events_bloom")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "events")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#user_id", "1000")
+            .option("parquet.enable.dictionary#user_id", "false")
+            .parquet(out)
+        )
+    ev = spark.read.parquet(out)
+    return (
+        ev.filter(F.col("user_id").isin(7, 42, 99))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("user_id")
+    )

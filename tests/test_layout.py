@@ -299,6 +299,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_important_stock",   # 1-row Q11 supply-total scalar
         "llm_semdedup_cells",         # K-row centroid codebook broadcast
                                       # (same bound as llm_sim_ivf_topk)
+        "agg_neyman_allocation",      # 1-row weight-total scalar over
+                                      # |strata| rows
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -378,6 +380,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_important_stock",   # 1-row Q11 supply-total reduce
         "graph_pagerank_brands",      # 1-row node-count reduce + rank
                                       # window over ≤|brands| rows
+        "agg_neyman_allocation",      # remainder/total windows over
+                                      # |strata| rows
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
@@ -433,6 +437,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "sql_recursive_cte",          # MONTH-grain (~80 rows) spine
         "win_year_over_year",         # MONTH-grain lag(12)
         "graph_pagerank_brands",      # position window over ≤|brands| rows
+        "agg_neyman_allocation",      # remainder rank over |strata| rows
     }
 
     def _walk(node):
@@ -729,3 +734,45 @@ def test_cluster_by_reuses_single_hash_exchange(spark, sf_dir):
     ]
     assert len(hash_exchanges) == 1, plan
     assert "REPARTITION_BY_COL" in hash_exchanges[0], plan
+
+
+def test_bloom_filter_layout_carries_filter_bytes(spark, sf_dir):
+    """The bloom-indexed events copy must physically CONTAIN the bloom
+    filters: same rows as a bloom-free twin with IDENTICAL encodings
+    (dictionary disabled on user_id in both — parquet-mr suppresses
+    blooms on dict-encoded columns), but strictly more bytes on disk
+    (the filter structures). pyarrow 16 doesn't surface
+    bloom_filter_offset, so the size delta + exact row-count equality
+    is the observable."""
+    import glob
+    import os
+
+    from noaa_etl_daily_spark.operators.scans import SCRATCH, _scratch, _sf_tag
+    from noaa_etl_daily_spark.tables import load
+
+    # materialize the bloom copy via the registered query
+    REGISTRY["sink_bloom_filter_layout"].builder(spark, sf_dir).collect()
+    bloom_dir = _scratch("bloom", _sf_tag(sf_dir), "events_bloom")
+    plain_dir = _scratch("bloom", _sf_tag(sf_dir), "events_plain")
+    if not os.path.exists(os.path.join(plain_dir, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "events")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("parquet.enable.dictionary#user_id", "false")
+            .parquet(plain_dir)
+        )
+
+    def total(d):
+        return sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(d, "*.parquet"))
+        )
+
+    assert (
+        spark.read.parquet(bloom_dir).count()
+        == spark.read.parquet(plain_dir).count()
+    )
+    assert total(bloom_dir) > total(plain_dir), (
+        f"bloom copy {total(bloom_dir)} B not larger than plain "
+        f"{total(plain_dir)} B — filters not written?"
+    )
