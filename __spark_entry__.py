@@ -56,6 +56,8 @@ _PRIORITY = [
     "llm_bpe_train_merges",
     "sink_bloom_filter_layout",
     "agg_neyman_allocation",
+    "agg_poisson_bootstrap_ci",
+    "evt_markov_removal_attribution",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

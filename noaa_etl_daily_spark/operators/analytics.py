@@ -7104,3 +7104,301 @@ def agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "agg_poisson_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT CAST(unnest(generate_series(1, 200)) AS BIGINT)
+                      AS b),
+    weighted AS (
+        SELECT l.l_returnflag, r.b,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               CASE
+                   WHEN u < 367879 THEN 0
+                   WHEN u < 735759 THEN 1
+                   WHEN u < 919699 THEN 2
+                   WHEN u < 981012 THEN 3
+                   WHEN u < 996340 THEN 4
+                   WHEN u < 999406 THEN 5
+                   ELSE 6
+               END AS w
+        FROM (SELECT l_returnflag, l_extendedprice,
+                     l_orderkey, l_linenumber FROM lineitem) l
+        CROSS JOIN reps r
+        CROSS JOIN LATERAL (
+            SELECT CAST(('0x' || substr(md5(
+                       CAST(l.l_orderkey AS VARCHAR) || '|'
+                       || CAST(l.l_linenumber AS VARCHAR) || '|'
+                       || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000 AS u
+        ) h
+    ),
+    replica_means AS (
+        SELECT l_returnflag, b,
+               CAST(sum(w * cents) AS BIGINT) AS wc,
+               CAST(sum(w) AS BIGINT) AS wn
+        FROM weighted GROUP BY l_returnflag, b
+    ),
+    ranked AS (
+        SELECT l_returnflag,
+               round(CAST(wc AS DOUBLE) / wn / 100, 6) AS mean_b,
+               row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY CAST(wc AS DOUBLE) / wn, b) AS rnk
+        FROM replica_means
+    ),
+    point AS (
+        SELECT l_returnflag,
+               round(avg(l_extendedprice), 6) AS point_mean
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT p.l_returnflag, p.point_mean,
+           min(CASE WHEN rnk = 6 THEN mean_b END) AS ci_lo,
+           min(CASE WHEN rnk = 195 THEN mean_b END) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_replicas
+    FROM ranked r JOIN point p ON r.l_returnflag = p.l_returnflag
+    GROUP BY p.l_returnflag, p.point_mean
+    ORDER BY p.l_returnflag
+    """,
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the per-flag mean price via
+    the POISSON BOOTSTRAP — the only bootstrap that works distributed:
+    instead of resampling by index (impossible without materializing n),
+    every row independently draws a Poisson(1) replication weight per
+    replica, so 200 bootstrap replicas are one weighted aggregation
+    with map-side combine. Weights come from a seeded md5 ladder
+    (integer-ppm inverse CDF of Poisson(1), tail clamped at 6) — fully
+    deterministic, so the oracle reproduces every replica exactly.
+
+    Exactness: replica sums are integer (weight × cents); each replica
+    mean is one division, and the CI bounds are ORDER statistics (6th /
+    195th of 200, i.e. the 2.5%/97.5% empirical quantiles) with a
+    replica-id tiebreak — no float quantile interpolation to diverge
+    between engines. The rank window is partitioned per flag over
+    exactly 200 rows.
+
+    Scale design: the ×200 replica fan-out happens INSIDE the scan
+    stage and combines to (flag × replica) grain before the one
+    shuffle — 600 rows cross the wire regardless of corpus size; the
+    order-statistic window never sees raw data. This is the
+    uncertainty-quantification pattern every 100 TB metric report
+    should ship with its point estimates.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    reps = F.explode(
+        F.sequence(F.lit(1).cast("bigint"), F.lit(200).cast("bigint"))
+    ).alias("b")
+    seeded = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.concat_ws(
+            "|", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("rowkey"),
+        reps,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("rowkey"), F.col("b")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = (
+        F.when(u < 367879, 0)
+        .when(u < 735759, 1)
+        .when(u < 919699, 2)
+        .when(u < 981012, 3)
+        .when(u < 996340, 4)
+        .when(u < 999406, 5)
+        .otherwise(6)
+    )
+    replica = (
+        seeded.withColumn("w", w)
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wc"),
+            F.sum("w").alias("wn"),
+        )
+    )
+    mean_b = F.col("wc").cast("double") / F.col("wn")
+    w_rank = Window.partitionBy("l_returnflag").orderBy(mean_b, "b")
+    ranked = replica.select(
+        "l_returnflag",
+        F.round(mean_b / 100, 6).alias("mean_b"),
+        F.row_number().over(w_rank).alias("rnk"),
+    )
+    point = li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 6).alias("point_mean")
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("rnk") == 6, F.col("mean_b"))).alias("ci_lo"),
+            F.min(F.when(F.col("rnk") == 195, F.col("mean_b"))).alias(
+                "ci_hi"
+            ),
+            F.count(F.lit(1)).alias("n_replicas"),
+        )
+        .join(point, "l_returnflag")
+        .select(
+            "l_returnflag", "point_mean", "ci_lo", "ci_hi", "n_replicas"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("evt_markov_removal_attribution", tags=("rows-only",))
+def evt_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with REMOVAL EFFECTS: model user
+    sessions as a first-order chain over channel states (START →
+    events… → CONV on purchase, or → DROP at session end), then credit
+    each channel by how much the absorbing-chain conversion probability
+    falls when that channel's node is removed — the data-driven
+    attribution model that fixes linear/first-touch's position bias
+    (evt_linear_attribution / evt_session_attribution are the
+    heuristic siblings).
+
+    Rows-only: the absorbing-chain solve is a linear system, not SQL;
+    tests/test_properties.py re-derives the whole thing — independent
+    Python sessionization, transition counts, and solve — and requires
+    exact agreement.
+
+    Scale design: sessionization and transition extraction are
+    user-partitioned windows + one aggregate to the (from, to) matrix —
+    the ONLY corpus-scale work, all keyed on user then state. The chain
+    solve happens on the ≤(channels+2)² matrix: a fixed-size driver hop
+    (the llm_embed_pca_project discipline — kilobytes, corpus-
+    independent), and removal effects re-solve the same tiny system
+    once per channel.
+    """
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(
+            F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1)
+            .otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    # truncate each session at its first purchase (absorption)
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    sess = sess.withColumn(
+        "n_purch_before",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            w_s.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).filter(F.coalesce(F.col("n_purch_before"), F.lit(0)) == 0)
+    nxt = F.lead("event_type").over(w_s)
+    first = F.row_number().over(w_s) == 1
+    steps = sess.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.when(first, True).otherwise(False).alias("is_first"),
+        nxt.alias("next_type"),
+    )
+    frm = F.when(F.col("event_type") == "purchase", None).otherwise(
+        F.col("event_type")
+    )
+    transitions = (
+        steps.select(
+            F.explode(
+                F.array(
+                    # START -> first state
+                    F.when(
+                        F.col("is_first"),
+                        F.struct(
+                            F.lit("START").alias("src"),
+                            F.when(
+                                F.col("event_type") == "purchase", "CONV"
+                            )
+                            .otherwise(F.col("event_type"))
+                            .alias("dst"),
+                        ),
+                    ),
+                    # state -> next state / CONV / DROP
+                    F.when(
+                        frm.isNotNull(),
+                        F.struct(
+                            frm.alias("src"),
+                            F.coalesce(
+                                F.when(
+                                    F.col("next_type") == "purchase", "CONV"
+                                ).otherwise(F.col("next_type")),
+                                F.lit("DROP"),
+                            ).alias("dst"),
+                        ),
+                    ),
+                )
+            ).alias("t")
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t.src", "t.dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = transitions.collect()  # bounded: (channels+1)^2 cells max
+
+    states = sorted(
+        {r.src for r in rows} | {r.dst for r in rows} - {"CONV", "DROP"}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k + 2))  # cols: states..., CONV, DROP
+    for r in rows:
+        j = idx[r.dst] if r.dst in idx else (k if r.dst == "CONV" else k + 1)
+        counts[idx[r.src], j] += r.n
+
+    def p_conv(disabled: str | None) -> float:
+        c = counts.copy()
+        if disabled is not None:
+            d = idx[disabled]
+            # removing a channel: every edge into it becomes a DROP
+            c[:, k + 1] += c[:, d]
+            c[:, d] = 0
+            c[d, :] = 0
+        tot = c.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1.0
+        p = c / tot
+        q, r_abs = p[:, :k], p[:, k:]
+        # absorption probabilities: (I - Q)^-1 R, take the CONV column
+        absorb = np.linalg.solve(np.eye(k) - q, r_abs)
+        return float(absorb[idx["START"], 0])
+
+    base = p_conv(None)
+    out = []
+    for ch in states:
+        if ch == "START":
+            continue
+        without = p_conv(ch)
+        out.append(
+            (
+                ch,
+                round(base, 9),
+                round(without, 9),
+                round(1.0 - without / base, 9) if base > 0 else 0.0,
+            )
+        )
+    out.sort(key=lambda t: (-t[3], t[0]))
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv_full double, p_conv_without double, "
+        "removal_effect double",
+    )

@@ -26,6 +26,13 @@ hash) instead of one single-partition funnel — the former scales with
 executors, the latter with one core. The P-row offset window is bounded
 by the shuffle-partition conf, not the corpus.
 
+Fault-tolerance caveat (stated, not hidden): ``localCheckpoint`` trades
+lineage for executor-local blocks — if an executor dies mid-query the
+JOB fails and retries from the source rather than recomputing the lost
+partition (correctness is unaffected; every retry is deterministic).
+On a long-lived 1000-executor run, swap it for ``checkpoint()`` against
+reliable storage — one line, same partition-id pinning guarantee.
+
 Every ``*_atscale`` twin below is EXACT — it registers with the
 original query's own oracle SQL, so the driver's hash gate proves twin
 ≡ original (stronger than the label-agreement property test the

@@ -885,3 +885,99 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
             new_vocab[tuple(out)] += f
         vocab = new_vocab
     assert got == want
+
+
+def test_markov_removal_attribution_matches_python_reference(spark, sf_dir):
+    """evt_markov_removal_attribution must agree exactly with an
+    independent pure-Python pipeline: sessionize (30-min gap, (ts,
+    event_id) order), truncate at first purchase, count START/state/
+    CONV/DROP transitions, solve the absorbing chain, and compute
+    removal effects — same channels, same probabilities to 1e-9."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    got = {
+        r.channel: (r.p_conv_full, r.p_conv_without, r.removal_effect)
+        for r in REGISTRY["evt_markov_removal_attribution"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts.timestamp(), r.event_id, r.event_type)
+        )
+    transitions: dict = {}
+
+    def add(src, dst):
+        transitions[(src, dst)] = transitions.get((src, dst), 0) + 1
+
+    for evs in by_user.values():
+        evs.sort()
+        sessions = []
+        cur = []
+        last = None
+        for t, eid, typ in evs:
+            if last is not None and t - last > 30 * 60:
+                sessions.append(cur)
+                cur = []
+            cur.append(typ)
+            last = t
+        sessions.append(cur)
+        for s in sessions:
+            if "purchase" in s:
+                s = s[: s.index("purchase") + 1]
+            prev = "START"
+            converted = False
+            for typ in s:
+                dst = "CONV" if typ == "purchase" else typ
+                add(prev, dst)
+                if dst == "CONV":
+                    converted = True
+                    break
+                prev = dst
+            if not converted:
+                add(prev, "DROP")
+
+    states = sorted(
+        {s for s, _ in transitions} | {d for _, d in transitions}
+        - {"CONV", "DROP"}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k + 2))
+    for (s, d), n in transitions.items():
+        j = idx[d] if d in idx else (k if d == "CONV" else k + 1)
+        counts[idx[s], j] += n
+
+    def p_conv(disabled):
+        c = counts.copy()
+        if disabled is not None:
+            d = idx[disabled]
+            c[:, k + 1] += c[:, d]
+            c[:, d] = 0
+            c[d, :] = 0
+        tot = c.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1.0
+        p = c / tot
+        absorb = np.linalg.solve(np.eye(k) - p[:, :k], p[:, k:])
+        return float(absorb[idx["START"], 0])
+
+    base = p_conv(None)
+    assert base > 0
+    want_channels = [s for s in states if s != "START"]
+    assert set(got) == set(want_channels)
+    for ch in want_channels:
+        without = p_conv(ch)
+        assert abs(got[ch][0] - round(base, 9)) < 1e-9
+        assert abs(got[ch][1] - round(without, 9)) < 1e-9
+        assert abs(got[ch][2] - round(1 - without / base, 9)) < 1e-9
