@@ -58,6 +58,7 @@ _PRIORITY = [
     "agg_neyman_allocation",
     "agg_poisson_bootstrap_ci",
     "evt_markov_removal_attribution",
+    "scan_parquet_ignore_corrupt",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

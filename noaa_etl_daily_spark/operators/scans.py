@@ -712,3 +712,53 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "scan_parquet_ignore_corrupt",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def scan_parquet_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file tolerance on the parquet path: a garbage file is
+    planted in the table directory (a truncated upload, the standing
+    operational reality of a million-file 100 TB lake) and the read
+    proceeds with ``ignoreCorruptFiles`` — the job completes on the
+    intact files instead of dying on one bad object. The oracle
+    aggregates the original table, so the read is proven to recover
+    EVERY intact row and nothing else. The parquet sibling of
+    scan_csv_corrupt_permissive (which quarantines bad ROWS; this
+    skips bad FILES — row-level recovery is impossible once a
+    columnar footer is gone).
+
+    At scale: prefer failing fast + quarantining bad objects via the
+    footer census (scan_parquet_footer_census) in scheduled jobs, and
+    ignoreCorruptFiles for best-effort interactive reads — documented
+    trade, both surfaces implemented.
+    """
+    out = _scratch("corrupt_parquet", _sf_tag(sf_dir), "nation")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load(spark, sf_dir, "nation").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(out)
+        with open(os.path.join(out, "part-99999-garbage.parquet"), "wb") as fh:
+            fh.write(b"PAR1 this is not a parquet file, just noise")
+    df = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema(load(spark, sf_dir, "nation").schema)
+        .parquet(out)
+    )
+    return (
+        df.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
