@@ -981,3 +981,37 @@ def test_markov_removal_attribution_matches_python_reference(spark, sf_dir):
         assert abs(got[ch][0] - round(base, 9)) < 1e-9
         assert abs(got[ch][1] - round(without, 9)) < 1e-9
         assert abs(got[ch][2] - round(1 - without / base, 9)) < 1e-9
+
+
+def test_distributed_ntile_matches_window_ntile_on_edges(spark):
+    """scale_rank.with_ntile must equal F.ntile for every edge shape:
+    n < k (size-1 buckets), n = 1, n % k != 0 (first rem buckets take
+    the extra row), and heavy value ties broken by a unique key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from noaa_etl_daily_spark.operators.scale_rank import with_ntile
+
+    cases = [
+        [(1, 10)],                                   # single row
+        [(i, 5) for i in range(3)],                  # n < k, all tied
+        [(i, i % 2) for i in range(10)],             # ties, n % k != 0
+        [(i, 7) for i in range(25)],                 # all tied, n > k
+        [(i, (i * 37) % 11) for i in range(101)],    # odd n, messy values
+    ]
+    for k in (4, 5):
+        for rows in cases:
+            df = spark.createDataFrame(rows, "id long, val long")
+            want = {
+                r.id: r.nt
+                for r in df.withColumn(
+                    "nt", F.ntile(k).over(Window.orderBy("val", "id"))
+                ).collect()
+            }
+            got = {
+                r.id: r.nt
+                for r in with_ntile(
+                    df, [F.col("val").asc(), F.col("id").asc()], k, "nt"
+                ).collect()
+            }
+            assert got == want, (k, rows[:3], got, want)
