@@ -5594,9 +5594,22 @@ def evt_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
             F.sum("xa").alias("sx"),
             F.sum("xb").alias("sy"),
-            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
-            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
-            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+            # second-moment products accumulate in decimal(38,0): at
+            # ~1e9 events/day a bigint Σ(x·y) crosses 2^63 within a
+            # month while DuckDB silently promotes to hugeint — the
+            # llm_zipf_exponent_fit overflow class, fixed the same way
+            F.sum(
+                F.col("xa").cast("decimal(38,0)")
+                * F.col("xb").cast("decimal(38,0)")
+            ).alias("sxy"),
+            F.sum(
+                F.col("xa").cast("decimal(38,0)")
+                * F.col("xa").cast("decimal(38,0)")
+            ).alias("sxx"),
+            F.sum(
+                F.col("xb").cast("decimal(38,0)")
+                * F.col("xb").cast("decimal(38,0)")
+            ).alias("syy"),
         )
     )
     nd = F.col("n_days").cast("double")
