@@ -566,8 +566,13 @@ def _fold_versioned(
         merge_fn(existing, batch_partial).write.mode("overwrite").parquet(
             vdir
         )
-    # mirror the newest committed version to the live serving path
-    sp.read.parquet(vdir).write.mode("overwrite").parquet(target_dir)
+    # mirror the NEWEST committed version to the live serving path —
+    # not necessarily this batch's: a replay of an older committed
+    # batch (skip branch above) must never regress the table
+    newest = max(_committed_versions(vroot))
+    sp.read.parquet(os.path.join(vroot, f"v={newest}")).write.mode(
+        "overwrite"
+    ).parquet(target_dir)
     for b in prev[:-1]:
         shutil.rmtree(os.path.join(vroot, f"v={b}"), ignore_errors=True)
 

@@ -915,3 +915,24 @@ def test_stream_neardup_flags_match_batch_bucket_census(spark, sf_dir):
         mem = members[(r.band_id, r.sig)]
         assert r.doc_id in mem and r.first_doc_id in mem
         assert r.doc_id != r.first_doc_id
+
+
+def test_fold_versioned_old_replay_never_regresses_table(spark, sf_dir, tmp_path):
+    """Replaying an OLDER committed batch (possible if a checkpoint is
+    restored from backup) must leave the live table at the NEWEST
+    committed state, not regress it to the replayed batch's version."""
+    from noaa_etl_daily_spark.tables import load
+
+    target = str(tmp_path / "cm_state")
+    ev = load(spark, sf_dir, "events")
+    b0 = st.countmin_cells(ev.filter(F.col("event_id") % 2 == 0))
+    b1 = st.countmin_cells(ev.filter(F.col("event_id") % 2 == 1))
+    st._fold_versioned(spark, target, 0, st.merge_countmin, b0)
+    st._fold_versioned(spark, target, 1, st.merge_countmin, b1)
+    want = {(r.d, r.col): r.cnt for r in st.countmin_cells(ev).collect()}
+    # replay batch 0 AFTER batch 1 committed
+    st._fold_versioned(spark, target, 0, st.merge_countmin, b0)
+    got = {
+        (r.d, r.col): r.cnt for r in spark.read.parquet(target).collect()
+    }
+    assert got == want
