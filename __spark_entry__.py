@@ -59,6 +59,7 @@ _PRIORITY = [
     "agg_poisson_bootstrap_ci",
     "evt_markov_removal_attribution",
     "scan_parquet_ignore_corrupt",
+    "agg_mann_whitney_u",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -7415,3 +7415,113 @@ def evt_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         "channel string, p_conv_full double, p_conv_without double, "
         "removal_effect double",
     )
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH samples AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 2 END AS grp,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+    ),
+    vals AS (
+        SELECT v,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(count(*) AS BIGINT) AS dn
+        FROM samples GROUP BY v
+    ),
+    cum AS (
+        SELECT v, d1, dn,
+               CAST(sum(dn) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn
+        FROM vals
+    ),
+    ranked AS (
+        -- tied values all take the AVERAGE rank of their block:
+        -- block spans (cn-dn+1 .. cn), avg = (first+last)/2, so
+        -- 2·Σranks of group-1 members = d1 · (2·cn − dn + 1)
+        SELECT CAST(sum(d1 * (2 * cn - dn + 1)) AS BIGINT) AS r1_x2,
+               CAST(sum(d1) AS BIGINT) AS n1,
+               CAST(sum(dn - d1) AS BIGINT) AS n2
+        FROM cum
+    )
+    SELECT n1, n2,
+           CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS BIGINT)
+               AS u1_x2,
+           round(((2.0 * n1 * n2 + n1 * (n1 + 1) - r1_x2) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12),
+                 6) AS z_approx
+    FROM ranked
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the month halves' value
+    distributions — the NON-parametric location test beside
+    agg_ks_two_sample's shape test (robust to outliers where the
+    t-test is not, the A/B readout of choice for skewed metrics).
+
+    Exactness: ties collapse to value grain FIRST; a tied block
+    spanning ranks (c−d+1 .. c) contributes its members' AVERAGE rank,
+    so 2·ΣR₁ = Σ d1·(2c − d + 1) — every term integer, no fractional
+    rank ever materializes (U itself can be half-integer under ties,
+    so the reported statistic is 2·U — exact). The z approximation is
+    one sqrt per output row (tie variance correction omitted; both engines omit it
+    identically).
+
+    Scale design: one keyed shuffle to distinct-value grain, then the
+    rank cumulative runs as the scale_rank distributed prefix-sum —
+    never a single-partition window; the final reduce is 1 row. (The
+    value-grain bigint products reach 2^63 only past ~10^9 ranked
+    values × counts; the decimal(38,0) swap is the documented next
+    step there.)
+    """
+    from .scale_rank import with_cumsum
+
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    grp = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), 1
+    ).otherwise(2)
+    samples = ev.select(
+        grp.alias("grp"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    vals = samples.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("d1"),
+        F.count(F.lit(1)).alias("dn"),
+    )
+    cum = with_cumsum(vals, [F.col("v").asc()], ["dn"], ["cn"])
+    ranked = cum.agg(
+        F.sum(
+            F.col("d1") * (2 * F.col("cn") - F.col("dn") + 1)
+        ).alias("r1_x2"),
+        F.sum("d1").alias("n1"),
+        F.sum(F.col("dn") - F.col("d1")).alias("n2"),
+    )
+    u1_x2 = (
+        2 * F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1_x2")
+    )
+    return ranked.select(
+        "n1",
+        "n2",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        F.round(
+            (
+                u1_x2.cast("double") / 2
+                - F.col("n1").cast("double") * F.col("n2") / 2
+            )
+            / F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                * (F.col("n1") + F.col("n2") + 1)
+                / 12
+            ),
+            6,
+        ).alias("z_approx"),
+    )
