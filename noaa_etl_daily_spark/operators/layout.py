@@ -27,36 +27,56 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # External tables at absolute scratch paths: independent of the
     # caller's cwd (spark.sql.warehouse.dir defaults to cwd-relative and
     # is immutable on a live session — the driver hands us its own).
-    # A fresh session's in-memory catalog forgets tables but the files
-    # survive, so clear stale locations before re-creating.
+    # A fresh session's in-memory catalog forgets the tables but the
+    # bucketed FILES survive: re-register them with external bucketed
+    # DDL instead of deleting and rewriting — a rewrite here raced any
+    # concurrent session already reading the files (observed as
+    # FILE_NOT_EXIST mid-scan); committed bucketed data is immutable.
+    import os as _os
     import shutil
 
-    for name in (li_name, o_name):
-        if not spark.catalog.tableExists(name):
-            shutil.rmtree(
-                _scratch("bucketed", tag, name), ignore_errors=True
+    def ensure(name: str, cols_ddl: str, bucket_col: str, write):
+        if spark.catalog.tableExists(name):
+            return
+        path = _scratch("bucketed", tag, name)
+        if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            spark.sql(
+                f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
+                f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+                f"INTO {_N_BUCKETS} BUCKETS LOCATION '{path}'"
             )
+            return
+        shutil.rmtree(path, ignore_errors=True)
+        write(path)
 
-    if not spark.catalog.tableExists(li_name):
-        (
+    ensure(
+        li_name,
+        "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+        "l_orderkey",
+        lambda path: (
             load(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount")
             .write.bucketBy(_N_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
-            .option("path", _scratch("bucketed", tag, li_name))
+            .option("path", path)
             .mode("overwrite")
             .saveAsTable(li_name)
-        )
-    if not spark.catalog.tableExists(o_name):
-        (
+        ),
+    )
+    ensure(
+        o_name,
+        "o_orderkey BIGINT, o_orderpriority STRING",
+        "o_orderkey",
+        lambda path: (
             load(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderpriority")
             .write.bucketBy(_N_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
-            .option("path", _scratch("bucketed", tag, o_name))
+            .option("path", path)
             .mode("overwrite")
             .saveAsTable(o_name)
-        )
+        ),
+    )
     return li_name, o_name
 
 

@@ -382,6 +382,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # window over ≤|brands| rows
         "agg_neyman_allocation",      # remainder/total windows over
                                       # |strata| rows
+        "agg_mann_whitney_u",         # 1-row rank-sum reduce + P-row
+                                      # offsets window (scale_rank)
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
@@ -438,6 +440,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "win_year_over_year",         # MONTH-grain lag(12)
         "graph_pagerank_brands",      # position window over ≤|brands| rows
         "agg_neyman_allocation",      # remainder rank over |strata| rows
+        "agg_mann_whitney_u",         # P-row offsets window (scale_rank
+                                      # prefix sum over value grain)
     }
 
     def _walk(node):
