@@ -60,6 +60,7 @@ _PRIORITY = [
     "evt_markov_removal_attribution",
     "scan_parquet_ignore_corrupt",
     "agg_mann_whitney_u",
+    "llm_score_calibration_ece",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -4291,3 +4291,87 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+@register(
+    "llm_score_calibration_ece",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 // len(string_split(text, ' ')) AS score_ppm,
+               CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    binned AS (
+        SELECT least(CAST(score_ppm * 10 // 1000001 AS BIGINT), 9) AS bin,
+               score_ppm, label
+        FROM scored
+    ),
+    stats AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(sum(score_ppm) AS BIGINT) AS score_sum
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n_docs, n_pos,
+           round(CAST(score_sum AS DOUBLE) / n_docs / 1000000, 6)
+               AS mean_score,
+           round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS observed_rate,
+           round(abs(CAST(score_sum AS DOUBLE) / n_docs / 1000000
+                     - CAST(n_pos AS DOUBLE) / n_docs), 6) AS calib_gap
+    FROM stats
+    ORDER BY bin
+    """,
+)
+def llm_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) diagram for a quality scorer treated
+    as a probability: bucket the lexical-diversity score into 10 fixed
+    bins, compare each bin's mean score against the OBSERVED rate of
+    the target label (long-document), with the per-bin |gap| whose
+    n-weighted sum is the Expected Calibration Error — the standard
+    "is this score a probability or just a ranking" eval every
+    learned quality filter should publish before its scores gate a
+    corpus (the calibration sibling of llm_annotation_kappa's
+    agreement and llm_eval_winrate's preference readouts).
+
+    Scale design: scoring and binning are scan-stage integer-ppm
+    arithmetic (fixed bin edges — no quantile pass needed); the corpus
+    reduces to ≤10 bin rows in one map-combined aggregate; every
+    division happens once per OUTPUT row. The fixed-bin choice is what
+    makes this a one-pass operator at 100 TB — an equal-mass variant
+    would reuse the scale_rank ntile machinery.
+    """
+    docs = load(spark, sf_dir, "documents").select("text", "n_chars")
+    score = F.expr(
+        "size(array_distinct(split(text, ' '))) * 1000000L "
+        "div size(split(text, ' '))"
+    )
+    scored = docs.select(
+        score.alias("score_ppm"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("label"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.least(
+            F.expr("score_ppm * 10 div 1000001"), F.lit(9)
+        ).cast("bigint"),
+    )
+    stats = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+        F.sum("score_ppm").alias("score_sum"),
+    )
+    mean_score = F.col("score_sum").cast("double") / F.col("n_docs") / 1e6
+    observed = F.col("n_pos").cast("double") / F.col("n_docs")
+    return (
+        stats.select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.round(mean_score, 6).alias("mean_score"),
+            F.round(observed, 6).alias("observed_rate"),
+            F.round(F.abs(mean_score - observed), 6).alias("calib_gap"),
+        )
+        .orderBy("bin")
+    )
