@@ -61,6 +61,7 @@ _PRIORITY = [
     "scan_parquet_ignore_corrupt",
     "agg_mann_whitney_u",
     "llm_score_calibration_ece",
+    "evt_sequential_sprt",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

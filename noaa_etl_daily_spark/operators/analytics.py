@@ -7525,3 +7525,90 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_approx"),
     )
+
+
+@register(
+    "evt_sequential_sprt",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_trials,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conv
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               CAST(sum(n_trials) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_cum,
+               CAST(sum(n_conv) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c_cum
+        FROM daily
+    ),
+    llr AS (
+        SELECT day, n_cum, c_cum,
+               CAST(c_cum * 200670695
+                    + (n_cum - c_cum) * -50010421 AS BIGINT) AS llr_nano
+        FROM cum
+    )
+    SELECT day, n_cum, c_cum, llr_nano,
+           CASE WHEN llr_nano >= 2944438979 THEN 'accept_h1'
+                WHEN llr_nano <= -2944438979 THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    ORDER BY day
+    """,
+)
+def evt_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald's SPRT) on the daily
+    conversion stream: cumulative log-likelihood ratio for
+    H1: p = 0.22 vs H0: p = 0.18 with α = β = 0.05 boundaries — the
+    always-valid sequential monitor that lets an experiment STOP the
+    day the evidence crosses a boundary instead of peeking (the
+    sequential sibling of evt_experiment_ab_analysis's fixed-horizon z
+    and agg_ab_srm_check's sanity gate).
+
+    Exactness: per-trial log-likelihood increments are PRE-COMPUTED
+    integer nano literals (ln(22/18)·1e9 = 200670695,
+    ln(78/82)·1e9 = −50010421; boundary ln(19)·1e9 = 2944438979) —
+    identical constants in both engines, so the cumulative ledger and
+    every boundary crossing are integer-exact; no runtime log/exp.
+
+    Scale design: the corpus reduces to DAY grain in one aggregate;
+    the cumulative ledger runs over day-cardinality rows only. At
+    100 TB the per-day reduce is the only corpus-scale work — exactly
+    the daily-rollup shape the monitoring job already runs.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_trials"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_conv"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n_trials").over(w).cast("bigint").alias("n_cum"),
+        F.sum("n_conv").over(w).cast("bigint").alias("c_cum"),
+    )
+    llr = (
+        F.col("c_cum") * F.lit(200670695)
+        + (F.col("n_cum") - F.col("c_cum")) * F.lit(-50010421)
+    ).cast("bigint")
+    return (
+        cum.withColumn("llr_nano", llr)
+        .withColumn(
+            "decision",
+            F.when(F.col("llr_nano") >= 2944438979, "accept_h1")
+            .when(F.col("llr_nano") <= -2944438979, "accept_h0")
+            .otherwise("continue"),
+        )
+        .orderBy("day")
+    )

@@ -384,6 +384,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # |strata| rows
         "agg_mann_whitney_u",         # 1-row rank-sum reduce + P-row
                                       # offsets window (scale_rank)
+        "evt_sequential_sprt",        # SPRT ledger over DAY rows
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
@@ -442,6 +443,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_neyman_allocation",      # remainder rank over |strata| rows
         "agg_mann_whitney_u",         # P-row offsets window (scale_rank
                                       # prefix sum over value grain)
+        "evt_sequential_sprt",        # cumulative ledger over DAY rows
     }
 
     def _walk(node):
