@@ -37,7 +37,7 @@ from ..tables import load
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -45,13 +45,19 @@ from ..tables import load
 def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour per-type counts and value sums — the daily-ETL essence.
     ``window()`` is just a computed grouping column: map-side partial
-    aggs combine before one shuffle on (hour, type)."""
+    aggs combine before one shuffle on (hour, type). Values are
+    2-decimal by fixture contract, so the sum runs in EXACT integer
+    cents (a raw double sum's partial-agg fold order diverged from the
+    oracle in the last rounded digit once sf0.1 spanned partitions —
+    caught by the round-5 sf0.1 differential)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -67,7 +73,11 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 4) AS avg_value
+           -- integer half-up of (sum_cents*100/n): 4dp average without
+           -- a float fold or a round-half-boundary divergence
+           CAST((200 * sum(CAST(round(value * 100) AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
+               AS avg_value
     FROM (
       SELECT unnest(list_transform(generate_series(0, 3),
                     i -> time_bucket(INTERVAL 15 MINUTE, ts)
@@ -84,15 +94,25 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes. Each event lands in
     exactly duration/slide = 4 windows — Spark expands that inside the
     scan stage (no join against a generated series needed), then one
-    hash agg on (window_start, type)."""
+    hash agg on (window_start, type). The 4-decimal average derives
+    from the EXACT integer cents sum by integer half-up division —
+    neither the float fold order nor the round-half boundary can
+    diverge between engines (the sf0.1 differential caught both)."""
     ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         ev.groupBy(
             F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (
+                F.floor(
+                    (200 * F.sum(cents) + F.count(F.lit(1)))
+                    / (2 * F.count(F.lit(1)))
+                ).cast("bigint")
+                / 10000.0
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -123,7 +143,7 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -135,13 +155,17 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     end EXTENDS the session (verified empirically by the boundary fuzz in
     tests/test_fuzz_differential.py — native windows touching at a point
     merge), so the gaps-and-islands oracle encodes the matching strict
-    ``>`` split. One shuffle on user_id; merge is in-partition."""
+    ``>`` split. One shuffle on user_id; merge is in-partition. Value
+    totals sum in exact integer cents (G2: float partial-agg fold
+    order is partitioning-dependent — sf0.1 differential)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
         )
         .select(
             "user_id",
@@ -1464,10 +1488,14 @@ def evt_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(CAST(round(value / (1 + date_diff('day', CAST(ts AS DATE),
-                                                       DATE '2024-02-01'))
-                                * 1000000) AS BIGINT)) / 1000000.0,
-                 4) AS decayed_value
+           -- integer half-up micro→4dp: round(x/1e6, 4) on a double
+           -- hits half-boundaries where the engines' rounding bases
+           -- differ (decimal string vs binary double)
+           CAST((sum(CAST(round(value / (1 + date_diff('day',
+                                         CAST(ts AS DATE),
+                                         DATE '2024-02-01'))
+                                * 1000000) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 10000.0 AS decayed_value
     FROM events
     GROUP BY user_id
     """,
@@ -1482,13 +1510,19 @@ def evt_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-dependent, so each term is quantized to integer micro-units
     BEFORE the sum (1/(1+n) division is IEEE-exact-identical on both
     engines — no transcendental exp() whose last ulp could differ) and
-    the integer sum is rescaled after."""
+    the integer sum is rescaled after; the final micro→4dp step is an
+    integer half-up division, because round(double, 4) at an exact
+    .00005 boundary differs between Spark (decimal-string HALF_UP) and
+    DuckDB (binary-double rounding) — caught by the round-5 sf0.1
+    differential."""
     ev = load(spark, sf_dir, "events")
     age_days = F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts"))
     term = F.round(F.col("value") / (1 + age_days) * 1_000_000, 0).cast("long")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(term) / 1_000_000.0, 4).alias("decayed_value"),
+        (
+            F.floor((F.sum(term) + 50) / 100).cast("bigint") / 10000.0
+        ).alias("decayed_value"),
     )
 
 

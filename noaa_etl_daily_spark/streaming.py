@@ -78,7 +78,11 @@ def stream_tumbling_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact integer cents, as the batch twin: micro-batch
+            # partial-state fold order can never move the total
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -100,7 +104,17 @@ def stream_sliding_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (
+                F.floor(
+                    (
+                        200
+                        * F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                        + F.count(F.lit(1))
+                    )
+                    / (2 * F.count(F.lit(1)))
+                ).cast("bigint")
+                / 10000.0
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -119,7 +133,9 @@ def stream_session_counts(events: DataFrame) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
         )
         .select(
             "user_id",

@@ -44,10 +44,10 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, stream_src):
 
 
 def test_stream_sliding_equals_batch(spark, sf_dir, stream_src):
-    """Window membership and counts must match exactly; avg_value is a
-    double whose summation ORDER differs between micro-batch partials
-    and the one-shot batch agg, so the rounded 4th decimal may
-    legitimately flip by one ulp — compare it with a 1e-3 tolerance."""
+    """EXACT equality incl. avg_value: both twins derive the 4-decimal
+    average from integer cents sums by integer half-up division, so
+    micro-batch partial-fold order cannot move even the last digit
+    (this was tolerance-compared while the twins summed raw doubles)."""
     batch = REGISTRY["evt_sliding_window"].builder(spark, sf_dir)
     st.run_to_memory(
         st.stream_sliding_counts(st.read_events_stream(spark, stream_src)),
@@ -55,12 +55,7 @@ def test_stream_sliding_equals_batch(spark, sf_dir, stream_src):
         "complete",
     )
     cols = ["window_start", "event_type", "n_events", "avg_value"]
-    got = _table_rows(spark, "t_sliding", cols)
-    want = _rows(batch, cols)
-    assert len(got) == len(want)
-    for g, w in zip(got, want):
-        assert g[:3] == w[:3], (g, w)
-        assert abs(g[3] - w[3]) < 1e-3, (g, w)
+    assert _table_rows(spark, "t_sliding", cols) == _rows(batch, cols)
 
 
 def test_stream_session_equals_batch(spark, sf_dir, stream_src):
