@@ -62,6 +62,7 @@ _PRIORITY = [
     "agg_mann_whitney_u",
     "llm_score_calibration_ece",
     "evt_sequential_sprt",
+    "agg_welch_ttest",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

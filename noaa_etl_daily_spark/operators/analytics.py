@@ -7612,3 +7612,135 @@ def evt_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH samples AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 2 END AS grp,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    moments AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+        FROM samples GROUP BY grp
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN grp = 1 THEN n END) AS n1,
+            max(CASE WHEN grp = 1 THEN sx END) AS sx1,
+            max(CASE WHEN grp = 1 THEN CAST(sxx AS DOUBLE) END) AS sxx1,
+            max(CASE WHEN grp = 2 THEN n END) AS n2,
+            max(CASE WHEN grp = 2 THEN sx END) AS sx2,
+            max(CASE WHEN grp = 2 THEN CAST(sxx AS DOUBLE) END) AS sxx2
+        FROM moments
+    )
+    SELECT n1, n2,
+           round(CAST(sx1 AS DOUBLE) / n1 / 100, 6) AS mean1,
+           round(CAST(sx2 AS DOUBLE) / n2 / 100, 6) AS mean2,
+           round((CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+                 / sqrt((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                            / (CAST(n1 AS DOUBLE) - 1) / n1
+                        + (sxx2 - CAST(sx2 AS DOUBLE) * sx2 / n2)
+                            / (CAST(n2 AS DOUBLE) - 1) / n2), 6) AS t_stat,
+           round(
+             ((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                  / (CAST(n1 AS DOUBLE) - 1) / n1
+              + (sxx2 - CAST(sx2 AS DOUBLE) * sx2 / n2)
+                  / (CAST(n2 AS DOUBLE) - 1) / n2)
+             * ((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                    / (CAST(n1 AS DOUBLE) - 1) / n1
+                + (sxx2 - CAST(sx2 AS DOUBLE) * sx2 / n2)
+                    / (CAST(n2 AS DOUBLE) - 1) / n2)
+             / (((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                     / (CAST(n1 AS DOUBLE) - 1) / n1)
+                * ((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                     / (CAST(n1 AS DOUBLE) - 1) / n1) / (n1 - 1)
+                + ((sxx2 - CAST(sx2 AS DOUBLE) * sx2 / n2)
+                     / (CAST(n2 AS DOUBLE) - 1) / n2)
+                * ((sxx2 - CAST(sx2 AS DOUBLE) * sx2 / n2)
+                     / (CAST(n2 AS DOUBLE) - 1) / n2) / (n2 - 1)), 6)
+               AS welch_df
+    FROM wide
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the month halves' value
+    distributions — the parametric member of the repo's two-sample
+    family (agg_ks_two_sample: shape; agg_mann_whitney_u: rank
+    location; evt_sequential_sprt: sequential; this: means), with the
+    Welch–Satterthwaite degrees of freedom.
+
+    Exactness: both groups reduce to exact integer moments (Σx bigint,
+    Σx² 128-bit — hugeint ↔ decimal(38,0)); t and df derive from those
+    in IDENTICALLY-WRITTEN double expressions evaluated once on one
+    output row, so there is no fold-order or boundary hazard to
+    diverge.
+
+    Scale design: ONE map-combined aggregate to 2 group rows; every
+    float op happens post-reduction. The same moments feed a power
+    analysis or a CUPED adjustment without another corpus pass.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    grp = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), 1
+    ).otherwise(2)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    moments = ev.select(grp.alias("grp"), cents.alias("cents")).groupBy(
+        "grp"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    wide = moments.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("sx"))).alias("sx1"),
+        F.max(
+            F.when(F.col("grp") == 1, F.col("sxx").cast("double"))
+        ).alias("sxx1"),
+        F.max(F.when(F.col("grp") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 2, F.col("sx"))).alias("sx2"),
+        F.max(
+            F.when(F.col("grp") == 2, F.col("sxx").cast("double"))
+        ).alias("sxx2"),
+    )
+
+    def sem2(sxx, sx, n):
+        return (
+            (F.col(sxx) - F.col(sx).cast("double") * F.col(sx) / F.col(n))
+            / (F.col(n).cast("double") - 1)
+            / F.col(n)
+        )
+
+    v1 = sem2("sxx1", "sx1", "n1")
+    v2 = sem2("sxx2", "sx2", "n2")
+    t = (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx2").cast("double") / F.col("n2")
+    ) / F.sqrt(v1 + v2)
+    df = (
+        (v1 + v2)
+        * (v1 + v2)
+        / (v1 * v1 / (F.col("n1") - 1) + v2 * v2 / (F.col("n2") - 1))
+    )
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(F.col("sx1").cast("double") / F.col("n1") / 100, 6).alias(
+            "mean1"
+        ),
+        F.round(F.col("sx2").cast("double") / F.col("n2") / 100, 6).alias(
+            "mean2"
+        ),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
