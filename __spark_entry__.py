@@ -63,6 +63,7 @@ _PRIORITY = [
     "llm_score_calibration_ece",
     "evt_sequential_sprt",
     "agg_welch_ttest",
+    "evt_cuped_variance_reduction",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -7744,3 +7744,96 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.round(df, 6).alias("welch_df"),
     )
+
+
+@register(
+    "evt_cuped_variance_reduction",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x_cents,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y_cents
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_cents) AS BIGINT) AS sx,
+               CAST(sum(y_cents) AS BIGINT) AS sy,
+               CAST(sum(CAST(x_cents AS HUGEINT) * CAST(y_cents AS HUGEINT))
+                    AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x_cents AS HUGEINT) * CAST(x_cents AS HUGEINT))
+                    AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y_cents AS HUGEINT) * CAST(y_cents AS HUGEINT))
+                    AS DOUBLE) AS syy
+        FROM per_user
+    )
+    SELECT n,
+           round((sxy - CAST(sx AS DOUBLE) * sy / n)
+                 / (sxx - CAST(sx AS DOUBLE) * sx / n), 6) AS theta,
+           round((sxy - CAST(sx AS DOUBLE) * sy / n)
+                 * (sxy - CAST(sx AS DOUBLE) * sy / n)
+                 / ((sxx - CAST(sx AS DOUBLE) * sx / n)
+                    * (syy - CAST(sy AS DOUBLE) * sy / n)), 6)
+               AS var_reduction,
+           CAST(round((sxy - CAST(sx AS DOUBLE) * sy / n)
+                      * (sxy - CAST(sx AS DOUBLE) * sy / n)
+                      / ((sxx - CAST(sx AS DOUBLE) * sx / n)
+                         * (syy - CAST(sy AS DOUBLE) * sy / n))
+                      * 1000000) AS BIGINT) AS var_reduction_ppm
+    FROM m
+    """,
+)
+def evt_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experimentation: regress each
+    user's experiment-period metric (second month-half value) on their
+    PRE-period covariate (first half), θ = cov(X,Y)/var(X); the
+    variance removed by the adjustment is exactly the squared
+    correlation — so the whole readout (θ and the achievable variance
+    reduction, the number that says how much smaller your experiments
+    can be) derives in CLOSED FORM from one set of moments, no second
+    pass over adjusted rows. Completes the experimentation shelf:
+    evt_experiment_ab_analysis (fixed-horizon z), agg_ab_srm_check,
+    evt_sequential_sprt, agg_welch_ttest, agg_poisson_bootstrap_ci.
+
+    Exactness: user-grain reduction in integer cents; the five moment
+    sums are exact (Σ products in 128-bit); θ/ρ² are identically-
+    written double expressions on ONE output row.
+
+    Scale design: one user-keyed aggregate with map-side combine →
+    one 1-row moment reduce. At 100 TB this is the cheapest
+    experiment-power lever there is.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).alias(
+            "x_cents"
+        ),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).alias(
+            "y_cents"
+        ),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_cents").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(dec("x_cents") * dec("y_cents")).cast("double").alias("sxy"),
+        F.sum(dec("x_cents") * dec("x_cents")).cast("double").alias("sxx"),
+        F.sum(dec("y_cents") * dec("y_cents")).cast("double").alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    rho2 = cov * cov / (varx * vary)
+    return m.select(
+        "n",
+        F.round(cov / varx, 6).alias("theta"),
+        F.round(rho2, 6).alias("var_reduction"),
+        F.round(rho2 * 1000000).cast("bigint").alias("var_reduction_ppm"),
+    )
