@@ -385,6 +385,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_mann_whitney_u",         # 1-row rank-sum reduce + P-row
                                       # offsets window (scale_rank)
         "evt_sequential_sprt",        # SPRT ledger over DAY rows
+        "agg_welch_ttest",            # 1-row reduce of 2 group-moment rows
+        "evt_cuped_variance_reduction",  # 1-row moment reduce
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
