@@ -64,6 +64,14 @@ _PRIORITY = [
     "evt_sequential_sprt",
     "agg_welch_ttest",
     "evt_cuped_variance_reduction",
+    "llm_segment_dedup_global",
+    "agg_benjamini_hochberg_fdr",
+    "agg_ab_power_mde",
+    "evt_theil_sen_trend",
+    "sink_manifest_atomic_publish",
+    "evt_shapley_attribution",
+    "agg_beta_binomial_smoothing",
+    "evt_fourier_daily_harmonics",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -7837,3 +7837,583 @@ def evt_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rho2, 6).alias("var_reduction"),
         F.round(rho2 * 1000000).cast("bigint").alias("var_reduction_ppm"),
     )
+
+
+@register(
+    "agg_benjamini_hochberg_fdr",
+    oracle="""
+    WITH ab AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-16 00:00:00')
+                    AS BIGINT) AS n1,
+               CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-16 00:00:00'
+                                     AND value >= 50) AS BIGINT) AS k1,
+               CAST(count(*) FILTER (ts >= TIMESTAMP '2024-01-16 00:00:00')
+                    AS BIGINT) AS n2,
+               CAST(count(*) FILTER (ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                     AND value >= 50) AS BIGINT) AS k2
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT event_type, n1, k1, n2, k2,
+               (CAST(k1 AS DOUBLE)/n1 - CAST(k2 AS DOUBLE)/n2)
+               / sqrt((CAST(k1+k2 AS DOUBLE)/(n1+n2))
+                      * (1 - CAST(k1+k2 AS DOUBLE)/(n1+n2))
+                      * (1.0/n1 + 1.0/n2)) AS zval
+        FROM ab
+    ),
+    p AS (SELECT *, exp(-zval*zval/2) AS p_bound FROM z),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_bound, event_type)
+                    AS BIGINT) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM p
+    ),
+    stepped AS (
+        SELECT *, max(CASE WHEN p_bound <= 0.05 * rnk / m
+                           THEN rnk ELSE 0 END) OVER () AS kmax
+        FROM ranked
+    )
+    SELECT event_type, n1, n2, round(zval, 6) AS z,
+           round(p_bound, 8) AS p_bound, rnk,
+           CASE WHEN rnk <= kmax THEN TRUE ELSE FALSE END AS rejected
+    FROM stepped ORDER BY rnk
+    """,
+)
+def agg_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate control across a family
+    of drift tests — the guardrail that keeps a metrics platform from
+    alerting on noise when it tests MANY metrics at once. Each
+    event_type gets a two-proportion z-test (first vs second half-month
+    high-value rate); per-test p-values are the subgaussian tail bound
+    exp(-z²/2) (a true upper bound on the two-sided normal p, computable
+    exactly in both engines — no erf needed, conservative so the FDR
+    guarantee still holds); the BH step-up then finds the largest rank k
+    with p_(k) ≤ q·k/m (q = 0.05) and rejects ranks ≤ k.
+
+    Complements the per-test shelf (agg_welch_ttest single test;
+    evt_sequential_sprt sequential; agg_ab_srm_check sanity): this is
+    the MULTIPLICITY layer above them all.
+
+    Scale design: one map-combined aggregate to |event_type| rows; the
+    rank / step-up windows run over those METRIC-GRAIN rows (5 here,
+    maybe thousands in production — never corpus-grain), so the
+    single-partition window stage is bounded and constant-size.
+    Determinism: rank ties break on event_type."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    first, hi = F.col("ts") < cut, F.col("value") >= 50
+    ab = ev.groupBy("event_type").agg(
+        F.count(F.when(first, 1)).alias("n1"),
+        F.count(F.when(first & hi, 1)).alias("k1"),
+        F.count(F.when(~first, 1)).alias("n2"),
+        F.count(F.when(~first & hi, 1)).alias("k2"),
+    )
+    pool = (F.col("k1") + F.col("k2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (
+        F.col("k1").cast("double") / F.col("n1")
+        - F.col("k2").cast("double") / F.col("n2")
+    ) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    p = ab.withColumn("zval", z).withColumn(
+        "p_bound", F.exp(-F.col("zval") * F.col("zval") / 2)
+    )
+    # metric-grain windows: |event_type| rows, bounded
+    ranked = p.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy("p_bound", "event_type"))
+        .cast("bigint"),
+    ).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
+    )
+    stepped = ranked.withColumn(
+        "kmax",
+        F.max(
+            F.when(
+                F.col("p_bound") <= 0.05 * F.col("rnk") / F.col("m"),
+                F.col("rnk"),
+            ).otherwise(0)
+        ).over(Window.partitionBy()),
+    )
+    return stepped.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round("zval", 6).alias("z"),
+        F.round("p_bound", 8).alias("p_bound"),
+        "rnk",
+        (F.col("rnk") <= F.col("kmax")).alias("rejected"),
+    ).orderBy("rnk")
+
+
+@register(
+    "agg_ab_power_mde",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (value >= 50) AS BIGINT) AS k_hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           round(CAST(k_hi AS DOUBLE) / n_events, 6) AS base_rate,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * (CAST(k_hi AS DOUBLE) / n_events)
+                        * (1 - CAST(k_hi AS DOUBLE) / n_events)
+                        / (n_events / 2)), 6) AS mde_abs,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * (CAST(k_hi AS DOUBLE) / n_events)
+                        * (1 - CAST(k_hi AS DOUBLE) / n_events)
+                        / (n_events / 2))
+                 / (CAST(k_hi AS DOUBLE) / n_events), 6) AS mde_rel
+    FROM base ORDER BY event_type
+    """,
+)
+def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER planning readout: per event_type, the minimum
+    detectable effect (MDE) a two-arm test could resolve at α=0.05
+    (two-sided) / 80% power if the type's current traffic were split
+    50/50 — MDE = (z_{0.975}+z_{0.80})·√(2p(1−p)/n_arm) with the
+    observed high-value rate as baseline p. This is the question a
+    growth team asks BEFORE launching: "is this surface big enough to
+    measure a 1% lift?" — and the closed form needs only counts, so at
+    100 TB it is one map-combined aggregate to |event_type| rows (the z
+    constants are literals; no distribution functions needed).
+
+    Pairs with evt_cuped_variance_reduction (how much the MDE shrinks
+    with a covariate) and agg_welch_ttest (the test you run after);
+    integer n_arm division (n/2) matches both engines' BIGINT/INT
+    semantics via explicit DOUBLE promotion before the divide."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("value") >= 50, 1)).alias("k_hi"),
+    )
+    p = F.col("k_hi").cast("double") / F.col("n_events")
+    mde = F.lit(1.959964 + 0.841621) * F.sqrt(
+        2.0 * p * (1 - p) / (F.col("n_events") / 2)
+    )
+    return base.select(
+        "event_type",
+        "n_events",
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    ).orderBy("event_type")
+
+
+@register(
+    "evt_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.d AS d1, b.d AS d2,
+               (CAST(b.cents AS DOUBLE) - a.cents) / (b.d - a.d) / 100
+                   AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, d1, d2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS c
+        FROM pairs
+    ),
+    sen AS (
+        SELECT event_type, CAST(c AS BIGINT) AS n_pairs,
+               round(slope, 6) AS sen_slope
+        FROM ranked WHERE rn = (c + 1) // 2
+    ),
+    ols AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round((count(*) * sum(CAST(d AS DOUBLE) * cents)
+                      - sum(CAST(d AS DOUBLE)) * sum(CAST(cents AS DOUBLE)))
+                     / (count(*) * sum(CAST(d AS DOUBLE) * d)
+                        - sum(CAST(d AS DOUBLE)) * sum(CAST(d AS DOUBLE)))
+                     / 100, 6) AS ols_slope
+        FROM daily GROUP BY event_type
+    )
+    SELECT s.event_type, o.n_days, s.n_pairs, s.sen_slope, o.ols_slope
+    FROM sen s JOIN ols o USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def evt_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen ROBUST trend per event_type — the median of all
+    pairwise day-slopes of the daily-revenue series, reported beside the
+    OLS slope (agg_regr_trend's estimator) so outlier days' leverage is
+    visible: one anomalous day can swing OLS arbitrarily but moves the
+    pairwise-slope median by at most one rank.
+
+    Scale design: the corpus reduces FIRST to day-grain integer cents
+    (one map-combined aggregate; ≤ |types|·|days| rows — bounded), and
+    only that tiny series self-joins (30 rows/key → 435 pairs/key here;
+    even a year is 66 k pairs/key). The pair join carries the event_type
+    equi-key, so Catalyst runs a plain hash join — never a cartesian.
+    Median selection: lower median by row_number over (slope, d1, d2) —
+    fully deterministic under slope ties, identical in both engines
+    ((c+1)//2 ≡ floor((c+1)/2)); no interpolation ambiguity.
+
+    Exactness: slopes are doubles from exact integer cents with
+    identically-written division; OLS from exact moments."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+        (
+            (F.col("b.cents").cast("double") - F.col("a.cents"))
+            / (F.col("b.d") - F.col("a.d"))
+            / 100
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(wp.orderBy("slope", "d1", "d2"))
+    ).withColumn("c", F.count(F.lit(1)).over(wp))
+    sen = ranked.where(F.col("rn") == F.floor((F.col("c") + 1) / 2)).select(
+        "event_type",
+        F.col("c").cast("bigint").alias("n_pairs"),
+        F.round("slope", 6).alias("sen_slope"),
+    )
+    ols = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            (
+                F.count(F.lit(1))
+                * F.sum(F.col("d").cast("double") * F.col("cents"))
+                - F.sum(F.col("d").cast("double"))
+                * F.sum(F.col("cents").cast("double"))
+            )
+            / (
+                F.count(F.lit(1))
+                * F.sum(F.col("d").cast("double") * F.col("d"))
+                - F.sum(F.col("d").cast("double"))
+                * F.sum(F.col("d").cast("double"))
+            )
+            / 100,
+            6,
+        ).alias("ols_slope"),
+    )
+    return (
+        sen.join(ols, "event_type")
+        .select("event_type", "n_days", "n_pairs", "sen_slope", "ols_slope")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "evt_shapley_attribution",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               coalesce(string_agg(DISTINCT
+                          CASE WHEN event_type <> 'purchase'
+                               THEN event_type END, ','
+                          ORDER BY CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END), '') AS touchset,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        GROUP BY user_id
+    ),
+    coalitions AS (
+        SELECT touchset,
+               CAST(sum(conv) AS DOUBLE) / count(*) AS rate
+        FROM per_user GROUP BY touchset
+    ),
+    lattice AS (
+        SELECT m.mask,
+               concat_ws(',',
+                 CASE WHEN m.mask & 1 = 1 THEN 'click'  END,
+                 CASE WHEN m.mask & 2 = 2 THEN 'error'  END,
+                 CASE WHEN m.mask & 4 = 4 THEN 'signup' END,
+                 CASE WHEN m.mask & 8 = 8 THEN 'view'   END) AS key,
+               CAST((m.mask & 1) + (m.mask >> 1 & 1) + (m.mask >> 2 & 1)
+                    + (m.mask >> 3 & 1) AS INT) AS sz
+        FROM (SELECT unnest(range(16)) AS mask) m
+    ),
+    valued AS (
+        SELECT l.mask, l.sz, coalesce(c.rate, 0.0) AS v
+        FROM lattice l LEFT JOIN coalitions c ON c.touchset = l.key
+    ),
+    chan AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                              ('signup', 4), ('view', 8)) AS t(channel, bit)
+    ),
+    terms AS (
+        SELECT ch.channel,
+               (CASE s.sz WHEN 0 THEN 0.25 WHEN 1 THEN 2.0/24
+                          WHEN 2 THEN 2.0/24 ELSE 0.25 END)
+               * (t.v - s.v) AS term
+        FROM chan ch
+        JOIN valued s ON s.mask & ch.bit = 0
+        JOIN valued t ON t.mask = s.mask | ch.bit
+    )
+    SELECT channel, round(sum(term), 6) AS shapley
+    FROM terms GROUP BY channel ORDER BY channel
+    """,
+)
+def evt_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution — the game-theoretic member of
+    the attribution shelf (evt_linear_attribution: position-agnostic
+    split; evt_markov_removal_attribution: removal effects; this: the
+    unique credit assignment satisfying efficiency/symmetry/dummy).
+    Coalition worth v(S) = observed conversion rate of users whose
+    exact non-purchase touchset (one day's traffic) is S; channel i's
+    Shapley value is Σ_{S∌i} |S|!(n−|S|−1)!/n! · (v(S∪i) − v(S)).
+
+    Scale design: the corpus collapses in ONE user-keyed aggregate to
+    ≤2^n coalition rows (n = 4 channels → 16; even 10 channels is 1 k
+    rows), and ALL Shapley arithmetic happens on that broadcast-sized
+    lattice — the factorial weights are closed-form literals per |S|,
+    the (channel × subset) term join is 4×8 rows. Unobserved coalitions
+    default v=0 (documented convention); v(∅) stays at the untouched-
+    user baseline so credit is incremental over it. By efficiency,
+    Σ shapley = v(full) − v(∅) — asserted in the property suite.
+
+    Cross-engine: touchset keys build identically (alphabetical channel
+    order both in the per-user string_agg and the lattice bitmask);
+    weights are identical rational literals; one final 4-row sum."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts").cast("date") == F.lit("2024-01-05").cast("date")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(
+                            F.col("event_type") != "purchase",
+                            F.col("event_type"),
+                        )
+                    )
+                ),
+                ",",
+            ),
+            F.lit(""),
+        ).alias("touchset"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    coal = per_user.groupBy("touchset").agg(
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("rate")
+    )
+    lat = spark.range(16).select(
+        F.col("id").cast("int").alias("mask"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("id").bitwiseAND(1) == 1, "click"),
+            F.when(F.col("id").bitwiseAND(2) == 2, "error"),
+            F.when(F.col("id").bitwiseAND(4) == 4, "signup"),
+            F.when(F.col("id").bitwiseAND(8) == 8, "view"),
+        ).alias("key"),
+        (
+            F.col("id").bitwiseAND(1)
+            + F.shiftright("id", 1).bitwiseAND(1)
+            + F.shiftright("id", 2).bitwiseAND(1)
+            + F.shiftright("id", 3).bitwiseAND(1)
+        )
+        .cast("int")
+        .alias("sz"),
+    )
+    valued = lat.join(
+        F.broadcast(coal), lat.key == coal.touchset, "left"
+    ).select("mask", "sz", F.coalesce("rate", F.lit(0.0)).alias("v"))
+    chan = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        ["channel", "bit"],
+    )
+    s, t = valued.alias("s"), valued.alias("t")
+    weight = (
+        F.when(F.col("s.sz") == 0, 0.25)
+        .when(F.col("s.sz") == 1, 2.0 / 24)
+        .when(F.col("s.sz") == 2, 2.0 / 24)
+        .otherwise(0.25)
+    )
+    terms = (
+        chan.join(s, F.col("s.mask").bitwiseAND(F.col("bit")) == 0)
+        .join(t, F.col("t.mask") == F.col("s.mask").bitwiseOR(F.col("bit")))
+        .select(
+            "channel", (weight * (F.col("t.v") - F.col("s.v"))).alias("term")
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.round(F.sum("term"), 6).alias("shapley"))
+        .orderBy("channel")
+    )
+
+
+@register(
+    "agg_beta_binomial_smoothing",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
+                   AS n_returned
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    g AS (
+        SELECT CAST(sum(n_returned) AS DOUBLE) / sum(n_lines) AS p_bar
+        FROM per_supp
+    )
+    SELECT l_suppkey, n_lines, n_returned,
+           round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS raw_rate,
+           round((n_returned + 50 * p_bar) / (n_lines + 50), 6)
+               AS smoothed_rate
+    FROM per_supp, g
+    ORDER BY (n_returned + 50 * p_bar) / (n_lines + 50) DESC, l_suppkey
+    LIMIT 10
+    """,
+)
+def agg_beta_binomial_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial smoothing — "rank by average done
+    right": supplier return-rate ranking where each rate is shrunk
+    toward the GLOBAL rate with prior strength τ=50 pseudo-lines
+    (posterior mean (k + τ·p̄)/(n + τ)), so a supplier with 3 returns
+    out of 5 lines can't outrank one with 200/600. The Bayesian
+    counterpart of agg_wilson_interval's frequentist lower bound; the
+    two orderings agree asymptotically but differ exactly where small-n
+    flukes live.
+
+    Scale design: one supplier-keyed map-combined aggregate; the global
+    prior is a 1-row second reduce broadcast back (crossJoin of a
+    1-row frame — literally the agg_fk_integrity_audit pattern); top-10
+    is TakeOrderedAndProject (per-partition heaps, no global sort).
+    Tiebreak on l_suppkey keeps the limit deterministic."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    prior = per_supp.agg(
+        (F.sum("n_returned").cast("double") / F.sum("n_lines")).alias("p_bar")
+    )
+    smoothed = (F.col("n_returned") + 50 * F.col("p_bar")) / (
+        F.col("n_lines") + 50
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(prior))
+        .select(
+            "l_suppkey",
+            "n_lines",
+            "n_returned",
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines"), 6
+            ).alias("raw_rate"),
+            F.round(smoothed, 6).alias("smoothed_rate"),
+            smoothed.alias("_s"),
+        )
+        .orderBy(F.desc("_s"), "l_suppkey")
+        .limit(10)
+        .drop("_s")
+    )
+
+
+@register(
+    "evt_fourier_daily_harmonics",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(n) AS total FROM hourly GROUP BY event_type
+    ),
+    coef AS (
+        SELECT h.event_type,
+               sum((CAST(h.n AS DOUBLE) / t.total)
+                   * cos(2 * pi() * 1 * h.h / 24)) AS a1,
+               sum((CAST(h.n AS DOUBLE) / t.total)
+                   * sin(2 * pi() * 1 * h.h / 24)) AS b1,
+               sum((CAST(h.n AS DOUBLE) / t.total)
+                   * cos(2 * pi() * 2 * h.h / 24)) AS a2,
+               sum((CAST(h.n AS DOUBLE) / t.total)
+                   * sin(2 * pi() * 2 * h.h / 24)) AS b2
+        FROM hourly h JOIN tot t USING (event_type)
+        GROUP BY h.event_type
+    )
+    SELECT event_type,
+           round(2 * sqrt(a1*a1 + b1*b1), 6) AS amp1,
+           round(atan2(b1, a1), 6) AS phase1,
+           round(2 * sqrt(a2*a2 + b2*b2), 6) AS amp2,
+           round(atan2(b2, a2), 6) AS phase2
+    FROM coef ORDER BY event_type
+    """,
+)
+def evt_fourier_daily_harmonics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact spectral fingerprint of each event type's daily rhythm:
+    the first two Fourier harmonics (amplitude + phase) of the
+    hour-of-day traffic share, i.e. the closed-form DFT coefficients
+    a_k = Σ_h share_h·cos(2πkh/24), b_k = Σ_h share_h·sin(·). Harmonic 1
+    captures the single daily peak, harmonic 2 a bimodal
+    (morning+evening) shape — four numbers that summarize what
+    evt_dow_hour_heatmap needs 168 cells to show, and the right
+    features to feed seasonality-aware forecasting or bot detection
+    (evt_bot_regularity_detection flags the DEGENERATE spectrum case).
+
+    Scale design: corpus → 24·|types| hourly rows in one map-combined
+    aggregate; the trig arithmetic runs on those bounded rows. Fixed
+    angles mean cos/sin fold to the same doubles in both engines;
+    amplitude/phase via identically-written sqrt/atan2."""
+    import math
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hourly.groupBy("event_type").agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+
+    def harm(k):
+        ang = 2 * math.pi * k * F.col("h") / 24
+        return (
+            F.sum(share * F.cos(ang)).alias(f"a{k}"),
+            F.sum(share * F.sin(ang)).alias(f"b{k}"),
+        )
+
+    coef = (
+        hourly.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(*harm(1), *harm(2))
+    )
+    return coef.select(
+        "event_type",
+        F.round(2 * F.sqrt(F.col("a1") ** 2 + F.col("b1") ** 2), 6).alias(
+            "amp1"
+        ),
+        F.round(F.atan2("b1", "a1"), 6).alias("phase1"),
+        F.round(2 * F.sqrt(F.col("a2") ** 2 + F.col("b2") ** 2), 6).alias(
+            "amp2"
+        ),
+        F.round(F.atan2("b2", "a2"), 6).alias("phase2"),
+    ).orderBy("event_type")

@@ -4375,3 +4375,110 @@ def llm_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "llm_segment_dedup_global",
+    oracle="""
+    WITH segged AS (
+        SELECT doc_id,
+               list_transform(
+                 range(CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                            AS INT)),
+                 i -> array_to_string(
+                        string_split(text, ' ')[i*8+1 : i*8+8], ' ')
+               ) AS segs
+        FROM documents
+    ),
+    seg_rows AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(segs, 1) - 1 AS INT) AS seg_idx,
+               unnest(segs) AS segment
+        FROM segged
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                     PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+        FROM seg_rows
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN segment END,
+                                   ' ' ORDER BY seg_idx), ''))
+               AS clean_md5,
+           CAST(coalesce(length(string_agg(
+                    CASE WHEN rn = 1 THEN segment END,
+                    ' ' ORDER BY seg_idx)), 0) AS INT) AS clean_chars
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def llm_segment_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE duplicate-span removal, the C4/RefinedWeb cleaning
+    step that whole-doc dedup (llm_dedup_exact_text) misses: boilerplate
+    spans repeated across otherwise-distinct pages. Docs split into
+    fixed 8-word segments; a segment's FIRST occurrence in global
+    (doc_id, seg_idx) order survives, every later occurrence anywhere in
+    the corpus is cut; docs are reassembled from their surviving
+    segments in order. Output per doc: segment counts kept/removed plus
+    md5+length of the cleaned text (the full text at scale — digested
+    here to keep oracle cells scalar).
+
+    Scale design: ONE shuffle keyed by segment text (high-cardinality →
+    even spread; at 100 TB key by md5(segment) so only 16-byte digests +
+    (doc_id, seg_idx) cross the wire, exactly llm_dedup_exact_text's
+    trick), then one doc-keyed shuffle to reassemble. The keep-first
+    window partitions BY SEGMENT — thousands of tiny partitions, never a
+    global sort. Segmentation itself is scan-stage higher-order
+    functions (transform/slice over the word array), zero Python.
+
+    Cross-engine: identical segmentation (both engines slice past the
+    array end by truncating, so the ragged tail segment matches);
+    fully-deduped docs reassemble to '' on both sides (oracle coalesces
+    DuckDB's all-NULL string_agg). Ties in the keep-first window are
+    impossible — (doc_id, seg_idx) is unique."""
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    W = 8
+    words = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(words) / F.lit(W)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(words, i * W + 1, W), " "),
+    )
+    seg_rows = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "segment")
+    )
+    keep_first = Window.partitionBy("segment").orderBy("doc_id", "seg_idx")
+    ranked = seg_rows.withColumn("rn", F.row_number().over(keep_first))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("seg_idx", "segment"),
+                            )
+                        )
+                    ),
+                    lambda x: x.segment,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            (F.col("n_segments") - F.col("n_kept")).alias("n_removed"),
+            F.md5("clean_text").alias("clean_md5"),
+            F.length("clean_text").alias("clean_chars"),
+        )
+    )

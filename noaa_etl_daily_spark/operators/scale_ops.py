@@ -447,3 +447,89 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce("b.value_cents", zero)
         ).alias("value_cents"),
     )
+
+
+@register(
+    "sink_manifest_atomic_publish",
+    oracle="""
+    WITH v1 AS (SELECT o_orderstatus, o_totalprice FROM orders),
+    torn AS (
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT v.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_published,
+           round(sum(v.o_totalprice), 2) AS published_total,
+           CAST(count(*) + (SELECT count(*) FROM torn t
+                            WHERE t.o_orderstatus = v.o_orderstatus)
+                AS BIGINT) AS n_naive_dir_read
+    FROM v1 v GROUP BY v.o_orderstatus
+    """,
+)
+def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-gated atomic publish — the object-store commit protocol
+    every serious lake needs once directory-rename atomicity is gone
+    (S3/GCS): a writer lands data files, then atomically swaps ONE
+    manifest naming exactly the committed files; readers resolve the
+    manifest and open only the files it lists. A writer that dies after
+    landing files but BEFORE the manifest swap leaves invisible orphans,
+    not corruption.
+
+    This query stages snapshot v1 (all orders) + manifest, then
+    simulates a TORN second publish: a delta batch (every third order)
+    lands in the same directory with no manifest update. The returned
+    per-status census reads via the manifest — the oracle match proves
+    the torn files are invisible — and carries the naive directory-glob
+    row count beside it to quantify the corruption a manifest-less
+    reader would silently absorb.
+
+    Scale design: the manifest is file-count-sized metadata (KBs for
+    thousands of files), resolved once on the driver exactly like
+    Delta/Iceberg's log replay; data-file reads stay fully parallel
+    (spark.read.parquet(*files) plans one split per row-group as
+    usual). The glob/list here is the local stand-in for the
+    FileSystem.listStatus a cloud deployment replaces with the
+    manifest itself — which is the point."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = _scratch("manifest_publish", _sf_tag(sf_dir), "t")
+    data_dir = _os.path.join(root, "data")
+
+    # publish v1: land files, then swap the manifest in one rename
+    orders.repartition(4).write.mode("overwrite").parquet(data_dir)
+    v1_files = sorted(_glob.glob(_os.path.join(data_dir, "*.parquet")))
+    manifest = _os.path.join(root, "manifest.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"version": 1, "files": v1_files}, fh)
+    _os.replace(tmp, manifest)  # the atomic commit point
+
+    # torn publish v2: delta files land, writer dies pre-manifest-swap
+    orders.where(F.col("o_orderkey") % 3 == 0).write.mode("append").parquet(
+        data_dir
+    )
+
+    with open(manifest) as fh:
+        committed = _json.load(fh)["files"]
+    published = spark.read.parquet(*committed)
+    naive = spark.read.parquet(data_dir)  # what a manifest-less reader sees
+    naive_counts = naive.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_naive_dir_read")
+    )
+    return (
+        published.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_published"),
+            F.round(F.sum("o_totalprice"), 2).alias("published_total"),
+        )
+        .join(naive_counts, "o_orderstatus")
+        .select(
+            "o_orderstatus", "n_published", "published_total",
+            "n_naive_dir_read",
+        )
+    )

@@ -301,6 +301,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # (same bound as llm_sim_ivf_topk)
         "agg_neyman_allocation",      # 1-row weight-total scalar over
                                       # |strata| rows
+        "agg_beta_binomial_smoothing",  # 1-row global-prior scalar
+        "evt_shapley_attribution",    # 16-row coalition lattice (2^n for
+                                      # n=4 channels, corpus-independent)
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -326,6 +329,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "validate_expectations",      # 1-row rule summaries
         "win_year_over_year",         # lag(12) over MONTH rows
         "evt_power_users",            # 1-row p90 threshold scalar
+        "agg_beta_binomial_smoothing",  # 1-row global-prior reduce
         "llm_vocab_coverage",         # coverage windows over VOCAB rows
                                       # (sublinear in corpus; documented)
         "evt_activity_autocorr",      # lead window over DAY rows + 1-row
@@ -387,6 +391,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_sequential_sprt",        # SPRT ledger over DAY rows
         "agg_welch_ttest",            # 1-row reduce of 2 group-moment rows
         "evt_cuped_variance_reduction",  # 1-row moment reduce
+        "agg_benjamini_hochberg_fdr",  # BH step-up over |event_type| rows
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
@@ -446,6 +451,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_mann_whitney_u",         # P-row offsets window (scale_rank
                                       # prefix sum over value grain)
         "evt_sequential_sprt",        # cumulative ledger over DAY rows
+        "agg_benjamini_hochberg_fdr",  # rank/step-up windows over
+                                      # |event_type| metric rows
     }
 
     def _walk(node):

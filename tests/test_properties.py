@@ -1015,3 +1015,35 @@ def test_distributed_ntile_matches_window_ntile_on_edges(spark):
                 ).collect()
             }
             assert got == want, (k, rows[:3], got, want)
+
+
+def test_shapley_attribution_efficiency(spark, sf_dir):
+    """Shapley efficiency axiom: the four channel values sum to
+    v(full coalition) − v(∅) — a closed-form identity that must hold
+    for ANY characteristic function, so it catches weight/lattice bugs
+    the oracle (same formula, same data) cannot."""
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["evt_shapley_attribution"].builder(spark, sf_dir).collect()
+    assert {r.channel for r in rows} == {"click", "error", "signup", "view"}
+    total = sum(r.shapley for r in rows)
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("ts").cast("date") == F.lit("2024-01-05").cast("date"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("event_type") != "purchase", F.col("event_type"))
+            )
+        ).alias("touch"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    seg = per_user.groupBy(F.size("touch").alias("k")).agg(
+        F.avg("conv").alias("rate"), F.count(F.lit(1)).alias("n")
+    )
+    by_k = {r.k: r.rate for r in seg.collect()}
+    v_full = by_k.get(4, 0.0)  # users who touched all four channels
+    v_empty = by_k.get(0, 0.0)  # purchase-only users (the baseline)
+    assert abs(total - (v_full - v_empty)) < 5e-6, (total, v_full, v_empty)
