@@ -72,6 +72,8 @@ _PRIORITY = [
     "evt_shapley_attribution",
     "agg_beta_binomial_smoothing",
     "evt_fourier_daily_harmonics",
+    "evt_pit_training_features",
+    "evt_holt_linear_forecast",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

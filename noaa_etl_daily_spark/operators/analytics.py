@@ -8417,3 +8417,216 @@ def evt_fourier_daily_harmonics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.atan2("b2", "a2"), 6).alias("phase2"),
     ).orderBy("event_type")
+
+
+@register(
+    "evt_pit_training_features",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, value,
+               CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+        FROM events
+    ),
+    feat AS (
+        SELECT *,
+               CAST(count(*) FILTER (event_type = 'view') OVER w7
+                    AS BIGINT) AS views_7d,
+               CAST(count(*) FILTER (event_type = 'click') OVER w7
+                    AS BIGINT) AS clicks_7d,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                  THEN value END) OVER w7, 0), 2)
+                   AS purchase_value_7d
+        FROM ev
+        WINDOW w7 AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 604800000000 PRECEDING
+                            AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, views_7d, clicks_7d, purchase_value_7d,
+           round(value, 2) AS label_value
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def evt_pit_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (leakage-safe) training-set assembly — the feature-
+    store primitive behind every production ML table: for each label
+    event (a purchase), the user's trailing-7-day behavioural features
+    computed from STRICTLY-PRIOR events only. The microsecond range
+    frame [−7d, −1µs] is the leakage guard: a feature window that
+    includes the label instant (the classic `RANGE ... AND CURRENT ROW`
+    mistake) silently trains on the answer and no unit test on row
+    counts would notice — here the oracle's hash would.
+
+    Scale design: ONE user-keyed shuffle computes every feature via
+    range-frame windows over epoch-microsecond longs (Spark executes
+    all three frames in a single WindowExec pass, sorted once per user
+    partition) — versus the naive per-label self-join which is
+    O(labels × history) and re-shuffles per feature. User partitions
+    are time-sorted within; no global sort anywhere.
+
+    Cross-engine: identical integer frame bounds (604800000000 µs);
+    count features are exact; the one float feature sums the SAME
+    bounded window both sides and rounds at 2dp."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604800000000, -1)
+    )
+    feat = (
+        ev.withColumn(
+            "views_7d",
+            F.count(F.when(F.col("event_type") == "view", 1)).over(w7),
+        )
+        .withColumn(
+            "clicks_7d",
+            F.count(F.when(F.col("event_type") == "click", 1)).over(w7),
+        )
+        .withColumn(
+            "purchase_value_7d",
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase", F.col("value")
+                        )
+                    ).over(w7),
+                    F.lit(0.0),
+                ),
+                2,
+            ),
+        )
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "views_7d",
+        "clicks_7d",
+        "purchase_value_7d",
+        F.round("value", 2).alias("label_value"),
+    )
+
+
+@register(
+    "evt_holt_linear_forecast",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY d) AS INT) AS i,
+           y
+    FROM (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS INT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS y
+        FROM events GROUP BY 1, 2
+    )
+),
+n AS (SELECT event_type, max(i) AS imax FROM seq GROUP BY event_type),
+state AS (
+    SELECT s1.event_type, 2 AS i,
+           CAST(s2.y AS DOUBLE) AS level,
+           CAST(s2.y - s1.y AS DOUBLE) AS trend,
+           CAST(0 AS DOUBLE) AS sse
+    FROM seq s1 JOIN seq s2
+      ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+    UNION ALL
+    SELECT st.event_type, st.i + 1,
+           0.5 * sy.y + 0.5 * (st.level + st.trend),
+           0.3 * (0.5 * sy.y + 0.5 * (st.level + st.trend) - st.level)
+             + 0.7 * st.trend,
+           st.sse + (sy.y - (st.level + st.trend))
+                  * (sy.y - (st.level + st.trend))
+    FROM state st
+    JOIN seq sy ON sy.event_type = st.event_type AND sy.i = st.i + 1
+)
+SELECT st.event_type,
+       round(st.level, 6) AS level,
+       round(st.trend, 6) AS trend,
+       round(st.level + st.trend, 6) AS forecast_next,
+       round(st.sse, 6) AS sse
+FROM state st JOIN n ON n.event_type = st.event_type AND st.i = n.imax
+ORDER BY st.event_type
+    """,
+)
+def evt_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per event type —
+    the stateful forecaster between evt_decay_weighted_value (level
+    only) and evt_seasonal_decompose (level+season): level and trend
+    updated recursively over the daily-revenue series (α=0.5, β=0.3),
+    emitting the final state, the 1-step-ahead forecast, and in-sample
+    SSE. Initialization l₁=y₂, t₁=y₂−y₁ (textbook), fold from the 3rd
+    point; the day index is ROW-position based so a missing day
+    truncates neither engine's recursion.
+
+    Spark-first design: the recursion that looks "inherently
+    sequential" is a scan-stage HIGHER-ORDER FOLD — the corpus reduces
+    to |types| day-series rows (map-combined aggregate + array_sort
+    (collect_list)), then F.aggregate folds the ≤31-element array with
+    a (level, trend, sse) struct accumulator in ONE whole-stage-codegen
+    expression; no driver loop, no UDF, no per-step shuffle. At 100 TB
+    the fold input is still |types|×|days| scalars. The DuckDB oracle
+    mirrors the identical arithmetic as a recursive CTE — the SSE
+    (28 chained float ops deep) matching at 6dp certifies fold-order
+    equality, not just the final level.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("int")
+        .alias("d"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100
+        ).alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("pts")
+    )
+    ys = F.transform(F.col("pts"), lambda p: p.y)
+    init = F.struct(
+        F.element_at(ys, 2).alias("level"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("trend"),
+        F.lit(0.0).alias("sse"),
+    )
+    fold = F.aggregate(
+        F.slice(ys, 3, F.size(ys) - 2),
+        init,
+        lambda acc, y: F.struct(
+            (0.5 * y + 0.5 * (acc.level + acc.trend)).alias("level"),
+            (
+                0.3 * (0.5 * y + 0.5 * (acc.level + acc.trend) - acc.level)
+                + 0.7 * acc.trend
+            ).alias("trend"),
+            (
+                acc.sse
+                + (y - (acc.level + acc.trend)) * (y - (acc.level + acc.trend))
+            ).alias("sse"),
+        ),
+    )
+    return (
+        series.select("event_type", fold.alias("s"))
+        .select(
+            "event_type",
+            F.round(F.col("s.level"), 6).alias("level"),
+            F.round(F.col("s.trend"), 6).alias("trend"),
+            F.round(F.col("s.level") + F.col("s.trend"), 6).alias(
+                "forecast_next"
+            ),
+            F.round(F.col("s.sse"), 6).alias("sse"),
+        )
+        .orderBy("event_type")
+    )
