@@ -74,6 +74,9 @@ _PRIORITY = [
     "evt_fourier_daily_harmonics",
     "evt_pit_training_features",
     "evt_holt_linear_forecast",
+    "graph_cosupply_projection",
+    "dedup_er_blocked_pairs",
+    "evt_diff_in_diff",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

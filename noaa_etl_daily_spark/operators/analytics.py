@@ -8630,3 +8630,322 @@ def evt_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "graph_cosupply_projection",
+    oracle="""
+    WITH bip AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS degree FROM bip GROUP BY s
+    ),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2,
+               CAST(count(*) AS BIGINT) AS shared_parts
+        FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT p.s1, p.s2, p.shared_parts,
+           d1.degree AS deg1, d2.degree AS deg2,
+           round(CAST(p.shared_parts AS DOUBLE)
+                 / (d1.degree + d2.degree - p.shared_parts), 6) AS jaccard
+    FROM pairs p
+    JOIN deg d1 ON d1.s = p.s1
+    JOIN deg d2 ON d2.s = p.s2
+    ORDER BY p.shared_parts DESC, p.s1, p.s2
+    LIMIT 20
+    """,
+)
+def graph_cosupply_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted one-mode projection of the supplier–part bipartite
+    graph: the 20 strongest supplier pairs by SHARED distinct parts,
+    with neighbourhood-Jaccard overlap — the co-occurrence projection
+    behind "suppliers like this one" / substitution-risk analysis, and
+    the third member of the graph shelf (graph_triangle_census:
+    closure; graph_pagerank_brands: centrality; this: projection).
+
+    Scale design: the pair space is generated by the PART equi-key —
+    only suppliers of the SAME part ever meet (hash join on p), so
+    cost is Σ_p fanout(p)², the classic bounded-hub projection, never
+    |S|². At 100 TB the guard is capping hub fanout (drop or sample
+    parts with fanout > ~10³ — exactly the prefix-filter trick
+    llm_dedup_ngram_jaccard documents); here max fanout is bounded by
+    the fixture's supplier count. Dedup-first (DISTINCT before the
+    join) keeps multiplicities out of both the pair counts and the
+    degrees; top-20 is TakeOrderedAndProject with full (s1, s2)
+    tiebreak."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    )
+    bip = li.distinct()
+    deg = bip.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    a, b = bip.alias("a"), bip.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("degree").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("degree").alias("deg2"))
+    return (
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "shared_parts",
+            "deg1",
+            "deg2",
+            F.round(
+                F.col("shared_parts").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("shared_parts")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("shared_parts"), "s1", "s2")
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_er_blocked_pairs",
+    oracle="""
+    WITH blocked AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+               c_nationkey || '|' || c_mktsegment || '|'
+                 || substr(c_name, 10, 6) AS blk
+        FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist,
+           round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_diff
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation at FACT-table scale — the
+    blocked pipeline fn_levenshtein_fuzzy_match's docstring promises:
+    customers are first hashed into blocks by (nation, segment,
+    name-prefix), pairs form ONLY within a block (equi-join on the
+    block key — a plain scalable hash join), and the expensive edit
+    distance runs on block-local candidates alone. Pairs within
+    Levenshtein ≤ 2 plus the account-balance delta come back as the
+    match-scoring input (the Fellegi–Sunter comparison vector).
+
+    Scale maths: |customer|² is never formed; cost is Σ_b |block_b|² —
+    with the 6-digit prefix in the key, blocks stay O(10) even at
+    customer cardinalities where a segment-only block would explode.
+    That multi-field key is also the production knob: widen the prefix
+    to tighten blocks (higher precision, cheaper) or run a SECOND pass
+    with a different key and union candidates (higher recall) — the
+    standard multi-pass blocking scheme, same plan shape each pass.
+
+    Cross-engine: both engines implement classic Levenshtein (exact
+    ints); the block key concatenates identically; id-ordered pair
+    canonicalization (a < b) prevents mirror duplicates."""
+    c = load(spark, sf_dir, "customer")
+    blocked = c.withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            "c_nationkey",
+            "c_mktsegment",
+            F.substring("c_name", 10, 6),
+        ),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias(
+                "edit_dist"
+            ),
+            F.round(
+                F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")), 2
+            ).alias("bal_diff"),
+        )
+        .where(F.col("edit_dist") <= 2)
+    )
+
+
+@register(
+    "evt_diff_in_diff",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN count(*) FILTER (event_type = 'click'
+                        AND ts < TIMESTAMP '2024-01-16 00:00:00') >= 7
+                    THEN 1 ELSE 0 END AS treated,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS pre_cents,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS post_cents
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT treated,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pre_cents) AS BIGINT) AS s_pre,
+               CAST(sum(post_cents) AS BIGINT) AS s_post,
+               CAST(sum(CAST(pre_cents AS HUGEINT) * pre_cents)
+                    AS DOUBLE) AS ss_pre,
+               CAST(sum(CAST(post_cents AS HUGEINT) * post_cents)
+                    AS DOUBLE) AS ss_post
+        FROM per_user GROUP BY treated
+    ),
+    wide AS (
+        SELECT
+          max(CASE WHEN treated = 1 THEN n END) AS nt,
+          max(CASE WHEN treated = 1 THEN s_pre END) AS t_pre,
+          max(CASE WHEN treated = 1 THEN s_post END) AS t_post,
+          max(CASE WHEN treated = 1 THEN ss_pre END) AS t_ss_pre,
+          max(CASE WHEN treated = 1 THEN ss_post END) AS t_ss_post,
+          max(CASE WHEN treated = 0 THEN n END) AS nc,
+          max(CASE WHEN treated = 0 THEN s_pre END) AS c_pre,
+          max(CASE WHEN treated = 0 THEN s_post END) AS c_post,
+          max(CASE WHEN treated = 0 THEN ss_pre END) AS c_ss_pre,
+          max(CASE WHEN treated = 0 THEN ss_post END) AS c_ss_post
+        FROM m
+    )
+    SELECT nt, nc,
+      round((CAST(t_post AS DOUBLE)/nt - CAST(t_pre AS DOUBLE)/nt)/100, 6)
+          AS treated_delta,
+      round((CAST(c_post AS DOUBLE)/nc - CAST(c_pre AS DOUBLE)/nc)/100, 6)
+          AS control_delta,
+      round(((CAST(t_post AS DOUBLE)/nt - CAST(t_pre AS DOUBLE)/nt)
+             - (CAST(c_post AS DOUBLE)/nc - CAST(c_pre AS DOUBLE)/nc))
+            /100, 6) AS did,
+      round(sqrt(
+          ((t_ss_pre - CAST(t_pre AS DOUBLE)*t_pre/nt)
+               /(CAST(nt AS DOUBLE)-1)
+           + (t_ss_post - CAST(t_post AS DOUBLE)*t_post/nt)
+               /(CAST(nt AS DOUBLE)-1))/nt
+        + ((c_ss_pre - CAST(c_pre AS DOUBLE)*c_pre/nc)
+               /(CAST(nc AS DOUBLE)-1)
+           + (c_ss_post - CAST(c_post AS DOUBLE)*c_post/nc)
+               /(CAST(nc AS DOUBLE)-1))/nc
+      )/100, 6) AS did_se
+    FROM wide
+    """,
+)
+def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator for
+    when you CAN'T randomize (feature shipped to an organically-formed
+    group): heavy first-half clickers (≥7 clicks) vs the rest, per-user
+    purchase spend pre/post the month midpoint; the causal readout is
+    (ΔT − ΔC) with its independent-samples standard error from the four
+    cell variances. Closes the experimentation shelf's observational
+    flank next to evt_cuped_variance_reduction (randomized + covariate)
+    and agg_welch_ttest (randomized, means).
+
+    Exactness: user-grain reduction in integer cents; per-cell moments
+    exact (Σx bigint, Σx² 128-bit); estimate and SE are identically-
+    written double expressions on ONE output row.
+
+    Scale design: one user-keyed map-combined aggregate → 2 group-
+    moment rows → 1-row wide reduce. The whole causal analysis costs
+    one shuffle of user-grain partials at any corpus size."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") < cut), 1
+                )
+            )
+            >= 7,
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") < cut),
+                cents,
+            ).otherwise(0)
+        ).alias("pre_cents"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut),
+                cents,
+            ).otherwise(0)
+        ).alias("post_cents"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per_user.groupBy("treated").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_cents").alias("s_pre"),
+        F.sum("post_cents").alias("s_post"),
+        F.sum(dec("pre_cents") * dec("pre_cents"))
+        .cast("double")
+        .alias("ss_pre"),
+        F.sum(dec("post_cents") * dec("post_cents"))
+        .cast("double")
+        .alias("ss_post"),
+    )
+
+    def pick(t, c):
+        return F.max(F.when(F.col("treated") == t, F.col(c)))
+
+    wide = m.agg(
+        pick(1, "n").alias("nt"),
+        pick(1, "s_pre").alias("t_pre"),
+        pick(1, "s_post").alias("t_post"),
+        pick(1, "ss_pre").alias("t_ss_pre"),
+        pick(1, "ss_post").alias("t_ss_post"),
+        pick(0, "n").alias("nc"),
+        pick(0, "s_pre").alias("c_pre"),
+        pick(0, "s_post").alias("c_post"),
+        pick(0, "ss_pre").alias("c_ss_pre"),
+        pick(0, "ss_post").alias("c_ss_post"),
+    )
+    td = F.col("t_post").cast("double") / F.col("nt") - F.col(
+        "t_pre"
+    ).cast("double") / F.col("nt")
+    cd = F.col("c_post").cast("double") / F.col("nc") - F.col(
+        "c_pre"
+    ).cast("double") / F.col("nc")
+
+    def var(ss, s, n):
+        return (
+            F.col(ss) - F.col(s).cast("double") * F.col(s) / F.col(n)
+        ) / (F.col(n).cast("double") - 1)
+
+    se = F.sqrt(
+        (var("t_ss_pre", "t_pre", "nt") + var("t_ss_post", "t_post", "nt"))
+        / F.col("nt")
+        + (var("c_ss_pre", "c_pre", "nc") + var("c_ss_post", "c_post", "nc"))
+        / F.col("nc")
+    )
+    return wide.select(
+        "nt",
+        "nc",
+        F.round(td / 100, 6).alias("treated_delta"),
+        F.round(cd / 100, 6).alias("control_delta"),
+        F.round((td - cd) / 100, 6).alias("did"),
+        F.round(se / 100, 6).alias("did_se"),
+    )

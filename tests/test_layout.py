@@ -392,6 +392,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_welch_ttest",            # 1-row reduce of 2 group-moment rows
         "evt_cuped_variance_reduction",  # 1-row moment reduce
         "agg_benjamini_hochberg_fdr",  # BH step-up over |event_type| rows
+        "evt_diff_in_diff",           # 1-row reduce of 2 group-moment rows
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
