@@ -77,6 +77,12 @@ _PRIORITY = [
     "graph_cosupply_projection",
     "dedup_er_blocked_pairs",
     "evt_diff_in_diff",
+    "agg_anova_oneway",
+    "agg_jackknife_ratio_variance",
+    "llm_dataset_mixture_weights",
+    "agg_spearman_rank_corr",
+    "evt_uplift_qini_deciles",
+    "evt_rolling_correlation",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -8949,3 +8949,671 @@ def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((td - cd) / 100, 6).alias("did"),
         F.round(se / 100, 6).alias("did_se"),
     )
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+    WITH samples AS (
+        SELECT event_type AS grp,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    moments AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
+               CAST(round(CAST(sum(cents) AS DOUBLE) * sum(cents)
+                          / count(*) * 1000) AS BIGINT) AS bterm_milli
+        FROM samples GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(sx) AS BIGINT) AS s_all,
+               CAST(sum(sxx) AS DOUBLE) AS sxx_all,
+               CAST(sum(bterm_milli) AS BIGINT) AS sb_milli
+        FROM moments
+    )
+    SELECT k, n_total,
+           round((CAST(sb_milli AS DOUBLE) / 1000
+                  - CAST(s_all AS DOUBLE) * s_all / n_total)
+                 / 10000, 2) AS ss_between,
+           round((sxx_all - CAST(sb_milli AS DOUBLE) / 1000)
+                 / 10000, 2) AS ss_within,
+           round(((CAST(sb_milli AS DOUBLE) / 1000
+                   - CAST(s_all AS DOUBLE) * s_all / n_total)
+                  / (CAST(k AS DOUBLE) - 1))
+                 / ((sxx_all - CAST(sb_milli AS DOUBLE) / 1000)
+                    / (CAST(n_total AS DOUBLE) - k)), 6) AS f_stat,
+           round((CAST(sb_milli AS DOUBLE) / 1000
+                  - CAST(s_all AS DOUBLE) * s_all / n_total)
+                 / (sxx_all
+                    - CAST(s_all AS DOUBLE) * s_all / n_total), 6)
+               AS eta_squared
+    FROM tot
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of event value across ALL event types at
+    once — the k-group extension of agg_welch_ttest (which can only
+    compare two): between-group vs within-group variance decomposition,
+    the F statistic, and eta-squared effect size. The omnibus test you
+    run BEFORE pairwise comparisons (then correct the pairs with
+    agg_benjamini_hochberg_fdr).
+
+    Exactness: per-group moments are exact integers (Σx bigint, Σx²
+    128-bit). The one cross-group sum of a fractional term — Σ_g
+    (Σx_g)²/n_g, the between-group raw term — is quantized to integer
+    milli-cents² per GROUP row before summing (the
+    agg_mutual_information nano-unit discipline), so the k-row
+    reduction is order-independent; SS_between/SS_within/F/eta² then
+    derive on ONE output row with identically-written double
+    expressions in both engines.
+
+    Scale design: one map-combined hash aggregate corpus → k group
+    rows → 1-row reduce. Same single-shuffle cost as a plain groupBy
+    at any corpus size; the statistics are free."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    moments = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))
+        .alias("sxx"),
+    ).withColumn(
+        "bterm_milli",
+        F.round(
+            F.col("sx").cast("double") * F.col("sx") / F.col("n") * 1000
+        ).cast("bigint"),
+    )
+    tot = moments.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("sx").alias("s_all"),
+        F.sum("sxx").cast("double").alias("sxx_all"),
+        F.sum("bterm_milli").alias("sb_milli"),
+    )
+    sb = F.col("sb_milli").cast("double") / 1000
+    grand = F.col("s_all").cast("double") * F.col("s_all") / F.col("n_total")
+    ssb = sb - grand
+    ssw = F.col("sxx_all") - sb
+    sst = F.col("sxx_all") - grand
+    return tot.select(
+        "k",
+        "n_total",
+        F.round(ssb / 10000, 2).alias("ss_between"),
+        F.round(ssw / 10000, 2).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k").cast("double") - 1))
+            / (ssw / (F.col("n_total").cast("double") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+@register(
+    "agg_jackknife_ratio_variance",
+    oracle="""
+    WITH bucketed AS (
+        SELECT user_id % 20 AS bkt,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS num_cents,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                   AS den_clicks
+        FROM events GROUP BY user_id % 20
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS b,
+               CAST(sum(num_cents) AS BIGINT) AS n_all,
+               CAST(sum(den_clicks) AS BIGINT) AS d_all
+        FROM bucketed
+    ),
+    pseudo AS (
+        SELECT CAST(round(
+                   CAST(t.n_all - bk.num_cents AS DOUBLE)
+                   / (t.d_all - bk.den_clicks) * 1000000000)
+               AS BIGINT) AS theta_nano
+        FROM bucketed bk CROSS JOIN tot t
+    ),
+    ps AS (
+        SELECT CAST(sum(theta_nano) AS BIGINT) AS st,
+               sum(CAST(theta_nano AS HUGEINT) * CAST(theta_nano AS HUGEINT))
+                   AS st2
+        FROM pseudo
+    )
+    SELECT t.b AS n_buckets,
+           round(CAST(t.n_all AS DOUBLE) / t.d_all / 100, 6)
+               AS revenue_per_click,
+           round(sqrt(
+               (CAST(st2 AS DOUBLE) / 1e18
+                - (CAST(st AS DOUBLE) / 1e9) * (CAST(st AS DOUBLE) / 1e9)
+                  / t.b)
+               * (CAST(t.b AS DOUBLE) - 1) / t.b) / 100, 6) AS jk_se,
+           round((CAST(t.n_all AS DOUBLE) / t.d_all
+                  - 1.959963984540054 * sqrt(
+                      (CAST(st2 AS DOUBLE) / 1e18
+                       - (CAST(st AS DOUBLE) / 1e9)
+                         * (CAST(st AS DOUBLE) / 1e9) / t.b)
+                      * (CAST(t.b AS DOUBLE) - 1) / t.b)) / 100, 6)
+               AS ci_lo,
+           round((CAST(t.n_all AS DOUBLE) / t.d_all
+                  + 1.959963984540054 * sqrt(
+                      (CAST(st2 AS DOUBLE) / 1e18
+                       - (CAST(st AS DOUBLE) / 1e9)
+                         * (CAST(st AS DOUBLE) / 1e9) / t.b)
+                      * (CAST(t.b AS DOUBLE) - 1) / t.b)) / 100, 6)
+               AS ci_hi
+    FROM tot t CROSS JOIN ps
+    """,
+)
+def agg_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife for a RATIO metric (revenue per
+    click) — the standard-error machinery experimentation platforms use
+    when the metric is a quotient of two correlated sums (per-user
+    ratios are not i.i.d., so the naive s/√n is wrong; the delete-one
+    jackknife over user-hash buckets is the unbiased fix, and the
+    deterministic sibling of agg_poisson_bootstrap_ci's resampling).
+
+    Exactness: bucket sums are exact integers; each leave-one-out
+    pseudo-estimate θ_(i) = (N−n_i)/(D−d_i) is ONE double division
+    quantized to integer nano-units per bucket row before the B-row
+    moment sum (order-independent); the variance, SE, and normal CI
+    derive on one output row from those exact nano-moments with
+    identically-written expressions.
+
+    Scale design: corpus → B=20 bucket rows in one map-combined
+    aggregate keyed on user_id % B (at production scale B=100–1000
+    buckets — still nothing); everything after is constant-size. The
+    whole uncertainty readout costs exactly one shuffle of bucket
+    partials."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bucketed = ev.groupBy((F.col("user_id") % 20).alias("bkt")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("num_cents"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias(
+            "den_clicks"
+        ),
+    )
+    tot = bucketed.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("num_cents").alias("n_all"),
+        F.sum("den_clicks").alias("d_all"),
+    )
+    pseudo = (
+        bucketed.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_all") - F.col("num_cents")).cast("double")
+                / (F.col("d_all") - F.col("den_clicks"))
+                * 1000000000
+            )
+            .cast("bigint")
+            .alias("theta_nano")
+        )
+    )
+    ps = pseudo.agg(
+        F.sum("theta_nano").alias("st"),
+        F.sum(
+            F.col("theta_nano").cast("decimal(38,0)")
+            * F.col("theta_nano").cast("decimal(38,0)")
+        ).alias("st2"),
+    )
+    joined = tot.crossJoin(F.broadcast(ps))
+    bd = F.col("b").cast("double")
+    var_jk = (
+        F.col("st2").cast("double") / F.lit(1e18)
+        - (F.col("st").cast("double") / F.lit(1e9))
+        * (F.col("st").cast("double") / F.lit(1e9))
+        / F.col("b")
+    ) * (bd - 1) / F.col("b")
+    theta = F.col("n_all").cast("double") / F.col("d_all")
+    z = F.lit(1.959963984540054)
+    return joined.select(
+        F.col("b").alias("n_buckets"),
+        F.round(theta / 100, 6).alias("revenue_per_click"),
+        F.round(F.sqrt(var_jk) / 100, 6).alias("jk_se"),
+        F.round((theta - z * F.sqrt(var_jk)) / 100, 6).alias("ci_lo"),
+        F.round((theta + z * F.sqrt(var_jk)) / 100, 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "llm_dataset_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000)
+                    AS BIGINT) AS pw_micro
+        FROM per_source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_all,
+               CAST(sum(pw_micro) AS BIGINT) AS pw_all
+        FROM powed
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           round(CAST(p.n_tokens AS DOUBLE) / t.tok_all, 6) AS raw_share,
+           round(CAST(p.pw_micro AS DOUBLE) / t.pw_all, 6)  AS mixture_weight,
+           round(CAST(p.pw_micro AS DOUBLE) / t.pw_all
+                 * 1000000 / p.n_tokens, 6) AS epochs_at_1m_budget
+    FROM powed p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def llm_dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture weights — the sampling-ratio
+    table a pretraining run is configured from: per-source token counts
+    re-weighted by w_s ∝ (tokens_s)^α with α = 0.7 (the multilingual
+    up-sampling rule: raising small sources, damping the head), plus
+    the effective epoch count each source would run at a fixed token
+    budget (epochs > 1 ⇒ that source repeats; the overfitting flag).
+
+    Exactness: token counts are exact integers in one aggregate; the
+    single transcendental (pow α) evaluates once per SOURCE row and is
+    quantized to integer micro-units before the cross-source
+    normalizer sum, so the |sources|-row reduction is order-independent
+    and the weights are exact integer ratios re-expressed as doubles.
+
+    Scale design: corpus → |sources| rows in ONE map-combined
+    aggregate (token counting rides the scan as a split+len — no
+    explode, no shuffle of tokens); the weight table is broadcast-size
+    by construction. This is the 30-second query that decides a
+    multi-week training run's data diet."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ", -1))).alias("n_tokens"),
+    )
+    powed = per_source.withColumn(
+        "pw_micro",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)) * 1000000
+        ).cast("bigint"),
+    )
+    tot = powed.agg(
+        F.sum("n_tokens").alias("tok_all"),
+        F.sum("pw_micro").alias("pw_all"),
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tok_all"), 6
+            ).alias("raw_share"),
+            F.round(
+                F.col("pw_micro").cast("double") / F.col("pw_all"), 6
+            ).alias("mixture_weight"),
+            F.round(
+                F.col("pw_micro").cast("double")
+                / F.col("pw_all")
+                * 1000000
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs_at_1m_budget"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "agg_spearman_rank_corr",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS xc,
+               CAST(coalesce(sum(CAST(round(o.o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT) AS yc
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    rx AS (
+        SELECT c_custkey,
+               2 * rank() OVER (ORDER BY xc)
+                 + count(*) OVER (PARTITION BY xc) - 1 AS r2x
+        FROM base
+    ),
+    ry AS (
+        SELECT c_custkey,
+               2 * rank() OVER (ORDER BY yc)
+                 + count(*) OVER (PARTITION BY yc) - 1 AS r2y
+        FROM base
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r2x) AS BIGINT) AS sx,
+               CAST(sum(r2y) AS BIGINT) AS sy,
+               sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+               sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+               sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        FROM rx JOIN ry USING (c_custkey)
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS spearman_rho
+    FROM m
+    """,
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their lifetime order spend — the monotone-association
+    complement of the Pearson shelf (evt_type_correlation_matrix):
+    outlier-immune, invariant to any monotone rescaling, the robust
+    answer to "do richer accounts actually buy more?".
+
+    Exactness: ties use the SQL-standard midrank, carried as the
+    INTEGER 2·avg_rank = 2·min_rank + tie_count − 1 (Pearson is
+    scale-invariant, so doubling clears the half-unit); every moment
+    (Σr, Σr², Σrᵣrᵧ) is an exact 128-bit integer sum, and rho is one
+    identically-written double expression on the final row. No float
+    crosses an exchange anywhere.
+
+    Scale design: min-ranks come from the distributed range-rank
+    machinery (operators/scale_rank.py — range repartition →
+    per-partition row_number → broadcast offsets), tie groups from a
+    value-keyed aggregate joined back on the value: no unpartitioned
+    window over customer-cardinality rows in the plan (the oracle's
+    global rank() window is the REFERENCE semantics, not the plan).
+    Cost at any scale: the customer-grain spend aggregate + two
+    range-rank passes."""
+    from .scale_rank import with_global_rank
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ocents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(ocents).alias("yc_raw")
+    )
+    base = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("xc"),
+            F.coalesce(F.col("yc_raw"), F.lit(0)).alias("yc"),
+        )
+    )
+
+    def doubled_midrank(df, col, out):
+        """2·avg_rank as an exact integer via distributed row_number +
+        a tie-group (value-keyed) aggregate joined back on the value."""
+        rowed = with_global_rank(
+            df, [F.col(col), F.col("c_custkey")], "__grank"
+        )
+        ties = rowed.groupBy(col).agg(
+            F.min("__grank").alias("__mn"), F.count(F.lit(1)).alias("__cnt")
+        )
+        return (
+            rowed.join(ties, col)
+            .withColumn(out, 2 * F.col("__mn") + F.col("__cnt") - 1)
+            .select("c_custkey", out)
+        )
+
+    rx = doubled_midrank(base, "xc", "r2x")
+    ry = doubled_midrank(base, "yc", "r2y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = rx.join(ry, "c_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(dec("r2x") * dec("r2x")).alias("sxx"),
+        F.sum(dec("r2y") * dec("r2y")).alias("syy"),
+        F.sum(dec("r2x") * dec("r2y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx").cast("double")
+                 - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("syy").cast("double")
+                   - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "evt_uplift_qini_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 2 AS treated,
+               CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-16 00:00:00')
+                    AS BIGINT) AS score,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS post_cents
+        FROM events GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM per_user
+    ),
+    cells AS (
+        SELECT decile,
+               CAST(count(*) FILTER (treated = 1) AS BIGINT) AS n_t,
+               CAST(count(*) FILTER (treated = 0) AS BIGINT) AS n_c,
+               CAST(coalesce(sum(post_cents) FILTER (treated = 1), 0)
+                    AS BIGINT) AS s_t,
+               CAST(coalesce(sum(post_cents) FILTER (treated = 0), 0)
+                    AS BIGINT) AS s_c
+        FROM tiled GROUP BY decile
+    )
+    SELECT decile, n_t, n_c,
+           round(CAST(s_t AS DOUBLE) / n_t / 100, 6) AS mean_t,
+           round(CAST(s_c AS DOUBLE) / n_c / 100, 6) AS mean_c,
+           round((CAST(s_t AS DOUBLE) / n_t
+                  - CAST(s_c AS DOUBLE) / n_c) / 100, 6) AS uplift,
+           round((CAST(sum(s_t) OVER w AS DOUBLE)
+                  - CAST(sum(s_c) OVER w AS DOUBLE)
+                    * sum(n_t) OVER w / sum(n_c) OVER w) / 100, 6)
+               AS qini_cum_gain
+    FROM cells
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """,
+)
+def evt_uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile table with the cumulative Qini gain curve — the
+    standard readout for a targeting model: users are ranked by a
+    score (pre-period engagement stands in for the model), deciled,
+    and each decile reports treated-vs-control outcome means, their
+    difference (incremental value per user), and the running Qini gain
+    cum(Y_t) − cum(Y_c)·cum(N_t)/cum(N_c) that the area-under-Qini
+    metric integrates. Treatment is the deterministic md5 coin
+    (llm_split_train_test's idiom), so assignment is engine- and
+    rerun-stable.
+
+    Exactness: per-user reduction in integer cents; decile cells carry
+    integer counts/sums; per-decile means and the Qini expression are
+    identically-written doubles; the cumulative window runs over 10
+    DECILE rows (bounded), with exact integer running sums.
+
+    Scale design: one user-keyed aggregate; deciles via the
+    distributed range-rank ntile (operators/scale_rank.py) — no
+    unpartitioned window ever sees user-cardinality rows (the oracle's
+    global ntile states the semantics; the plan implements it as range
+    ranking); everything after is a 10-row table."""
+    from .scale_rank import with_ntile
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).alias("score"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut),
+                cents,
+            ).otherwise(0)
+        ).alias("post_cents"),
+    ).withColumn(
+        "treated",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 2,
+    )
+    tiled = with_ntile(
+        per_user,
+        [F.col("score").desc(), F.col("user_id")],
+        10,
+        "decile",
+    )
+    cells = tiled.groupBy("decile").agg(
+        F.count(F.when(F.col("treated") == 1, 1)).alias("n_t"),
+        F.count(F.when(F.col("treated") == 0, 1)).alias("n_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("treated") == 1, F.col("post_cents"))),
+            F.lit(0),
+        ).alias("s_t"),
+        F.coalesce(
+            F.sum(F.when(F.col("treated") == 0, F.col("post_cents"))),
+            F.lit(0),
+        ).alias("s_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.select(
+            "decile",
+            "n_t",
+            "n_c",
+            F.round(F.col("s_t").cast("double") / F.col("n_t") / 100, 6)
+            .alias("mean_t"),
+            F.round(F.col("s_c").cast("double") / F.col("n_c") / 100, 6)
+            .alias("mean_c"),
+            F.round(
+                (F.col("s_t").cast("double") / F.col("n_t")
+                 - F.col("s_c").cast("double") / F.col("n_c")) / 100,
+                6,
+            ).alias("uplift"),
+            F.round(
+                (F.sum("s_t").over(w).cast("double")
+                 - F.sum("s_c").over(w).cast("double")
+                   * F.sum("n_t").over(w)
+                   / F.sum("n_c").over(w)) / 100,
+                6,
+            ).alias("qini_cum_gain"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "evt_rolling_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    rolled AS (
+        SELECT day,
+               CAST(count(*) OVER w AS BIGINT) AS k,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+               sum(CAST(y AS HUGEINT) * y) OVER w AS syy,
+               sum(CAST(x AS HUGEINT) * y) OVER w AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           round((7 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt((7 * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (7 * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * sy)), 0), 6)
+               AS roll_corr_7d
+    FROM rolled
+    WHERE k = 7
+    ORDER BY day
+    """,
+)
+def evt_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily purchase revenue
+    and daily click volume — the co-movement monitor behind "are clicks
+    still converting?" dashboards: a correlation that decays toward
+    zero while both series stay individually healthy is the classic
+    sign of broken attribution or bot clicks.
+
+    Exactness: the corpus reduces to DAY grain with integer cents /
+    counts; all five rolling moments are exact integer window sums
+    (products in 128-bit), so the window fold is order-independent;
+    the correlation is one double expression per output row with a
+    nullif guard on degenerate (zero-variance) weeks in BOTH engines.
+
+    Scale design: one date-keyed aggregate (map-combined) → ≤|days|
+    rows; the rolling windows run over that bounded day table
+    (lint-whitelisted grain), never raw events. At 100 TB the day table
+    is still 365 rows/year."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    rolled = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(dec("x") * dec("x")).over(w).alias("sxx"),
+        F.sum(dec("y") * dec("y")).over(w).alias("syy"),
+        F.sum(dec("x") * dec("y")).over(w).alias("sxy"),
+    )
+    denom = F.sqrt(
+        (7 * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx"))
+        * (7 * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return (
+        rolled.where(F.col("k") == 7)
+        .select(
+            "day",
+            F.round(
+                (7 * F.col("sxy").cast("double")
+                 - F.col("sx").cast("double") * F.col("sy"))
+                / F.nullif(denom, F.lit(0.0)),
+                6,
+            ).alias("roll_corr_7d"),
+        )
+        .orderBy("day")
+    )

@@ -304,6 +304,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_beta_binomial_smoothing",  # 1-row global-prior scalar
         "evt_shapley_attribution",    # 16-row coalition lattice (2^n for
                                       # n=4 channels, corpus-independent)
+        "agg_jackknife_ratio_variance",  # 1-row totals × B=20 bucket rows
+        "llm_dataset_mixture_weights",   # 1-row normalizer × |sources| rows
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -393,6 +395,15 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_cuped_variance_reduction",  # 1-row moment reduce
         "agg_benjamini_hochberg_fdr",  # BH step-up over |event_type| rows
         "evt_diff_in_diff",           # 1-row reduce of 2 group-moment rows
+        "agg_anova_oneway",           # 1-row reduce of k group-moment rows
+        "agg_jackknife_ratio_variance",  # 1-row reduce of 20 bucket rows
+        "llm_dataset_mixture_weights",   # 1-row normalizer reduce of
+                                         # |sources| rows
+        "agg_spearman_rank_corr",     # P-row offsets windows (scale_rank)
+                                      # + 1-row moment reduce
+        "evt_uplift_qini_deciles",    # P-row offsets window (scale_rank)
+                                      # + cumulative window over 10 deciles
+        "evt_rolling_correlation",    # rolling windows over DAY rows
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
@@ -454,6 +465,11 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_sequential_sprt",        # cumulative ledger over DAY rows
         "agg_benjamini_hochberg_fdr",  # rank/step-up windows over
                                       # |event_type| metric rows
+        "agg_spearman_rank_corr",     # P-row offsets windows (two
+                                      # scale_rank passes, value grain)
+        "evt_uplift_qini_deciles",    # P-row offsets window + 10-row
+                                      # decile Qini cumsum
+        "evt_rolling_correlation",    # DAY-grain rolling moment windows
     }
 
     def _walk(node):
