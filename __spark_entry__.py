@@ -83,6 +83,10 @@ _PRIORITY = [
     "agg_spearman_rank_corr",
     "evt_uplift_qini_deciles",
     "evt_rolling_correlation",
+    "llm_repeated_substring_census",
+    "llm_capture_recapture_estimate",
+    "llm_weighted_reservoir_sample",
+    "evt_path_trigrams",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

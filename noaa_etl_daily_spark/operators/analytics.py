@@ -9617,3 +9617,350 @@ def evt_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "llm_repeated_substring_census",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS ts
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, ts,
+               CAST(unnest(generate_series(1, len(ts) - 4)) AS BIGINT) AS p
+        FROM toks WHERE len(ts) >= 5
+    ),
+    hashed AS (
+        SELECT doc_id, p,
+               md5(array_to_string(list_slice(ts, p, p + 4), ' ')) AS h
+        FROM flat
+    ),
+    dup AS (
+        SELECT h FROM hashed GROUP BY h
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dpos AS (
+        SELECT doc_id, p FROM hashed WHERE h IN (SELECT h FROM dup)
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= 4
+                    THEN 0 ELSE 1 END AS brk
+        FROM dpos
+    ),
+    grp AS (
+        SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS g
+        FROM isl
+    ),
+    runs AS (
+        SELECT doc_id, g,
+               CAST(max(p) - min(p) + 5 AS BIGINT) AS run_tokens
+        FROM grp GROUP BY doc_id, g
+    ),
+    census AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_dup_regions,
+               CAST(sum(run_tokens) AS BIGINT) AS dup_tokens,
+               CAST(max(run_tokens) AS BIGINT) AS longest_run_tokens
+        FROM runs GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           c.n_dup_regions, c.dup_tokens, c.longest_run_tokens,
+           CAST(c.dup_tokens * 1000000 // len(t.ts) AS BIGINT) AS dup_ppm
+    FROM census c JOIN toks t USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+)
+def llm_repeated_substring_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-document repeated-SUBSTRING census — the positional
+    sharpening of C4-style segment dedup (llm_segment_dedup_global):
+    for every doc, find the maximal token RUNS whose 5-token shingles
+    all recur in at least one OTHER document (boilerplate, licence
+    blocks, templated intros — the memorization fuel substring-level
+    dedup removes), and report region count, duplicated-token mass,
+    longest run, and the duplicated fraction in ppm. The suffix-array
+    pipeline's candidate stage re-expressed relationally: duplicated
+    shingle positions ARE the suffix-overlap witnesses, and merging
+    positions closer than the shingle width reconstructs each maximal
+    duplicated span exactly (runs [p..p+4] with gaps ≤ 4 overlap, so
+    coverage = last − first + 5 never double-counts a token).
+
+    Scale design: shingle hashes are scan-stage HOFs (one md5 per
+    position, only 16-byte digests + positions ever leave the scan);
+    the ONE corpus-sized shuffle groups by digest for the cross-doc
+    test; survivors (a small fraction of positions) flow through a
+    doc-keyed window for the gaps-and-islands merge. No self-join, no
+    pair space — the same single-digest-shuffle shape as
+    llm_dedup_exact_text, at substring grain.
+
+    Cross-engine: identical md5 over identical joined strings; run
+    arithmetic is pure integers; first-row lag(NULL) falls to the
+    break branch in both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1), lambda t: t != ""
+    )
+    toks = docs.select("doc_id", ts.alias("ts")).where(F.size("ts") >= 5)
+    hashed = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 4),
+                lambda i: F.md5(F.array_join(F.slice("ts", i, 5), " ")),
+            )
+        ).alias("p0", "h"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("p0") + 1).cast("bigint").alias("p"),
+        "h",
+    )
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dpos = hashed.join(dup, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = dpos.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(w) <= 4, 0).otherwise(1),
+    )
+    grp = isl.withColumn(
+        "g",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = grp.groupBy("doc_id", "g").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        (F.max("p") - F.min("p") + 5).cast("bigint").alias("run_tokens"),
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_dup_regions"),
+            F.sum("run_tokens").alias("dup_tokens"),
+            F.max("run_tokens").alias("longest_run_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_regions",
+            "dup_tokens",
+            "longest_run_tokens",
+            F.expr("dup_tokens * 1000000 div n_tokens")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_capture_recapture_estimate",
+    oracle="""
+    WITH tagged AS (
+        SELECT md5(text) AS dg,
+               CAST(max(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+                        THEN 1 ELSE 0 END) AS INTEGER) AS in_a,
+               CAST(max(CASE WHEN CAST(substr(source, 4) AS INTEGER) >= 10
+                        THEN 1 ELSE 0 END) AS INTEGER) AS in_b
+        FROM documents GROUP BY md5(text)
+    ),
+    counts AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+               CAST(sum(in_b) AS BIGINT) AS n2,
+               CAST(sum(in_a * in_b) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM tagged
+    )
+    SELECT n1, n2, m, observed,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 6)
+               AS chapman_estimate,
+           round(sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)
+                      * (n2 - m)
+                      / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2))), 6)
+               AS chapman_se
+    FROM counts
+    """,
+)
+def llm_capture_recapture_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capture–recapture (Chapman) estimate of the TRUE number of
+    distinct documents in the wild from two overlapping crawls — treat
+    sources 0–9 as crawl A (the capture) and 10–19 as crawl B (the
+    recapture); the content-digest overlap m between them plays the
+    marked-animal role, and N̂ = (n1+1)(n2+1)/(m+1) − 1 estimates how
+    much of the population BOTH crawls missed. The planning number
+    behind "is another crawl worth it?" — if N̂ ≈ observed, coverage is
+    saturated; the SE says whether that conclusion is statistical or
+    noise.
+
+    Exactness: membership flags collapse per digest in one aggregate
+    (exact ints); the estimator and its closed-form SE are single
+    double expressions on the 1-row count table.
+
+    Scale design: the only corpus-sized operation is the digest
+    groupBy — the same single sha/md5 shuffle as llm_dedup_exact_text;
+    16-byte digests + two bit flags are all that cross the exchange.
+    The estimator itself is free at any corpus size."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    src_num = F.substring("source", 4, 10).cast("int")
+    tagged = docs.groupBy(F.md5("text").alias("dg")).agg(
+        F.max(F.when(src_num < 10, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(src_num >= 10, 1).otherwise(0)).alias("in_b"),
+    )
+    counts = tagged.agg(
+        F.sum("in_a").alias("n1"),
+        F.sum("in_b").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("m"),
+        F.count(F.lit(1)).alias("observed"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    est = (n1 + 1).cast("double") * (n2 + 1) / (m + 1) - 1
+    se = F.sqrt(
+        (n1 + 1).cast("double") * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1).cast("double") * (m + 1) * (m + 2))
+    )
+    return counts.select(
+        "n1",
+        "n2",
+        "m",
+        "observed",
+        F.round(est, 6).alias("chapman_estimate"),
+        F.round(se, 6).alias("chapman_se"),
+    )
+
+
+@register(
+    "llm_weighted_reservoir_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               CAST(round(
+                   ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS UBIGINT) + 1)
+                      / 4294967297.0) / n_chars * 1e15) AS BIGINT)
+                   AS key_femto
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, key_femto
+    FROM keyed
+    ORDER BY key_femto DESC, doc_id
+    LIMIT 25
+    """,
+)
+def llm_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic weighted sample of 25 documents with inclusion
+    probability ∝ n_chars — the Efraimidis–Spirakis A-ES scheme
+    (rank by u^(1/w), equivalently ln(u)/w, keep the top k) with the
+    uniform u derived from md5(doc_id), so the "random" draw is
+    engine- and rerun-stable (the llm_split_train_test coin, extended
+    from fair to WEIGHTED selection). This is how you thin 100 TB to a
+    length-balanced eval slice without a global RNG or a second pass.
+
+    Exactness: u = (h32 + 1) / (2³² + 1) ∈ (0,1) exactly representable
+    from the 32-bit hash; the one ln per row is quantized to integer
+    femto-units BEFORE ranking, so ordering can never differ by an
+    ulp between engines; doc_id breaks exact ties.
+
+    Scale design: key computation is scan-stage arithmetic; selection
+    is TakeOrderedAndProject (per-partition top-25 → 25-row driver
+    merge) — no global sort, no shuffle of the corpus. A-ES keys are
+    also mergeable: per-shard top-k unions re-rank to the exact
+    global top-k, which is why this pattern survives streaming
+    ingestion unchanged."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    key = F.round(
+        F.log((h32 + 1) / F.lit(4294967297.0)) / F.col("n_chars") * 1e15
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            key.alias("key_femto"),
+        )
+        .orderBy(F.desc("key_femto"), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "evt_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n_paths DESC, t1, t2, t3
+    LIMIT 20
+    """,
+)
+def evt_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral path TRIGRAMS (ordered 3-step event sequences
+    within a user-day) — the order-3 extension of
+    evt_transition_matrix's first-order chain: where the bigram matrix
+    says "view → click is common", the trigram census says whether
+    view → click → purchase or view → click → view dominates, i.e.
+    whether clicks convert or churn. The input to funnel REDESIGN
+    (which 3-step paths exist) rather than funnel measurement (a fixed
+    hypothesized path).
+
+    Scale design: both lookaheads share ONE (user, day)-partitioned
+    window (a single sort per partition — same WindowExec pass), so
+    the cost is one user-keyed shuffle; the trigram aggregate is
+    map-combined over |types|³-bounded groups, and top-20 is
+    TakeOrderedAndProject. Day-bounding the partition keeps any one
+    partition's sort small even for bot-grade users.
+
+    Cross-engine: (ts, event_id) is a total order; counts are exact
+    ints; the full (t1, t2, t3) tiebreak makes the top-20 cut
+    deterministic."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(20)
+    )
