@@ -87,6 +87,9 @@ _PRIORITY = [
     "llm_capture_recapture_estimate",
     "llm_weighted_reservoir_sample",
     "evt_path_trigrams",
+    "evt_offpolicy_ips_snips",
+    "agg_mad_robust_outliers",
+    "llm_cdc_chunk_census",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

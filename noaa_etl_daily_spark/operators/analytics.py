@@ -9964,3 +9964,474 @@ def evt_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+@register(
+    "evt_offpolicy_ips_snips",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(extract(hour FROM ts) AS INT) AS hr,
+               event_type AS a,
+               CAST(count(*) AS BIGINT) AS n_ah,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s_ah
+        FROM events GROUP BY 1, 2
+    ),
+    hours AS (
+        SELECT hr, CAST(sum(n_ah) AS BIGINT) AS n_h FROM cells GROUP BY hr
+    ),
+    pol AS (
+        SELECT c.hr, c.a, c.n_ah, c.s_ah, h.n_h,
+               CASE c.a WHEN 'purchase' THEN 4 WHEN 'click' THEN 3
+                        WHEN 'view' THEN 2 WHEN 'signup' THEN 1
+                        ELSE 0 END AS pi10
+        FROM cells c JOIN hours h ON c.hr = h.hr
+    ),
+    terms AS (
+        SELECT
+            CAST(round(CAST(pi10 AS DOUBLE) * n_h * s_ah
+                       / (1000.0 * n_ah) * 1000000) AS BIGINT) AS wr_micro,
+            pi10 * n_h * 100000 AS wn_micro,
+            CAST(round(CAST(pi10 AS DOUBLE) * pi10 * n_h * n_h
+                       / (100.0 * n_ah) * 1000000) AS BIGINT) AS w2n_micro,
+            CAST(round(CAST(pi10 AS DOUBLE) * n_h / (10.0 * n_ah)
+                       * 1000000) AS BIGINT) AS w_micro,
+            n_ah
+        FROM pol
+    ),
+    agg AS (
+        SELECT CAST(sum(n_ah) AS BIGINT) AS n,
+               CAST(sum(wr_micro) AS BIGINT) AS swr,
+               CAST(sum(wn_micro) AS BIGINT) AS swn,
+               CAST(sum(w2n_micro) AS BIGINT) AS sw2n,
+               CAST(max(w_micro) AS BIGINT) AS wmax
+        FROM terms
+    )
+    SELECT n,
+           round(CAST(swr AS DOUBLE) / 1000000 / n, 6) AS ips_value,
+           round(CAST(swr AS DOUBLE) / swn, 6) AS snips_value,
+           round((CAST(swn AS DOUBLE) / 1000000)
+                 * (CAST(swn AS DOUBLE) / 1000000)
+                 / (CAST(sw2n AS DOUBLE) / 1000000), 6) AS effective_n,
+           round(CAST(wmax AS DOUBLE) / 1000000, 6) AS max_weight
+    FROM agg
+    """,
+)
+def evt_offpolicy_ips_snips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a NEW action policy from logged data —
+    inverse-propensity scoring (IPS) and its self-normalized form
+    (SNIPS): the logged event stream is treated as a contextual bandit
+    log (context = hour of day, action = event type, reward = value),
+    behavior propensities are the empirical per-hour action shares,
+    and the target policy (purchase 0.4 / click 0.3 / view 0.2 /
+    signup 0.1 / error 0) is scored WITHOUT running it. Also reports
+    the effective sample size (Σw)²/Σw² — the honesty metric that says
+    how many logged rows actually back the estimate — and the max
+    importance weight (the clipping diagnostic). The counterfactual
+    complement of the shelf's randomized (t-test/CUPED) and
+    quasi-experimental (diff-in-diff) members.
+
+    Exactness: cell counts/reward sums are exact integers; each cell's
+    importance-weight terms (w·r, w·n, w²·n — w = π(a)·n_h / 10·n_ah
+    is a ratio of integers) are single double expressions quantized to
+    integer micro-units per CELL row before the 24×|types|-row
+    reduction, so summation order cannot change the answer; w·n is
+    exactly integer by construction (π numerators are tenths).
+
+    Scale design: one (hour, type)-keyed map-combined aggregate is the
+    only corpus-sized operation; the hour marginal is a reaggregation
+    of the 120-cell table; every estimator derives on one output row.
+    Off-policy evaluation at 100 TB costs exactly one groupBy."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cells = ev.groupBy(
+        F.hour("ts").alias("hr"), F.col("event_type").alias("a")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ah"), F.sum(cents).alias("s_ah")
+    )
+    hours = cells.groupBy("hr").agg(F.sum("n_ah").alias("n_h"))
+    pi10 = (
+        F.when(F.col("a") == "purchase", 4)
+        .when(F.col("a") == "click", 3)
+        .when(F.col("a") == "view", 2)
+        .when(F.col("a") == "signup", 1)
+        .otherwise(0)
+    )
+    pol = cells.join(F.broadcast(hours), "hr").withColumn("pi10", pi10)
+    terms = pol.select(
+        F.round(
+            F.col("pi10").cast("double") * F.col("n_h") * F.col("s_ah")
+            / (F.lit(1000.0) * F.col("n_ah"))
+            * 1000000
+        ).cast("bigint").alias("wr_micro"),
+        (F.col("pi10") * F.col("n_h") * 100000).alias("wn_micro"),
+        F.round(
+            F.col("pi10").cast("double") * F.col("pi10") * F.col("n_h")
+            * F.col("n_h")
+            / (F.lit(100.0) * F.col("n_ah"))
+            * 1000000
+        ).cast("bigint").alias("w2n_micro"),
+        F.round(
+            F.col("pi10").cast("double") * F.col("n_h")
+            / (F.lit(10.0) * F.col("n_ah"))
+            * 1000000
+        ).cast("bigint").alias("w_micro"),
+        "n_ah",
+    )
+    agg = terms.agg(
+        F.sum("n_ah").alias("n"),
+        F.sum("wr_micro").alias("swr"),
+        F.sum("wn_micro").alias("swn"),
+        F.sum("w2n_micro").alias("sw2n"),
+        F.max("w_micro").alias("wmax"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("swr").cast("double") / 1000000 / F.col("n"), 6)
+        .alias("ips_value"),
+        F.round(F.col("swr").cast("double") / F.col("swn"), 6)
+        .alias("snips_value"),
+        F.round(
+            (F.col("swn").cast("double") / 1000000)
+            * (F.col("swn").cast("double") / 1000000)
+            / (F.col("sw2n").cast("double") / 1000000),
+            6,
+        ).alias("effective_n"),
+        F.round(F.col("wmax").cast("double") / 1000000, 6)
+        .alias("max_weight"),
+    )
+
+
+@register(
+    "agg_mad_robust_outliers",
+    oracle="""
+    WITH vc AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tots AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY 1
+    ),
+    med AS (
+        SELECT event_type, CAST(min(cents) AS BIGINT) AS median_cents
+        FROM (
+            SELECT v.event_type, v.cents, t.n,
+                   sum(v.c) OVER (PARTITION BY v.event_type
+                                  ORDER BY v.cents) AS cum
+            FROM vc v JOIN tots t USING (event_type)
+        )
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type
+    ),
+    dc AS (
+        SELECT v.event_type, abs(v.cents - m.median_cents) AS dev,
+               CAST(sum(v.c) AS BIGINT) AS c
+        FROM vc v JOIN med m USING (event_type)
+        GROUP BY 1, 2
+    ),
+    mad AS (
+        SELECT event_type, CAST(min(dev) AS BIGINT) AS mad_cents
+        FROM (
+            SELECT d.event_type, d.dev, t.n,
+                   sum(d.c) OVER (PARTITION BY d.event_type
+                                  ORDER BY d.dev) AS cum
+            FROM dc d JOIN tots t USING (event_type)
+        )
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type
+    ),
+    outs AS (
+        SELECT d.event_type,
+               CAST(coalesce(sum(d.c) FILTER (
+                   d.dev * 10000 > 44478 * m.mad_cents), 0) AS BIGINT)
+                   AS n_outliers
+        FROM dc d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    )
+    SELECT t.event_type, t.n,
+           round(CAST(m.median_cents AS DOUBLE) / 100, 2) AS median_value,
+           round(CAST(a.mad_cents AS DOUBLE) / 100, 2) AS mad_value,
+           o.n_outliers,
+           CAST(o.n_outliers * 1000000 // t.n AS BIGINT) AS outlier_ppm
+    FROM tots t
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    JOIN outs o USING (event_type)
+    ORDER BY t.event_type
+    """,
+)
+def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD robust outlier screen per event type — the
+    heavy-tail-immune alternative to z-scores (evt_anomaly_zscore) and
+    IQR fences (evt_anomaly_iqr_fences): center = exact lower median,
+    spread = exact median absolute deviation, outlier = deviation
+    beyond 3·1.4826·MAD (the normal-consistent cutoff), reported with
+    the outlier rate in ppm.
+
+    Exactness: EVERYTHING is integer arithmetic — medians are exact
+    order statistics read off cumulative counts (rank (n+1)÷2, lower
+    median), deviations are integer cents, and the cutoff compare is
+    cross-multiplied (dev·10⁴ > 44478·MAD) so not a single float
+    exists before the presentation divide.
+
+    Scale design: the corpus collapses to (type, value)-grain counts
+    in ONE map-combined aggregate; both median extractions are
+    windows over DISTINCT-VALUE rows (bounded by the value domain,
+    not the corpus — the classic count-histogram median), and the MAD
+    distribution is DERIVED from the value histogram by re-keying
+    |v − med|, never by a second corpus pass. Total corpus-sized work:
+    one shuffle of (type, cents) partials."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    vc = ev.groupBy("event_type", cents.alias("cents")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tots = vc.groupBy("event_type").agg(F.sum("c").alias("n"))
+    w_val = Window.partitionBy("event_type").orderBy("cents")
+
+    def hist_median(counts, val_col, out_col):
+        w = Window.partitionBy("event_type").orderBy(val_col)
+        cum = counts.join(F.broadcast(tots), "event_type").withColumn(
+            "cum", F.sum("c").over(w)
+        )
+        return (
+            cum.where(
+                F.col("cum") >= F.expr("(n + 1) div 2")
+            )
+            .groupBy("event_type")
+            .agg(F.min(val_col).cast("bigint").alias(out_col))
+        )
+
+    med = hist_median(vc, "cents", "median_cents")
+    dc = (
+        vc.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = hist_median(dc, "dev", "mad_cents")
+    outs = (
+        dc.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dev") * 10000 > 44478 * F.col("mad_cents"),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        tots.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(outs, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("median_cents").cast("double") / 100, 2)
+            .alias("median_value"),
+            F.round(F.col("mad_cents").cast("double") / 100, 2)
+            .alias("mad_value"),
+            "n_outliers",
+            F.expr("n_outliers * 1000000 div n")
+            .cast("bigint")
+            .alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "llm_cdc_chunk_census",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS ts
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, source, ts, CAST(len(ts) AS BIGINT) AS n
+        FROM toks WHERE len(ts) >= 1
+    ),
+    st AS (
+        SELECT doc_id, source, ts, n,
+               list_concat(
+                   [CAST(1 AS BIGINT)],
+                   CASE WHEN n >= 5 THEN
+                       list_filter(generate_series(CAST(5 AS BIGINT), n),
+                           p -> CAST(('0x' || substr(md5(array_to_string(
+                                    list_slice(ts, p - 4, p - 1), ' ')),
+                                    1, 8)) AS UBIGINT) % 64 = 0)
+                   ELSE [] END) AS starts
+        FROM base
+    ),
+    chunked AS (
+        SELECT doc_id, source, ts, n,
+               unnest(list_transform(generate_series(1, len(starts)),
+                   i -> {'s': starts[CAST(i AS INT)],
+                         'nx': coalesce(starts[CAST(i AS INT) + 1],
+                                        n + 1)})) AS ch
+        FROM st
+    ),
+    cdigest AS (
+        SELECT doc_id, source,
+               CAST(ch.nx - ch.s AS BIGINT) AS clen,
+               md5(array_to_string(list_slice(ts, ch.s, ch.nx - 1), ' '))
+                   AS dg
+        FROM chunked
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(clen) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT dg) AS BIGINT) AS distinct_chunks,
+           CAST((count(*) - count(DISTINCT dg)) * 1000000 // count(*)
+                AS BIGINT) AS dup_chunk_ppm,
+           CAST(sum(clen) * 100 // count(*) AS BIGINT)
+               AS centitokens_per_chunk
+    FROM cdigest GROUP BY source ORDER BY source
+    """,
+)
+def llm_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking census per source — the FastCDC/rsync
+    boundary trick re-expressed relationally: a chunk boundary falls
+    wherever the rolling 4-token window's hash ≡ 0 (mod 64), so
+    boundaries are decided by CONTENT, not offsets, and an insertion
+    early in a document shifts only the chunk it lands in (offset-based
+    chunking would shift every later chunk and defeat dedup). The
+    per-source readout — chunk count, expected ~64-token chunk size,
+    and the duplicated-chunk rate — is the sizing study for chunk-level
+    dedup between near-identical crawl snapshots, sitting between
+    whole-doc dedup (llm_dedup_exact_text) and substring dedup
+    (llm_repeated_substring_census) on the granularity ladder.
+
+    Scale design: boundary detection, chunk assembly, and chunk
+    digests are ALL scan-stage higher-order functions over the one
+    in-memory token array (zero exchanges until the census); the only
+    corpus-sized shuffle is the source/digest distinct-count
+    aggregate on 16-byte digests. The Spark `sequence(5, n)` is
+    guarded (it generates DESCENDING sequences when n < 5 — a
+    documented engine divergence; DuckDB's generate_series returns
+    empty there).
+
+    Cross-engine: identical md5 windows, integer chunk arithmetic,
+    `//` ↔ `div` floor division."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ts = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1), lambda t: t != ""
+    )
+    base = (
+        docs.select("doc_id", "source", ts.alias("ts"))
+        .withColumn("n", F.size("ts").cast("bigint"))
+        .where(F.col("n") >= 1)
+    )
+    is_boundary = lambda p: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("ts"), (p - 4).cast("int"), 4
+                        ),
+                        " ",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64
+        == 0
+    )
+    st = base.withColumn(
+        "starts",
+        F.concat(
+            F.array(F.lit(1).cast("bigint")),
+            F.when(
+                F.col("n") >= 5,
+                F.filter(
+                    F.sequence(F.lit(5).cast("bigint"), F.col("n")),
+                    is_boundary,
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ),
+    )
+    chunks = F.transform(
+        F.col("starts"),
+        lambda s, i: F.struct(
+            (
+                F.coalesce(
+                    F.try_element_at(
+                        F.col("starts"), (i + F.lit(2)).cast("int")
+                    ),
+                    F.col("n") + 1,
+                )
+                - s
+            ).alias("clen"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("ts"),
+                        s.cast("int"),
+                        (
+                            F.coalesce(
+                                F.try_element_at(
+                                    F.col("starts"),
+                                    (i + F.lit(2)).cast("int"),
+                                ),
+                                F.col("n") + 1,
+                            )
+                            - s
+                        ).cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("dg"),
+        ),
+    )
+    cdigest = st.select(
+        "doc_id", "source", F.explode(chunks).alias("ch")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("ch.clen").cast("bigint").alias("clen"),
+        F.col("ch.dg").alias("dg"),
+    )
+    return (
+        cdigest.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("clen").alias("total_tokens"),
+            F.countDistinct("dg").alias("distinct_chunks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "total_tokens",
+            "distinct_chunks",
+            F.expr(
+                "(n_chunks - distinct_chunks) * 1000000 div n_chunks"
+            )
+            .cast("bigint")
+            .alias("dup_chunk_ppm"),
+            F.expr("total_tokens * 100 div n_chunks")
+            .cast("bigint")
+            .alias("centitokens_per_chunk"),
+        )
+        .orderBy("source")
+    )

@@ -405,6 +405,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # + cumulative window over 10 deciles
         "evt_rolling_correlation",    # rolling windows over DAY rows
         "llm_capture_recapture_estimate",  # 1-row Chapman-count reduce
+        "evt_offpolicy_ips_snips",    # 1-row reduce of 24x|types| cells
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
