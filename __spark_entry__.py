@@ -90,6 +90,9 @@ _PRIORITY = [
     "evt_offpolicy_ips_snips",
     "agg_mad_robust_outliers",
     "llm_cdc_chunk_census",
+    "agg_tukey_hsd_pairs",
+    "llm_kneser_ney_bigram",
+    "evt_competing_risks_cif",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -10435,3 +10435,442 @@ def llm_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "agg_tukey_hsd_pairs",
+    oracle="""
+    WITH samples AS (
+        SELECT event_type AS grp,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    moments AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
+               CAST(round(CAST(sum(cents) AS DOUBLE) * sum(cents)
+                          / count(*) * 1000) AS BIGINT) AS bterm_milli
+        FROM samples GROUP BY grp
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               (CAST(sum(sxx) AS DOUBLE)
+                - CAST(sum(bterm_milli) AS DOUBLE) / 1000)
+               / (CAST(sum(n) AS DOUBLE) - count(*)) AS msw
+        FROM moments
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           CAST(p.n_total - p.k AS BIGINT) AS df_within,
+           round((CAST(a.sx AS DOUBLE) / a.n
+                  - CAST(b.sx AS DOUBLE) / b.n) / 100, 6) AS mean_diff,
+           round(abs(CAST(a.sx AS DOUBLE) / a.n
+                     - CAST(b.sx AS DOUBLE) / b.n)
+                 / sqrt(p.msw / 2
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+    FROM moments a
+    JOIN moments b ON a.grp < b.grp
+    CROSS JOIN pooled p
+    ORDER BY grp_a, grp_b
+    """,
+)
+def agg_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc table — the step AFTER agg_anova_oneway's
+    omnibus F: every pair of event types with its mean difference and
+    studentized-range q statistic computed against the POOLED
+    within-group variance (that pooling is what distinguishes HSD from
+    running C(k,2) Welch tests and is why its family-wise error holds).
+    Read q against the studentized-range critical value for (k, df);
+    the df_within column carries what you need.
+
+    Exactness: reuses the ANOVA moment discipline verbatim — exact
+    integer group moments, the one fractional cross-group term
+    quantized to milli-units before pooling, every statistic a single
+    double expression per PAIR row.
+
+    Scale design: the corpus collapses to k group-moment rows in one
+    aggregate; the pair space is the k×(k−1)/2 self-join of that
+    bounded table with the 1-row pooled-variance broadcast — post-hoc
+    testing is free at any corpus size."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    moments = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))
+        .alias("sxx"),
+    ).withColumn(
+        "bterm_milli",
+        F.round(
+            F.col("sx").cast("double") * F.col("sx") / F.col("n") * 1000
+        ).cast("bigint"),
+    )
+    pooled = moments.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        (
+            (F.sum("sxx").cast("double")
+             - F.sum("bterm_milli").cast("double") / 1000)
+            / (F.sum("n").cast("double") - F.count(F.lit(1)))
+        ).alias("msw"),
+    )
+    a = moments.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+    )
+    b = moments.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+    )
+    diff = (
+        F.col("sxa").cast("double") / F.col("na")
+        - F.col("sxb").cast("double") / F.col("nb")
+    )
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "grp_a",
+            "grp_b",
+            (F.col("n_total") - F.col("k")).cast("bigint")
+            .alias("df_within"),
+            F.round(diff / 100, 6).alias("mean_diff"),
+            F.round(
+                F.abs(diff)
+                / F.sqrt(
+                    F.col("msw") / 2
+                    * (
+                        F.lit(1.0) / F.col("na")
+                        + F.lit(1.0) / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("q_stat"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+@register(
+    "llm_kneser_ney_bigram",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS ts
+        FROM documents
+    ),
+    pairs AS (
+        SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM toks)
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2
+    ),
+    left_marg AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS fanout
+        FROM bc GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM bc GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc)
+    SELECT b.w1, b.w2, b.c,
+           round(CAST(b.c AS DOUBLE) / l.c1, 6) AS p_ml,
+           round((b.c - 0.75) / l.c1
+                 + (0.75 * l.fanout / l.c1)
+                   * (CAST(co.n_cont AS DOUBLE) / t.n_types), 6) AS p_kn
+    FROM bc b
+    JOIN left_marg l USING (w1)
+    JOIN cont co USING (w2)
+    CROSS JOIN tot t
+    ORDER BY b.c DESC, b.w1, b.w2
+    LIMIT 30
+    """,
+)
+def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney smoothed bigram probabilities (top 30 bigrams, with
+    the MLE estimate alongside) — the n-gram estimator that actually
+    ships: absolute discounting (d = 0.75) frees mass from observed
+    bigrams, and the freed mass backs off to the CONTINUATION
+    probability (how many distinct contexts a word completes, not how
+    often it occurs) — the fix for "San Francisco" making "Francisco"
+    look generally likely. Consumes the same counts as llm_bigram_lm
+    (MLE) and llm_interpolated_lm_ppl (add-k interpolation),
+    completing the smoothing family.
+
+    Exactness: every ingredient — bigram counts, left marginals,
+    fanouts N1+(w1·), continuation counts N1+(·w2), the type total —
+    is an exact integer; c − d is exact in binary (0.75 dyadic); both
+    probabilities are single double expressions per output row, and
+    the top-30 cut orders by (c, w1, w2) so it is deterministic.
+
+    Scale design: ONE corpus-sized shuffle (the (w1,w2) count with
+    map-side combine); marginals, fanouts, and continuation counts are
+    all reaggregations of that vocab²-bounded table joined back on
+    vocab-grain keys; the scalar type total broadcasts. Same cost
+    shape as training the MLE table."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    ts = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1), lambda t: t != ""
+    )
+    toked = docs.select(ts.alias("ts"))
+    pairs = toked.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i.cast("int")).alias("w1"),
+                    F.element_at("ts", (i + 1).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("p0", "pr")
+    ).select("pr.w1", "pr.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left_marg = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_cont"))
+    tot = bc.agg(F.count(F.lit(1)).alias("n_types"))
+    return (
+        bc.join(left_marg, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(F.col("c").cast("double") / F.col("c1"), 6)
+            .alias("p_ml"),
+            F.round(
+                (F.col("c") - 0.75) / F.col("c1")
+                + (0.75 * F.col("fanout") / F.col("c1"))
+                * (F.col("n_cont").cast("double") / F.col("n_types")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    "evt_competing_risks_cif",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS entry,
+               min(CASE WHEN event_type = 'error'
+                   THEN CAST(ts AS TIMESTAMP) END) AS te,
+               min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS TIMESTAMP) END) AS tp,
+               CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS last_day
+        FROM events GROUP BY user_id
+    ),
+    spans AS (
+        SELECT user_id,
+               CASE
+                 WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp)
+                   THEN CAST(date_diff('day', entry, CAST(te AS DATE))
+                             AS BIGINT)
+                 WHEN tp IS NOT NULL
+                   THEN CAST(date_diff('day', entry, CAST(tp AS DATE))
+                             AS BIGINT)
+                 ELSE CAST(date_diff('day', entry, last_day) AS BIGINT)
+               END AS t,
+               CASE
+                 WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp)
+                   THEN 'error'
+                 WHEN tp IS NOT NULL THEN 'purchase'
+                 ELSE 'censor'
+               END AS cause
+        FROM per_user
+    ),
+    census AS (
+        SELECT t,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(count(*) FILTER (cause = 'error') AS BIGINT) AS d_e,
+               CAST(count(*) FILTER (cause = 'purchase') AS BIGINT) AS d_p
+        FROM spans GROUP BY t
+    ),
+    risked AS (
+        SELECT t, m, d_e, d_p,
+               CAST((SELECT CAST(count(*) AS BIGINT) FROM spans)
+                    - coalesce(sum(m) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n
+        FROM census
+    ),
+    terms AS (
+        SELECT t, n, d_e, d_p,
+               CASE WHEN n > d_e + d_p THEN
+                   CAST(round(ln(CAST(n - d_e - d_p AS DOUBLE) / n)
+                              * 1000000000) AS BIGINT)
+               ELSE 0 END AS logterm_nano
+        FROM risked
+    ),
+    surv AS (
+        SELECT t, n, d_e, d_p, logterm_nano,
+               exp(CAST(coalesce(sum(logterm_nano) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS DOUBLE) / 1000000000) AS s_before
+        FROM terms
+    ),
+    incr AS (
+        SELECT t, n, d_e, d_p, logterm_nano, s_before,
+               CAST(round(s_before * d_e / n * 1000000000) AS BIGINT)
+                   AS ie_nano,
+               CAST(round(s_before * d_p / n * 1000000000) AS BIGINT)
+                   AS ip_nano
+        FROM surv
+    )
+    SELECT t AS day, n AS n_at_risk, d_e AS n_error, d_p AS n_purchase,
+           round(exp(CAST(sum(logterm_nano) OVER w AS DOUBLE)
+                     / 1000000000), 6) AS km_event_free,
+           round(CAST(sum(ie_nano) OVER w AS DOUBLE) / 1000000000, 6)
+               AS cif_error,
+           round(CAST(sum(ip_nano) OVER w AS DOUBLE) / 1000000000, 6)
+               AS cif_purchase
+    FROM incr
+    WINDOW w AS (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    QUALIFY d_e + d_p > 0
+    ORDER BY t
+    """,
+)
+def evt_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under COMPETING risks — the
+    correct answer when a user can leave by more than one door (first
+    'error' = churn-by-failure vs first 'purchase' = conversion,
+    whichever strikes first; neither = censored at last activity):
+    1 − KM per cause OVERSTATES both risks because it treats the rival
+    cause as censoring; the CIF increments S(t−)·d_k(t)/n(t) sum to
+    the honest probabilities, and cif_error + cif_purchase +
+    km_event_free = 1 at every row (the built-in audit). Extends
+    evt_survival_km (single risk) the way agg_anova_oneway extends
+    agg_welch_ttest.
+
+    Exactness: lifetimes and day-grain counts are exact integers; the
+    KM product is the survival shelf's quantized-log discipline
+    (ln terms → integer nano-nats → exact running sums); each CIF
+    increment is one double quantized to nano-units per DAY row before
+    its cumulative sum, so every running total is an exact integer
+    sum. Error wins exact first-event ties (documented, both engines).
+
+    Scale design: one user-keyed aggregate → one day-grain census
+    (≤ observation span rows); every window runs over DAY rows
+    (lint-whitelisted bounded grain); the only scalar broadcast is
+    the 1-row cohort size."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("te"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    err_first = F.col("te").isNotNull() & (
+        F.col("tp").isNull() | (F.col("te") <= F.col("tp"))
+    )
+    spans = per_user.select(
+        F.when(
+            err_first, F.datediff(F.col("te").cast("date"), F.col("entry"))
+        )
+        .when(
+            F.col("tp").isNotNull(),
+            F.datediff(F.col("tp").cast("date"), F.col("entry")),
+        )
+        .otherwise(F.datediff(F.col("last_day"), F.col("entry")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(err_first, "error")
+        .when(F.col("tp").isNotNull(), "purchase")
+        .otherwise("censor")
+        .alias("cause"),
+    )
+    census = spans.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.count(F.when(F.col("cause") == "error", 1)).alias("d_e"),
+        F.count(F.when(F.col("cause") == "purchase", 1)).alias("d_p"),
+    )
+    total = spans.agg(F.count(F.lit(1)).alias("n_cohort"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risked = census.crossJoin(F.broadcast(total)).withColumn(
+        "n",
+        F.col("n_cohort")
+        - F.coalesce(F.sum("m").over(w_prev), F.lit(0)),
+    )
+    terms = risked.withColumn(
+        "logterm_nano",
+        F.when(
+            F.col("n") > F.col("d_e") + F.col("d_p"),
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("d_e") - F.col("d_p")).cast(
+                        "double"
+                    )
+                    / F.col("n")
+                )
+                * 1000000000
+            ).cast("bigint"),
+        ).otherwise(F.lit(0)),
+    )
+    surv = terms.withColumn(
+        "s_before",
+        F.exp(
+            F.coalesce(
+                F.sum("logterm_nano").over(w_prev), F.lit(0)
+            ).cast("double")
+            / 1000000000
+        ),
+    )
+    incr = surv.withColumn(
+        "ie_nano",
+        F.round(
+            F.col("s_before") * F.col("d_e") / F.col("n") * 1000000000
+        ).cast("bigint"),
+    ).withColumn(
+        "ip_nano",
+        F.round(
+            F.col("s_before") * F.col("d_p") / F.col("n") * 1000000000
+        ).cast("bigint"),
+    )
+    return (
+        incr.select(
+            F.col("t").alias("day"),
+            F.col("n").alias("n_at_risk"),
+            F.col("d_e").alias("n_error"),
+            F.col("d_p").alias("n_purchase"),
+            F.round(
+                F.exp(
+                    F.sum("logterm_nano").over(w_cur).cast("double")
+                    / 1000000000
+                ),
+                6,
+            ).alias("km_event_free"),
+            F.round(
+                F.sum("ie_nano").over(w_cur).cast("double") / 1000000000,
+                6,
+            ).alias("cif_error"),
+            F.round(
+                F.sum("ip_nano").over(w_cur).cast("double") / 1000000000,
+                6,
+            ).alias("cif_purchase"),
+            (F.col("d_e") + F.col("d_p")).alias("__events"),
+        )
+        .where(F.col("__events") > 0)
+        .drop("__events")
+        .orderBy("day")
+    )

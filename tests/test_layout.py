@@ -306,6 +306,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # n=4 channels, corpus-independent)
         "agg_jackknife_ratio_variance",  # 1-row totals × B=20 bucket rows
         "llm_dataset_mixture_weights",   # 1-row normalizer × |sources| rows
+        "agg_tukey_hsd_pairs",        # 1-row pooled-MSW × C(k,2) pair rows
+        "llm_kneser_ney_bigram",      # 1-row bigram-type total scalar
+        "evt_competing_risks_cif",    # 1-row cohort-size scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -406,6 +409,11 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_rolling_correlation",    # rolling windows over DAY rows
         "llm_capture_recapture_estimate",  # 1-row Chapman-count reduce
         "evt_offpolicy_ips_snips",    # 1-row reduce of 24x|types| cells
+        "agg_tukey_hsd_pairs",        # 1-row pooled reduce of k moments
+        "llm_kneser_ney_bigram",      # 1-row type-total reduce + bounded
+                                      # top-30 presentation sort
+        "evt_competing_risks_cif",    # DAY-grain risk/CIF windows +
+                                      # 1-row cohort reduce
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
@@ -472,6 +480,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_uplift_qini_deciles",    # P-row offsets window + 10-row
                                       # decile Qini cumsum
         "evt_rolling_correlation",    # DAY-grain rolling moment windows
+        "evt_competing_risks_cif",    # DAY-grain KM/CIF running windows
     }
 
     def _walk(node):
