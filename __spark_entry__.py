@@ -93,6 +93,9 @@ _PRIORITY = [
     "agg_tukey_hsd_pairs",
     "llm_kneser_ney_bigram",
     "evt_competing_risks_cif",
+    "agg_mcnemar_paired",
+    "llm_context_bucket_waste",
+    "evt_hurst_exponent",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

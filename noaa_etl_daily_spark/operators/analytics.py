@@ -10874,3 +10874,372 @@ def evt_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__events")
         .orderBy("day")
     )
+
+
+@register(
+    "agg_mcnemar_paired",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN count(*) FILTER (event_type = 'purchase'
+                        AND ts <  TIMESTAMP '2024-01-16 00:00:00') >= 7
+                    THEN 1 ELSE 0 END AS conv_pre,
+               CASE WHEN count(*) FILTER (event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16 00:00:00') >= 7
+                    THEN 1 ELSE 0 END AS conv_post
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(count(*) FILTER (conv_pre = 1 AND conv_post = 1)
+                    AS BIGINT) AS both_conv,
+               CAST(count(*) FILTER (conv_pre = 1 AND conv_post = 0)
+                    AS BIGINT) AS b_pre_only,
+               CAST(count(*) FILTER (conv_pre = 0 AND conv_post = 1)
+                    AS BIGINT) AS c_post_only,
+               CAST(count(*) FILTER (conv_pre = 0 AND conv_post = 0)
+                    AS BIGINT) AS neither
+        FROM per_user
+    )
+    SELECT both_conv, b_pre_only, c_post_only, neither,
+           round(CAST((b_pre_only - c_post_only)
+                      * (b_pre_only - c_post_only) AS DOUBLE)
+                 / (b_pre_only + c_post_only), 6) AS mcnemar_chi2,
+           round(CAST((abs(b_pre_only - c_post_only) - 1)
+                      * (abs(b_pre_only - c_post_only) - 1) AS DOUBLE)
+                 / (b_pre_only + c_post_only), 6) AS mcnemar_chi2_cc
+    FROM cells
+    """,
+)
+def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — did each user's
+    heavy-buyer status (≥7 purchases) CHANGE between the month halves? Unpaired
+    tests (agg_welch_ttest, agg_ab_srm_check) waste the within-user
+    pairing; McNemar uses only the discordant cells (converted-then-
+    stopped vs started-converting), with both the classic χ² and the
+    continuity-corrected form. The paired member of the
+    experimentation shelf — the right test for before/after feature
+    rollouts measured on the same users.
+
+    Exactness: the 2×2 concordance table is one exact integer
+    aggregate; both statistics are integer-arithmetic numerators over
+    an integer denominator, evaluated once on the single output row.
+
+    Scale design: one user-keyed map-combined aggregate → 1 row of
+    four cells. Nothing else."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < cut),
+                    1,
+                )
+            )
+            >= 7,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv_pre"),
+        F.when(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= cut),
+                    1,
+                )
+            )
+            >= 7,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv_post"),
+    )
+    cells = per_user.agg(
+        F.count(
+            F.when((F.col("conv_pre") == 1) & (F.col("conv_post") == 1), 1)
+        ).alias("both_conv"),
+        F.count(
+            F.when((F.col("conv_pre") == 1) & (F.col("conv_post") == 0), 1)
+        ).alias("b_pre_only"),
+        F.count(
+            F.when((F.col("conv_pre") == 0) & (F.col("conv_post") == 1), 1)
+        ).alias("c_post_only"),
+        F.count(
+            F.when((F.col("conv_pre") == 0) & (F.col("conv_post") == 0), 1)
+        ).alias("neither"),
+    )
+    b, c = F.col("b_pre_only"), F.col("c_post_only")
+    return cells.select(
+        "both_conv",
+        "b_pre_only",
+        "c_post_only",
+        "neither",
+        F.round(((b - c) * (b - c)).cast("double") / (b + c), 6).alias(
+            "mcnemar_chi2"
+        ),
+        F.round(
+            ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double")
+            / (b + c),
+            6,
+        ).alias("mcnemar_chi2_cc"),
+    )
+
+
+@register(
+    "llm_context_bucket_waste",
+    oracle="""
+    WITH sized AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT n_tokens,
+               CAST(power(2, CAST(ceil(ln(CAST(greatest(n_tokens, 1)
+                                              AS DOUBLE)) / ln(2))
+                                  AS BIGINT)) AS BIGINT) AS ctx_bucket
+        FROM sized
+    )
+    SELECT ctx_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS used_tokens,
+           CAST(sum(ctx_bucket - n_tokens) AS BIGINT) AS padding_tokens,
+           CAST(sum(ctx_bucket - n_tokens) * 1000000
+                // sum(ctx_bucket) AS BIGINT) AS waste_ppm
+    FROM bucketed
+    GROUP BY ctx_bucket
+    ORDER BY ctx_bucket
+    """,
+)
+def llm_context_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length bucketing waste census — if each document is
+    padded up to the next power-of-two sequence length (the standard
+    bucketed-batching compromise between one giant context and
+    per-length kernels), how much compute is padding? Per bucket:
+    document count, real tokens, padding tokens, and waste in ppm —
+    the table that decides whether sequence-packing
+    (llm_pack_token_shards) is worth its complexity over plain
+    bucketing for this corpus.
+
+    Exactness: the bucket is 2^⌈log₂ n⌉ computed through the SAME
+    ln-ratio/ceil/power expression in both engines on exact integer
+    token counts (exactly representable powers; ln(2^k)/ln(2) lands
+    on representable integers for the k range of real documents);
+    waste ratios are integer `//`↔`div` floor divisions.
+
+    Scale design: token count + bucket are scan-stage expressions; one
+    map-combined aggregate to ≤log₂(max_len) bucket rows. The whole
+    padding study is a single groupBy at any corpus size."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1)).cast("bigint")
+    sized = docs.select(n_tokens.alias("n_tokens"))
+    bucket = F.pow(
+        F.lit(2.0),
+        F.ceil(
+            F.log(F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+            / F.log(F.lit(2.0))
+        ).cast("bigint"),
+    ).cast("bigint")
+    return (
+        sized.withColumn("ctx_bucket", bucket)
+        .groupBy("ctx_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("used_tokens"),
+            F.sum(F.col("ctx_bucket") - F.col("n_tokens")).alias(
+                "padding_tokens"
+            ),
+        )
+        .select(
+            "ctx_bucket",
+            "n_docs",
+            "used_tokens",
+            "padding_tokens",
+            F.expr(
+                "padding_tokens * 1000000 div (used_tokens"
+                " + padding_tokens)"
+            )
+            .cast("bigint")
+            .alias("waste_ppm"),
+        )
+        .orderBy("ctx_bucket")
+    )
+
+
+@register(
+    "evt_hurst_exponent",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    indexed AS (
+        SELECT CAST(date_diff('day', (SELECT min(day) FROM daily), day)
+                    AS BIGINT) AS idx,
+               x
+        FROM daily
+    ),
+    blocked AS (
+        SELECT s.m, idx // s.m AS b, idx % s.m AS pos, x
+        FROM indexed
+        CROSS JOIN (SELECT unnest([CAST(4 AS BIGINT), 8, 16]) AS m) s
+    ),
+    cum AS (
+        SELECT m, b, pos, x,
+               sum(x) OVER (PARTITION BY m, b ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cx,
+               sum(x) OVER (PARTITION BY m, b) AS sx,
+               sum(CAST(x AS HUGEINT) * x) OVER (PARTITION BY m, b)
+                   AS sxx,
+               count(*) OVER (PARTITION BY m, b) AS cnt
+        FROM blocked
+    ),
+    devs AS (
+        SELECT m, b,
+               CAST(max(m * cx - (pos + 1) * sx) AS BIGINT) AS maxd,
+               CAST(min(m * cx - (pos + 1) * sx) AS BIGINT) AS mind,
+               CAST(max(sx) AS BIGINT) AS sx,
+               CAST(max(sxx) AS HUGEINT) AS sxx
+        FROM cum WHERE cnt = m
+        GROUP BY m, b
+    ),
+    rs AS (
+        SELECT m,
+               CAST(round(ln(CAST(maxd - mind AS DOUBLE)
+                             / sqrt(CAST(m * sxx - CAST(sx AS HUGEINT)
+                                         * sx AS DOUBLE)))
+                          / ln(2) * 1000000000) AS BIGINT) AS l2_nano
+        FROM devs
+        WHERE m * sxx - CAST(sx AS HUGEINT) * sx > 0
+          AND maxd > mind
+    ),
+    per_m AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS nb,
+               round(CAST(sum(l2_nano) AS DOUBLE) / 1000000000
+                     / count(*), 6) AS mean_log2_rs
+        FROM rs GROUP BY m
+    )
+    SELECT
+        max(CASE WHEN m = 4 THEN nb END) AS blocks_4,
+        max(CASE WHEN m = 8 THEN nb END) AS blocks_8,
+        max(CASE WHEN m = 16 THEN nb END) AS blocks_16,
+        max(CASE WHEN m = 4 THEN mean_log2_rs END) AS log2_rs_4,
+        max(CASE WHEN m = 8 THEN mean_log2_rs END) AS log2_rs_8,
+        max(CASE WHEN m = 16 THEN mean_log2_rs END) AS log2_rs_16,
+        round((max(CASE WHEN m = 16 THEN mean_log2_rs END)
+               - max(CASE WHEN m = 4 THEN mean_log2_rs END)) / 2, 6)
+            AS hurst_estimate
+    FROM per_m
+    """,
+)
+def evt_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily traffic series by rescaled-range
+    (R/S) analysis — the long-memory diagnostic: H ≈ 0.5 means
+    day-to-day volumes are memoryless, H → 1 means shocks persist
+    (capacity planning must hold reserves longer), H < 0.5 means
+    mean-reversion. Complements the one-lag view of
+    evt_activity_autocorr with behavior ACROSS time scales: R/S is
+    computed in blocks of 4, 8, and 16 days and H is the log₂-log₂
+    slope of its growth.
+
+    Exactness: within each block the rescaled deviations are EXACT
+    integers (m·cum_i − i·Σx — the evt_cusum_changepoint
+    integer-deviation trick), as are the variance terms (128-bit);
+    each block contributes ONE double (its log₂ R/S) quantized to
+    nano-units before the per-size mean, and the slope is a closed
+    form on the 3-row size table. Degenerate blocks (zero variance)
+    are excluded identically in both engines.
+
+    Scale design: corpus → day grain in one aggregate; the block
+    machinery is a ×3 literal fan-out of ≤|days| rows with windows
+    partitioned by (size, block) — every partition ≤ 16 rows. At any
+    corpus size the R/S study costs the one day-grain reduction."""
+    ev = load(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    mind = daily.agg(F.min("day").alias("min_day"))
+    indexed = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("day", "min_day").cast("bigint").alias("idx"), "x"
+    )
+    blocked = indexed.select(
+        F.explode(
+            F.array(
+                F.lit(4).cast("bigint"),
+                F.lit(8).cast("bigint"),
+                F.lit(16).cast("bigint"),
+            )
+        ).alias("m"),
+        "idx",
+        "x",
+    ).select(
+        "m",
+        F.expr("idx div m").alias("b"),
+        (F.col("idx") % F.col("m")).alias("pos"),
+        "x",
+    )
+    wb = Window.partitionBy("m", "b")
+    wc = wb.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cum = blocked.select(
+        "m",
+        "b",
+        "pos",
+        "x",
+        F.sum("x").over(wc).alias("cx"),
+        F.sum("x").over(wb).alias("sx"),
+        F.sum(dec("x") * dec("x")).over(wb).alias("sxx"),
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+    )
+    dev = F.col("m") * F.col("cx") - (F.col("pos") + 1) * F.col("sx")
+    devs = (
+        cum.where(F.col("cnt") == F.col("m"))
+        .groupBy("m", "b")
+        .agg(
+            F.max(dev).cast("bigint").alias("maxd"),
+            F.min(dev).cast("bigint").alias("mind"),
+            F.max("sx").cast("bigint").alias("sx"),
+            F.max("sxx").alias("sxx"),
+        )
+    )
+    var_term = F.col("m") * F.col("sxx") - dec("sx") * dec("sx")
+    rs = devs.where(
+        (var_term > 0) & (F.col("maxd") > F.col("mind"))
+    ).select(
+        "m",
+        F.round(
+            F.log(
+                (F.col("maxd") - F.col("mind")).cast("double")
+                / F.sqrt(var_term.cast("double"))
+            )
+            / F.log(F.lit(2.0))
+            * 1000000000
+        ).cast("bigint").alias("l2_nano"),
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.round(
+            F.sum("l2_nano").cast("double") / 1000000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_log2_rs"),
+    )
+
+    def pick(m, c):
+        return F.max(F.when(F.col("m") == m, F.col(c)))
+
+    return per_m.agg(
+        pick(4, "nb").alias("blocks_4"),
+        pick(8, "nb").alias("blocks_8"),
+        pick(16, "nb").alias("blocks_16"),
+        pick(4, "mean_log2_rs").alias("log2_rs_4"),
+        pick(8, "mean_log2_rs").alias("log2_rs_8"),
+        pick(16, "mean_log2_rs").alias("log2_rs_16"),
+        F.round(
+            (pick(16, "mean_log2_rs") - pick(4, "mean_log2_rs")) / 2, 6
+        ).alias("hurst_estimate"),
+    )

@@ -309,6 +309,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_tukey_hsd_pairs",        # 1-row pooled-MSW × C(k,2) pair rows
         "llm_kneser_ney_bigram",      # 1-row bigram-type total scalar
         "evt_competing_risks_cif",    # 1-row cohort-size scalar
+        "evt_hurst_exponent",         # 1-row min-day seed × DAY rows
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -414,6 +415,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # top-30 presentation sort
         "evt_competing_risks_cif",    # DAY-grain risk/CIF windows +
                                       # 1-row cohort reduce
+        "agg_mcnemar_paired",         # 1-row 2x2 concordance reduce
+        "evt_hurst_exponent",         # 1-row size-table pivot; block
+                                      # windows are (m, b)-partitioned
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
