@@ -96,6 +96,7 @@ _PRIORITY = [
     "agg_mcnemar_paired",
     "llm_context_bucket_waste",
     "evt_hurst_exponent",
+    "pipeline_cohort_repeat_purchase",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

@@ -10731,8 +10731,11 @@ def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM surv
     )
     SELECT t AS day, n AS n_at_risk, d_e AS n_error, d_p AS n_purchase,
-           round(exp(CAST(sum(logterm_nano) OVER w AS DOUBLE)
-                     / 1000000000), 6) AS km_event_free,
+           round(CASE WHEN max(CASE WHEN n = d_e + d_p THEN 1 ELSE 0 END)
+                          OVER w = 1
+                 THEN 0
+                 ELSE exp(CAST(sum(logterm_nano) OVER w AS DOUBLE)
+                          / 1000000000) END, 6) AS km_event_free,
            round(CAST(sum(ie_nano) OVER w AS DOUBLE) / 1000000000, 6)
                AS cif_error,
            round(CAST(sum(ip_nano) OVER w AS DOUBLE) / 1000000000, 6)
@@ -10752,7 +10755,10 @@ def evt_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 − KM per cause OVERSTATES both risks because it treats the rival
     cause as censoring; the CIF increments S(t−)·d_k(t)/n(t) sum to
     the honest probabilities, and cif_error + cif_purchase +
-    km_event_free = 1 at every row (the built-in audit). Extends
+    km_event_free = 1 at every row (the built-in audit,
+    property-tested); once the risk set is exhausted (n = d) the KM
+    survival is emitted as exactly 0 in both engines (ln(0) is
+    undefined, so extinction is a flag, not a log term). Extends
     evt_survival_km (single risk) the way agg_anova_oneway extends
     agg_welch_ttest.
 
@@ -10854,9 +10860,19 @@ def evt_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_e").alias("n_error"),
             F.col("d_p").alias("n_purchase"),
             F.round(
-                F.exp(
-                    F.sum("logterm_nano").over(w_cur).cast("double")
-                    / 1000000000
+                F.when(
+                    F.max(
+                        F.when(
+                            F.col("n") == F.col("d_e") + F.col("d_p"), 1
+                        ).otherwise(0)
+                    ).over(w_cur)
+                    == 1,
+                    F.lit(0.0),
+                ).otherwise(
+                    F.exp(
+                        F.sum("logterm_nano").over(w_cur).cast("double")
+                        / 1000000000
+                    )
                 ),
                 6,
             ).alias("km_event_free"),
@@ -11242,4 +11258,139 @@ def evt_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (pick(16, "mean_log2_rs") - pick(4, "mean_log2_rs")) / 2, 6
         ).alias("hurst_estimate"),
+    )
+
+
+@register(
+    "pipeline_cohort_repeat_purchase",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS od,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey, od AS d1,
+               strftime(date_trunc('month', od), '%Y-%m') AS cohort
+        FROM ranked WHERE rn = 1
+    ),
+    seconds AS (
+        SELECT o_custkey, od AS d2 FROM ranked WHERE rn = 2
+    ),
+    spans AS (
+        SELECT f.cohort,
+               CASE WHEN s.o_custkey IS NULL THEN NULL
+                    ELSE CAST(date_diff('day', f.d1, s.d2) AS BIGINT)
+               END AS gap_days
+        FROM firsts f LEFT JOIN seconds s USING (o_custkey)
+    ),
+    cohort_tot AS (
+        SELECT cohort,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(gap_days) AS BIGINT) AS n_repeat
+        FROM spans GROUP BY cohort
+    ),
+    gc AS (
+        SELECT cohort, gap_days, CAST(count(*) AS BIGINT) AS c
+        FROM spans WHERE gap_days IS NOT NULL
+        GROUP BY cohort, gap_days
+    ),
+    med AS (
+        SELECT cohort, CAST(min(gap_days) AS BIGINT) AS median_gap_days
+        FROM (
+            SELECT g.cohort, g.gap_days, t.n_repeat,
+                   sum(g.c) OVER (PARTITION BY g.cohort
+                                  ORDER BY g.gap_days) AS cum
+            FROM gc g JOIN cohort_tot t USING (cohort)
+        )
+        WHERE cum >= (n_repeat + 1) // 2
+        GROUP BY cohort
+    )
+    SELECT t.cohort, t.n_customers, t.n_repeat,
+           CAST(t.n_repeat * 1000000 // t.n_customers AS BIGINT)
+               AS repeat_ppm,
+           m.median_gap_days
+    FROM cohort_tot t LEFT JOIN med m USING (cohort)
+    ORDER BY t.cohort
+    """,
+)
+def pipeline_cohort_repeat_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase curve by acquisition cohort — for customers whose
+    FIRST order lands in month M: how many ever order again, and the
+    median days from first to second order. The lifecycle-marketing
+    readout that evt_retention_cohorts gives for event activity,
+    re-expressed on the ORDERS fact (the money, not the clicks).
+
+    Exactness: order ranks use the (date, orderkey) total order; gaps
+    are integer days; the per-cohort median gap is an exact order
+    statistic read from cumulative counts (the agg_mad_robust_outliers
+    histogram-median discipline — no interpolation, no float).
+
+    Scale design: one customer-keyed window ranks each customer's own
+    orders (per-partition rows = orders per customer, bounded by
+    behavior, not corpus); cohort totals and the gap histogram are
+    (cohort)- and (cohort, gap)-grain aggregates; the median window
+    runs over DISTINCT-GAP rows (calendar-bounded). No corpus-grain
+    window anywhere."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = ranked.where(F.col("rn") == 1).select(
+        "o_custkey",
+        F.col("od").alias("d1"),
+        F.date_format(F.date_trunc("month", "od"), "yyyy-MM").alias(
+            "cohort"
+        ),
+    )
+    seconds = ranked.where(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("od").alias("d2")
+    )
+    spans = firsts.join(
+        seconds, firsts.o_custkey == seconds.ck2, "left"
+    ).select(
+        "cohort",
+        F.when(
+            F.col("ck2").isNotNull(),
+            F.datediff("d2", "d1").cast("bigint"),
+        ).alias("gap_days"),
+    )
+    cohort_tot = spans.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("gap_days").alias("n_repeat"),
+    )
+    gc = (
+        spans.where(F.col("gap_days").isNotNull())
+        .groupBy("cohort", "gap_days")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wm = Window.partitionBy("cohort").orderBy("gap_days")
+    med = (
+        gc.join(F.broadcast(cohort_tot), "cohort")
+        .withColumn("cum", F.sum("c").over(wm))
+        .where(F.col("cum") >= F.expr("(n_repeat + 1) div 2"))
+        .groupBy("cohort")
+        .agg(F.min("gap_days").cast("bigint").alias("median_gap_days"))
+    )
+    return (
+        cohort_tot.join(med, "cohort", "left")
+        .select(
+            "cohort",
+            "n_customers",
+            "n_repeat",
+            F.expr("n_repeat * 1000000 div n_customers")
+            .cast("bigint")
+            .alias("repeat_ppm"),
+            "median_gap_days",
+        )
+        .orderBy("cohort")
     )

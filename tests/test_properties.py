@@ -1047,3 +1047,113 @@ def test_shapley_attribution_efficiency(spark, sf_dir):
     v_full = by_k.get(4, 0.0)  # users who touched all four channels
     v_empty = by_k.get(0, 0.0)  # purchase-only users (the baseline)
     assert abs(total - (v_full - v_empty)) < 5e-6, (total, v_full, v_empty)
+
+
+def test_competing_risks_probabilities_partition_unity(spark, sf_dir):
+    """Aalen-Johansen invariant: at every event day,
+    cif_error + cif_purchase + km_event_free == 1 (up to the nano
+    quantization of the increments), and both CIFs are monotone
+    non-decreasing while KM is monotone non-increasing."""
+    rows = (
+        REGISTRY["evt_competing_risks_cif"]
+        .builder(spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows
+    prev_e = prev_p = -1.0
+    prev_km = 2.0
+    for r in rows:
+        total = r.cif_error + r.cif_purchase + r.km_event_free
+        assert abs(total - 1.0) < 1e-4, f"day {r.day}: partition {total}"
+        assert r.cif_error >= prev_e and r.cif_purchase >= prev_p
+        assert r.km_event_free <= prev_km
+        prev_e, prev_p, prev_km = r.cif_error, r.cif_purchase, r.km_event_free
+
+
+def test_uplift_deciles_partition_users_exactly(spark, sf_dir):
+    """The ten deciles tile the user base: cell counts sum to the
+    distinct-user count, and decile sizes differ by at most 1 (the
+    SQL ntile contract the distributed rank re-implements)."""
+    rows = REGISTRY["evt_uplift_qini_deciles"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+    from noaa_etl_daily_spark.tables import load
+
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    sizes = [r.n_t + r.n_c for r in rows]
+    assert sum(sizes) == n_users
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, sf_dir):
+    """A-ES with weight = n_chars must select docs whose mean length
+    exceeds the corpus mean (the whole point of weighting), and key
+    ordering must be reproducible across two runs."""
+    from noaa_etl_daily_spark.tables import load
+
+    q = REGISTRY["llm_weighted_reservoir_sample"].builder
+    first = [(r.doc_id, r.key_femto) for r in q(spark, sf_dir).collect()]
+    second = [(r.doc_id, r.key_femto) for r in q(spark, sf_dir).collect()]
+    assert first == second, "weighted sample is not deterministic"
+    sample_mean = sum(
+        r.n_chars for r in q(spark, sf_dir).collect()
+    ) / len(first)
+    corpus = load(spark, sf_dir, "documents").agg(
+        {"n_chars": "avg"}
+    ).collect()[0][0]
+    assert sample_mean > corpus, (sample_mean, corpus)
+
+
+def test_mad_outlier_rate_bounded_by_chebyshev_spirit(spark, sf_dir):
+    """The 3x1.4826xMAD screen must flag a strict minority per type,
+    and median/MAD must be non-negative with MAD <= max deviation."""
+    rows = REGISTRY["agg_mad_robust_outliers"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers < r.n / 2
+        assert r.mad_value >= 0 and r.median_value >= 0
+
+
+def test_cdc_chunks_cover_every_token(spark, sf_dir):
+    """Content-defined chunks must partition each document exactly:
+    summed chunk tokens == summed doc tokens (no gap, no overlap)."""
+    from pyspark.sql import functions as F
+    from noaa_etl_daily_spark.tables import load
+
+    census = (
+        REGISTRY["llm_cdc_chunk_census"]
+        .builder(spark, sf_dir)
+        .agg(F.sum("total_tokens").alias("s"))
+        .collect()[0]
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " ", -1),
+                    lambda t: t != "",
+                )
+            ).alias("n")
+        )
+        .where(F.col("n") >= 1)
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]
+    )
+    assert census.s == docs.s, (census.s, docs.s)
+
+
+def test_repeated_substring_runs_within_doc_bounds(spark, sf_dir):
+    """Every reported duplicated span fits inside its document and the
+    longest run never exceeds the duplicated-token total."""
+    rows = (
+        REGISTRY["llm_repeated_substring_census"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "fixture corpus has no cross-doc repeats?"
+    for r in rows:
+        assert 5 <= r.longest_run_tokens <= r.dup_tokens <= r.n_tokens
+        assert 0 < r.dup_ppm <= 1000000
