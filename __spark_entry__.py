@@ -97,6 +97,7 @@ _PRIORITY = [
     "llm_context_bucket_waste",
     "evt_hurst_exponent",
     "pipeline_cohort_repeat_purchase",
+    "evt_extreme_value_pot",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

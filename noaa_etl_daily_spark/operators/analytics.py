@@ -11394,3 +11394,119 @@ def pipeline_cohort_repeat_purchase(
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "evt_extreme_value_pot",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+    ),
+    thresh AS (
+        SELECT CAST(max(x) AS BIGINT) AS u FROM (
+            SELECT x, CAST(count(*) AS BIGINT) AS c FROM cents GROUP BY x
+        ), (SELECT CAST(count(*) AS BIGINT) AS n FROM cents) t
+        WHERE (SELECT CAST(sum(c2.c) AS BIGINT) FROM (
+                   SELECT x AS x2, CAST(count(*) AS BIGINT) AS c
+                   FROM cents GROUP BY x) c2
+               WHERE c2.x2 <= x) <= t.n * 9 // 10
+    ),
+    exc AS (
+        SELECT CAST(x - u AS BIGINT) AS e, u
+        FROM cents CROSS JOIN thresh WHERE x > u
+    ),
+    mom AS (
+        SELECT CAST(max(u) AS BIGINT) AS u,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(e) AS BIGINT) AS se,
+               sum(CAST(e AS HUGEINT) * e) AS see,
+               CAST(max(e) AS BIGINT) AS emax
+        FROM exc
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cents)
+    SELECT round(CAST(u AS DOUBLE) / 100, 2) AS threshold,
+           k AS n_exceedances,
+           round(0.5 * (1 - (CAST(se AS DOUBLE) / k)
+                            * (CAST(se AS DOUBLE) / k)
+                            / ((CAST(see AS DOUBLE)
+                                - CAST(se AS DOUBLE) * se / k) / (k - 1))),
+                 6) AS gpd_xi,
+           round(0.5 * (CAST(se AS DOUBLE) / k)
+                 * ((CAST(se AS DOUBLE) / k) * (CAST(se AS DOUBLE) / k)
+                    / ((CAST(see AS DOUBLE)
+                        - CAST(se AS DOUBLE) * se / k) / (k - 1)) + 1)
+                 / 100, 6) AS gpd_sigma,
+           round(CAST(emax AS DOUBLE) / 100, 2) AS max_exceedance,
+           round(CAST(k AS DOUBLE) / n, 6) AS exceed_rate
+    FROM mom CROSS JOIN tot
+    """,
+)
+def evt_extreme_value_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value analysis of purchase values —
+    the tail-risk readout behind fraud limits and capacity ceilings:
+    exceedances above the (exact, histogram-derived) 90th-percentile
+    threshold are fit to a Generalized Pareto distribution by the
+    closed-form method of moments (ξ = ½(1 − m²/s²), σ = ½m(m²/s²+1)).
+    ξ > 0 says the tail is heavy (finite moments run out — budget for
+    outliers far beyond anything yet seen); ξ < 0 says the tail is
+    bounded. The EXTREME-tail complement of agg_mad_robust_outliers'
+    bulk screen.
+
+    Exactness: the threshold is an exact order statistic from
+    value-grain counts (largest value with cumulative count ≤ 0.9n —
+    no percentile interpolation); exceedance moments are exact
+    integers (Σe bigint, Σe² 128-bit); ξ and σ are single double
+    expressions on the one output row.
+
+    Scale design: one value-grain count aggregate gives the threshold
+    (distinct-value rows, not corpus rows); the exceedance pass is a
+    map-only filter against the broadcast threshold feeding one moment
+    aggregate. Tail analysis at 100 TB = two cheap passes, one of
+    them over a histogram."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    cents = ev.where(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("x")
+    )
+    vc = cents.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    tot = vc.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thresh = (
+        vc.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cum") <= F.expr("n * 9 div 10"))
+        .agg(F.max("x").cast("bigint").alias("u"))
+    )
+    exc = (
+        cents.crossJoin(F.broadcast(thresh))
+        .where(F.col("x") > F.col("u"))
+        .select((F.col("x") - F.col("u")).alias("e"), "u")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = exc.agg(
+        F.max("u").cast("bigint").alias("u"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("e").alias("se"),
+        F.sum(dec("e") * dec("e")).alias("see"),
+        F.max("e").cast("bigint").alias("emax"),
+    )
+    m = F.col("se").cast("double") / F.col("k")
+    s2 = (
+        F.col("see").cast("double")
+        - F.col("se").cast("double") * F.col("se") / F.col("k")
+    ) / (F.col("k") - 1)
+    ratio = m * m / s2
+    return mom.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("u").cast("double") / 100, 2).alias("threshold"),
+        F.col("k").alias("n_exceedances"),
+        F.round(0.5 * (1 - ratio), 6).alias("gpd_xi"),
+        F.round(0.5 * m * (ratio + 1) / 100, 6).alias("gpd_sigma"),
+        F.round(F.col("emax").cast("double") / 100, 2).alias(
+            "max_exceedance"
+        ),
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias(
+            "exceed_rate"
+        ),
+    )

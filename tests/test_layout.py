@@ -310,6 +310,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_kneser_ney_bigram",      # 1-row bigram-type total scalar
         "evt_competing_risks_cif",    # 1-row cohort-size scalar
         "evt_hurst_exponent",         # 1-row min-day seed × DAY rows
+        "evt_extreme_value_pot",      # 1-row threshold/moment scalars
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -416,6 +417,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_competing_risks_cif",    # DAY-grain risk/CIF windows +
                                       # 1-row cohort reduce
         "agg_mcnemar_paired",         # 1-row 2x2 concordance reduce
+        "evt_extreme_value_pot",      # value-grain histogram cumsum +
+                                      # 1-row moment reduces
         "evt_hurst_exponent",         # 1-row size-table pivot; block
                                       # windows are (m, b)-partitioned
         # scale_rank *_atscale twins + with_cumsum consumers: their only
@@ -485,6 +488,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # decile Qini cumsum
         "evt_rolling_correlation",    # DAY-grain rolling moment windows
         "evt_competing_risks_cif",    # DAY-grain KM/CIF running windows
+        "evt_extreme_value_pot",      # cumulative counts over
+                                      # DISTINCT-VALUE rows (threshold)
     }
 
     def _walk(node):
