@@ -8965,7 +8965,7 @@ def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(cents) AS BIGINT) AS sx,
                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
                CAST(round(CAST(sum(cents) AS DOUBLE) * sum(cents)
-                          / count(*) * 1000) AS BIGINT) AS bterm_milli
+                          / count(*) * 1000) AS HUGEINT) AS bterm_milli
         FROM samples GROUP BY grp
     ),
     tot AS (
@@ -8973,7 +8973,7 @@ def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(n) AS BIGINT) AS n_total,
                CAST(sum(sx) AS BIGINT) AS s_all,
                CAST(sum(sxx) AS DOUBLE) AS sxx_all,
-               CAST(sum(bterm_milli) AS BIGINT) AS sb_milli
+               sum(bterm_milli) AS sb_milli
         FROM moments
     )
     SELECT k, n_total,
@@ -9026,7 +9026,7 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bterm_milli",
         F.round(
             F.col("sx").cast("double") * F.col("sx") / F.col("n") * 1000
-        ).cast("bigint"),
+        ).cast("decimal(38,0)"),
     )
     tot = moments.agg(
         F.count(F.lit(1)).alias("k"),
@@ -10451,7 +10451,7 @@ def llm_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(cents) AS BIGINT) AS sx,
                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
                CAST(round(CAST(sum(cents) AS DOUBLE) * sum(cents)
-                          / count(*) * 1000) AS BIGINT) AS bterm_milli
+                          / count(*) * 1000) AS HUGEINT) AS bterm_milli
         FROM samples GROUP BY grp
     ),
     pooled AS (
@@ -10505,7 +10505,7 @@ def agg_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bterm_milli",
         F.round(
             F.col("sx").cast("double") * F.col("sx") / F.col("n") * 1000
-        ).cast("bigint"),
+        ).cast("decimal(38,0)"),
     )
     pooled = moments.agg(
         F.count(F.lit(1)).alias("k"),
