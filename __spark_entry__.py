@@ -98,6 +98,8 @@ _PRIORITY = [
     "evt_hurst_exponent",
     "pipeline_cohort_repeat_purchase",
     "evt_extreme_value_pot",
+    "agg_rank_biased_overlap",
+    "evt_chain_ladder_projection",
     # r3 red rows, fixed in r4 (array outputs now serialized)
     "fn_array_basic",
     "llm_multimodal_decode_features",

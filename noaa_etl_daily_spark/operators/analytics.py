@@ -11510,3 +11510,323 @@ def evt_extreme_value_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exceed_rate"
         ),
     )
+
+
+@register(
+    "agg_rank_biased_overlap",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand,
+               CAST(sum(CASE WHEN l.l_shipdate
+                                  < TIMESTAMP '1995-07-01 00:00:00'
+                        THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS rev_a,
+               CAST(sum(CASE WHEN l.l_shipdate
+                                  >= TIMESTAMP '1995-07-01 00:00:00'
+                        THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS rev_b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY p.p_brand
+    ),
+    ranked AS (
+        SELECT p_brand,
+               row_number() OVER (ORDER BY rev_a DESC, p_brand) AS ra,
+               row_number() OVER (ORDER BY rev_b DESC, p_brand) AS rb
+        FROM rev
+    ),
+    depth_entry AS (
+        SELECT p_brand, greatest(ra, rb) AS m FROM ranked
+    ),
+    depths AS (
+        SELECT CAST(unnest(generate_series(1,
+                   (SELECT CAST(count(*) AS BIGINT) FROM rev))) AS BIGINT)
+               AS d
+    ),
+    ovl AS (
+        SELECT d.d,
+               CAST((SELECT count(*) FROM depth_entry e WHERE e.m <= d.d)
+                    AS BIGINT) AS o
+        FROM depths d
+    ),
+    terms AS (
+        SELECT d, o,
+               CAST(round(pow(0.9, CAST(d - 1 AS DOUBLE))
+                          * o / d * 1000000000) AS BIGINT) AS term_nano
+        FROM ovl
+    )
+    SELECT CAST(max(d) AS BIGINT) AS depth,
+           CAST(max(CASE WHEN d = 1 THEN o END) AS BIGINT)
+               AS top1_agree,
+           CAST(max(CASE WHEN d = 5 THEN o END) AS BIGINT)
+               AS top5_overlap,
+           round(0.09999999999999998 * CAST(sum(term_nano) AS DOUBLE)
+                 / 1000000000, 6) AS rbo_p09
+    FROM terms
+    """,
+)
+def agg_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p = 0.9) between the H1-1995 and
+    H2-1995 brand revenue rankings — the principled way to compare two
+    TOP-WEIGHTED rankings (Kendall/Spearman treat rank 1 and rank 25
+    swaps identically; RBO's geometric depth weights make the head
+    dominate, which is what "did our leaderboard change?" actually
+    asks). Also emits top-1 agreement and top-5 overlap as the
+    human-readable cut.
+
+    Exactness: both rankings are exact integer ranks with full
+    tiebreaks; overlap-at-depth o_d comes from the max(rank_a, rank_b)
+    trick — brand is inside BOTH top-d lists iff max(ra, rb) ≤ d — so
+    every o_d is an exact count; each depth's weighted term is
+    quantized to nano before the sum. The (1−p) normalizer is written
+    as the same literal in both engines.
+
+    Scale design: the corpus collapses to |brands| revenue rows in one
+    filtered aggregate; ranks, depths (|brands|²-bounded pair of tiny
+    relations), and the RBO fold all run on bounded tables. Comparing
+    two 100 TB-derived leaderboards costs one scan."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mid = F.lit("1995-07-01 00:00:00").cast("timestamp_ntz")
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rev = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < mid, cents).otherwise(0)
+            ).alias("rev_a"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= mid, cents).otherwise(0)
+            ).alias("rev_b"),
+        )
+    )
+    wa = Window.orderBy(F.desc("rev_a"), "p_brand")
+    wb = Window.orderBy(F.desc("rev_b"), "p_brand")
+    ranked = rev.select(
+        "p_brand",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    entry = ranked.select(
+        F.greatest("ra", "rb").cast("bigint").alias("m")
+    )
+    nbrands = rev.agg(F.count(F.lit(1)).alias("nb"))
+    depths = nbrands.select(
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("nb"))).alias(
+            "d"
+        )
+    )
+    overlaps = (
+        depths.join(entry, F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").alias("o"))
+    )
+    terms = overlaps.select(
+        "d",
+        "o",
+        F.round(
+            F.pow(F.lit(0.9), (F.col("d") - 1).cast("double"))
+            * F.col("o")
+            / F.col("d")
+            * 1000000000
+        ).cast("bigint").alias("term_nano"),
+    )
+
+    def pick(d, c):
+        return F.max(F.when(F.col("d") == d, F.col(c)))
+
+    return terms.agg(
+        F.max("d").cast("bigint").alias("depth"),
+        pick(1, "o").cast("bigint").alias("top1_agree"),
+        pick(5, "o").cast("bigint").alias("top5_overlap"),
+        F.round(
+            F.lit(0.09999999999999998)
+            * F.sum("term_nano").cast("double")
+            / 1000000000,
+            6,
+        ).alias("rbo_p09"),
+    )
+
+
+@register(
+    "evt_chain_ladder_projection",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(extract(year FROM o_orderdate) * 12
+                    + extract(month FROM o_orderdate) - 1 AS BIGINT)
+                   AS m_idx,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    coh AS (
+        SELECT o_custkey, CAST(min(m_idx) AS BIGINT) AS c_idx FROM o
+        GROUP BY o_custkey
+    ),
+    cap AS (SELECT CAST(max(m_idx) AS BIGINT) AS mmax FROM o),
+    inc AS (
+        SELECT c.c_idx, o.m_idx - c.c_idx AS age,
+               CAST(sum(o.cents) AS BIGINT) AS rev
+        FROM o JOIN coh c USING (o_custkey)
+        GROUP BY c.c_idx, o.m_idx - c.c_idx
+    ),
+    dense AS (
+        SELECT g.c_idx, g.age, CAST(coalesce(i.rev, 0) AS BIGINT) AS rev
+        FROM (
+            SELECT c_idx,
+                   CAST(unnest(generate_series(0, mmax - c_idx))
+                        AS BIGINT) AS age
+            FROM (SELECT DISTINCT c_idx FROM coh) CROSS JOIN cap
+        ) g
+        LEFT JOIN inc i ON i.c_idx = g.c_idx AND i.age = g.age
+    ),
+    cum AS (
+        SELECT c_idx, age,
+               CAST(sum(rev) OVER (PARTITION BY c_idx ORDER BY age)
+                    AS BIGINT) AS c
+        FROM dense
+    ),
+    fac AS (
+        SELECT age,
+               CAST(round(ln(CAST(sum(nxt) AS DOUBLE) / sum(c))
+                          * 1000000000) AS BIGINT) AS lnf_nano
+        FROM (
+            SELECT c_idx, age, c,
+                   lead(c) OVER (PARTITION BY c_idx ORDER BY age) AS nxt
+            FROM cum
+        )
+        WHERE nxt IS NOT NULL
+        GROUP BY age
+    ),
+    sfx AS (
+        SELECT age,
+               CAST(sum(lnf_nano) OVER (ORDER BY age DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sfx_nano
+        FROM fac
+    ),
+    lasts AS (
+        SELECT cum.c_idx, cum.age AS last_age, cum.c AS cum_rev
+        FROM cum CROSS JOIN cap WHERE cum.age = cap.mmax - cum.c_idx
+    )
+    SELECT printf('%04d-%02d', l.c_idx // 12,
+                  l.c_idx % 12 + 1) AS cohort,
+           l.last_age, round(CAST(l.cum_rev AS DOUBLE) / 100, 2)
+               AS cum_revenue,
+           round(CAST(l.cum_rev AS DOUBLE) / 100
+                 * exp(CAST(coalesce(s.sfx_nano, 0) AS DOUBLE)
+                       / 1000000000), 2) AS ultimate_revenue
+    FROM lasts l LEFT JOIN sfx s ON s.age = l.last_age
+    ORDER BY cohort
+    """,
+)
+def evt_chain_ladder_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chain-ladder cohort development — the actuarial triangle applied
+    to revenue: cohorts (month of first order) accumulate revenue by
+    AGE, volume-weighted development factors f_j = ΣC_{·,j+1}/ΣC_{·,j}
+    are estimated from every cohort pair observed at both ages, and
+    each immature cohort's current total is run out through the
+    remaining factors to an ULTIMATE projection. The standard answer
+    to "this quarter's cohort looks small — is it small, or just
+    young?" that naive cohort comparisons get wrong.
+
+    Exactness: month indices and the dense cohort×age cumulative
+    triangle are exact integers (missing months zero-filled so factor
+    denominators align across engines); each factor is a ratio of two
+    exact integer sums whose ln is quantized to nano per AGE row; the
+    factor product is an exact integer suffix-sum exponentiated once
+    per cohort.
+
+    Scale design: one customer-keyed cohort assignment + one
+    (cohort, age) aggregate collapse the corpus; the dense triangle is
+    |cohorts|×|ages| (calendar² — bounded); all windows run on
+    triangle or factor rows. Chain-ladder on 100 TB of orders = two
+    keyed shuffles."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("bigint").alias("m_idx"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    coh = o.groupBy("o_custkey").agg(F.min("m_idx").alias("c_idx"))
+    cap = o.agg(F.max("m_idx").alias("mmax"))
+    inc = (
+        o.join(coh, "o_custkey")
+        .groupBy("c_idx", (F.col("m_idx") - F.col("c_idx")).alias("age"))
+        .agg(F.sum("cents").alias("rev"))
+    )
+    grid = (
+        coh.select("c_idx")
+        .distinct()
+        .crossJoin(F.broadcast(cap))
+        .select(
+            "c_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("mmax") - F.col("c_idx"),
+                )
+            ).alias("age"),
+        )
+    )
+    dense = grid.join(inc, ["c_idx", "age"], "left").select(
+        "c_idx", "age", F.coalesce(F.col("rev"), F.lit(0)).alias("rev")
+    )
+    wc = Window.partitionBy("c_idx").orderBy("age")
+    cum = dense.select(
+        "c_idx", "age", F.sum("rev").over(wc).cast("bigint").alias("c")
+    )
+    nxt = cum.withColumn("nxt", F.lead("c").over(wc))
+    fac = (
+        nxt.where(F.col("nxt").isNotNull())
+        .groupBy("age")
+        .agg(
+            F.round(
+                F.log(F.sum("nxt").cast("double") / F.sum("c"))
+                * 1000000000
+            ).cast("bigint").alias("lnf_nano")
+        )
+    )
+    ws = Window.orderBy(F.desc("age")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sfx = fac.select(
+        "age", F.sum("lnf_nano").over(ws).cast("bigint").alias("sfx_nano")
+    )
+    lasts = cum.crossJoin(F.broadcast(cap)).where(
+        F.col("age") == F.col("mmax") - F.col("c_idx")
+    ).select("c_idx", F.col("age").alias("last_age"), F.col("c").alias("cum_rev"))
+    return (
+        lasts.join(sfx, lasts.last_age == sfx.age, "left")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("c_idx div 12").cast("int"),
+                (F.col("c_idx") % 12 + 1).cast("int"),
+            ).alias("cohort"),
+            "last_age",
+            F.round(F.col("cum_rev").cast("double") / 100, 2).alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / 100
+                * F.exp(
+                    F.coalesce(F.col("sfx_nano"), F.lit(0)).cast("double")
+                    / 1000000000
+                ),
+                2,
+            ).alias("ultimate_revenue"),
+        )
+        .orderBy("cohort")
+    )

@@ -311,6 +311,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_competing_risks_cif",    # 1-row cohort-size scalar
         "evt_hurst_exponent",         # 1-row min-day seed × DAY rows
         "evt_extreme_value_pot",      # 1-row threshold/moment scalars
+        "agg_rank_biased_overlap",    # |brands|-row depth/entry joins
+        "evt_chain_ladder_projection",  # 1-row calendar-cap scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -419,6 +421,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_mcnemar_paired",         # 1-row 2x2 concordance reduce
         "evt_extreme_value_pot",      # value-grain histogram cumsum +
                                       # 1-row moment reduces
+        "agg_rank_biased_overlap",    # 1-row reduce of |brands| depth rows
+        "evt_chain_ladder_projection",  # AGE-grain factor suffix window
         "evt_hurst_exponent",         # 1-row size-table pivot; block
                                       # windows are (m, b)-partitioned
         # scale_rank *_atscale twins + with_cumsum consumers: their only
@@ -490,6 +494,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_competing_risks_cif",    # DAY-grain KM/CIF running windows
         "evt_extreme_value_pot",      # cumulative counts over
                                       # DISTINCT-VALUE rows (threshold)
+        "agg_rank_biased_overlap",    # BRAND-grain rank windows (≤25)
+        "evt_chain_ladder_projection",  # AGE-grain factor suffix sums
     }
 
     def _walk(node):
