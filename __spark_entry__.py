@@ -35,6 +35,11 @@ FLAGSHIP = "agg_groupby_multi"
 #: now fixed, so the record turns green; (2) pipeline_* / sql_* (the
 #: likeliest real-user queries); (3) the rest of the never-sampled set.
 _PRIORITY = [
+    # round-5 fourth wave (this session)
+    "evt_lead_lag_ccf",
+    "evt_runs_test_randomness",
+    "agg_gumbel_block_maxima",
+    "agg_cramers_v",
     # round-5 scale-safe twins (operators/scale_rank.py): new keys whose
     # driver certification proves the distributed-rank rewrites are
     # bit-identical to their originals (same oracle SQL)

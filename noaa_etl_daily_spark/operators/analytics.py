@@ -11830,3 +11830,446 @@ def evt_chain_ladder_projection(
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "evt_lead_lag_ccf",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1
+    ),
+    lags AS (
+        SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag_days
+    ),
+    pairs AS (
+        SELECT l.lag_days, a.x, b.y
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + CAST(l.lag_days AS INTEGER)
+    ),
+    mom AS (
+        SELECT lag_days,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pairs GROUP BY lag_days
+    )
+    SELECT lag_days, k AS n_days,
+           round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt((CAST(k AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(k AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0), 6)
+               AS ccf
+    FROM mom
+    ORDER BY lag_days
+    """,
+)
+def evt_lead_lag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily click volume and daily
+    purchase volume at lags -7..+7 days — the "does today's click spike
+    predict purchases two days later?" diagnostic. A CCF peaked at a
+    positive lag quantifies the conversion delay; a flat CCF says the
+    series co-move only through shared seasonality.
+
+    Exactness: the corpus reduces to DAY grain with integer counts;
+    per-lag moments are exact integer sums (cross products in 128-bit),
+    so partial aggregation order cannot change them; Pearson r is one
+    double expression per OUTPUT row (15 rows) with a nullif guard on
+    zero-variance overlaps, identical in both engines.
+
+    Scale design: one date-keyed map-combined aggregate collapses the
+    corpus to <=|days| rows; the 15-row lag fan-out and the shifted
+    self-join run on that bounded day table (day+lag stays an equi
+    key). At 100 TB the day table is still 365 rows/year — the CCF
+    costs one scan regardless of corpus size."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag_days")
+    ).select(F.col("lag_days").cast("bigint").alias("lag_days"))
+    b = daily.select(F.col("day").alias("bday"), F.col("y").alias("by"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "tday", F.date_add(F.col("day"), F.col("lag_days").cast("int"))
+        )
+        .join(b, F.col("bday") == F.col("tday"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("by").alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("by") * dec("by")).alias("syy"),
+        F.sum(dec("x") * dec("by")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    denom = F.sqrt(
+        (kd * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx"))
+        * (kd * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return mom.select(
+        "lag_days",
+        F.col("k").alias("n_days"),
+        F.round(
+            (kd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("ccf"),
+    ).orderBy("lag_days")
+
+
+@register(
+    "evt_runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, cents AS mcents FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, day) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ),
+    signed AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN d.cents > m.mcents THEN 1 ELSE -1 END AS s
+        FROM daily d JOIN med m USING (event_type)
+        WHERE d.cents <> m.mcents
+    ),
+    runs AS (
+        SELECT event_type, s,
+               CASE WHEN s = lag(s) OVER (PARTITION BY event_type
+                                          ORDER BY day)
+                    THEN 0 ELSE 1 END AS brk
+        FROM signed
+    ),
+    cells AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (s = 1) AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (s = -1) AS BIGINT) AS n_neg,
+               CAST(sum(brk) AS BIGINT) AS n_runs
+        FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n_pos, n_neg, n_runs,
+           round((CAST(n_runs AS DOUBLE)
+                  - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+                 / nullif(sqrt((2.0 * n_pos * n_neg
+                                * (2.0 * n_pos * n_neg - n_pos - n_neg))
+                               / (CAST(n_pos + n_neg AS DOUBLE)
+                                  * (n_pos + n_neg)
+                                  * (n_pos + n_neg - 1))), 0), 6)
+               AS runs_z
+    FROM cells
+    ORDER BY event_type
+    """,
+)
+def evt_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the sequence of
+    daily revenue totals above/below its median consistent with
+    randomness, or does it trend/oscillate? Too FEW runs flags
+    autocorrelated drift (a ramping bot, a decaying campaign); too
+    MANY flags alternation (load-balancer flapping between logging
+    configs). |z| > 1.96 rejects randomness at 5%.
+
+    Exactness: day-grain integer cents; the per-type median is an
+    exact order statistic (lower median at rank (n+1)//2 with a
+    (cents, day) total order); equal-to-median days are excluded in
+    both engines by exact bigint comparison; run breaks come from a
+    lag over the bounded day table; the z statistic is one double
+    expression over three exact integers per OUTPUT row.
+
+    Scale design: the corpus reduces to (type, day) grain in one
+    map-combined aggregate; every window after that is partitioned by
+    event_type over <=|days| rows (lint-safe bounded grain). At 100 TB
+    the windowed table is still |types| x 365 rows/year."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    wrank = Window.partitionBy("event_type").orderBy("cents", "day")
+    wcnt = Window.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "cents",
+            F.row_number().over(wrank).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("n"),
+        )
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"))
+        .select("event_type", F.col("cents").alias("mcents"))
+    )
+    signed = (
+        daily.join(F.broadcast(med), "event_type")
+        .where(F.col("cents") != F.col("mcents"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("cents") > F.col("mcents"), 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    runs = signed.select(
+        "event_type",
+        "s",
+        F.when(F.col("s") == F.lag("s").over(wday), 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    cells = runs.groupBy("event_type").agg(
+        F.count(F.when(F.col("s") == 1, 1)).alias("n_pos"),
+        F.count(F.when(F.col("s") == -1, 1)).alias("n_neg"),
+        F.sum("brk").alias("n_runs"),
+    )
+    np_, nn, nr = (
+        F.col("n_pos").cast("double"),
+        F.col("n_neg").cast("double"),
+        F.col("n_runs").cast("double"),
+    )
+    ntot = np_ + nn
+    mu = F.lit(1.0) + 2.0 * np_ * nn / ntot
+    var = (
+        2.0 * np_ * nn * (2.0 * np_ * nn - np_ - nn)
+        / (ntot * ntot * (ntot - 1))
+    )
+    return cells.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.round(
+            (nr - mu) / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+        ).alias("runs_z"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_gumbel_block_maxima",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    blocks AS (
+        SELECT date_trunc('month', day) AS mon,
+               CAST(max(cents) AS BIGINT) AS mx
+        FROM daily GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(mx) AS BIGINT) AS s1,
+               sum(CAST(mx AS HUGEINT) * mx) AS s2
+        FROM blocks
+    )
+    SELECT n AS n_blocks,
+           round((CAST(s1 AS DOUBLE) / n
+                  - 0.5772156649015329
+                    * (sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                       * sqrt(6) / pi())) / 100, 2) AS gumbel_mu,
+           round(sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+                 * sqrt(6) / pi() / 100, 2) AS gumbel_beta,
+           round((CAST(s1 AS DOUBLE) / n
+                  + (sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                          / (CAST(n AS DOUBLE) * (n - 1)))
+                     * sqrt(6) / pi())
+                    * (-0.5772156649015329 - ln(-ln(1.0 - 1.0 / 12.0))))
+                 / 100, 2) AS return_level_12mo,
+           round((CAST(s1 AS DOUBLE) / n
+                  + (sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                          / (CAST(n AS DOUBLE) * (n - 1)))
+                     * sqrt(6) / pi())
+                    * (-0.5772156649015329 - ln(-ln(1.0 - 1.0 / 60.0))))
+                 / 100, 2) AS return_level_60mo
+    FROM mom
+    """,
+)
+def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on MONTHLY BLOCK MAXIMA of daily order
+    revenue — the classical EVT complement to the peaks-over-threshold
+    GPD fit in [[evt_extreme_value_pot]]: method-of-moments location mu
+    and scale beta (beta = s*sqrt(6)/pi, mu = mean - gamma*beta), plus
+    the 12-month and 60-month return levels, i.e. "the biggest revenue
+    day we should expect in a year / in five years" — what capacity
+    planning actually provisions for.
+
+    Exactness: daily cents and monthly maxima are exact integers; the
+    two moments accumulate in 128-bit so exchange order can't change
+    them; mean/std/return levels are double expressions evaluated once
+    on the single OUTPUT row with the Euler-Mascheroni constant as the
+    same literal in both engines.
+
+    Scale design: corpus -> day grain (one map-combined aggregate) ->
+    month grain (bounded) -> one moment row. At 100 TB the block table
+    is still 12 rows/year; the fit costs one scan."""
+    o = load(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    blocks = daily.groupBy(
+        F.date_trunc("month", F.col("day")).alias("mon")
+    ).agg(F.max("cents").alias("mx"))
+    dec = F.col("mx").cast("decimal(38,0)")
+    mom = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    n, s1, s2 = (
+        F.col("n").cast("double"),
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    mean = s1 / n
+    std = F.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    beta = std * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    gamma = F.lit(0.5772156649015329)
+
+    def rl(t):
+        return mean + beta * (
+            -gamma - F.log(-F.log(F.lit(1.0) - 1.0 / F.lit(float(t))))
+        )
+
+    return mom.select(
+        F.col("n").alias("n_blocks"),
+        F.round((mean - gamma * beta) / 100, 2).alias("gumbel_mu"),
+        F.round(beta / 100, 2).alias("gumbel_beta"),
+        F.round(rl(12) / 100, 2).alias("return_level_12mo"),
+        F.round(rl(60) / 100, 2).alias("return_level_60mo"),
+    )
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (
+        SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_tot
+        FROM cells GROUP BY 1
+    ),
+    ct AS (
+        SELECT dow, CAST(sum(obs) AS BIGINT) AS col_tot
+        FROM cells GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(count(DISTINCT dow) AS BIGINT) AS c
+        FROM cells
+    ),
+    terms AS (
+        SELECT t.n, t.r, t.c,
+               CAST(round(
+                   pow(cells.obs - CAST(rt.row_tot AS DOUBLE) * ct.col_tot
+                                    / t.n, 2)
+                   / (CAST(rt.row_tot AS DOUBLE) * ct.col_tot / t.n)
+                   * 1000000000) AS BIGINT) AS term_nano
+        FROM cells
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow)
+        CROSS JOIN tot t
+    )
+    SELECT max(n) AS n, max(r) AS n_types, max(c) AS n_dows,
+           CAST((max(r) - 1) * (max(c) - 1) AS BIGINT) AS dof,
+           round(CAST(sum(term_nano) AS DOUBLE) / 1000000000, 6) AS chi2,
+           round(sqrt(CAST(sum(term_nano) AS DOUBLE) / 1000000000
+                      / (max(n) * (least(max(r), max(c)) - 1))), 6)
+               AS cramers_v
+    FROM terms
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association strength between event type and
+    day-of-week — the normalized chi-square effect size ([0, 1]) that
+    answers "HOW MUCH does traffic mix depend on weekday?" where the
+    raw chi-square only answers whether it does at all (any dependence
+    is 'significant' at corpus scale, so the effect size is the number
+    worth alerting on).
+
+    Exactness: the contingency table is exact integer counts from one
+    aggregate; each cell's chi-square term is computed in double from
+    exact integers, quantized to nano, and integer-summed — so the
+    |types| x 7 fold is order-independent; V is one double expression
+    on the single OUTPUT row. Sunday-based 0..6 dow in both engines
+    (Spark dayofweek-1 == DuckDB extract(dow)).
+
+    Scale design: corpus -> |types| x 7 cells in one map-combined
+    aggregate; marginals reaggregate the CELL table (never the corpus);
+    the 1-row total joins back by broadcast. One scan at any scale."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+    )
+    exp_ = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot")
+        / F.col("n")
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "r",
+            "c",
+            F.round(
+                F.pow(F.col("obs") - exp_, 2) / exp_ * 1000000000
+            ).cast("bigint").alias("term_nano"),
+        )
+    )
+    chi2 = F.sum("term_nano").cast("double") / 1000000000
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("n_types"),
+        F.max("c").alias("n_dows"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.max("n") * (F.least(F.max("r"), F.max("c")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

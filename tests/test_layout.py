@@ -313,6 +313,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_extreme_value_pot",      # 1-row threshold/moment scalars
         "agg_rank_biased_overlap",    # |brands|-row depth/entry joins
         "evt_chain_ladder_projection",  # 1-row calendar-cap scalar
+        "evt_lead_lag_ccf",           # 15-row lag-literal fan-out over
+                                      # the bounded DAY table
+        "agg_cramers_v",              # 1-row contingency-total scalar
     }
     # SinglePartition-exchange whitelist: every entry's single-partition
     # stage consumes ALREADY-REDUCED data (a one-row global reduce, or a
@@ -425,6 +428,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "evt_chain_ladder_projection",  # AGE-grain factor suffix window
         "evt_hurst_exponent",         # 1-row size-table pivot; block
                                       # windows are (m, b)-partitioned
+        "agg_gumbel_block_maxima",    # 1-row moment reduce of MONTH rows
+        "agg_cramers_v",              # 1-row reduce of the types×7 cell
+                                      # matrix
         # scale_rank *_atscale twins + with_cumsum consumers: their only
         # single-partition stages are the P-row partition-offset window
         # (P = shuffle-partitions conf, corpus-independent) and 1-row
