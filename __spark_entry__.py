@@ -35,6 +35,15 @@ FLAGSHIP = "agg_groupby_multi"
 #: now fixed, so the record turns green; (2) pipeline_* / sql_* (the
 #: likeliest real-user queries); (3) the rest of the never-sampled set.
 _PRIORITY = [
+    # round-5 fifth wave (engine-surface: SQL UDFs/TVF/variables,
+    # _metadata lineage, observe() QC, closed-form OLS, feature hashing)
+    "sql_udf_create_function",
+    "sql_table_function_create",
+    "sql_session_variables",
+    "scan_file_metadata_column",
+    "validate_observe_metrics",
+    "agg_linear_regression_normal_eq",
+    "llm_feature_hashing_vector",
     # round-5 fourth wave (this session)
     "evt_lead_lag_ccf",
     "evt_runs_test_randomness",

@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregates,
     analytics,
+    engine_surface,
     events_time,
     filters,
     functions,

@@ -338,6 +338,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_text_tfidf",             # 1-row corpus doc count
         "pipeline_revenue_forecast",  # 1-row Q6 aggregate
         "pipeline_top_supplier",      # global max over SUPPLIER rows
+        "sql_session_variables",      # 1-row threshold-filtered reduce
+        "agg_linear_regression_normal_eq",  # 1-row moment reduce
+        "scan_file_metadata_column",  # per-FILE aggregate (files ≪ rows)
         "validate_expectations",      # 1-row rule summaries
         "win_year_over_year",         # lag(12) over MONTH rows
         "evt_power_users",            # 1-row p90 threshold scalar
