@@ -35,6 +35,15 @@ FLAGSHIP = "agg_groupby_multi"
 #: now fixed, so the record turns green; (2) pipeline_* / sql_* (the
 #: likeliest real-user queries); (3) the rest of the never-sampled set.
 _PRIORITY = [
+    # round-6 lead (VERDICT r5 task 1): the r4 analytics shelf — the
+    # longest-waiting never-driver-sampled keys — surfaces first
+    "pipeline_basket_affinity",
+    "agg_gini_concentration",
+    "agg_benford_digit_quality",
+    "evt_inter_arrival_stats",
+    "llm_embed_pq_codebook",
+    "llm_sim_pq_adc_topk",
+    "llm_minhash_calibration",
     # round-5 fifth wave (engine-surface: SQL UDFs/TVF/variables,
     # _metadata lineage, observe() QC, closed-form OLS, feature hashing)
     "sql_udf_create_function",
@@ -251,10 +260,6 @@ _PRIORITY = [
     "llm_collocation_pmi",
     "evt_dow_hour_heatmap",
     "evt_new_vs_returning_daily",
-    "pipeline_basket_affinity",
-    "agg_gini_concentration",
-    "agg_benford_digit_quality",
-    "evt_inter_arrival_stats",
     "llm_readability_complexity",
     "join_bloom_prefilter",
     "win_ewma_bounded",
@@ -264,9 +269,6 @@ _PRIORITY = [
     "llm_bpe_merge_step",
     "validate_profile_census",
     "agg_crosstab_contingency",
-    "llm_minhash_calibration",
-    "llm_embed_pq_codebook",
-    "llm_sim_pq_adc_topk",
     "agg_winsorized_mean",
     "llm_kanonymity_census",
     "evt_calendar_dim_join",

@@ -1802,10 +1802,15 @@ def llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = toks.select(
         "doc_id",
+        # size guard: single-token docs yield no pairs, not an index
+        # crash (sequence(1, 0) is descending in Spark)
         F.explode(
             F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
                 "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i - 1] AS center, t[i] AS context))"
+                "i -> struct(t[i - 1] AS center, t[i] AS context)) "
+                "ELSE CAST(array() AS "
+                "array<struct<center:string,context:string>>) END"
             )
         ).alias("p"),
     ).select("doc_id", "p.center", "p.context")
@@ -3595,9 +3600,15 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     m, k = 1 << 16, 3
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # size guard: sequence(1, n) is DESCENDING for n <= 0, so a doc
+    # under 4 tokens would index past the array instead of yielding no
+    # grams (DuckDB's generate_series is empty there — engines must
+    # agree on short docs)
     gram = (
+        "CASE WHEN size(t) >= 4 THEN "
         "transform(sequence(1, size(t) - 3), i -> md5(concat_ws(' ', "
-        "t[i - 1], t[i], t[i + 1], t[i + 2])))"
+        "t[i - 1], t[i], t[i + 1], t[i + 2]))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     toks = docs.withColumn("t", F.split(F.lower("text"), " "))
     eval_grams = (
@@ -4405,9 +4416,14 @@ def llm_interpolated_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     uni_tot = unigrams.agg(F.sum("c1").alias("n"))
+    # size guard: sequence(1, 0) is descending — a single-token doc
+    # must yield no bigrams (as DuckDB's empty generate_series does),
+    # not an index crash
     pair_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
         "transform(sequence(1, size(t) - 1), "
-        "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+        "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
     )
     doc_bigrams = toks.select(
         "doc_id", F.posexplode(F.expr(pair_expr)).alias("pos0", "p")
@@ -4687,9 +4703,12 @@ def llm_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    # size guard: single-token docs yield no pairs, not an index crash
     pair_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
         "transform(sequence(1, size(t) - 1), "
-        "i -> concat(t[i - 1], '#', t[i]))"
+        "i -> concat(t[i - 1], '#', t[i])) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     pairs = toks.select(
         "doc_id", F.explode(F.expr(pair_expr)).alias("pair")
@@ -6029,9 +6048,12 @@ def llm_rouge_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         F.col("doc_id").alias("ref_id"), F.split(F.lower("text"), " ").alias("ref")
     )
+    # size guard: single-token docs yield no bigrams, not an index crash
     bigrams = (
+        "CASE WHEN size({c}) >= 2 THEN "
         "array_distinct(transform(sequence(1, size({c}) - 1), "
-        "i -> concat({c}[i - 1], ' ', {c}[i])))"
+        "i -> concat({c}[i - 1], ' ', {c}[i]))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     grams = (
         a.join(b, F.col("ref_id") == F.col("cand_id") + 1)
@@ -6872,10 +6894,14 @@ def agg_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 of release-tag + group key) — so a re-run releases identical
     numbers (reproducible-release requirement) and the oracle is exact
     across engines (no float log/exp enters the draw). Negative
-    releases clamp at 0. A real release drops the `noise` column and
-    rotates the seed tag per release period; the privacy ε follows
-    from α, not from the seeding. Completes the privacy surface next
-    to llm_kanonymity_census (suppression) and llm_text_pii_redact
+    releases clamp at 0. PRIVACY CAVEAT: because the noise here is
+    derived from the PUBLIC group key and a FIXED tag, anyone can
+    recompute and subtract it — this query demonstrates the
+    reproducible-noisy-release MECHANISM, not a live DP guarantee. A
+    real release must draw the seed from a SECRET, per-release-rotated
+    tag (then ε does follow from α); it also drops the `noise` and
+    `u_ppm` debug columns. Completes the privacy surface next to
+    llm_kanonymity_census (suppression) and llm_text_pii_redact
     (content).
 
     Scale design: one hash aggregate to quasi-identifier grain
@@ -6964,14 +6990,26 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
+    return pagerank_power(edges)
+
+
+def pagerank_power(
+    edges: DataFrame, rounds: int = 10, d: float = 0.85
+) -> DataFrame:
+    """Damped power iteration over a directed edge list (u, v) →
+    (brand, pagerank, position). Factored out of graph_pagerank_brands
+    so adversarial graph shapes (disconnected components, isolated
+    cliques) can be property-tested directly against numpy — every
+    iteration is one edges⋈ranks equi-join + one dst-grain aggregate;
+    nodes absent from the src side keep the (1−d)/N base term via the
+    left join + coalesce."""
     nodes = edges.select(F.col("u").alias("brand")).distinct()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("out_deg"))
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    d = 0.85
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "brand", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    for i in range(10):
+    for i in range(rounds):
         contribs = (
             edges.join(deg, "u")
             .join(ranks, edges.u == ranks.brand)
@@ -7296,11 +7334,23 @@ def evt_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     independent), and removal effects re-solve the same tiny system
     once per channel.
     """
-    import numpy as np
-
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
+    return markov_removal_attribution(spark, ev)
+
+
+def markov_removal_attribution(
+    spark: SparkSession, ev: DataFrame
+) -> DataFrame:
+    """Sessionize → transition counts → absorbing-chain solve → removal
+    effects, over any (user_id, ts, event_id, event_type) DataFrame.
+    Factored out of evt_markov_removal_attribution so adversarial
+    shapes (absorbing-state-only users whose first event converts,
+    never-converting corpora) can be property-tested directly against
+    the pure-Python reference."""
+    import numpy as np
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)

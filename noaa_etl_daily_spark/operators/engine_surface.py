@@ -259,10 +259,13 @@ def scan_file_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.max("ri").alias("max_row_index"),
+            # operands cast to decimal(38,0) BEFORE the multiply so the
+            # per-row product (not just the sum) is overflow-safe — a
+            # LONG product would silently wrap under non-ANSI Spark at
+            # the very scales this lineage audit targets
             F.sum(
-                (F.col("o_orderkey") * (F.col("ri") + F.lit(1))).cast(
-                    "decimal(38,0)"
-                )
+                F.col("o_orderkey").cast("decimal(38,0)")
+                * (F.col("ri") + F.lit(1)).cast("decimal(38,0)")
             )
             .cast("double")
             .alias("position_checksum"),

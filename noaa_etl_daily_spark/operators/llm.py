@@ -4263,16 +4263,33 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("syms"),
         "freq",
     ).localCheckpoint(eager=True)
+    return bpe_train(spark, vocab, rounds=8)
 
+
+def bpe_train(spark: SparkSession, vocab: DataFrame, rounds: int) -> DataFrame:
+    """The BPE merge-learning loop over a (syms array<string>, freq
+    long) vocabulary table → learned merge table (merge_rank, left,
+    right, pair_count). Factored out of llm_bpe_train_merges so
+    adversarial vocabularies (exact pair-count ties, overlapping
+    self-merges like 'aaaa') can be property-tested directly against
+    the pure-Python reference trainer. Tie-break is deterministic:
+    count desc, then (left, right) lexicographic asc."""
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, 9):
+    for rank in range(1, rounds + 1):
         pairs = (
             vocab.select(
                 "freq",
+                # guard size < 2: sequence(1, 0) is the DESCENDING
+                # [1, 0] in Spark, so an unguarded transform indexes
+                # past a fully-merged single-symbol word (caught by the
+                # adversarial 'xy' vocabulary in tests/test_properties)
                 F.explode(
                     F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
                         "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                        "i -> struct(syms[i - 1] AS a, syms[i] AS b)) "
+                        "ELSE CAST(array() AS "
+                        "array<struct<a:string,b:string>>) END"
                     )
                 ).alias("p"),
             )

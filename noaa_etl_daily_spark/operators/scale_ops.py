@@ -459,7 +459,8 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT v.o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_published,
-           round(sum(v.o_totalprice), 2) AS published_total,
+           round(sum(CAST(round(v.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS published_total,
            CAST(count(*) + (SELECT count(*) FROM torn t
                             WHERE t.o_orderstatus = v.o_orderstatus)
                 AS BIGINT) AS n_naive_dir_read
@@ -525,7 +526,14 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         published.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_published"),
-            F.round(F.sum("o_totalprice"), 2).alias("published_total"),
+            # G2 discipline: sum exact integer cents, divide once — a raw
+            # double sum's partial-agg fold order is nondeterministic at
+            # scale (same hazard fixed in evt_tumbling/session_window)
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("published_total"),
         )
         .join(naive_counts, "o_orderstatus")
         .select(

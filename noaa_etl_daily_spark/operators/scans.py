@@ -743,12 +743,20 @@ def scan_parquet_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade, both surfaces implemented.
     """
     out = _scratch("corrupt_parquet", _sf_tag(sf_dir), "nation")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    # the cache is gated on a marker written AFTER the garbage file is
+    # planted — _SUCCESS alone would validate a directory where a crash
+    # between the parquet write and the plant left no corrupt file (the
+    # query would still be correct but silently stop exercising
+    # ignoreCorruptFiles)
+    planted = os.path.join(out, "_GARBAGE_PLANTED")
+    if not os.path.exists(planted):
         load(spark, sf_dir, "nation").repartition(4).write.mode(
             "overwrite"
         ).parquet(out)
         with open(os.path.join(out, "part-99999-garbage.parquet"), "wb") as fh:
             fh.write(b"PAR1 this is not a parquet file, just noise")
+        with open(planted, "w") as fh:
+            fh.write("ok")
     df = (
         spark.read.option("ignoreCorruptFiles", "true")
         .schema(load(spark, sf_dir, "nation").schema)

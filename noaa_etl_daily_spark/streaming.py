@@ -564,8 +564,15 @@ def _fold_versioned(
       so the read-then-overwrite-same-path hazard (and the
       cache()+count() barrier it forced) disappears structurally — a
       torn write without ``_SUCCESS`` is simply overwritten on replay;
-    - all but the two newest committed versions are pruned, so storage
-      stays O(state), not O(state × batches).
+    - all but the two newest committed versions (plus the current
+      lineage tip ``v=batch_id``, which the next batch's merge reads)
+      are pruned, so storage stays O(state), not O(state × batches).
+
+    Retention horizon caveat (inherent to ANY bounded-retention fold,
+    same as Delta VACUUM): a checkpoint restored from a backup OLDER
+    than the pruned lineage can only converge once the replay passes a
+    still-retained version; restore backups together with (or newer
+    than) the sink's retained versions.
     """
     import shutil
 
@@ -585,12 +592,24 @@ def _fold_versioned(
     # mirror the NEWEST committed version to the live serving path —
     # not necessarily this batch's: a replay of an older committed
     # batch (skip branch above) must never regress the table
-    newest = max(_committed_versions(vroot))
+    final_committed = _committed_versions(vroot)
+    newest = max(final_committed)
     sp.read.parquet(os.path.join(vroot, f"v={newest}")).write.mode(
         "overwrite"
     ).parquet(target_dir)
-    for b in prev[:-1]:
-        shutil.rmtree(os.path.join(vroot, f"v={b}"), ignore_errors=True)
+    # prune from the FULL committed list, not just versions below
+    # batch_id: after a checkpoint restored from backup replays older
+    # batches, stale versions ABOVE batch_id also exist and would never
+    # be pruned on the prev-only path, breaking the two-version storage
+    # bound. Keep the two newest PLUS v=batch_id — the current lineage
+    # tip must survive as the next batch's merge source even when two
+    # stale future versions outrank it (pruned futures are recomputed
+    # deterministically as the replay catches up). Bound: 2 versions in
+    # normal flow, at most 3 during a backup-restore replay.
+    keep = set(sorted(final_committed)[-2:]) | {batch_id}
+    for b in final_committed:
+        if b not in keep:
+            shutil.rmtree(os.path.join(vroot, f"v={b}"), ignore_errors=True)
 
 
 def countmin_cells(df: DataFrame) -> DataFrame:

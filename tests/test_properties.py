@@ -983,6 +983,206 @@ def test_markov_removal_attribution_matches_python_reference(spark, sf_dir):
         assert abs(got[ch][2] - round(1 - without / base, 9)) < 1e-9
 
 
+def test_pagerank_disconnected_components(spark):
+    """Adversarial graph shape for the pagerank core: TWO disconnected
+    components (a directed triangle and an isolated 2-cycle). The
+    power iteration must keep the components independent — no rank
+    mass may leak across — and agree with numpy to 1e-9, including
+    the global position ordering across components."""
+    import numpy as np
+
+    from noaa_etl_daily_spark.operators.analytics import pagerank_power
+
+    pairs = [
+        # component 1: triangle A->B->C->A (symmetric-free, directed)
+        ("A", "B"), ("B", "C"), ("C", "A"),
+        # extra edge to break symmetry so ranks differ inside comp 1
+        ("A", "C"),
+        # component 2: isolated 2-cycle D<->E
+        ("D", "E"), ("E", "D"),
+    ]
+    edges = spark.createDataFrame(pairs, "u string, v string")
+    got = {
+        r.brand: (r.pagerank, r.position)
+        for r in pagerank_power(edges, rounds=10, d=0.85).collect()
+    }
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for u, _ in pairs:
+        out_deg[idx[u]] += 1
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        new = np.full(n, (1 - d) / n)
+        for u, v in pairs:
+            new[idx[v]] += d * rank[idx[u]] / out_deg[idx[u]]
+        rank = new
+    for name, i in idx.items():
+        assert abs(got[name][0] - round(rank[i], 9)) < 1e-9, (
+            name, got[name][0], rank[i]
+        )
+    order = sorted(nodes, key=lambda x: (-rank[idx[x]], x))
+    for pos, name in enumerate(order, start=1):
+        assert got[name][1] == pos, (name, got[name][1], pos)
+    # structural check: D and E are symmetric within their component,
+    # so their ranks must be exactly equal (no cross-component leak
+    # could break the tie)
+    assert got["D"][0] == got["E"][0]
+
+
+def test_bpe_train_tie_break_and_overlapping_merge(spark):
+    """Adversarial vocabulary for the BPE trainer: (1) an EXACT
+    pair-count tie, which the deterministic (count desc, pair asc)
+    tie-break must resolve identically in Spark and the pure-Python
+    reference; (2) an 'aaaa' word where the adopted ('a','a') merge
+    overlaps itself, so the greedy LEFT-TO-RIGHT fold must produce
+    ('aa','aa'), never ('a','aa','a') — the classic BPE apply bug."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.llm import bpe_train
+
+    # freq chosen so count('a','a') == count('x','y') == 6 (exact tie:
+    # 'aaaa' contributes 3 adjacent (a,a) pairs × freq 2; 'xy' has
+    # freq 6) — ('a','a') < ('x','y') lexicographically, so it wins
+    # round 1. After merging, 'aaaa' -> ['aa','aa'] keeps exactly ONE
+    # ('aa','aa') pair per word; a wrong non-greedy fold would leave
+    # ('a','aa') / ('aa','a') pairs instead. 'xy' also exercises the
+    # full-word collapse (-> single symbol ['xy'], the shape that
+    # crashed the unguarded pair explode).
+    word_freq = [("aaaa", 2), ("xy", 6), ("zy", 1)]
+    vocab = spark.createDataFrame(
+        word_freq, "word string, freq long"
+    ).select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+        "freq",
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(spark, vocab, rounds=4).collect()
+    ]
+
+    # pure-Python reference (same trainer as the fixture-scale test)
+    pyvocab = Counter({tuple(w): f for w, f in word_freq})
+    want = []
+    for rank in range(1, 5):
+        counts = Counter()
+        for syms, f in pyvocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, n))
+        new_vocab = Counter()
+        for syms, f in pyvocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += f
+        pyvocab = new_vocab
+    assert got == want
+    # the tie and the overlap resolved the intended way
+    assert got[0][1:3] == ("a", "a"), got
+    assert ("aa", "aa") in [(m[1], m[2]) for m in got], got
+
+
+def test_markov_attribution_absorbing_only_user(spark):
+    """Adversarial session shapes for the Markov attribution core: a
+    user whose FIRST event converts (START→CONV directly, touching no
+    channel), a user who converts through a channel, and a user who
+    only drops. The direct-conversion mass must raise p_conv_full but
+    be credited to no channel; removal effects must still match the
+    pure-Python absorbing-chain solve exactly."""
+    import datetime
+
+    import numpy as np
+
+    from noaa_etl_daily_spark.operators.analytics import (
+        markov_removal_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    rows = [
+        # u1: absorbing-only — first event is the purchase
+        ("u1", ts(0), 1, "purchase"),
+        # u2: search -> click -> purchase (channel path)
+        ("u2", ts(0), 2, "search"), ("u2", ts(1), 3, "click"),
+        ("u2", ts(2), 4, "purchase"),
+        # u3: click -> drop (session ends without converting)
+        ("u3", ts(0), 5, "click"),
+        # u4: search -> drop, then (new session, >30min later)
+        # search -> purchase
+        ("u4", ts(0), 6, "search"),
+        ("u4", ts(60), 7, "search"), ("u4", ts(61), 8, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r.channel: (r.p_conv_full, r.p_conv_without, r.removal_effect)
+        for r in markov_removal_attribution(spark, ev).collect()
+    }
+    assert set(got) == {"search", "click"}
+
+    # independent reference: hand-counted transitions
+    # sessions: [purchase], [search,click,purchase], [click],
+    #           [search], [search,purchase]
+    transitions = {
+        ("START", "CONV"): 1,          # u1 direct conversion
+        ("START", "search"): 3,        # u2, u4 s1, u4 s2
+        ("START", "click"): 1,         # u3
+        ("search", "click"): 1,        # u2
+        ("search", "CONV"): 1,         # u4 s2
+        ("search", "DROP"): 1,         # u4 s1
+        ("click", "CONV"): 1,          # u2
+        ("click", "DROP"): 1,          # u3
+    }
+    states = ["START", "click", "search"]
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k + 2))
+    for (s, d), n in transitions.items():
+        j = idx[d] if d in idx else (k if d == "CONV" else k + 1)
+        counts[idx[s], j] += n
+
+    def p_conv(disabled):
+        c = counts.copy()
+        if disabled is not None:
+            di = idx[disabled]
+            c[:, k + 1] += c[:, di]
+            c[:, di] = 0
+            c[di, :] = 0
+        tot = c.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1.0
+        p = c / tot
+        absorb = np.linalg.solve(np.eye(k) - p[:, :k], p[:, k:])
+        return float(absorb[idx["START"], 0])
+
+    base = p_conv(None)
+    for ch in ("search", "click"):
+        without = p_conv(ch)
+        assert abs(got[ch][0] - round(base, 9)) < 1e-9
+        assert abs(got[ch][1] - round(without, 9)) < 1e-9
+        assert abs(got[ch][2] - round(1 - without / base, 9)) < 1e-9
+    # the START->CONV mass keeps conversion positive even with BOTH
+    # channels removed — the absorbing-only user's signature
+    assert p_conv("search") > 0 and p_conv("click") > 0
+
+
 def test_distributed_ntile_matches_window_ntile_on_edges(spark):
     """scale_rank.with_ntile must equal F.ntile for every edge shape:
     n < k (size-1 buckets), n = 1, n % k != 0 (first rem buckets take
