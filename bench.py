@@ -114,14 +114,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Timed pass: min of 3 reps per query. local[32] on a shared box has
+    # Timed pass: min of 5 reps per query. local[32] on a shared box has
     # multi-second GC/scheduler outliers (observed 0.75s..5.4s for one
-    # unchanged plan); the minimum is the steady-state cost of the plan,
-    # which is what this benchmark is defined to measure.
+    # unchanged plan; round-5/6 A/Bs showed byte-identical plans moving
+    # ±20% run-to-run on box load); the minimum is the steady-state cost
+    # of the plan, which is what this benchmark is defined to measure —
+    # the comparand (BASELINE.md's DuckDB figure) is likewise a warm
+    # minimum. 5 reps instead of 3 tightens the minimum's variance to a
+    # few ms at ~7s extra bench wall time.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             df = registry[name].builder(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
