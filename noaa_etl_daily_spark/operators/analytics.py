@@ -1294,19 +1294,20 @@ def llm_embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     adc AS (
         SELECT l.q_id, cd.vec_id,
-               CAST(sum(CAST(round(l.d) AS BIGINT)) AS BIGINT) AS adc_dist
+               sum(CAST(round(l.d) AS HUGEINT)) AS adc_sum
         FROM codes cd
         JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
         WHERE cd.vec_id != l.q_id
         GROUP BY l.q_id, cd.vec_id
     ),
     ranked AS (
-        SELECT q_id, vec_id, adc_dist,
+        SELECT q_id, vec_id, adc_sum,
                row_number() OVER (PARTITION BY q_id
-                                  ORDER BY adc_dist, vec_id) AS rk
+                                  ORDER BY adc_sum, vec_id) AS rk
         FROM adc
     )
-    SELECT q_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rk
+    SELECT q_id, vec_id, CAST(adc_sum AS DOUBLE) AS adc_dist,
+           CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 5
     ORDER BY q_id, rk
     """,
@@ -1377,17 +1378,28 @@ def llm_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "sub", F.col("label").alias("code"),
         F.expr(sqdist.format(v="q_sub")).alias("d"),
     )
+    # accumulate in decimal(38,0) (HUGEINT on the oracle side): a
+    # bigint fold overflows at ~9.2e18, which a single huge-magnitude
+    # vector reaches after µ-quantization squaring (hostile-input
+    # sweep); ranking happens on the EXACT decimal sum, the output
+    # casts to double once (both engines round-to-nearest the same
+    # integer, the scan_file_metadata_column discipline)
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
-        .agg(F.sum(F.round("d").cast("bigint")).alias("adc_dist"))
+        .agg(F.sum(F.round("d").cast("decimal(38,0)")).alias("adc_sum"))
     )
-    w_rank = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    w_rank = Window.partitionBy("q_id").orderBy("adc_sum", "vec_id")
     return (
         adc.withColumn("rk", F.row_number().over(w_rank).cast("bigint"))
         .filter(F.col("rk") <= 5)
-        .select("q_id", "vec_id", "adc_dist", "rk")
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("adc_sum").cast("double").alias("adc_dist"),
+            "rk",
+        )
         .orderBy("q_id", "rk")
     )
 
@@ -5152,7 +5164,9 @@ def llm_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tile_sha": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                blob = text.encode("utf-8")
+                # missing payload → empty blob, never a batch-killing
+                # AttributeError (hostile-input sweep)
+                blob = (text or "").encode("utf-8")
                 side = max(int(len(blob) ** 0.5), 4)
                 tile_h = side // 4
                 for r in range(4):
@@ -9908,6 +9922,7 @@ def llm_capture_recapture_estimate(
                       / 4294967297.0) / n_chars * 1e15) AS BIGINT)
                    AS key_femto
         FROM documents
+        WHERE n_chars > 0
     )
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, key_femto
     FROM keyed
@@ -9937,8 +9952,13 @@ def llm_weighted_reservoir_sample(
     also mergeable: per-shard top-k unions re-rank to the exact
     global top-k, which is why this pattern survives streaming
     ingestion unchanged."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        # A-ES weights must be strictly positive: a zero-weight item
+        # has inclusion probability 0 by definition, and ln(u)/0 is a
+        # DIVIDE_BY_ZERO under ANSI mode (hostile-input sweep)
+        .where(F.col("n_chars") > 0)
     )
     h32 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
@@ -10670,7 +10690,9 @@ def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = F.filter(
         F.split(F.lower(F.col("text")), " ", -1), lambda t: t != ""
     )
-    toked = docs.select(ts.alias("ts"))
+    # filter BEFORE pairing: sequence(1, 0) descends for 0/1-token
+    # docs, driving element_at past the array (hostile-input sweep)
+    toked = docs.select(ts.alias("ts")).filter(F.size("ts") >= 2)
     pairs = toked.select(
         F.posexplode(
             F.transform(

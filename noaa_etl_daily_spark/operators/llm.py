@@ -455,6 +455,20 @@ def _dot(a, b):
     )
 
 
+def _sim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table restricted to vectors admissible on a
+    similarity surface: a zero-norm vector has UNDEFINED cosine, and
+    under ANSI mode the cosine division raises DIVIDE_BY_ZERO mid-job
+    (hostile-input sweep) — at 100 TB one all-zeros row (a failed
+    embedder output, a padding artifact) must not kill the stage.
+    Excluding them at the scan is the semantically correct treatment
+    (they are not 'similar to nothing', they are outside the metric);
+    the official fixture contains none, so every oracle is unchanged.
+    The filter is scan-stage arithmetic (one fold per row)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(_dot(F.col("embedding"), F.col("embedding")) > 0)
+
+
 _COSINE_ORACLE = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -489,7 +503,7 @@ def llm_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange is the per-query top-k window. Similarity is
     rounded to 1e-4 and ranked on the *rounded* value with vec_id
     tie-break (SURVEY §7.4 G2/G3), so rank order is engine-independent."""
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     q = d.where(F.col("vec_id") % 100 == 0).select(
@@ -555,7 +569,7 @@ def llm_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k. Recall vs the exact variant is property-tested in
     tests/test_properties.py (no DuckDB oracle — approximate by
     design)."""
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     buckets = d.select(
@@ -662,7 +676,7 @@ def llm_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-vs-scan-budget trade across the two parameterizations is
     property-tested in tests/test_properties.py. Rows-only for the
     driver (approximate by design)."""
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     corpus = d.select(
@@ -1099,7 +1113,7 @@ def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameterization retains ≈96% and more tables push it arbitrarily
     close to 1. The oracle checks the *blocked* semantics, so the
     match is exact, not approximate."""
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     slim = d.select(
@@ -1183,7 +1197,7 @@ def llm_dedup_embed_cosine_bruteforce(
     path; ``llm_dedup_embed_cosine`` (LSH-blocked, equi-join only) is.
     Same double fold order as the oracle, so sims match to the last
     bit before rounding."""
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     a = d.select(
@@ -1547,7 +1561,9 @@ def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 import hashlib
 
-                blob = text.encode("utf-8")
+                # missing payload → empty blob, never a batch-killing
+                # AttributeError (hostile-input sweep)
+                blob = (text or "").encode("utf-8")
                 n_frames = (len(blob) + 63) // 64
                 for i in range(0, n_frames, 4):  # every 4th frame
                     frame = blob[i * 64 : (i + 1) * 64]
@@ -1743,7 +1759,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, a 5× scan cut here and arbitrarily larger with a bigger
     codebook. Approx by nature → rows-only for the driver; recall@5 vs
     the exact llm_sim_topk_cosine is property-tested in pytest."""
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     d = emb.select(
         "vec_id",
         "label",
@@ -1973,7 +1989,10 @@ def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
                 "feat": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                blob = text.encode("utf-8")
+                # a missing/corrupt payload decodes to an empty blob
+                # instead of killing the whole Arrow batch — at 100 TB
+                # one bad object must not fail the stage
+                blob = (text or "").encode("utf-8")
                 # have_pil branch would Image.open(io.BytesIO(blob));
                 # the fixture payloads are not real images, so both
                 # paths use the deterministic fake decode
@@ -2844,7 +2863,7 @@ def llm_anchor_negative_triplets(
     negative pool would come from the LSH buckets' complement instead
     of a full scan (anchor count, not corpus size, bounds the
     broadcast)."""
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     anchors = d.where(F.col("vec_id") % 100 == 0).select(
@@ -3707,12 +3726,18 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer/integer division (G2)."""
     docs = _spread(load(spark, sf_dir, "documents"))
     toks = _tokens()
+    # filter BEFORE building the shingle array: a doc under 8 tokens
+    # can't produce the >=5 hashes the window needs, and an unguarded
+    # sequence(1, size-3) DESCENDS for short docs, driving slice(.., 0,
+    # 4) into an error (hostile-input sweep). Also pushes the length
+    # test into the scan stage.
     hashes = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 3),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(4)))),
     )
-    docs = docs.select("doc_id", hashes.alias("hashes")).filter(
-        F.size("hashes") >= 5
+    docs = (
+        docs.filter(F.size(toks) >= 8)
+        .select("doc_id", hashes.alias("hashes"))
     )
     fps = F.array_distinct(
         F.transform(
@@ -3876,7 +3901,7 @@ def llm_sim_topk_cosine_local_prune(spark: SparkSession, sf_dir: str) -> DataFra
     exchange."""
     import pandas as _pd
 
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     nrm = _dot(F.col("embedding"), F.col("embedding"))
     d = emb.select("vec_id", "embedding", nrm.alias("nrm"))
     q = d.where(F.col("vec_id") % 100 == 0).select(
@@ -4153,7 +4178,7 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means centroids (llm_embed_kmeans) so the oracle can replicate
     the whole pipeline, blocking included.
     """
-    emb = _spread(load(spark, sf_dir, "embeddings"))
+    emb = _spread(_sim_embeddings(spark, sf_dir))
     micro = F.transform(
         F.col("embedding"),
         lambda x: F.round(x * 1000000).cast("bigint"),

@@ -55,6 +55,7 @@ def register(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # introspection (hostile-input sweep)
         if name in REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = Query(
