@@ -76,32 +76,62 @@ HOSTILE_EMBEDDINGS = [
     (9005, [-1.0 if i % 2 else 1.0 for i in range(64)], 1),  # alternating
 ]
 
+HOSTILE_LINEITEM = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+    #  l_shipdate) — orderkey 900001+ dangles (no parent order: dirty
+    # CDC feed); quantities/prices take boundary values
+    (900001, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "N", "O",
+     datetime.datetime(2024, 1, 15)),                 # ZERO qty & price
+    (900001, 2, 2, 2, -1.0, -100.0, 0.0, 0.0, "R", "F",
+     datetime.datetime(2024, 1, 15)),                 # negative (credit memo)
+    (900002, 3, 3, 1, 1e6, 1e9, 1.0, 0.99, "A", "F",
+     datetime.datetime(1900, 1, 1)),                  # 100% discount, old date
+    (900003, 4, 4, 1, 1.0, 0.01, 0.5, 0.0, "Z", "X",
+     datetime.datetime(2099, 12, 31)),                # novel flags, far date
+]
+
+HOSTILE_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    #  o_orderpriority)
+    (900010, 900001, "F", 0.0, datetime.datetime(2024, 1, 15),
+     "1-URGENT"),                                     # zero total, dangling cust
+    (900011, 1, "Q", -42.5, datetime.datetime(1900, 1, 1),
+     ""),                                             # novel status, neg total
+    (900012, 2, "O", 1e12, datetime.datetime(2099, 12, 31),
+     None),                                           # huge total, null priority
+]
+
+HOSTILE_CUSTOMER = [
+    # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    (900001, "", 0, 0.0, "WEIRD_SEGMENT"),            # empty name, novel segment
+    (900002, None, 24, -1e6, None),                   # null name/segment
+]
+
+
+HOSTILE_ROWS = {
+    "documents": HOSTILE_DOCS,
+    "events": HOSTILE_EVENTS,
+    "embeddings": HOSTILE_EMBEDDINGS,
+    "lineitem": HOSTILE_LINEITEM,
+    "orders": HOSTILE_ORDERS,
+    "customer": HOSTILE_CUSTOMER,
+}
+
 
 @pytest.fixture(scope="module")
 def hostile_dir(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("hostile_sf")
     for t in TABLES:
         src = f"{SRC_SF}/{t}.parquet"
-        if t == "documents":
-            base = spark.read.parquet(src)
-            extra = spark.createDataFrame(HOSTILE_DOCS, schema=base.schema)
-            base.unionByName(extra).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(str(root / "documents.parquet"))
-        elif t == "events":
-            base = spark.read.parquet(src)
-            extra = spark.createDataFrame(HOSTILE_EVENTS, schema=base.schema)
-            base.unionByName(extra).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(str(root / "events.parquet"))
-        elif t == "embeddings":
+        if t in HOSTILE_ROWS:
             base = spark.read.parquet(src)
             extra = spark.createDataFrame(
-                HOSTILE_EMBEDDINGS, schema=base.schema
+                HOSTILE_ROWS[t], schema=base.schema
             )
             base.unionByName(extra).coalesce(1).write.mode(
                 "overwrite"
-            ).parquet(str(root / "embeddings.parquet"))
+            ).parquet(str(root / f"{t}.parquet"))
         else:
             shutil.copy(src, str(root / f"{t}.parquet"))
     return str(root)
@@ -114,17 +144,17 @@ def _reads_hostile_tables(name: str) -> bool:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         return False
-    return any(f'"{t}"' in src for t in ("documents", "events", "embeddings"))
+    return any(f'"{t}"' in src for t in HOSTILE_ROWS)
 
 
 HOSTILE_KEYS = sorted(n for n in REGISTRY if _reads_hostile_tables(n))
 
 
 def test_hostile_key_selection_is_substantial():
-    """The source-grep selection must keep catching the doc/event/
-    embedding surface as the registry evolves — a silently-empty
-    selection would turn the sweep into a no-op."""
-    assert len(HOSTILE_KEYS) >= 150, len(HOSTILE_KEYS)
+    """The source-grep selection must keep catching the poisoned-table
+    surface as the registry evolves — a silently-empty selection would
+    turn the sweep into a no-op."""
+    assert len(HOSTILE_KEYS) >= 300, len(HOSTILE_KEYS)
 
 
 @pytest.mark.parametrize("name", HOSTILE_KEYS)
