@@ -571,3 +571,203 @@ def test_fuzz_pivot_case_sum(spark, oracle, rows):
         rows,
         oracle,
     )
+
+
+TEXT = st.text(
+    alphabet=st.sampled_from(list(" abZ0é你🙂\t")), min_size=0, max_size=12
+)
+TEXTS = st.lists(TEXT, min_size=0, max_size=25)
+
+
+@settings(**SETTINGS)
+@given(texts=TEXTS)
+def test_fuzz_tokenize_discipline(spark, oracle, texts):
+    """The house tokenization (`split(lower(text), ' ')` + drop empty
+    strings) fuzzed against DuckDB's `string_split` + `list_filter`
+    on adversarial strings — empty, all-spaces, leading/trailing and
+    double spaces, tabs-as-content, unicode, emoji. Dozens of llm_*
+    oracles assume these two pipelines produce identical token
+    multisets; this pins it on inputs the fixture never contains."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1), lambda t: t != ""
+    )
+    q = df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.explode(
+            F.concat(toks, F.array(F.lit("<END>")))  # keep empty docs
+        ).alias("tok"),
+    )
+    t = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64", "text": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """
+                WITH toks AS (
+                  SELECT doc_id,
+                         list_append(
+                             list_filter(string_split(lower(text), ' '),
+                                         x -> x <> ''), '<END>') AS tk,
+                         CAST(len(list_filter(string_split(lower(text), ' '),
+                                              x -> x <> '')) AS BIGINT)
+                             AS n_tokens
+                  FROM t
+                )
+                SELECT doc_id, n_tokens, unnest(tk) AS tok FROM toks
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\ntexts={texts!r}\nspark={got}\nduck ={want}"
+
+
+EPOCHS = st.lists(
+    st.integers(0, 2_000_000_000), min_size=0, max_size=30
+)
+
+
+@settings(**SETTINGS)
+@given(epochs=EPOCHS)
+def test_fuzz_datetime_bucketing(spark, oracle, epochs):
+    """Calendar bucketing conventions fuzzed over arbitrary epochs
+    (1970..2033): date_trunc day/week/month, dayofweek (Spark is
+    1=Sunday, DuckDB 0=Sunday — the +1 shift every evt_* oracle
+    relies on), hour extraction, and the epoch round-trip. Week
+    truncation pins the shared Monday convention across month/year
+    boundaries and leap days."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, e) for i, e in enumerate(epochs)]
+    df = spark.createDataFrame(rows, "rid bigint, epoch bigint")
+    ts = F.timestamp_seconds(F.col("epoch"))
+    q = df.select(
+        "rid",
+        F.date_trunc("day", ts).alias("d_day"),
+        F.date_trunc("week", ts).alias("d_week"),
+        F.date_trunc("month", ts).alias("d_month"),
+        F.dayofweek(ts).cast("bigint").alias("dow1sun"),
+        F.hour(ts).cast("bigint").alias("hh"),
+        ts.cast("long").alias("epoch_rt"),
+    )
+    t = pd.DataFrame(rows, columns=["rid", "epoch"]).astype("int64")
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """
+                WITH ts AS (
+                  SELECT rid, make_timestamp(epoch * 1000000) AS x,
+                         epoch
+                  FROM t
+                )
+                SELECT rid,
+                       date_trunc('day', x) AS d_day,
+                       date_trunc('week', x) AS d_week,
+                       date_trunc('month', x) AS d_month,
+                       CAST(dayofweek(x) + 1 AS BIGINT) AS dow1sun,
+                       CAST(hour(x) AS BIGINT) AS hh,
+                       CAST(epoch AS BIGINT) AS epoch_rt
+                FROM ts
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\nepochs={epochs}\nspark={got}\nduck ={want}"
+
+
+@settings(**SETTINGS)
+@given(a=ROWS, b=ROWS)
+def test_fuzz_not_in_null_aware_vs_anti_join(spark, oracle, a, b):
+    """NULL-aware NOT IN vs the plain left-anti join, both engines.
+    The classic divergence: if the subquery produces ANY NULL key,
+    NOT IN returns no rows at all, while left-anti (not-null-equal)
+    keeps left rows without a match — and a NULL left key is kept by
+    anti but never by NOT IN. Both semantics fuzzed side by side."""
+    da = spark.createDataFrame([tuple(r) for r in a], SCHEMA)
+    db = spark.createDataFrame([tuple(r) for r in b], SCHEMA)
+    da.createOrReplaceTempView("fa")
+    db.createOrReplaceTempView("fb")
+    not_in = spark.sql(
+        "SELECT k, v FROM fa WHERE k NOT IN (SELECT k FROM fb)"
+    )
+    anti = da.join(db, "k", "left_anti").select("k", "v")
+
+    t_a, t_b = _pdf(a), _pdf(b)
+    oracle.register("ta", t_a)
+    oracle.register("tb", t_b)
+    try:
+        got_ni = _canon(not_in.toPandas())
+        want_ni = _canon(
+            oracle.execute(
+                "SELECT k, CAST(v AS BIGINT) AS v FROM ta "
+                "WHERE k NOT IN (SELECT k FROM tb)"
+            ).df()
+        )
+        got_aj = _canon(anti.toPandas())
+        want_aj = _canon(
+            oracle.execute(
+                "SELECT k, CAST(v AS BIGINT) AS v FROM ta "
+                "WHERE NOT EXISTS (SELECT 1 FROM tb WHERE tb.k = ta.k)"
+            ).df()
+        )
+    finally:
+        oracle.unregister("ta")
+        oracle.unregister("tb")
+    assert got_ni == want_ni, f"\nNOT IN\na={a}\nb={b}\n{got_ni}\n{want_ni}"
+    assert got_aj == want_aj, f"\nANTI\na={a}\nb={b}\n{got_aj}\n{want_aj}"
+
+
+@settings(**SETTINGS)
+@given(rows=ROWS)
+def test_fuzz_ntile_percent_rank(spark, oracle, rows):
+    """ntile(3) bucket boundaries (first buckets take the remainder)
+    and percent_rank / cume_dist over deduplicated sort keys, fuzzed
+    across partition sizes 0..n including single-row and all-one-group
+    shapes — the distributed-rank twins reimplement exactly these
+    definitions, so the engine agreement is load-bearing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = spark.createDataFrame(
+        [tuple(r) for r in rows], SCHEMA
+    ).dropDuplicates(["k", "v"]).select("k", "v")
+    w = Window.partitionBy("k").orderBy("v")
+    q = base.select(
+        "k",
+        "v",
+        F.ntile(3).over(w).cast("bigint").alias("bucket"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+    t = _pdf(rows).drop_duplicates(["k", "v"])[["k", "v"]]
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """
+                SELECT k, CAST(v AS BIGINT) AS v,
+                       CAST(ntile(3) OVER (PARTITION BY k ORDER BY v)
+                            AS BIGINT) AS bucket,
+                       round(percent_rank() OVER (
+                           PARTITION BY k ORDER BY v), 9) AS pr,
+                       round(cume_dist() OVER (
+                           PARTITION BY k ORDER BY v), 9) AS cd
+                FROM t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\nrows={rows}\nspark={got}\nduck ={want}"
