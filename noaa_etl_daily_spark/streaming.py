@@ -69,6 +69,29 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def bound_event_time(events: DataFrame, lo: str, hi: str) -> DataFrame:
+    """Ingest-time event-time plausibility guard: keep only rows with
+    ``lo <= ts <= hi``.
+
+    Why this is load-bearing on a real stream: the watermark is driven
+    by the MAX event time seen, so a single corrupt future-dated row
+    (epoch-in-millis-read-as-seconds, a 2099 default, a fat-fingered
+    producer clock) advances the watermark past all legitimate traffic
+    and every subsequent in-order event arrives 'late' below the
+    watermark — aggregation state is evicted and the data is silently
+    dropped. One bad row poisons the whole stream from that point on.
+    tests/test_streaming.py::test_stream_watermark_poison_guard
+    demonstrates the failure live and proves this guard restores
+    batch-equal results. At production scale, route the complement
+    (``ts`` outside the bounds) to a quarantine sink instead of
+    dropping it on the floor; the guard itself is a scan-stage filter
+    with zero state."""
+    return events.filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") <= F.lit(hi).cast("timestamp"))
+    )
+
+
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:
     """Streaming twin of evt_tumbling_window (same plan shape: watermark
     + window aggregation, map-side partial combine before the keyed

@@ -217,6 +217,150 @@ def test_stream_watermark_bounds_state_and_emits_once(spark, sf_dir):
         assert batch[k] == r.n_events, f"{k}: stream={r.n_events} batch={batch[k]}"
 
 
+def test_stream_watermark_poison_guard(spark, sf_dir):
+    """A single future-dated corrupt event POISONS the watermark: it
+    arrives first and drives the watermark to 2099, so every
+    legitimate window finalizes AND evicts the moment its first
+    partial batch closes. With legitimate traffic interleaved across
+    two micro-batches (the production shape — a window's events never
+    all arrive in one file), the later half's contributions arrive
+    below the watermark and are SILENTLY DROPPED: thousands of windows
+    report partial counts with zero duplicate emissions, so the loss
+    is invisible to the consumer. bound_event_time at ingest restores
+    batch-exact, exactly-once results on the identical poisoned
+    source. The hostile-input sweep's streaming sibling."""
+    import datetime
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.scans import _scratch
+    from noaa_etl_daily_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    poison = spark.createDataFrame(
+        [
+            (
+                999999,
+                datetime.datetime(2099, 1, 1, 0, 0, 0),
+                9999,
+                "view",
+                1.0,
+                "{}",
+            )
+        ],
+        ev.schema,
+    )
+
+    src = _scratch(
+        "stream_poison", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    tmp_p = src + "_p"
+    tmp_a = src + "_a"
+    tmp_b = src + "_b"
+    poison.coalesce(1).write.mode("overwrite").parquet(tmp_p)
+    # interleave by event id parity: every busy hour window has events
+    # in BOTH halves, so each window spans the two micro-batches
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_a)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_b)
+    os.makedirs(src, exist_ok=True)
+
+    def _mv(tmp, name, mtime):
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _mv(tmp_p, "batch0.parquet", now - 600)  # the poison arrives first
+    _mv(tmp_a, "batch1.parquet", now - 300)  # even half of the traffic
+    _mv(tmp_b, "batch2.parquet", now)        # odd half of the traffic
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    def drain(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    reader = lambda: (  # noqa: E731
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+
+    # UNGUARDED: with the watermark at 2099, every window finalizes and
+    # EVICTS at the end of the first batch that touches it; the second
+    # half's contributions arrive below the watermark and are silently
+    # dropped — thousands of windows report partial counts (observed:
+    # ~2k of ~3.4k windows undercounted on this fixture, zero
+    # duplicate emissions: the loss is invisible to the consumer)
+    unguarded = drain(agg(reader()), "t_poisoned")
+    legit = [r for r in unguarded if r.window_start.year < 2090]
+    undercounted = [
+        r
+        for r in legit
+        if r.n_events < batch[(r.window_start, r.event_type)]
+    ]
+    assert len(undercounted) > len(batch) // 4, (
+        "poisoned watermark should silently drop cross-batch "
+        f"contributions: undercounted={len(undercounted)} of {len(batch)}"
+    )
+    emitted_total = sum(r.n_events for r in legit)
+    assert emitted_total < sum(batch.values()), "no loss observed"
+
+    # GUARDED: the plausibility filter removes the poison row at ingest;
+    # the watermark follows legitimate event time and append mode emits
+    # every finalized window with batch-exact counts
+    guarded = drain(
+        agg(st.bound_event_time(reader(), "2000-01-01", "2030-01-01")),
+        "t_guarded",
+    )
+    keys = [(r.window_start, r.event_type) for r in guarded]
+    assert len(keys) == len(set(keys)), "append emitted a window twice"
+    for r in guarded:
+        k = (r.window_start, r.event_type)
+        assert batch[k] == r.n_events, (
+            f"{k}: stream={r.n_events} batch={batch[k]}"
+        )
+    # coverage: everything but (at most) the final open windows emitted
+    assert len(guarded) >= 0.9 * len(batch), (len(guarded), len(batch))
+
+
 def test_stream_foreachbatch_upsert_sink(spark, sf_dir, stream_src):
     """foreachBatch upsert sink — the production pattern for streaming
     into a keyed parquet store: each micro-batch merges (update-wins on
