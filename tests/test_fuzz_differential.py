@@ -771,3 +771,30 @@ def test_fuzz_ntile_percent_rank(spark, oracle, rows):
     finally:
         oracle.unregister("t")
     assert got == want, f"\nrows={rows}\nspark={got}\nduck ={want}"
+
+
+def test_known_unicode_casefold_divergence(spark, oracle):
+    """Executable documentation of the ONE code point where the
+    tokenize discipline's `lower()` diverges across engines: U+0130
+    (LATIN CAPITAL LETTER I WITH DOT ABOVE). The JVM applies Unicode
+    SpecialCasing (→ 'i' + U+0307 combining dot, 2 code points);
+    DuckDB's simple case fold gives plain 'i'. Every other probe —
+    ß, ǅ, Greek sigma incl. final-position, ligatures — agrees.
+    Irrelevant for the synthetic fixtures (no Turkish text); a real
+    Turkish corpus must NFKC-normalize (or use ICU collation) before
+    any cross-engine lowered comparison. If an engine upgrade changes
+    either side, this test fails and the tokenize fuzz alphabet should
+    be revisited."""
+    from pyspark.sql import functions as F
+
+    agree = ["STRASSE ß", "ǅungla", "ΣΙΓΜΑ τέλος Σ", "ﬃ LIGATURE", "ı"]
+    rows = [(i, s) for i, s in enumerate(agree + ["İ"])]
+    df = spark.createDataFrame(rows, "i bigint, s string")
+    got = {r.i: r.l for r in df.select("i", F.lower("s").alias("l")).collect()}
+    for i, s in rows[: len(agree)]:
+        want = oracle.execute("SELECT lower(?)", [s]).fetchone()[0]
+        assert got[i] == want, (s, got[i], want)
+    # the documented divergence
+    duck = oracle.execute("SELECT lower('İ')").fetchone()[0]
+    assert duck == "i"
+    assert got[len(agree)] == "i̇"
