@@ -798,3 +798,68 @@ def test_known_unicode_casefold_divergence(spark, oracle):
     duck = oracle.execute("SELECT lower('İ')").fetchone()[0]
     assert duck == "i"
     assert got[len(agree)] == "i̇"
+
+
+import json as _json
+
+JVAL = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-1000, 1000),
+        st.text(alphabet=st.sampled_from(list("ab é🙂\\\"")), max_size=6),
+    ),
+    lambda children: st.dictionaries(
+        st.sampled_from(["k", "x", "nested"]), children, max_size=3
+    ),
+    max_leaves=6,
+)
+JOBJS = st.lists(
+    st.dictionaries(st.sampled_from(["k", "x", "nested"]), JVAL, max_size=3),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(objs=JOBJS)
+def test_fuzz_json_extract_discipline(spark, oracle, objs):
+    """The props-parsing discipline (`get_json_object(props, '$.k')` on
+    the Spark side, `json_extract_string(props, '$.k')` on the oracle
+    side) fuzzed over generated JSON objects with missing keys, JSON
+    nulls, booleans, negative numbers, unicode/escape-heavy strings,
+    and nested objects — the shapes a real `props` column carries.
+    Scalar extractions must agree byte-for-byte; rows where the key is
+    missing or json-null must be NULL on both engines."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, _json.dumps(o)) for i, o in enumerate(objs)]
+    df = spark.createDataFrame(rows, "rid bigint, props string")
+    q = df.select(
+        "rid", F.get_json_object("props", "$.k").alias("kv")
+    ).where(
+        # nested objects serialize with engine-specific key order and
+        # whitespace; the scalar discipline is what the repo relies on
+        ~F.get_json_object("props", "$.k").rlike(r"^[\[{]")
+        | F.get_json_object("props", "$.k").isNull()
+    )
+    t = pd.DataFrame(rows, columns=["rid", "props"]).astype(
+        {"rid": "int64", "props": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """
+                SELECT rid, json_extract_string(props, '$.k') AS kv
+                FROM t
+                WHERE json_extract_string(props, '$.k') IS NULL
+                   OR NOT regexp_matches(
+                          json_extract_string(props, '$.k'), '^[\\[{]')
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\nobjs={objs!r}\nspark={got}\nduck ={want}"
