@@ -863,3 +863,51 @@ def test_fuzz_json_extract_discipline(spark, oracle, objs):
     finally:
         oracle.unregister("t")
     assert got == want, f"\nobjs={objs!r}\nspark={got}\nduck ={want}"
+
+
+URLISH = st.text(
+    alphabet=st.sampled_from(list("ab:/?&=.#%é 你")), min_size=0, max_size=30
+)
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(URLISH, min_size=0, max_size=25))
+def test_fuzz_regexp_discipline(spark, oracle, texts):
+    """The repo's actual regexp patterns (word extraction, devoweling,
+    URL host/path/param parsing) fuzzed over adversarial strings —
+    empty, no-match, unicode, '%'-escapes, stray separators. Java
+    regex (Spark) and RE2 (DuckDB) must agree for this pattern class
+    (anchors, char classes, capture groups — no backrefs/lookarounds
+    anywhere in the repo, by design)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "rid bigint, s string")
+    q = df.select(
+        "rid",
+        F.regexp_extract("s", r"^([a-z]+) ([a-z]+)", 2).alias("second"),
+        F.regexp_replace("s", r"[aeiou]", "*").alias("devowel"),
+        F.regexp_extract("s", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("s", r"id=([^&]*)", 1).alias("id_param"),
+    )
+    t = pd.DataFrame(rows, columns=["rid", "s"]).astype(
+        {"rid": "int64", "s": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                r"""
+                SELECT rid,
+                       regexp_extract(s, '^([a-z]+) ([a-z]+)', 2) AS second,
+                       regexp_replace(s, '[aeiou]', '*', 'g') AS devowel,
+                       regexp_extract(s, '^https?://([^/]+)', 1) AS host,
+                       regexp_extract(s, 'id=([^&]*)', 1) AS id_param
+                FROM t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\ntexts={texts!r}\nspark={got}\nduck ={want}"
