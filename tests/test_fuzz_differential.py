@@ -911,3 +911,295 @@ def test_fuzz_regexp_discipline(spark, oracle, texts):
     finally:
         oracle.unregister("t")
     assert got == want, f"\ntexts={texts!r}\nspark={got}\nduck ={want}"
+
+
+def test_known_double_round_representational_divergence(spark, oracle):
+    """Executable documentation: `round(DOUBLE, d)` can diverge across
+    engines at representational boundaries. Spark routes doubles
+    through BigDecimal.valueOf (i.e. rounds the SHORTEST DECIMAL
+    STRING of the double, so 1.005 -> "1.005" -> HALF_UP -> 1.01);
+    DuckDB rounds the BINARY value (1.005 is really 1.00499999...96,
+    so -> 1.0). Neither is wrong — they disagree about what a double
+    *is*. This is exactly why the repo's G2 discipline quantizes
+    monetary/ratio outputs via integer cents or decimal(38,x) BEFORE
+    any rounding: `round` over DECIMAL inputs is half-up in both
+    engines and fuzzes clean (see test_fuzz_decimal_round_half_up).
+    If an engine upgrade changes either side, revisit the discipline
+    note in SURVEY §7.4."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.005,)], "x double")
+    sp = df.select(F.round("x", 2).alias("r")).collect()[0].r
+    du = oracle.execute(
+        "SELECT round(cast(1.005 as double), 2)"
+    ).fetchone()[0]
+    assert sp == 1.01  # decimal-string HALF_UP
+    assert du == 1.0  # binary-value rounding
+    # and the agreement case both engines share: exact decimal input
+    sp2 = spark.sql(
+        "SELECT cast(round(cast('1.005' as decimal(18,3)), 2) as double) r"
+    ).collect()[0].r
+    du2 = oracle.execute(
+        "SELECT cast(round(cast('1.005' as decimal(18,3)), 2) as double)"
+    ).fetchone()[0]
+    assert sp2 == du2 == 1.01
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-99999, 99999), min_size=0, max_size=25),
+    digits=st.integers(0, 2),
+)
+def test_fuzz_decimal_round_half_up(spark, oracle, vals, digits):
+    """The G2 quantization discipline's foundation, fuzzed: `round`
+    over DECIMAL(18,3) inputs (constructed from integer millis, so the
+    .xx5 half-way boundary is hit constantly) is HALF_UP (away from
+    zero) in BOTH engines, for negative values too. A 300-sample
+    offline sweep found zero divergences; this keeps the property
+    pinned against engine upgrades."""
+    rows = [
+        (i, f"{'-' if v < 0 else ''}{abs(v) // 1000}.{abs(v) % 1000:03d}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, s string")
+    from pyspark.sql import functions as F
+
+    q = df.select(
+        "rid",
+        F.col("s")
+        .cast("decimal(18,3)")
+        .alias("x"),
+    ).select("rid", F.round("x", digits).cast("double").alias("r"))
+    t = pd.DataFrame(rows, columns=["rid", "s"]).astype(
+        {"rid": "int64", "s": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                f"""
+                SELECT rid,
+                       cast(round(cast(s as decimal(18,3)), {digits})
+                            as double) AS r
+                FROM t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\nvals={vals}\ndigits={digits}\n{got}\n{want}"
+
+
+def test_known_trycast_literal_acceptance_divergence(spark, oracle):
+    """Executable documentation: TRY_CAST's accepted-literal grammar
+    differs across engines. String->INT: DuckDB accepts decimal
+    ('42.7' -> 43, banker's-free round-half-away), scientific ('1e3'),
+    and hex ('0x1A') forms that Spark rejects to NULL. String->BOOLEAN:
+    Spark accepts 'yes'/'no', DuckDB does not. The repo's ingest
+    discipline (schema_cast_normalize, G11) therefore only try_casts
+    strings already validated to the CANONICAL integer grammar
+    ([+-]?digits, optional surrounding whitespace) — fuzzed clean in
+    test_fuzz_trycast_canonical_grammar below."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("42.7",), ("1e3",), ("0x1A",)], "s string"
+    )
+    got = [
+        r.v
+        for r in df.select(F.col("s").try_cast("int").alias("v")).collect()
+    ]
+    assert got == [None, None, None]  # Spark: canonical grammar only
+    duck = [
+        oracle.execute(f"SELECT try_cast('{s}' AS INTEGER)").fetchone()[0]
+        for s in ["42.7", "1e3", "0x1A"]
+    ]
+    assert duck == [43, 1000, 26]  # DuckDB: wider literal grammar
+    sp_bool = spark.sql("SELECT try_cast('yes' as boolean) v").collect()[0].v
+    du_bool = oracle.execute(
+        "SELECT try_cast('yes' AS BOOLEAN)"
+    ).fetchone()[0]
+    assert sp_bool is True and du_bool is None
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.from_regex(r"\A *[+-]?[0-9]{1,6} *\Z"),
+            st.sampled_from(["", " ", "abc", "--3", "+ 2", "9" * 30]),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_trycast_canonical_grammar(spark, oracle, texts):
+    """The safe try_cast subset both engines parse identically:
+    canonical [+-]?digits integers with surrounding whitespace, plus
+    rejection cases (empty, alpha, double sign, inner space, and
+    30-digit overflow -> NULL in both)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "rid bigint, s string")
+    q = df.select("rid", F.col("s").try_cast("bigint").alias("v"))
+    t = pd.DataFrame(rows, columns=["rid", "s"]).astype(
+        {"rid": "int64", "s": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                "SELECT rid, try_cast(s AS BIGINT) AS v FROM t"
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\ntexts={texts!r}\nspark={got}\nduck ={want}"
+
+
+def test_known_asc_null_ordering_default_divergence(spark, oracle):
+    """Executable documentation: the DEFAULT null position under ORDER
+    BY ... ASC diverges — Spark puts NULLS FIRST, DuckDB NULLS LAST
+    (DESC agrees: both NULLS LAST). Immaterial to the driver's hash
+    gate for full results (it repr-sorts rows), but LOAD-BEARING
+    whenever a LIMIT/top-k cuts on a nullable sort key: the engines
+    would keep different rows. Discipline: every ORDER BY+LIMIT over a
+    possibly-null key states the null position explicitly on BOTH
+    sides (cf. topk_limit's desc_nulls_last / NULLS LAST pair,
+    operators/sorting.py)."""
+    rows = [(1,), (None,), (2,), (None,), (0,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    sp_default = [r.k for r in df.orderBy("k").collect()]
+    assert sp_default[:2] == [None, None]  # Spark ASC: nulls first
+    t = pd.DataFrame({"k": [1, None, 2, None, 0]}).astype({"k": "Int64"})
+    oracle.register("t", t)
+    try:
+        du_default = [
+            r[0]
+            for r in oracle.execute(
+                "SELECT k FROM t ORDER BY k"
+            ).fetchall()
+        ]
+    finally:
+        oracle.unregister("t")
+    assert du_default[-2:] == [None, None]  # DuckDB ASC: nulls last
+
+
+@settings(**SETTINGS)
+@given(rows=ROWS, n=st.integers(1, 8))
+def test_fuzz_limit_on_nullable_key_explicit_nulls(spark, oracle, rows, n):
+    """ORDER BY a nullable key + LIMIT, with the null position stated
+    explicitly on both sides (the discipline the divergence test above
+    mandates) and a unique tiebreak (G3): the surviving row set must
+    agree exactly."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, k, v, c) for i, (k, v, c) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "rid bigint, " + SCHEMA)
+    q = df.orderBy(
+        F.col("k").asc_nulls_last(), F.col("rid").asc()
+    ).limit(n)
+    t = pd.DataFrame(rows, columns=["rid"] + PDF_COLS).astype(
+        {"rid": "int64", "k": "Int64", "v": "int64", "c": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                f"SELECT * FROM t ORDER BY k ASC NULLS LAST, rid LIMIT {n}"
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\nrows={rows}\nn={n}\nspark={got}\nduck ={want}"
+
+
+def test_known_negative_zero_groupkey_display_divergence(spark, oracle):
+    """Executable documentation: both engines GROUP -0.0 and +0.0 into
+    one group (IEEE equality), but the displayed key diverges — Spark
+    normalizes the key to +0.0 inside the hash aggregate; DuckDB
+    surfaces whichever representative it kept (here -0.0). A
+    double-typed group key whose expression can produce -0.0 (e.g.
+    x*0.0, -1*0.0) would therefore hash-mismatch the driver gate.
+    Discipline: group keys are integers/decimals/strings throughout
+    the registry; any future double key gets `+ 0.0` on the ORACLE
+    side (DuckDB: -0.0 + 0.0 = +0.0) to match Spark's normalization."""
+    df = spark.createDataFrame([(-0.0,), (0.0,)], "g double")
+    sp = df.groupBy("g").count().collect()
+    assert len(sp) == 1 and repr(sp[0].g) == "0.0"
+    t = pd.DataFrame({"g": [-0.0, 0.0]})
+    oracle.register("t", t)
+    try:
+        du = oracle.execute(
+            "SELECT g, count(*) c FROM t GROUP BY g"
+        ).fetchall()
+        fixed = oracle.execute(
+            "SELECT g + 0.0 AS g, count(*) c FROM t GROUP BY g + 0.0"
+        ).fetchall()
+    finally:
+        oracle.unregister("t")
+    assert len(du) == 1 and repr(du[0][0]) == "-0.0"  # the divergence
+    assert len(fixed) == 1 and repr(fixed[0][0]) == "0.0"  # the fix
+
+
+@settings(**SETTINGS)
+@given(
+    dates=st.lists(
+        st.tuples(
+            st.integers(1990, 2030),
+            st.integers(1, 12),
+            st.integers(1, 31),
+            st.integers(-30, 30),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_add_months_month_end_clamp(spark, oracle, dates):
+    """Month arithmetic fuzz: Spark `add_months` vs DuckDB
+    `date + INTERVAL n MONTH` (cast back to DATE — DuckDB widens to
+    TIMESTAMP) agree everywhere, including end-of-month clamping
+    (Jan 31 + 1m = Feb 29/28) and its non-associativity (+1m twice
+    loses the 31st; +2m once keeps it) — both engines share the
+    clamp-at-each-step semantic. Day components beyond the month's
+    length are clamped at CONSTRUCTION time here (fixtures only carry
+    valid dates)."""
+    import calendar
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"{y:04d}-{m:02d}-{min(d, calendar.monthrange(y, m)[1]):02d}", k)
+        for i, (y, m, d, k) in enumerate(dates)
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, d string, k int")
+    q = df.select(
+        "rid",
+        F.date_format(
+            F.add_months(F.col("d").cast("date"), F.col("k")), "yyyy-MM-dd"
+        ).alias("out"),
+    )
+    t = pd.DataFrame(rows, columns=["rid", "d", "k"]).astype(
+        {"rid": "int64", "d": "object", "k": "int64"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """
+                SELECT rid,
+                       strftime(cast(cast(d AS DATE)
+                                + to_months(cast(k AS INTEGER)) AS DATE),
+                                '%Y-%m-%d') AS out
+                FROM t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\ndates={dates}\nspark={got}\nduck ={want}"
