@@ -1278,9 +1278,17 @@ def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash aggregate underneath. The oracle rebuilds the
     transposed shape with scalar subqueries."""
     li = load(spark, sf_dir, "lineitem")
-    summary = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    # transpose mints COLUMNS from data values, so the column set must
+    # be a closed domain for a static oracle to exist — the same
+    # explicit-values discipline as agg_pivot's pivot(col, values); an
+    # unexpected hostile flag would otherwise change the SCHEMA
+    summary = (
+        li.where(F.col("l_returnflag").isin("A", "N", "R"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
     )
     return summary.transpose()
 
@@ -1290,8 +1298,15 @@ def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           round(exp(sum(CAST(round(ln(o_totalprice) * 1000000000) AS BIGINT))
-                     / count(*) / 1000000000.0), 4) AS geo_mean
+           -- ln is only defined on positive prices: non-positive rows
+           -- (credit memos, zero totals) are outside the geometric
+           -- mean's domain — excluded from BOTH the sum and its
+           -- divisor; a group with none is NULL (G11)
+           round(exp(sum(CASE WHEN o_totalprice > 0 THEN
+                           CAST(round(ln(o_totalprice) * 1000000000)
+                                AS BIGINT) END)
+                     / count(CASE WHEN o_totalprice > 0 THEN 1 END)
+                     / 1000000000.0), 4) AS geo_mean
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1307,10 +1322,18 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds identically on both engines. One hash aggregate with
     map-side combine — the same plan as any sum/avg."""
     orders = load(spark, sf_dir, "orders")
-    term = F.round(F.log(F.col("o_totalprice")) * 1_000_000_000, 0).cast("long")
+    # ln is only defined on positive prices: non-positive rows (credit
+    # memos, zero totals) are outside the geometric mean's domain —
+    # excluded from both the sum and its divisor; a group with none is
+    # NULL via try_divide (G11)
+    pos = F.col("o_totalprice") > 0
+    term = F.when(
+        pos, F.round(F.log(F.col("o_totalprice")) * 1_000_000_000, 0)
+    ).cast("long")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.exp(F.sum(term) / F.count(F.lit(1)) / 1_000_000_000.0), 4
+            F.exp(F.try_divide(F.sum(term), F.count(term)) / 1_000_000_000.0),
+            4,
         ).alias("geo_mean"),
     )

@@ -843,8 +843,14 @@ def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT)                        AS n_rows,
            CAST(count(o_totalprice) AS BIGINT)             AS n_nonnull,
            CAST(count(DISTINCT o_totalprice) AS BIGINT)    AS n_distinct,
-           CAST(min(o_totalprice) AS VARCHAR)              AS min_repr,
-           CAST(max(o_totalprice) AS VARCHAR)              AS max_repr
+           -- doubles render through DECIMAL(38,2): the engines'
+           -- double→string codecs disagree on the scientific-notation
+           -- threshold ('1.0E12' vs '1000000000000.0', G4) once a
+           -- hostile magnitude appears; decimal rendering is fixed
+           CAST(CAST(min(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)
+               AS min_repr,
+           CAST(CAST(max(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)
+               AS max_repr
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus',
@@ -886,13 +892,21 @@ def validate_profile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load(spark, sf_dir, "orders")
     cols = ["o_totalprice", "o_orderstatus", "o_custkey", "o_orderpriority"]
+    # doubles render through DECIMAL(38,2): the engines' double→string
+    # codecs disagree on the scientific-notation threshold ('1.0E12'
+    # vs '1000000000000.0', G4) once a hostile magnitude appears
+    def _repr(agged, c):
+        if c == "o_totalprice":
+            agged = agged.cast("decimal(38,2)")
+        return agged.cast("string")
+
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"{c}__nonnull"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            _repr(F.min(c), c).alias(f"{c}__min"),
+            _repr(F.max(c), c).alias(f"{c}__max"),
         ]
     wide = orders.agg(*aggs)
     stack_args = ", ".join(
@@ -1152,7 +1166,9 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sub, code,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           round(CAST(sum(CAST(round(dist) AS BIGINT)) AS DOUBLE)
+           -- HUGEINT fold: one huge-magnitude vector puts a single
+           -- squared distance near 1e32, far past BIGINT (G11)
+           round(CAST(sum(CAST(round(dist) AS HUGEINT)) AS DOUBLE)
                  / count(*) / 1000000000000.0, 6) AS avg_sq_err
     FROM assigned
     WHERE rn = 1
@@ -1224,8 +1240,11 @@ def llm_embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("sub", F.col("label").alias("code"))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
+            # decimal(38,0) fold ↔ oracle HUGEINT: one huge-magnitude
+            # vector puts a single squared distance near 1e32, far
+            # past the BIGINT cast this used to take (G11)
             F.round(
-                F.sum(F.round("dist").cast("bigint")).cast("double")
+                F.sum(F.round("dist").cast("decimal(38,0)")).cast("double")
                 / F.count(F.lit(1))
                 / 1.0e12,
                 6,
@@ -2245,10 +2264,15 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_preference_pairs",
     oracle="""
     WITH scored AS (
+        -- NULL-text docs have no quality score: excluded from pairing
+        -- outright — under the engines' opposite ASC null-position
+        -- defaults (G13) they would otherwise rank as each other's
+        -- "worst" on one engine only
         SELECT doc_id, source, text,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                    * 1000000 // len(string_split(text, ' ')) AS quality_ppm
         FROM documents
+        WHERE text IS NOT NULL
     ),
     ranked AS (
         SELECT doc_id, source, quality_ppm,
@@ -2286,7 +2310,9 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate single-doc sources out.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    scored = docs.select(
+    # NULL-text docs have no quality score — excluded from pairing
+    # outright (G13: NULL ranks diverge between engines under ASC)
+    scored = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         F.expr(
@@ -2343,7 +2369,12 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN CAST(props ->> 'k' AS INT) >= 50
+               -- json_valid + TRY_CAST: malformed JSON / non-numeric
+               -- payloads count as misses, not job kills (G11 —
+               -- Spark's get_json_object is already NULL on both);
+               -- engines agree only on canonical int grammar (G14c)
+               CAST(sum(CASE WHEN json_valid(props)
+                             AND TRY_CAST(props ->> 'k' AS INT) >= 50
                         THEN 1 ELSE 0 END) AS BIGINT) AS k
         FROM events
         GROUP BY event_type
@@ -2377,8 +2408,10 @@ def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization per output column.
     """
     ev = load(spark, sf_dir, "events").select("event_type", "props")
+    # try_cast: a malformed payload value ('a', '{not json') is a miss,
+    # not a job kill (G11); canonical integer grammar only (G14c)
     hit = F.when(
-        F.get_json_object("props", "$.k").cast("int") >= 50, 1
+        F.get_json_object("props", "$.k").try_cast("int") >= 50, 1
     ).otherwise(0)
     counts = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum(hit).alias("k")
@@ -3464,9 +3497,15 @@ def agg_stratified_topn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     weekly AS (
+        -- week_k = days/7 between week STARTS (always an exact
+        -- multiple of 7, never negative): DuckDB's date_diff('week')
+        -- counts ISO-week-of-year boundaries and drops one around
+        -- 53-week ISO years on multi-decade spans (G4 — hostile epoch
+        -- rows exposed 3182 vs the true 3183)
         SELECT e.user_id, f.cohort_week,
-               CAST(date_diff('week', f.cohort_week,
-                              date_trunc('week', e.ts)) AS BIGINT) AS week_k,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) // 7
+                    AS BIGINT) AS week_k,
                CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
                    AS value_cents
         FROM events e JOIN firsts f ON e.user_id = f.user_id
@@ -6799,11 +6838,15 @@ def win_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_log2_histogram_percentiles",
     oracle="""
+    -- the domain filter runs on the QUANTIZED grid: value=0.001 is
+    -- > 0 but rounds to 0 cents, where log2 is undefined (G11)
     WITH b AS (SELECT event_type,
                       CAST(floor(log2(CAST(round(value * 100) AS BIGINT)))
                            AS BIGINT) AS bucket,
                       CAST(count(*) AS BIGINT) AS n
-               FROM events WHERE value > 0 GROUP BY 1, 2),
+               FROM events
+               WHERE CAST(round(value * 100) AS BIGINT) >= 1
+               GROUP BY 1, 2),
     c AS (SELECT *,
                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
@@ -6834,8 +6877,10 @@ def agg_log2_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     """
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     cents = F.round(F.col("value") * 100).cast("bigint")
+    # domain filter on the QUANTIZED grid: value=0.001 is > 0 but
+    # rounds to 0 cents, where log2 is undefined (G11)
     b = (
-        ev.filter(F.col("value") > 0)
+        ev.filter(cents >= 1)
         .groupBy(
             "event_type",
             F.floor(F.log2(cents)).cast("bigint").alias("bucket"),
@@ -7206,10 +7251,12 @@ def agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM weighted GROUP BY l_returnflag, b
     ),
     ranked AS (
+        -- wn=0 (all-zero replica weights on a tiny flag): / yields
+        -- NULL, undefined means rank LAST on both engines
         SELECT l_returnflag,
                round(CAST(wc AS DOUBLE) / wn / 100, 6) AS mean_b,
                row_number() OVER (PARTITION BY l_returnflag
-                   ORDER BY CAST(wc AS DOUBLE) / wn, b) AS rnk
+                   ORDER BY CAST(wc AS DOUBLE) / wn NULLS LAST, b) AS rnk
         FROM replica_means
     ),
     point AS (
@@ -7297,8 +7344,14 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").alias("wn"),
         )
     )
-    mean_b = F.col("wc").cast("double") / F.col("wn")
-    w_rank = Window.partitionBy("l_returnflag").orderBy(mean_b, "b")
+    # a replica whose Poisson weights all drew 0 for a tiny flag has no
+    # sampled rows — its mean is undefined (try_divide ≡ DuckDB's
+    # NULL-on-zero-division, G11) and ranks LAST (explicit NULLS LAST
+    # on both sides, G13) so defined replicas fill the CI ranks first
+    mean_b = F.try_divide(F.col("wc").cast("double"), F.col("wn"))
+    w_rank = Window.partitionBy("l_returnflag").orderBy(
+        mean_b.asc_nulls_last(), "b"
+    )
     ranked = replica.select(
         "l_returnflag",
         F.round(mean_b / 100, 6).alias("mean_b"),
@@ -7919,6 +7972,10 @@ def evt_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ),
     z AS (
+        -- n1=0 / n2=0 (type present in only one half): DuckDB's /
+        -- yields NULL, matching Spark's try_divide — the test is
+        -- undefined, the row ranks last (NULLS LAST, both engines)
+        -- and is never rejected
         SELECT event_type, n1, k1, n2, k2,
                (CAST(k1 AS DOUBLE)/n1 - CAST(k2 AS DOUBLE)/n2)
                / sqrt((CAST(k1+k2 AS DOUBLE)/(n1+n2))
@@ -7929,7 +7986,8 @@ def evt_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT *, exp(-zval*zval/2) AS p_bound FROM z),
     ranked AS (
         SELECT *,
-               CAST(row_number() OVER (ORDER BY p_bound, event_type)
+               CAST(row_number() OVER (ORDER BY p_bound NULLS LAST,
+                                       event_type)
                     AS BIGINT) AS rnk,
                CAST(count(*) OVER () AS BIGINT) AS m
         FROM p
@@ -7977,10 +8035,20 @@ def agg_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (F.col("k1") + F.col("k2")).cast("double") / (
         F.col("n1") + F.col("n2")
     )
-    z = (
-        F.col("k1").cast("double") / F.col("n1")
-        - F.col("k2").cast("double") / F.col("n2")
-    ) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    # try_divide ≡ DuckDB's NULL-on-zero-division (G11): a type seen in
+    # only one half has no defined z — NULL ranks last, never rejected
+    z = F.try_divide(
+        F.try_divide(F.col("k1").cast("double"), F.col("n1"))
+        - F.try_divide(F.col("k2").cast("double"), F.col("n2")),
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n1"))
+                + F.try_divide(F.lit(1.0), F.col("n2"))
+            )
+        ),
+    )
     p = ab.withColumn("zval", z).withColumn(
         "p_bound", F.exp(-F.col("zval") * F.col("zval") / 2)
     )
@@ -7988,7 +8056,7 @@ def agg_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = p.withColumn(
         "rnk",
         F.row_number()
-        .over(Window.orderBy("p_bound", "event_type"))
+        .over(Window.orderBy(F.col("p_bound").asc_nulls_last(), "event_type"))
         .cast("bigint"),
     ).withColumn(
         "m", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
@@ -8060,12 +8128,14 @@ def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     mde = F.lit(1.959964 + 0.841621) * F.sqrt(
         2.0 * p * (1 - p) / (F.col("n_events") / 2)
     )
+    # base rate 0 (no high-value events): relative MDE is undefined —
+    # try_divide ≡ DuckDB's NULL-on-zero-division (G11)
     return base.select(
         "event_type",
         "n_events",
         F.round(p, 6).alias("base_rate"),
         F.round(mde, 6).alias("mde_abs"),
-        F.round(mde / p, 6).alias("mde_rel"),
+        F.round(F.try_divide(mde, p), 6).alias("mde_rel"),
     ).orderBy("event_type")
 
 
@@ -8165,20 +8235,22 @@ def evt_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n_pairs"),
         F.round("slope", 6).alias("sen_slope"),
     )
+    # single-day types (one hostile far-future event) have a zero OLS
+    # denominator: try_divide ≡ DuckDB's NULL-on-zero-division (G11);
+    # such types also have zero pairs, so the sen inner join drops them
+    # identically on both engines
     ols = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(
-            (
+            F.try_divide(
                 F.count(F.lit(1))
                 * F.sum(F.col("d").cast("double") * F.col("cents"))
                 - F.sum(F.col("d").cast("double"))
-                * F.sum(F.col("cents").cast("double"))
-            )
-            / (
+                * F.sum(F.col("cents").cast("double")),
                 F.count(F.lit(1))
                 * F.sum(F.col("d").cast("double") * F.col("d"))
                 - F.sum(F.col("d").cast("double"))
-                * F.sum(F.col("d").cast("double"))
+                * F.sum(F.col("d").cast("double")),
             )
             / 100,
             6,
@@ -8660,6 +8732,12 @@ def evt_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("d", "y"))).alias("pts")
     )
+    # Holt needs two points to initialize (l₁=y₂, t₁=y₂−y₁): a
+    # single-day type has no state — the oracle's i=2 join drops it
+    # silently, while Spark's slice(…, size-2) would take length -1
+    # and element_at(…, 2) would index out of bounds (G10/G11); the
+    # explicit filter states the shared semantic
+    series = series.where(F.size(F.col("pts")) >= 2)
     ys = F.transform(F.col("pts"), lambda p: p.y)
     init = F.struct(
         F.element_at(ys, 2).alias("level"),
@@ -9028,8 +9106,12 @@ def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(cents) AS BIGINT) AS sx,
                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
-               CAST(round(CAST(sum(cents) AS DOUBLE) * sum(cents)
-                          / count(*) * 1000) AS HUGEINT) AS bterm_milli
+               -- exact integer FLOOR division: the old round(double)
+               -- path hits G14a above 2^53 (Spark rounds the shortest
+               -- decimal string, DuckDB the binary value) once a
+               -- hostile 1e9 price inflates the group sums
+               (CAST(sum(cents) AS HUGEINT) * sum(cents) * 1000)
+                   // count(*) AS bterm_milli
         FROM samples GROUP BY grp
     ),
     tot AS (
@@ -9086,11 +9168,17 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("sx"),
         F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))
         .alias("sxx"),
-    ).withColumn(
+    )
+    # exact integer floor division via remainder subtraction (decimal
+    # `/` is exact once the numerator is made divisible): round(double)
+    # here would hit G14a above 2^53 — Spark rounds the shortest
+    # decimal string, DuckDB the binary value — once hostile
+    # magnitudes inflate the group sums
+    _sxd = F.col("sx").cast("decimal(38,0)")
+    _q = _sxd * _sxd * 1000
+    moments = moments.withColumn(
         "bterm_milli",
-        F.round(
-            F.col("sx").cast("double") * F.col("sx") / F.col("n") * 1000
-        ).cast("decimal(38,0)"),
+        ((_q - _q % F.col("n")) / F.col("n")).cast("decimal(38,0)"),
     )
     tot = moments.agg(
         F.count(F.lit(1)).alias("k"),
@@ -9571,20 +9659,33 @@ def evt_uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_t",
             "n_c",
-            F.round(F.col("s_t").cast("double") / F.col("n_t") / 100, 6)
-            .alias("mean_t"),
-            F.round(F.col("s_c").cast("double") / F.col("n_c") / 100, 6)
-            .alias("mean_c"),
+            # a decile whose members all drew one arm (possible once
+            # hostile single-event users join the population) has no
+            # defined mean for the other arm: try_divide ≡ DuckDB's
+            # NULL-on-zero-division (G11)
             F.round(
-                (F.col("s_t").cast("double") / F.col("n_t")
-                 - F.col("s_c").cast("double") / F.col("n_c")) / 100,
+                F.try_divide(F.col("s_t").cast("double"), F.col("n_t"))
+                / 100,
+                6,
+            ).alias("mean_t"),
+            F.round(
+                F.try_divide(F.col("s_c").cast("double"), F.col("n_c"))
+                / 100,
+                6,
+            ).alias("mean_c"),
+            F.round(
+                (F.try_divide(F.col("s_t").cast("double"), F.col("n_t"))
+                 - F.try_divide(F.col("s_c").cast("double"), F.col("n_c")))
+                / 100,
                 6,
             ).alias("uplift"),
             F.round(
                 (F.sum("s_t").over(w).cast("double")
-                 - F.sum("s_c").over(w).cast("double")
-                   * F.sum("n_t").over(w)
-                   / F.sum("n_c").over(w)) / 100,
+                 - F.try_divide(
+                     F.sum("s_c").over(w).cast("double")
+                     * F.sum("n_t").over(w),
+                     F.sum("n_c").over(w),
+                 )) / 100,
                 6,
             ).alias("qini_cum_gain"),
         )
@@ -9838,10 +9939,12 @@ def llm_repeated_substring_census(
     "llm_capture_recapture_estimate",
     oracle="""
     WITH tagged AS (
+        -- TRY_CAST: a source name outside the srcNN scheme belongs to
+        -- neither crawl (NULL comparison -> ELSE 0), not a job kill
         SELECT md5(text) AS dg,
-               CAST(max(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+               CAST(max(CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) < 10
                         THEN 1 ELSE 0 END) AS INTEGER) AS in_a,
-               CAST(max(CASE WHEN CAST(substr(source, 4) AS INTEGER) >= 10
+               CAST(max(CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) >= 10
                         THEN 1 ELSE 0 END) AS INTEGER) AS in_b
         FROM documents GROUP BY md5(text)
     ),
@@ -9884,7 +9987,9 @@ def llm_capture_recapture_estimate(
     16-byte digests + two bit flags are all that cross the exchange.
     The estimator itself is free at any corpus size."""
     docs = load(spark, sf_dir, "documents").select("source", "text")
-    src_num = F.substring("source", 4, 10).cast("int")
+    # try_cast: a source outside the srcNN scheme is in neither crawl
+    # (NULL comparison -> otherwise 0), not a job kill (G11)
+    src_num = F.substring("source", 4, 10).try_cast("int")
     tagged = docs.groupBy(F.md5("text").alias("dg")).agg(
         F.max(F.when(src_num < 10, 1).otherwise(0)).alias("in_a"),
         F.max(F.when(src_num >= 10, 1).otherwise(0)).alias("in_b"),
@@ -10520,8 +10625,12 @@ def llm_cdc_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(cents) AS BIGINT) AS sx,
                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
-               CAST(round(CAST(sum(cents) AS DOUBLE) * sum(cents)
-                          / count(*) * 1000) AS HUGEINT) AS bterm_milli
+               -- exact integer FLOOR division: the old round(double)
+               -- path hits G14a above 2^53 (Spark rounds the shortest
+               -- decimal string, DuckDB the binary value) once a
+               -- hostile 1e9 price inflates the group sums
+               (CAST(sum(cents) AS HUGEINT) * sum(cents) * 1000)
+                   // count(*) AS bterm_milli
         FROM samples GROUP BY grp
     ),
     pooled AS (
@@ -10571,11 +10680,17 @@ def agg_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("sx"),
         F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))
         .alias("sxx"),
-    ).withColumn(
+    )
+    # exact integer floor division via remainder subtraction (decimal
+    # `/` is exact once the numerator is made divisible): round(double)
+    # here would hit G14a above 2^53 — Spark rounds the shortest
+    # decimal string, DuckDB the binary value — once hostile
+    # magnitudes inflate the group sums
+    _sxd = F.col("sx").cast("decimal(38,0)")
+    _q = _sxd * _sxd * 1000
+    moments = moments.withColumn(
         "bterm_milli",
-        F.round(
-            F.col("sx").cast("double") * F.col("sx") / F.col("n") * 1000
-        ).cast("decimal(38,0)"),
+        ((_q - _q % F.col("n")) / F.col("n")).cast("decimal(38,0)"),
     )
     pooled = moments.agg(
         F.count(F.lit(1)).alias("k"),

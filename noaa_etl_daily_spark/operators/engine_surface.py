@@ -339,12 +339,14 @@ def validate_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(x1) AS HUGEINT) AS sx1,
                CAST(sum(x2) AS HUGEINT) AS sx2,
                CAST(sum(y) AS HUGEINT) AS sy,
-               CAST(sum(x1 * x1) AS HUGEINT) AS sx11,
-               CAST(sum(x1 * x2) AS HUGEINT) AS sx12,
-               CAST(sum(x2 * x2) AS HUGEINT) AS sx22,
-               CAST(sum(x1 * y) AS HUGEINT) AS sx1y,
-               CAST(sum(x2 * y) AS HUGEINT) AS sx2y,
-               CAST(sum(y * y) AS HUGEINT) AS syy
+               -- operands widen BEFORE the multiply: a hostile 1e9
+               -- price gives y=1e11 cents, y*y=1e22 > BIGINT range
+               CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sx11,
+               CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS sx12,
+               CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS sx22,
+               CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS sx1y,
+               CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS sx2y,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
         FROM q
     ),
     d AS (
@@ -417,12 +419,14 @@ def agg_linear_regression_normal_eq(
         F.sum(dec(F.col("x1"))).alias("sx1"),
         F.sum(dec(F.col("x2"))).alias("sx2"),
         F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x1") * F.col("x1"))).alias("sx11"),
-        F.sum(dec(F.col("x1") * F.col("x2"))).alias("sx12"),
-        F.sum(dec(F.col("x2") * F.col("x2"))).alias("sx22"),
-        F.sum(dec(F.col("x1") * F.col("y"))).alias("sx1y"),
-        F.sum(dec(F.col("x2") * F.col("y"))).alias("sx2y"),
-        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        # operands widen BEFORE the multiply (G11 overflow class): a
+        # hostile 1e9 price gives y=1e11 cents, y*y=1e22 > LONG range
+        F.sum(dec(F.col("x1")) * dec(F.col("x1"))).alias("sx11"),
+        F.sum(dec(F.col("x1")) * dec(F.col("x2"))).alias("sx12"),
+        F.sum(dec(F.col("x2")) * dec(F.col("x2"))).alias("sx22"),
+        F.sum(dec(F.col("x1")) * dec(F.col("y"))).alias("sx1y"),
+        F.sum(dec(F.col("x2")) * dec(F.col("y"))).alias("sx2y"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
     )
     d = m.select(
         "n",
@@ -477,20 +481,22 @@ def agg_linear_regression_normal_eq(
     det1_, det2_ = F.col("det1"), F.col("det2")
     b1_, b2_, b3_ = F.col("b1"), F.col("b2"), F.col("b3")
     dn_, dyy_ = F.col("dn"), F.col("dyy")
+    # degenerate Gram matrix (constant features) ⇒ det = 0: coefficients
+    # are undefined — try_divide ≡ DuckDB's NULL-on-zero-division (G11)
     return s.select(
         "n",
-        F.round(det0_ / det_, 6).alias("b0_cents"),
-        F.round(det1_ / det_, 6).alias("b1_cents_per_unit"),
-        F.round(det2_ / det_, 6).alias("b2_cents_per_disc_pct"),
+        F.round(F.try_divide(det0_, det_), 6).alias("b0_cents"),
+        F.round(F.try_divide(det1_, det_), 6).alias("b1_cents_per_unit"),
+        F.round(F.try_divide(det2_, det_), 6).alias("b2_cents_per_disc_pct"),
         F.round(
             1
-            - (
+            - F.try_divide(
                 dyy_
-                - (det0_ / det_) * b1_
-                - (det1_ / det_) * b2_
-                - (det2_ / det_) * b3_
-            )
-            / (dyy_ - b1_ * b1_ / dn_),
+                - F.try_divide(det0_, det_) * b1_
+                - F.try_divide(det1_, det_) * b2_
+                - F.try_divide(det2_, det_) * b3_,
+                dyy_ - b1_ * b1_ / dn_,
+            ),
             6,
         ).alias("r2"),
     )

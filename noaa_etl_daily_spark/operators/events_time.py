@@ -74,10 +74,15 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            -- integer half-up of (sum_cents*100/n): 4dp average without
-           -- a float fold or a round-half-boundary divergence
-           CAST((200 * sum(CAST(round(value * 100) AS BIGINT))
-                 + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
-               AS avg_value
+           -- a float fold or a round-half-boundary divergence. The
+           -- division FLOORS via the modular identity because DuckDB's
+           -- integer // truncates toward zero (G15) and hostile credit
+           -- rows make the numerator negative
+           CAST(((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+                 - (((200 * sum(CAST(round(value * 100) AS BIGINT))
+                      + count(*)) % (2 * count(*)) + 2 * count(*))
+                    % (2 * count(*)))) // (2 * count(*))
+                AS BIGINT) / 10000.0 AS avg_value
     FROM (
       SELECT unnest(list_transform(generate_series(0, 3),
                     i -> time_bucket(INTERVAL 15 MINUTE, ts)
@@ -514,8 +519,16 @@ def evt_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS total_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
-           round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
-                 / count(*), 4) AS avg_value
+           -- avg by exact integer FLOOR division: round(double, 4)
+           -- here can land exactly on a representational midpoint
+           -- (38.37875) where the engines tie-break differently
+           -- (G14a). Floor via the modular identity because DuckDB's
+           -- integer // truncates toward zero (G15), diverging from
+           -- Spark's r - pmod floor on negative sums
+           CAST(((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100)
+                 - (((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100)
+                     % count(*) + count(*)) % count(*))) // count(*)
+                AS DOUBLE) / 10000 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -559,8 +572,17 @@ def evt_daily_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sc") / F.lit(100.0), 4).alias("total_value"),
             F.round(F.min("mn"), 4).alias("min_value"),
             F.round(F.max("mx"), 4).alias("max_value"),
-            F.round(
-                F.sum("sc") / F.lit(100.0) / F.sum("n"), 4
+            # exact integer floor division (r - pmod ≡ DuckDB //, for
+            # negative sums too): round(double, 4) can land exactly on
+            # a representational midpoint where engines tie-break
+            # differently (G14a)
+            (
+                (
+                    F.sum("sc") * 100
+                    - F.pmod(F.sum("sc") * 100, F.sum("n"))
+                )
+                / F.sum("n")
+                / F.lit(10000.0)
             ).alias("avg_value"),
         )
     )
@@ -628,10 +650,14 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_interval_merge",
     oracle="""
     WITH iv AS (
+      -- duration clamped to [0, 7d]: a corrupt value (negative, or
+      -- 1e9 "minutes" = 19 centuries) must not produce an implausible
+      -- interval that swallows every later island (G12 discipline)
       SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS s,
              epoch_us(CAST(ts AS TIMESTAMP))
-               + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+               + least(greatest(CAST(floor(value * 60) AS BIGINT), 0),
+                       604800) * 1000000 AS e
       FROM events
     ), flagged AS (
       SELECT user_id, event_id, s, e,
@@ -672,11 +698,18 @@ def evt_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     island numbering is deterministic in both engines."""
     ev = load(spark, sf_dir, "events")
     s = F.unix_micros(F.col("ts").cast("timestamp"))
+    # duration clamped to [0, 7d]: a corrupt value (negative, or 1e9
+    # "minutes" = 19 centuries) must not produce an implausible
+    # interval that swallows every later island (G12 discipline)
+    dur = F.least(
+        F.greatest(F.floor(F.col("value") * 60).cast("long"), F.lit(0)),
+        F.lit(604800),
+    )
     iv = ev.select(
         "user_id",
         "event_id",
         s.alias("s"),
-        (s + F.floor(F.col("value") * 60).cast("long") * 1000000).alias("e"),
+        (s + dur * 1000000).alias("e"),
     )
     w_prev = (
         Window.partitionBy("user_id")
@@ -1486,18 +1519,25 @@ def evt_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "evt_decay_weighted_value",
     oracle="""
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           -- integer half-up micro→4dp: round(x/1e6, 4) on a double
-           -- hits half-boundaries where the engines' rounding bases
-           -- differ (decimal string vs binary double)
-           CAST((sum(CAST(round(value / (1 + date_diff('day',
-                                         CAST(ts AS DATE),
-                                         DATE '2024-02-01'))
-                                * 1000000) AS BIGINT)) + 50) // 100
+    -- integer half-up micro→4dp: round(x/1e6, 4) on a double hits
+    -- half-boundaries where the engines' rounding bases differ
+    -- (decimal string vs binary double). The ÷100 FLOORS via the
+    -- modular identity because DuckDB's integer // truncates toward
+    -- zero (G15) — on a negative sum (hostile credit rows) plain //
+    -- would disagree with Spark's floor by one
+    WITH s AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(round(value / (1 + date_diff('day',
+                                       CAST(ts AS DATE),
+                                       DATE '2024-02-01'))
+                              * 1000000) AS BIGINT)) + 50 AS shifted
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST((shifted - ((shifted % 100) + 100) % 100) // 100
                 AS BIGINT) / 10000.0 AS decayed_value
-    FROM events
-    GROUP BY user_id
+    FROM s
     """,
 )
 def evt_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,11 +158,18 @@ def fn_date_trunc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 30000.0) AS abs_centered,
-           round(l_extendedprice * l_discount, 4) AS rounded_disc,
+           -- + 0.0 normalizes -0.0 (negative price x zero discount) to
+           -- +0.0, matching Spark's BigDecimal round (G14b)
+           round(l_extendedprice * l_discount, 4) + 0.0 AS rounded_disc,
            CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS price_ceil,
            CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_floor,
-           round(ln(l_extendedprice + 1.0), 8) AS log_price,
-           round(sqrt(l_quantity), 8) AS sqrt_qty,
+           -- domain guards (G11): ln/sqrt of a negative hostile row is
+           -- NULL on both engines, not a DuckDB Out-of-Range / a
+           -- Spark NaN
+           CASE WHEN l_extendedprice + 1.0 > 0
+                THEN round(ln(l_extendedprice + 1.0), 8) END AS log_price,
+           CASE WHEN l_quantity >= 0
+                THEN round(sqrt(l_quantity), 8) END AS sqrt_qty,
            round(pow(l_discount + 1.0, 2.0), 8) AS disc_sq,
            CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            l_orderkey % 7 AS key_mod
@@ -188,8 +195,16 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.ceil(F.col("l_extendedprice") / 100.0).alias("price_ceil"),
         F.floor(F.col("l_extendedprice") / 100.0).alias("price_floor"),
-        F.round(F.log(F.col("l_extendedprice") + 1.0), 8).alias("log_price"),
-        F.round(F.sqrt("l_quantity"), 8).alias("sqrt_qty"),
+        # domain guards (G11): ln/sqrt of a negative hostile row is
+        # NULL on both engines (Spark would otherwise emit NULL/NaN
+        # while DuckDB raises Out of Range)
+        F.when(
+            F.col("l_extendedprice") + 1.0 > 0,
+            F.round(F.log(F.col("l_extendedprice") + 1.0), 8),
+        ).alias("log_price"),
+        F.when(
+            F.col("l_quantity") >= 0, F.round(F.sqrt("l_quantity"), 8)
+        ).alias("sqrt_qty"),
         F.round(F.pow(F.col("l_discount") + 1.0, 2.0), 8).alias("disc_sq"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
@@ -239,7 +254,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
-           list_contains(toks, 'join') AS has_join,
+           coalesce(list_contains(toks, 'join'), FALSE) AS has_join,
            toks[1] AS first_tok,
            coalesce(array_to_string(toks[2:4], ' '), '') AS toks_2_to_4,
            coalesce(array_to_string(list_sort(toks[1:5]), ' '), '')
@@ -257,15 +272,21 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokens are space-split so a space joiner is collision-free."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # coalesce mirrors the oracle's: a NULL-text doc renders '' /
+    # false on BOTH engines instead of a dtype-unstable NULL cell
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.array_contains(toks, "join").alias("has_join"),
-        F.element_at(toks, 1).alias("first_tok"),
-        F.array_join(F.slice(toks, 2, 3), " ").alias("toks_2_to_4"),
-        F.array_join(F.sort_array(F.slice(toks, 1, 5)), " ").alias(
-            "first5_sorted"
+        F.coalesce(F.array_contains(toks, "join"), F.lit(False)).alias(
+            "has_join"
         ),
+        F.try_element_at(toks, F.lit(1)).alias("first_tok"),
+        F.coalesce(F.array_join(F.slice(toks, 2, 3), " "), F.lit("")).alias(
+            "toks_2_to_4"
+        ),
+        F.coalesce(
+            F.array_join(F.sort_array(F.slice(toks, 1, 5)), " "), F.lit("")
+        ).alias("first5_sorted"),
     )
 
 
@@ -339,22 +360,29 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_from_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_pointed
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract(props, '$.k') END
+                    AS BIGINT) AS k_typed,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k_pointed
     FROM events
     """,
 )
 def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access over events.props (the API-payload pattern):
     full parse via from_json→map plus point access via get_json_object.
-    DuckDB json_extract returns a JSON value needing CAST — G4."""
+    DuckDB json_extract returns a JSON value needing CAST — G4. Dirty
+    payloads (malformed JSON, non-numeric values) parse to NULL, not a
+    job kill: try_cast on the Spark side ≡ json_valid + TRY_CAST on the
+    oracle side (G11; canonical integer grammar only, G14c)."""
     events = load(spark, sf_dir, "events")
     return events.select(
         "event_id",
         F.element_at(
             F.from_json(F.col("props"), "map<string,bigint>"), "k"
         ).alias("k_typed"),
-        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias(
+        F.get_json_object(F.col("props"), "$.k").try_cast("bigint").alias(
             "k_pointed"
         ),
     )
@@ -530,10 +558,13 @@ def fn_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
-           CAST(json_extract_string(props, '$.missing') AS BIGINT)
-               AS missing_val
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k_val,
+           coalesce(json_valid(props), FALSE) AS is_valid,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.missing') END
+                    AS BIGINT) AS missing_val
     FROM events
     """,
 )
@@ -550,10 +581,14 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed payloads) so is_valid=false matches the oracle's
     json_valid even on dirty input."""
     events = load(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json + try_variant_get end to end: a malformed payload
+    # or a non-numeric field value is NULL, never a job kill (G11) —
+    # mirrored by json_valid + TRY_CAST on the oracle side; NULL props
+    # reads as is_valid=false on both engines
+    v = F.expr("try_parse_json(props)")
     return events.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
         F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
     )
@@ -784,7 +819,7 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
                                  x -> NOT list_contains(b, x))), ' '), '')
              AS except_sorted,
-           len(list_intersect(a, b)) > 0 AS overlaps
+           coalesce(len(list_intersect(a, b)) > 0, FALSE) AS overlaps
     FROM ab
     """,
 )
@@ -806,18 +841,25 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(tk, 1, F.least(F.lit(6), F.greatest(n, F.lit(1)))).alias("a"),
         F.slice(tk, F.greatest(n - 5, F.lit(1)), F.lit(6)).alias("b"),
     )
+    # coalesce mirrors the oracle's: a NULL-text doc renders '' / false
+    # on BOTH engines instead of a dtype-unstable NULL cell
     return ab.select(
         "doc_id",
-        F.array_join(F.array_sort(F.array_union("a", "b")), " ").alias(
-            "union_sorted"
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_union("a", "b")), " "),
+            F.lit(""),
+        ).alias("union_sorted"),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_intersect("a", "b")), " "),
+            F.lit(""),
+        ).alias("inter_sorted"),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_except("a", "b")), " "),
+            F.lit(""),
+        ).alias("except_sorted"),
+        F.coalesce(F.arrays_overlap("a", "b"), F.lit(False)).alias(
+            "overlaps"
         ),
-        F.array_join(F.array_sort(F.array_intersect("a", "b")), " ").alias(
-            "inter_sorted"
-        ),
-        F.array_join(F.array_sort(F.array_except("a", "b")), " ").alias(
-            "except_sorted"
-        ),
-        F.arrays_overlap("a", "b").alias("overlaps"),
     )
 
 
@@ -1072,8 +1114,13 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_matches,
            coalesce(regexp_extract_all(text, '[bs][a-z]+')[1], '')
              AS first_match,
-           array_to_string(regexp_extract_all(text, '[bs][a-z]+'), '|')
-             AS all_matches
+           -- coalesce: DuckDB renders an EMPTY match list as NULL
+           -- where Spark's array_join gives ''; NULL text stays NULL
+           -- on both engines
+           CASE WHEN text IS NOT NULL THEN
+             coalesce(array_to_string(
+                 regexp_extract_all(text, '[bs][a-z]+'), '|'), '')
+           END AS all_matches
     FROM documents
     """,
 )
@@ -1087,10 +1134,15 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero exchanges at any scale."""
     docs = load(spark, sf_dir, "documents")
     matches = F.regexp_extract_all(F.col("text"), F.lit("[bs][a-z]+"), F.lit(0))
+    # try_element_at: a zero-match doc must yield NULL→'' rather than
+    # an ANSI array-index kill (G11); NULL text gates the count because
+    # Spark size(NULL)=-1 where DuckDB len(NULL)=NULL
     return docs.select(
         "doc_id",
-        F.size(matches).alias("n_matches"),
-        F.coalesce(F.element_at(matches, 1), F.lit("")).alias("first_match"),
+        F.when(F.col("text").isNotNull(), F.size(matches)).alias("n_matches"),
+        F.coalesce(F.try_element_at(matches, F.lit(1)), F.lit("")).alias(
+            "first_match"
+        ),
         F.array_join(matches, "|").alias("all_matches"),
     )
 

@@ -897,7 +897,11 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(array_to_string(list_slice(list_sort(hd), 1, 5), ''))
+           -- coalesce: DuckDB's array_to_string renders the EMPTY
+           -- sketch as NULL where Spark's concat_ws gives '' — short
+           -- docs must hash the empty string on both engines
+           md5(coalesce(
+               array_to_string(list_slice(list_sort(hd), 1, 5), ''), ''))
                AS fingerprint,
            CAST(len(hd) AS BIGINT) AS n_shingles
     FROM (
@@ -906,8 +910,11 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_transform(generate_series(1, len(toks) - 2),
                                 i -> array_to_string(toks[i:i+2], ' ')),
                  s -> md5(s))) AS hd
+      -- coalesce: a NULL-text doc hashes the empty sketch exactly
+      -- like Spark's when(n >= 3, …).otherwise(empty) guard, instead
+      -- of cascading NULL through len/generate_series
       FROM (SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '),
+                   list_filter(string_split(lower(coalesce(text, '')), ' '),
                                t -> t <> '') AS toks
             FROM documents)
     )
@@ -1676,8 +1683,12 @@ _PII_PHONE = r"\b\d{3}-\d{4}\b"
     "llm_text_pii_redact",
     oracle="""
     WITH seeded AS (
+      -- coalesce pins the NULL-concat divergence: Spark's concat is
+      -- NULL-on-any-NULL, DuckDB's skips NULL operands (G4) — without
+      -- it a NULL-text doc redacts on one engine only
       SELECT doc_id,
-             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+             concat(coalesce(text, ''), ' contact user',
+                    CAST(doc_id AS VARCHAR),
                     '@mail.example or call 555-',
                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
                     ' now') AS t
@@ -1708,8 +1719,10 @@ def llm_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     seeded = docs.select(
         "doc_id",
+        # coalesce pins the NULL-concat divergence: Spark's concat is
+        # NULL-on-any-NULL, DuckDB's skips NULL operands (G4)
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@mail.example or call 555-"),
@@ -1926,10 +1939,15 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_multimodal_decode_features",
     oracle="""
     WITH bytes AS (
+      -- coalesce: a missing payload decodes to the empty blob on both
+      -- engines (G11); bins are CODEPOINT-based with saturation at 7
+      -- so non-ASCII units are counted identically on both sides
       SELECT doc_id,
-             list_transform(string_split(text, ''), c -> ascii(c) // 32)
-                 AS bins,
-             length(text) AS n_bytes
+             list_transform(
+                 list_filter(string_split(coalesce(text, ''), ''),
+                             c -> c <> ''),  -- split('','') gives ['']
+                 c -> least(ascii(c) // 32, 7)) AS bins,
+             length(coalesce(text, '')) AS n_bytes
       FROM documents
     )
     SELECT doc_id,
@@ -1992,19 +2010,22 @@ def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
                 # a missing/corrupt payload decodes to an empty blob
                 # instead of killing the whole Arrow batch — at 100 TB
                 # one bad object must not fail the stage
-                blob = (text or "").encode("utf-8")
+                blob = text or ""
                 # have_pil branch would Image.open(io.BytesIO(blob));
-                # the fixture payloads are not real images, so both
-                # paths use the deterministic fake decode
+                # the fixture payloads are TEXT standing in for binary,
+                # so the deterministic fake decode bins CODEPOINTS
+                # (saturating at bin 7) — the unit the oracle's
+                # ascii()-per-character recomputation can mirror; real
+                # media would bin raw bytes the same way
                 width, height, channels = 1 + doc_id % 64, 1 + doc_id % 48, 3
                 hist = [0] * 8
-                for b in blob:
-                    hist[b // 32] += 1
+                for ch in blob:
+                    hist[min(ord(ch) // 32, 7)] += 1
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(width)
                 rows["height"].append(height)
                 rows["channels"].append(channels)
-                rows["n_bytes"].append(len(blob))
+                rows["n_bytes"].append(len(blob))  # code units (see above)
                 rows["feat"].append(",".join(str(c) for c in hist))
             yield pd.DataFrame(rows)
 
@@ -2157,13 +2178,23 @@ def llm_text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     free. The ratio is floor-truncated (not rounded) for cross-engine
     bit-identity."""
     docs = load(spark, sf_dir, "documents")
-    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
-    n_ws = F.size(_tokens("text"))
+    # NULL text: Spark size(NULL array) is -1 where DuckDB len() is
+    # NULL — gate on isNotNull so both report NULL counts; zero words
+    # makes fertility undefined: try_divide ≡ DuckDB's
+    # NULL-on-zero-division (G11)
+    notnull = F.col("text").isNotNull()
+    n_bpe = F.when(
+        notnull,
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))),
+    )
+    n_ws = F.when(notnull, F.size(_tokens("text")))
     return docs.select(
         "doc_id",
         n_bpe.cast("long").alias("n_bpe_tokens"),
         n_ws.cast("long").alias("n_ws_tokens"),
-        (F.floor(n_bpe * 10000.0 / n_ws) / 10000).alias("fertility"),
+        (F.floor(F.try_divide(n_bpe * 10000.0, n_ws)) / 10000).alias(
+            "fertility"
+        ),
     )
 
 
@@ -2750,10 +2781,14 @@ def llm_embed_matryoshka_truncate(
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # zero-norm vectors have no defined energy ratio: try_divide ≡
+    # DuckDB's NULL-on-zero-division (G11)
     return emb.select(
         "vec_id",
         (F.floor(F.sqrt(trunc_sq) * 1e6) / 1e6).alias("trunc_norm"),
-        (F.floor(trunc_sq / full_sq * 1e6) / 1e6).alias("energy_kept"),
+        (F.floor(F.try_divide(trunc_sq, full_sq) * 1e6) / 1e6).alias(
+            "energy_kept"
+        ),
     )
 
 
@@ -3375,7 +3410,10 @@ def llm_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
       FROM documents
     ), hist AS (
-      SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2
+      -- ch <> '': DuckDB's split of the EMPTY string yields [''],
+      -- which must not count as a character (Spark filters it)
+      SELECT doc_id, ch, count(*) AS cnt FROM chars
+      WHERE ch <> '' GROUP BY 1, 2
     ), tot AS (
       SELECT doc_id, sum(cnt) AS n FROM hist GROUP BY 1
     )
@@ -3413,7 +3451,10 @@ def llm_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     terms = F.transform(F.array_distinct(chars), term)
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return docs.select(
+    # empty/NULL docs have no character distribution — dropped, exactly
+    # as the oracle's unnest-of-nothing drops them (entropy of an empty
+    # message is undefined, not zero)
+    return docs.where(F.size(chars) > 0).select(
         "doc_id",
         F.round(-total / 1_000_000.0, 3).alias("entropy_bits"),
         F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
@@ -4102,10 +4143,14 @@ def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_semdedup_cells",
     oracle="""
     WITH v AS (
+      -- mirror _sim_embeddings' admissibility filter: zero-norm
+      -- vectors are outside the cosine metric (G11)
       SELECT vec_id, label,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * 1000000) AS BIGINT)) AS m
       FROM embeddings
+      WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x * x)) > 0
     ),
     sums AS (
       SELECT label AS cell, CAST(i AS INT) AS i,
@@ -4189,9 +4234,17 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(64)]
         ).alias("c")
     )
+    # a vector that QUANTIZES to all zeros (denormal-scale values)
+    # still has undefined micro-grid cosine: try_divide ≡ DuckDB's
+    # NULL-on-zero-division; NULL sims rank last under DESC in both
+    # engines, so assignment tie-breaks to the smallest cell (G11/G13)
     sim9 = F.round(
-        _dot(F.col("m"), F.col("c"))
-        / F.sqrt(_dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))),
+        F.try_divide(
+            _dot(F.col("m"), F.col("c")),
+            F.sqrt(
+                _dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))
+            ),
+        ),
         9,
     )
     scored = v.crossJoin(F.broadcast(cb)).select(
@@ -4212,9 +4265,11 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell"), F.col("vec_id").alias("drop_id"), F.col("m").alias("mb")
     )
     pair_sim = F.round(
-        _dot(F.col("ma"), F.col("mb"))
-        / F.sqrt(
-            _dot(F.col("ma"), F.col("ma")) * _dot(F.col("mb"), F.col("mb"))
+        F.try_divide(
+            _dot(F.col("ma"), F.col("mb")),
+            F.sqrt(
+                _dot(F.col("ma"), F.col("ma")) * _dot(F.col("mb"), F.col("mb"))
+            ),
         ),
         4,
     )

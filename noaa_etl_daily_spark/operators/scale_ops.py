@@ -141,7 +141,11 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 4) AS total
+           -- exact integer 4dp-unit sum (G2): a float sum's order is
+           -- engine-dependent, and one hostile 1e12 order makes the
+           -- absorption error visible even at 4dp rounding
+           CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS total
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -182,10 +186,15 @@ def merge_upsert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        # 4dp: the summed values carry 3 decimal digits of intent (2dp
-        # base prices and 2dp*1.1 deltas), so 4dp is never on a
-        # half-boundary where Spark/DuckDB rounding semantics diverge
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        # exact integer 4dp-unit sum (G2): the values carry ≤3 decimal
+        # digits of intent, but a float sum's ORDER is engine-dependent
+        # and one hostile 1e12 order makes the absorption error visible
+        # even after 4dp rounding — quantize per row, sum integers
+        (
+            F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint"))
+            .cast("double")
+            / 10000.0
+        ).alias("total"),
     )
 
 

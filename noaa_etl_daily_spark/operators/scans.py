@@ -127,7 +127,10 @@ def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 4) AS total_value,
            CAST(max(k) AS BIGINT) AS max_k
-    FROM (SELECT event_type, value, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM (SELECT event_type, value,
+                 TRY_CAST(CASE WHEN json_valid(props)
+                               THEN json_extract(props, '$.k') END
+                          AS BIGINT) AS k
           FROM events)
     GROUP BY event_type
     """,
@@ -152,7 +155,10 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
-        F.max(F.get_json_object("props", "$.k").cast("long")).alias("max_k"),
+        # try_cast: a malformed payload is a NULL k, not a job kill (G11)
+        F.max(F.get_json_object("props", "$.k").try_cast("long")).alias(
+            "max_k"
+        ),
     )
 
 

@@ -157,7 +157,10 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pdf[["doc_id"]].copy()
             out["token"] = toks
             out = out.explode("token", ignore_index=True)
-            out = out[out["token"] != ""].copy()
+            # notna: a NULL-text doc explodes to one NaN token in
+            # pandas, which must vanish like the builtin explode of a
+            # NULL array (the oracle's unnest emits no row)
+            out = out[out["token"].notna() & (out["token"] != "")].copy()
             out["pos"] = out.groupby("doc_id").cumcount() + 1
             out["pos"] = out["pos"].astype("int32")
             yield out
@@ -169,14 +172,19 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_cogrouped_pandas",
     oracle="""
+    -- exact integer-cents sums (G2): pandas sums pairwise, the
+    -- engines sequentially — a float fold lands on visible 2dp
+    -- boundaries once magnitudes mix
     WITH li AS (
       SELECT strftime(l_shipdate, '%Y-%m') AS month,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS shipped,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100 AS shipped,
              CAST(count(*) AS BIGINT) AS n_ship
       FROM lineitem GROUP BY 1
     ), o AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             round(sum(o_totalprice), 2) AS booked,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 AS booked,
              CAST(count(*) AS BIGINT) AS n_book
       FROM orders GROUP BY 1
     )
@@ -200,14 +208,27 @@ def udtf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the full-outer semantics the oracle mirrors with COALESCE)."""
     import pandas as pd  # noqa: F811 — local for executor pickling
 
+    import numpy as np
+
+    def _cents(series):
+        # exact integer cents with round-half-away (matching SQL
+        # round(), NOT numpy's half-even): pandas float sums are
+        # pairwise-ordered, engine sums sequential — G2
+        x = series.to_numpy(dtype="float64") * 100
+        return int(
+            np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).sum()
+        )
+
     def book_to_bill(key, li_pdf, o_pdf):
-        shipped = (li_pdf["l_extendedprice"] * (1 - li_pdf["l_discount"])).sum()
+        shipped = _cents(
+            li_pdf["l_extendedprice"] * (1 - li_pdf["l_discount"])
+        )
         return pd.DataFrame(
             [
                 {
                     "month": key[0],
-                    "shipped": round(float(shipped), 2),
-                    "booked": round(float(o_pdf["o_totalprice"].sum()), 2),
+                    "shipped": shipped / 100.0,
+                    "booked": _cents(o_pdf["o_totalprice"]) / 100.0,
                     "n_ship": len(li_pdf),
                     "n_book": len(o_pdf),
                 }
@@ -418,6 +439,11 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf("string", useArrow=True)
     def tag(price: float, prio: str) -> str:
+        # NULL-strict like the oracle's || (and any builtin concat):
+        # a None would otherwise render as the literal "low:None" —
+        # Python UDFs receive None, they don't propagate it (G11)
+        if price is None or prio is None:
+            return None
         if price >= 200000:
             band = "high"
         elif price >= 50000:

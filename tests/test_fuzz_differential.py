@@ -1203,3 +1203,74 @@ def test_fuzz_add_months_month_end_clamp(spark, oracle, dates):
     finally:
         oracle.unregister("t")
     assert got == want, f"\ndates={dates}\nspark={got}\nduck ={want}"
+
+
+def test_known_integer_division_semantics(spark, oracle):
+    """Executable documentation of G15: on NEGATIVE operands, Spark
+    `div` and DuckDB `//` both TRUNCATE toward zero (-5 div 2 = -2) —
+    they pair safely — while Spark `floor(a/b)` FLOORS (-5/2 → -3).
+    An oracle that pairs floor() with // silently disagrees by one on
+    every negative numerator (caught live by hostile credit-memo rows
+    in three avg/quantization oracles). The repo's discipline: `div`
+    pairs with `//`; floor-semantics divisions use the modular
+    identity (q - ((q % d) + d) % d) // d on the DuckDB side and
+    r - pmod(r, d) (or floor of exact division) on the Spark side."""
+    sp = spark.sql(
+        "SELECT -5 div 2 AS t, CAST(floor(-5 / 2) AS BIGINT) AS f, "
+        "pmod(-5, 2) AS p"
+    ).collect()[0]
+    assert (sp.t, sp.f, sp.p) == (-2, -3, 1)
+    du_t, du_mod = oracle.execute("SELECT -5 // 2, -5 % 2").fetchone()
+    assert du_t == -2  # truncation, pairs with Spark div
+    assert du_mod == -1  # sign follows dividend, pairs with Spark %
+    du_floor = oracle.execute(
+        "SELECT (-5 - ((-5 % 2) + 2) % 2) // 2"
+    ).fetchone()[0]
+    assert du_floor == -3  # the modular identity recovers floor
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(-10000, 10000),
+            st.integers(1, 50),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_integer_division_pairings(spark, oracle, pairs):
+    """The two sanctioned division pairings fuzzed over signed
+    NUMERATORS and positive divisors (the repo's divisors are counts
+    and scale constants — the modular floor identity REQUIRES d > 0;
+    with d < 0 it computes ceil): Spark `a div b` ≡ DuckDB `a // b`
+    (truncation), Spark `a - pmod(a, b)` over b ≡ the DuckDB modular
+    floor identity, and `a % b` ≡ `a % b` (sign follows dividend in
+    both)."""
+    rows = [(i, a, d) for i, (a, d) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "rid bigint, a bigint, d bigint")
+    q = df.selectExpr(
+        "rid",
+        "a div d AS trunc_div",
+        "a % d AS rem",
+        "CAST((a - pmod(a, d)) / d AS BIGINT) AS floor_div",
+    )
+    t = pd.DataFrame(rows, columns=["rid", "a", "d"]).astype("int64")
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                """
+                SELECT rid,
+                       a // d AS trunc_div,
+                       a % d AS rem,
+                       (a - ((a % d) + abs(d)) % abs(d)) // d AS floor_div
+                FROM t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\npairs={pairs}\nspark={got}\nduck ={want}"

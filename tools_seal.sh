@@ -6,24 +6,31 @@
 #   1. full local suite at sf0.01 (differential + property + plan lint)
 #   2. the 10x-scale Spark-vs-DuckDB value diff at sf0.1 — the only
 #      check where the scale_rank range shuffles genuinely split data
-#   3. regenerate CERTIFIED.md from the driver record
-#   4. one headline bench line (sanity, not the official record)
+#   3. the HOSTILE value differential — every oracled query must
+#      hash-match its oracle on the poisoned corpus (round 6: found 42
+#      divergences the no-crash sweep had certified as safe)
+#   4. regenerate CERTIFIED.md from the driver record
+#   5. one headline bench line (sanity, not the official record)
 #
 # Usage: bash tools_seal.sh
 set -euo pipefail
 cd "$(dirname "$0")"
 
-echo "== seal 1/4: full suite (sf0.01) =="
+echo "== seal 1/5: full suite (sf0.01) =="
 python -m pytest tests/ -x -q
 
-echo "== seal 2/4: sf0.1 full differential (oracle value-diff at 10x) =="
+echo "== seal 2/5: sf0.1 full differential (oracle value-diff at 10x) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
     python -m pytest tests/test_oracle.py -x -q
 
-echo "== seal 3/4: regenerate CERTIFIED.md =="
+echo "== seal 3/5: hostile value differential =="
+SPARK_GRAFT_HOSTILE_DIFF=1 \
+    python -m pytest tests/test_hostile_oracle.py -x -q
+
+echo "== seal 4/5: regenerate CERTIFIED.md =="
 python tools_certified.py
 
-echo "== seal 4/4: bench sanity line =="
+echo "== seal 5/5: bench sanity line =="
 python bench.py
 
 echo "SEAL COMPLETE"
