@@ -1018,7 +1018,11 @@ def fn_json_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_suppkey,
            printf('SUP-%05d', s_suppkey) AS supp_code,
-           printf('%s (nation %02d)', s_name, s_nationkey) AS display,
+           -- coalesce: Spark's format_string renders a NULL arg as
+           -- the literal 'null' (Java printf) while DuckDB's printf
+           -- is NULL-strict (G4c) — a missing name renders empty
+           printf('%s (nation %02d)', coalesce(s_name, ''), s_nationkey)
+               AS display,
            printf('%.2f', s_acctbal) AS balance_str
     FROM supplier
     """,
@@ -1035,8 +1039,13 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.select(
         "s_suppkey",
         F.format_string("SUP-%05d", F.col("s_suppkey")).alias("supp_code"),
+        # coalesce: Spark's format_string renders a NULL arg as the
+        # literal 'null' (Java printf) while DuckDB's printf is
+        # NULL-strict (G4c) — a missing name renders empty
         F.format_string(
-            "%s (nation %02d)", F.col("s_name"), F.col("s_nationkey")
+            "%s (nation %02d)",
+            F.coalesce(F.col("s_name"), F.lit("")),
+            F.col("s_nationkey"),
         ).alias("display"),
         F.format_string("%.2f", F.col("s_acctbal")).alias("balance_str"),
     )

@@ -108,6 +108,24 @@ HOSTILE_CUSTOMER = [
     (900002, None, 24, -1e6, None),                   # null name/segment
 ]
 
+HOSTILE_PART = [
+    # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice) —
+    # novel brand/type strings probe every pivot/affinity grouping;
+    # zero/negative/huge prices probe the same arithmetic classes as
+    # the lineitem rows, now on the DIMENSION side of broadcast joins
+    (900001, "", "Brand#99", "WEIRD TYPE", 0, 0.0),
+    (900002, None, "Brand#99", "PROMO", -1, -5.0),     # NULL name, neg price
+    (900003, "giant part", "Brand#00", "", 2147483647, 1e9),
+]
+
+HOSTILE_SUPPLIER = [
+    # (s_suppkey, s_name, s_nationkey, s_acctbal) — dangling nationkey
+    # (no nation 99: dirty dim feed), NULL name, extreme balances
+    (900001, "", 99, 0.0),
+    (900002, None, 0, -1e9),
+    (900003, "far supplier", 24, 1e12),
+]
+
 
 HOSTILE_ROWS = {
     "documents": HOSTILE_DOCS,
@@ -116,6 +134,8 @@ HOSTILE_ROWS = {
     "lineitem": HOSTILE_LINEITEM,
     "orders": HOSTILE_ORDERS,
     "customer": HOSTILE_CUSTOMER,
+    "part": HOSTILE_PART,
+    "supplier": HOSTILE_SUPPLIER,
 }
 
 
