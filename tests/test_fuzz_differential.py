@@ -1274,3 +1274,84 @@ def test_fuzz_integer_division_pairings(spark, oracle, pairs):
     finally:
         oracle.unregister("t")
     assert got == want, f"\npairs={pairs}\nspark={got}\nduck ={want}"
+
+
+def test_known_sum_bigint_overflow_divergence(spark, oracle):
+    """Executable documentation: a BIGINT sum that exceeds 2^63-1 KILLS
+    a Spark ANSI job (ArithmeticException) while DuckDB silently
+    auto-promotes the accumulator to HUGEINT and returns the exact
+    value. This is why every potentially-wide integer fold in the repo
+    (squared cents, µ² ADC terms, shingle products) accumulates in
+    decimal(38,0) on the Spark side paired with HUGEINT on the oracle
+    side (G11 overflow class) — sum(bigint) is only used where the
+    magnitude is provably bounded."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    df = spark.createDataFrame(
+        [(9223372036854775807,), (1,)], "x bigint"
+    )
+    with _pytest.raises(ArithmeticException):
+        df.selectExpr("sum(x) AS s").collect()
+    assert (
+        oracle.execute(
+            "SELECT sum(x) FROM (VALUES (9223372036854775807), (1)) t(x)"
+        ).fetchone()[0]
+        == 9223372036854775808
+    )
+    # the repo's discipline: decimal(38,0) ↔ HUGEINT agree exactly
+    got = df.selectExpr(
+        "cast(sum(cast(x as decimal(38,0))) as string) AS s"
+    ).collect()[0].s
+    assert got == "9223372036854775808"
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, width=64
+            ),
+            st.sampled_from([float("nan"), float("inf"), float("-inf")]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzz_nan_inf_extrema_agree(spark, oracle, vals):
+    """min/max/greatest-style extrema over doubles containing NaN/±Inf
+    agree across engines: both order NaN ABOVE +Inf (so max prefers
+    NaN, min ignores it) — pinned so an engine upgrade changing IEEE
+    total-order handling is caught. Sums/avgs are excluded: any NaN
+    poisons them identically (probed), but Inf-heavy sums produce
+    order-dependent NaN vs Inf, which the G2 quantization discipline
+    already forbids in oracled outputs."""
+    import math
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid bigint, x double")
+    got = df.selectExpr(
+        "max(x) AS mx", "min(x) AS mn", "count(x) AS n"
+    ).collect()[0]
+
+    # literal VALUES, not a registered pandas frame: pandas uses NaN as
+    # its float NULL marker, so DuckDB would read every NaN as NULL and
+    # the comparison would silently test nothing
+    def lit(v):
+        if math.isnan(v):
+            return "'nan'::DOUBLE"
+        if math.isinf(v):
+            return f"'{'-' if v < 0 else ''}inf'::DOUBLE"
+        return f"CAST({v!r} AS DOUBLE)"
+
+    values = ", ".join(f"({lit(v)})" for v in vals)
+    want = oracle.execute(
+        f"SELECT max(x) AS mx, min(x) AS mn, count(x) AS n "
+        f"FROM (VALUES {values}) t(x)"
+    ).fetchone()
+    assert (repr(got.mx), repr(got.mn), got.n) == (
+        repr(want[0]),
+        repr(want[1]),
+        want[2],
+    ), f"\nvals={vals}\nspark={got}\nduck ={want}"
