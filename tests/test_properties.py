@@ -1357,3 +1357,55 @@ def test_repeated_substring_runs_within_doc_bounds(spark, sf_dir):
     for r in rows:
         assert 5 <= r.longest_run_tokens <= r.dup_tokens <= r.n_tokens
         assert 0 < r.dup_ppm <= 1000000
+
+
+def test_scale_rank_degenerate_shapes(spark, sf_dir):
+    """with_global_rank / with_ntile (operators/scale_rank.py) on the
+    shapes the *_atscale certification fixtures never produce: empty
+    input, a single row, ALL-TIED order keys (every row lands in one
+    range partition — the skew worst case), and more shuffle
+    partitions than rows (most partitions empty, so the offset window
+    must handle zero-count partitions). Each result is compared to the
+    single-partition window ground truth computed driver-side."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.scale_rank import (
+        with_global_rank,
+        with_ntile,
+    )
+
+    def check(rows):
+        df = spark.createDataFrame(rows, "k bigint, uid bigint")
+        ranked = with_global_rank(
+            df, [F.col("k"), F.col("uid")], "rank", "n"
+        ).collect()
+        want = {
+            u: i + 1
+            for i, (k, u) in enumerate(sorted(rows, key=lambda r: (r[0], r[1])))
+        }
+        got = {r.uid: r.rank for r in ranked}
+        assert got == want, (rows, got, want)
+        assert all(r.n == len(rows) for r in ranked)
+        tiled = with_ntile(df, [F.col("k"), F.col("uid")], 4, "q").collect()
+        # SQL-standard ntile: first n%k buckets get one extra row
+        n = len(rows)
+        base, rem = divmod(n, 4)
+        want_tile = {}
+        for i, (k, u) in enumerate(sorted(rows, key=lambda r: (r[0], r[1]))):
+            r1 = i + 1
+            big = (base + 1) * rem
+            want_tile[u] = (
+                (r1 - 1) // (base + 1) + 1
+                if r1 <= big
+                else rem + (r1 - big - 1) // base + 1
+                if base
+                else rem
+            )
+        got_tile = {r.uid: r.q for r in tiled}
+        assert got_tile == want_tile, (rows, got_tile, want_tile)
+
+    check([])                                   # empty input
+    check([(7, 1)])                             # single row
+    check([(5, u) for u in range(9)])           # all keys tied (skew)
+    check([(u % 2, u) for u in range(3)])       # P >> rows
+    check([(9 - u, u) for u in range(11)])      # descending insert order
