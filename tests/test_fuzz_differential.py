@@ -1355,3 +1355,88 @@ def test_fuzz_nan_inf_extrema_agree(spark, oracle, vals):
         repr(want[1]),
         want[2],
     ), f"\nvals={vals}\nspark={got}\nduck ={want}"
+
+
+HASHABLE = st.one_of(
+    st.integers(-(10**9), 10**9),
+    st.text(
+        alphabet=st.sampled_from(list("ab|#é你 🙂'\"\\")), max_size=8
+    ),
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(HASHABLE, HASHABLE), min_size=0, max_size=25
+    ),
+    width=st.integers(1, 15),
+    mod=st.integers(1, 1_000_000),
+)
+def test_fuzz_seeded_hash_discipline(spark, oracle, rows, width, mod):
+    """The deterministic-randomness foundation every sampler/bootstrap/
+    split/DP-noise operator stands on, fuzzed end to end:
+    md5(concat_ws('|', int_as_string, text)) must agree byte-for-byte
+    (unicode included — both engines hash UTF-8), and the hex-prefix →
+    integer window (Spark conv(_,16,10) ↔ DuckDB '0x'-cast, % mod)
+    must agree for EVERY prefix width 1..15. Width 16 is the cliff —
+    pinned separately in test_known_hex16_overflow_cliff; the repo
+    stays at ≤8 hex chars by discipline."""
+    from pyspark.sql import functions as F
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(
+        [(i, str(a), str(b)) for i, a, b in data],
+        "rid bigint, a string, b string",
+    )
+    h = F.md5(F.concat_ws("|", F.col("a"), F.col("b")))
+    q = df.select(
+        "rid",
+        h.alias("h"),
+        (
+            F.conv(F.substring(h, 1, width), 16, 10).cast("bigint") % mod
+        ).alias("u"),
+    )
+    t = pd.DataFrame(
+        [(i, str(a), str(b)) for i, a, b in data],
+        columns=["rid", "a", "b"],
+    ).astype({"rid": "int64", "a": "object", "b": "object"})
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                f"""
+                SELECT rid, md5(concat_ws('|', a, b)) AS h,
+                       CAST(('0x' || substr(md5(concat_ws('|', a, b)),
+                                            1, {width})) AS BIGINT)
+                           % {mod} AS u
+                FROM t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\nrows={rows}\nw={width} m={mod}\n{got}\n{want}"
+
+
+def test_known_hex16_overflow_cliff(spark, oracle):
+    """Executable documentation: a FULL 16-hex-char md5 prefix can
+    exceed BIGINT — Spark's conv()->cast raises under ANSI, DuckDB's
+    BIGINT cast errors too, and only DuckDB's UBIGINT accepts it
+    (Spark has no unsigned 64-bit type to pair with). Hence the seeded
+    -hash discipline caps prefixes at 8 hex chars (32 bits) repo-wide;
+    widths 1..15 fuzz clean above."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import NumberFormatException
+
+    df = spark.createDataFrame([("f" * 16,)], "h string")
+    with _pytest.raises(NumberFormatException):
+        df.selectExpr(
+            "cast(conv(h, 16, 10) as bigint) AS v"
+        ).collect()
+    assert (
+        oracle.execute("SELECT CAST('0x' || repeat('f', 16) AS UBIGINT)")
+        .fetchone()[0]
+        == 18446744073709551615
+    )
