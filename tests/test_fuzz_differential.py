@@ -1440,3 +1440,89 @@ def test_known_hex16_overflow_cliff(spark, oracle):
         .fetchone()[0]
         == 18446744073709551615
     )
+
+
+def test_known_string_edge_divergences(spark, oracle):
+    """Executable documentation of three string-function edges OUTSIDE
+    the repo's usage domain (every repo substr start is a 1-based
+    constant, every pad non-empty, every left/right length ≥ 0):
+    substring(s, 0, n) counts position 0 against the length in DuckDB
+    but not Spark; lpad with an EMPTY pad errors in DuckDB and
+    truncates-or-returns in Spark; left(s, -n) is '' in Spark but
+    drop-last-n (Python-style) in DuckDB. The fuzz below locks the
+    SAFE domain both engines share."""
+    assert (
+        spark.sql("SELECT substring('abcdef', 0, 3) x").collect()[0].x
+        == "abc"
+    )
+    assert oracle.execute("SELECT substr('abcdef', 0, 3)").fetchone()[0] == (
+        "ab"
+    )
+    assert spark.sql("SELECT lpad('abc', 6, '') x").collect()[0].x == "abc"
+    import duckdb as _d
+
+    try:
+        oracle.execute("SELECT lpad('abc', 6, '')")
+        raised = False
+    except _d.Error:
+        raised = True
+    assert raised
+    assert spark.sql("SELECT left('abc', -1) x").collect()[0].x == ""
+    assert oracle.execute("SELECT left('abc', -1)").fetchone()[0] == "ab"
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab é你|")), max_size=10),
+        min_size=0,
+        max_size=20,
+    ),
+    start=st.integers(1, 12),
+    ln=st.integers(0, 12),
+)
+def test_fuzz_string_functions_safe_domain(spark, oracle, texts, start, ln):
+    """substr (1-based start, incl. past end), lpad/rpad (non-empty
+    pad), left/right (n ≥ 0), repeat, split_part and trim over
+    unicode-bearing strings — the domain the repo's string oracles
+    live in — must agree byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "rid bigint, s string")
+    q = df.select(
+        "rid",
+        F.substring("s", start, ln).alias("sub"),
+        F.lpad("s", ln, "xy").alias("lp"),
+        F.rpad("s", ln, "xy").alias("rp"),
+        F.expr(f"left(s, {ln})").alias("lft"),
+        F.expr(f"right(s, {ln})").alias("rgt"),
+        F.repeat(F.col("s"), 2).alias("rep"),
+        F.expr("split_part(s, '|', 1)").alias("sp1"),
+        F.trim(F.col("s")).alias("tr"),
+    )
+    t = pd.DataFrame(rows, columns=["rid", "s"]).astype(
+        {"rid": "int64", "s": "object"}
+    )
+    oracle.register("t", t)
+    try:
+        got = _canon(q.toPandas())
+        want = _canon(
+            oracle.execute(
+                f"""
+                SELECT rid,
+                       substr(s, {start}, {ln}) AS sub,
+                       lpad(s, {ln}, 'xy') AS lp,
+                       rpad(s, {ln}, 'xy') AS rp,
+                       left(s, {ln}) AS lft,
+                       right(s, {ln}) AS rgt,
+                       repeat(s, 2) AS rep,
+                       split_part(s, '|', 1) AS sp1,
+                       trim(s) AS tr
+                FROM t
+                """
+            ).df()
+        )
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\ntexts={texts}\nstart={start} ln={ln}\n{got}\n{want}"
