@@ -4,9 +4,17 @@ through the same logical query in Spark and DuckDB must agree exactly.
 This complements the fixture-based oracle suite with adversarial inputs
 the fixtures never produce — NULL keys, empty groups, duplicate rows,
 empty inputs — over the core relational semantics (grouping, joins,
-distinct, windows). Integer/string domains only: float aggregation
-order is covered by the rounding discipline in the main suite, not
-re-fuzzed here."""
+distinct, windows, set ops), plus the repo's cross-engine DISCIPLINES
+fuzzed on their safe domains and every known boundary DIVERGENCE
+pinned as an executable `test_known_*` (SURVEY §7.4 G4b/G4c, G9, G13,
+G14, G15): unicode case-fold, JSON extraction, the regexp pattern
+class, tokenization, calendar bucketing, null-aware NOT IN,
+ntile/percent_rank, decimal HALF_UP rounding, try_cast grammar, null
+ordering under LIMIT, month-end clamping, integer-division pairings,
+NaN/Inf extrema, sum-overflow widening, the seeded-hash ladder, and
+string-function edges. Raw float aggregation order is deliberately
+absent: the G2 quantization discipline forbids it in oracled outputs,
+and the main suite pins that discipline instead."""
 
 from __future__ import annotations
 
