@@ -1534,3 +1534,92 @@ def test_fuzz_string_functions_safe_domain(spark, oracle, texts, start, ln):
     finally:
         oracle.unregister("t")
     assert got == want, f"\ntexts={texts}\nstart={start} ln={ln}\n{got}\n{want}"
+
+
+MAGNITUDES = st.sampled_from(
+    [1e17, -1e17, 1.0, -1.0, 1e-8, 3.14159, 2.0**-30]
+)
+
+
+@settings(**SETTINGS)
+@given(
+    arrs=st.lists(
+        st.lists(
+            st.tuples(
+                MAGNITUDES,
+                st.floats(0.0, 1.0, allow_nan=False, width=64),
+            ).map(lambda p: p[0] * p[1]),
+            min_size=1,
+            max_size=64,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_fuzz_hof_fold_order(spark, oracle, arrs):
+    """The dot-product / entropy / Holt foundation: Spark's sequential
+    ``F.aggregate`` fold over a DOUBLE array column and DuckDB's
+    ``list_sum`` agree to the LAST BIT even on order-sensitive
+    magnitude mixes (±1e17 beside 1e-8, where any re-association or
+    pairwise summation would change the result) — provided the values
+    travel as COLUMNS. Literal SQL text does NOT give this guarantee:
+    see test_known_decimal_literal_pipeline_divergence."""
+    rows = [(i, a) for i, a in enumerate(arrs)]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "rid bigint, a array<double>")
+    got = {
+        r.rid: repr(r.s)
+        for r in df.select(
+            "rid",
+            F.aggregate(
+                "a", F.lit(0.0), lambda acc, x: acc + x
+            ).alias("s"),
+        ).collect()
+    }
+    if not rows:  # empty pandas frame types 'a' as float64, not list
+        assert got == {}
+        return
+    t = pd.DataFrame(
+        {"rid": [r[0] for r in rows], "a": [r[1] for r in rows]}
+    )
+    oracle.register("t", t)
+    try:
+        want = {
+            rid: repr(v)
+            for rid, v in oracle.execute(
+                "SELECT rid, list_sum(a) FROM t"
+            ).fetchall()
+        }
+    finally:
+        oracle.unregister("t")
+    assert got == want, f"\narrs={arrs}\n{got}\n{want}"
+
+
+def test_known_decimal_literal_pipeline_divergence(spark, oracle):
+    """Executable documentation of a TESTING-discipline hazard, not an
+    engine bug: a bare float literal in SQL text parses as DECIMAL in
+    both engines (Spark decimal(17,17), DuckDB DECIMAL(18,17)), and
+    the two then take different pipelines — DuckDB's list_sum adds the
+    decimals EXACTLY and converts to double once; Spark's fold casts
+    each element to double first — so literal-built arrays can differ
+    in the last ulp even though COLUMN-path folds are bit-identical
+    (the fuzz above). Discipline: cross-engine float comparisons move
+    data through columns (parquet/Arrow), never through SQL literals."""
+    assert (
+        spark.sql("SELECT typeof(0.29022451306521935) t").collect()[0].t
+        == "decimal(17,17)"
+    )
+    assert (
+        oracle.execute("SELECT typeof(0.29022451306521935)").fetchone()[0]
+        == "DECIMAL(18,17)"
+    )
+    # and the double CAST of the single literal still agrees —
+    # the divergence only appears in multi-element literal folds
+    s = spark.sql(
+        "SELECT cast(0.29022451306521935 as double) x"
+    ).collect()[0].x
+    d = oracle.execute(
+        "SELECT CAST(0.29022451306521935 AS DOUBLE)"
+    ).fetchone()[0]
+    assert repr(s) == repr(d)
