@@ -7401,8 +7401,14 @@ def evt_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     independent), and removal effects re-solve the same tiny system
     once per channel.
     """
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    # a NULL event_type is not a channel — it cannot be a Markov state
+    # (the hostile NULL-type row would otherwise become a None node in
+    # the transition matrix); excluded at the scan, like every other
+    # undefined-domain row (G11)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
     )
     return markov_removal_attribution(spark, ev)
 
@@ -7986,8 +7992,10 @@ def evt_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT *, exp(-zval*zval/2) AS p_bound FROM z),
     ranked AS (
         SELECT *,
+               -- both sort keys state their null position (G13): the
+               -- hostile NULL event_type group must tiebreak the same
                CAST(row_number() OVER (ORDER BY p_bound NULLS LAST,
-                                       event_type)
+                                       event_type NULLS LAST)
                     AS BIGINT) AS rnk,
                CAST(count(*) OVER () AS BIGINT) AS m
         FROM p
@@ -8056,7 +8064,12 @@ def agg_benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = p.withColumn(
         "rnk",
         F.row_number()
-        .over(Window.orderBy(F.col("p_bound").asc_nulls_last(), "event_type"))
+        .over(
+            Window.orderBy(
+                F.col("p_bound").asc_nulls_last(),
+                F.col("event_type").asc_nulls_last(),
+            )
+        )
         .cast("bigint"),
     ).withColumn(
         "m", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
@@ -9562,7 +9575,12 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     tiled AS (
-        SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        -- user_id NULLS FIRST: the Spark side ranks via the
+        -- distributed range machinery, whose repartitionByRange and
+        -- in-partition row_number both use Spark's native ASC
+        -- ordering (nulls first) — the oracle states it (G13)
+        SELECT *, ntile(10) OVER (ORDER BY score DESC,
+                                  user_id NULLS FIRST) AS decile
         FROM per_user
     ),
     cells AS (

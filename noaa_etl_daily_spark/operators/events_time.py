@@ -858,8 +858,12 @@ def evt_lateness_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     ), paths AS (
+      -- coalesce: a session whose only event types are NULL renders
+      -- the EMPTY path on both engines (Spark's array_join skips NULL
+      -- elements and returns ''; DuckDB's string_agg returns NULL)
       SELECT user_id, session_id,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             coalesce(string_agg(event_type, '>' ORDER BY ts, event_id),
+                      '') AS path
       FROM numbered GROUP BY user_id, session_id
     )
     SELECT path, CAST(count(*) AS BIGINT) AS n_sessions

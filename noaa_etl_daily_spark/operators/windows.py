@@ -313,7 +313,14 @@ def win_running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn(
             "is_first",
-            F.when(F.row_number().over(first_seen) == 1, 1).otherwise(0),
+            # isNotNull: COUNT(DISTINCT x) ignores NULL in SQL, so a
+            # NULL event_type must not raise the first-occurrence flag
+            # (caught by the NULL-key hostile rows)
+            F.when(
+                F.col("event_type").isNotNull()
+                & (F.row_number().over(first_seen) == 1),
+                1,
+            ).otherwise(0),
         )
         .withColumn(
             "n_types_seen", F.sum("is_first").over(running).cast("bigint")

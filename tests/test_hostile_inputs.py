@@ -65,6 +65,10 @@ HOSTILE_EVENTS = [
      0.001, "{}"),                                    # future ts, novel type
     (900006, datetime.datetime(2024, 1, 16, 0, 0, 0), 9004, "purchase", 2.5,
      '{"k": null}'),                                  # convert-on-first-event user
+    (900007, datetime.datetime(2024, 1, 15, 13, 0, 0), None, "view", 1.0,
+     "{}"),                                           # NULL user_id (lost attribution)
+    (900008, datetime.datetime(2024, 1, 15, 13, 0, 0), 9005, None, 3.0,
+     "{}"),                                           # NULL event_type
 ]
 
 HOSTILE_EMBEDDINGS = [

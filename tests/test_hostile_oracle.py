@@ -143,6 +143,8 @@ def test_hostile_rows_cover_the_adversarial_classes():
     assert "{not json" in props and "" in props  # malformed props
     assert None in props  # NULL props
     assert any(r[4] < 0 for r in ev)  # negative value
+    assert any(r[2] is None for r in ev)  # NULL user_id (G13 ranks)
+    assert any(r[3] is None for r in ev)  # NULL event_type (G13 groups)
     # dimension-side poisoning (round-6 extension): novel grouping
     # strings, NULL names, dangling FKs, extreme prices/balances
     part = HOSTILE_ROWS["part"]

@@ -57,13 +57,20 @@ def stream_src(spark, hostile_dir):
 
 
 def _rows(df, cols):
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    # key=repr: NULL group keys (hostile NULL user/event_type rows)
+    # make plain tuple sorting raise None-vs-str TypeErrors
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=repr
+    )
 
 
 def _table_rows(spark, name, cols):
     return sorted(
-        tuple(r[c] for c in cols)
-        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        (
+            tuple(r[c] for c in cols)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        ),
+        key=repr,
     )
 
 
