@@ -1623,3 +1623,46 @@ def test_known_decimal_literal_pipeline_divergence(spark, oracle):
         "SELECT CAST(0.29022451306521935 AS DOUBLE)"
     ).fetchone()[0]
     assert repr(s) == repr(d)
+
+
+def test_known_null_event_time_window_drop(spark, oracle):
+    """Executable documentation of the NULL-event-time class (G17): a
+    row whose ts is NULL is DROPPED by Spark's window()/session_window
+    (no window can be assigned) but kept as a NULL bucket by DuckDB's
+    time_bucket — and Spark's own date_trunc groupBy keeps a NULL
+    group, so even within Spark the treatment is construct-dependent.
+    A one-row probe against the sf fixture schema showed 18 of 89
+    event/window queries diverge on a single NULL-ts row. The repo's
+    position: an event without a timestamp cannot participate in
+    event-time analytics — ingest validation quarantines it
+    (bound_event_time's >= filter already drops NULLs), and the
+    hostile fixture poisons ts with extreme VALUES (epoch, far-future)
+    rather than NULL because no per-query patching can reconcile a
+    construct-level drop-vs-keep split."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [(1, datetime.datetime(2024, 1, 15, 12, 0, 0)), (2, None)]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+    win = df.groupBy(F.window("ts", "1 hour")).count().collect()
+    assert len(win) == 1 and win[0]["count"] == 1  # NULL row dropped
+    sess = df.groupBy(F.session_window("ts", "30 minutes")).count().collect()
+    assert len(sess) == 1  # NULL row dropped
+    trunc = df.groupBy(F.date_trunc("hour", "ts")).count().collect()
+    assert len(trunc) == 2  # but date_trunc KEEPS a NULL group
+    duck = oracle.execute(
+        "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS b, count(*) "
+        "FROM (VALUES (TIMESTAMP '2024-01-15 12:00:00'), "
+        "(NULL::TIMESTAMP)) t(ts) GROUP BY b"
+    ).fetchall()
+    assert len(duck) == 2  # DuckDB keeps the NULL bucket
+    # the ingest guard that restores a single semantic on both engines
+    from noaa_etl_daily_spark.streaming import bound_event_time
+
+    guarded = bound_event_time(
+        df.withColumn("ts", F.col("ts").cast("timestamp")),
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+    )
+    assert guarded.count() == 1  # NULL ts quarantined at ingest
