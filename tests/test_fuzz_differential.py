@@ -1351,7 +1351,13 @@ def test_fuzz_nan_inf_extrema_agree(spark, oracle, vals):
             return "'nan'::DOUBLE"
         if math.isinf(v):
             return f"'{'-' if v < 0 else ''}inf'::DOUBLE"
-        return f"CAST({v!r} AS DOUBLE)"
+        # G13 (decimal-literal pipeline hazard): a bare decimal literal
+        # parses as DECIMAL(w,s) in DuckDB, whose int64-scaled → DOUBLE
+        # conversion can land 1 ulp off the correctly-rounded value repr
+        # round-trips to (seen live: 1.9999999998835847 → ...5847 vs
+        # ...585). An exponent suffix forces the DOUBLE literal parser.
+        s = repr(v)
+        return f"CAST({s if 'e' in s else s + 'e0'} AS DOUBLE)"
 
     values = ", ".join(f"({lit(v)})" for v in vals)
     want = oracle.execute(
