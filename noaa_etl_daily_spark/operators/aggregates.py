@@ -1074,10 +1074,12 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kll_sketch_merge_double is a binary scalar merge (no agg form in
     # 4.1): fold the bounded per-month partial list — 12 sketches/year,
     # a few KB each — with head as init. Associativity is the point.
+    # try_element_at: an empty corpus yields zero partials; the fold's
+    # init must be NULL (→ NULL quantiles), not an ANSI index error
     merged = partials.agg(F.collect_list("sk").alias("sks")).select(
         F.aggregate(
             F.slice(F.col("sks"), 2, 1_000_000),
-            F.element_at(F.col("sks"), 1),
+            F.try_element_at(F.col("sks"), F.lit(1)),
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ).alias("sk")
     )

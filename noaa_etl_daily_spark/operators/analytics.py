@@ -977,6 +977,13 @@ def agg_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     for old, new in renames.items():
         ct = ct.withColumnRenamed(old, new)
+    # crosstab's columns are the OBSERVED value domain — a corpus
+    # missing a priority level (empty day, filtered shard) would drop
+    # that column and break the schema contract; absent levels are
+    # zero-count columns, exactly as the oracle's CASE-sums yield
+    for new in renames.values():
+        if new != "segment" and new not in ct.columns:
+            ct = ct.withColumn(new, F.lit(0))
     return ct.select(
         "segment",
         F.col("p1_urgent").cast("bigint"),
@@ -3894,11 +3901,16 @@ def evt_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     detrended AS (
         SELECT day, n, trend,
                (date_diff('day', DATE '1970-01-01', day) + 3) % 7 AS dow,
-               round(n - trend, 6) AS detrended
+               -- integer micro-units: the per-dow mean must be an
+               -- exact-integer fold (avg over 6dp doubles is
+               -- summation-order-sensitive at the rounding boundary)
+               CAST(round((n - trend) * 1000000) AS BIGINT) AS det_micro
         FROM trended
     ),
     dow_effect AS (
-        SELECT dow, round(avg(detrended), 6) AS weekday_effect
+        SELECT dow,
+               round(CAST(sum(det_micro) AS DOUBLE) / count(*) / 1000000,
+                     6) AS weekday_effect
         FROM detrended GROUP BY dow
     )
     SELECT d.day, d.n, d.trend, CAST(d.dow AS BIGINT) AS dow,
@@ -3918,10 +3930,12 @@ def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: everything after the one day-grain reduction runs
     over day-cardinality rows (trend window, 7-row weekday table
     broadcast back). Trend is avg over an exact integer frame and the
-    weekday effect averages already-quantized detrended values — each
-    stage quantizes identically on both engines before feeding the
-    next, so the composition stays hash-stable (the G4 dow hazard is
-    avoided with epoch-day arithmetic).
+    weekday effect is an exact bigint micro-unit sum divided ONCE —
+    each stage quantizes identically on both engines before feeding
+    the next, so the composition stays hash-stable under any layout
+    (the G4 dow hazard is avoided with epoch-day arithmetic; the
+    double-avg form flaked once at a 6dp rounding boundary, G18-era
+    hostile run).
     """
     ev = load(spark, sf_dir, "events").select("ts")
     daily = ev.groupBy(
@@ -3936,9 +3950,19 @@ def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) + 3
         ) % 7,
-    ).withColumn("detrended", F.round(F.col("n") - F.col("trend"), 6))
+    ).withColumn(
+        # integer micro-units (G2): avg over 6dp doubles is
+        # summation-order-sensitive at the rounding boundary — observed
+        # flaking once under the hostile corpus as partition state
+        # shifted; the exact bigint sum + one division is layout-free
+        "det_micro",
+        F.round((F.col("n") - F.col("trend")) * 1000000).cast("bigint"),
+    )
     dow_effect = detrended.groupBy("dow").agg(
-        F.round(F.avg("detrended"), 6).alias("weekday_effect")
+        F.round(
+            F.sum("det_micro").cast("double") / F.count(F.lit(1)) / 1000000,
+            6,
+        ).alias("weekday_effect")
     )
     return (
         detrended.join(F.broadcast(dow_effect), "dow")
@@ -5335,13 +5359,18 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(
                 F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
             ).alias("d_scaled"),
+            # try_divide: an empty month half zeroes n1*n2 — NULL D,
+            # matching DuckDB's x/0 → NULL (Spark ANSI throws, G18)
             F.round(
-                F.max(
-                    F.abs(
-                        F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
-                    )
-                ).cast("double")
-                / (F.col("n1").cast("double") * F.col("n2")),
+                F.try_divide(
+                    F.max(
+                        F.abs(
+                            F.col("c1") * F.col("n2")
+                            - F.col("c2") * F.col("n1")
+                        )
+                    ).cast("double"),
+                    F.col("n1").cast("double") * F.col("n2"),
+                ),
                 6,
             ).alias("ks_d"),
         )
@@ -6315,8 +6344,10 @@ def agg_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFram
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
     )
-    rs = F.col("n_ref").cast("double") / F.col("tr")
-    cs = F.col("n_cur").cast("double") / F.col("tc")
+    # try_divide: an empty half (degenerate corpus) zeroes tr/tc — NULL
+    # shares and PSI terms, matching DuckDB's x/0 → NULL (G18)
+    rs = F.try_divide(F.col("n_ref").cast("double"), F.col("tr"))
+    cs = F.try_divide(F.col("n_cur").cast("double"), F.col("tc"))
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
@@ -6325,7 +6356,7 @@ def agg_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFram
             "n_cur",
             F.round(rs, 6).alias("ref_share"),
             F.round(cs, 6).alias("cur_share"),
-            F.round((cs - rs) * F.log(cs / rs) * 1e9)
+            F.round((cs - rs) * F.log(F.try_divide(cs, rs)) * 1e9)
             .cast("bigint")
             .alias("psi_term_nano"),
         )
@@ -7185,7 +7216,9 @@ def agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd * sigma).alias("w"),
     )
     tot = weighted.agg(F.sum("w").alias("wt"))
-    share = F.lit(1000) * F.col("w") / F.col("wt")
+    # try_divide: all-zero-variance strata (degenerate corpus) zero the
+    # weight total — NULL shares, matching DuckDB's x/0 → NULL (G18)
+    share = F.try_divide(F.lit(1000) * F.col("w"), F.col("wt"))
     frac = weighted.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "n_rows",
@@ -7492,6 +7525,16 @@ def markov_removal_attribution(
     )
     rows = transitions.collect()  # bounded: (channels+1)^2 cells max
 
+    _SCHEMA = (
+        "channel string, p_conv_full double, p_conv_without double, "
+        "removal_effect double"
+    )
+    if not rows:
+        # empty corpus / no journeys: no chain exists — zero
+        # attribution rows, same schema (the 1000-executor analogue is
+        # a day with no events, which must not kill the pipeline)
+        return spark.createDataFrame([], _SCHEMA)
+
     states = sorted(
         {r.src for r in rows} | {r.dst for r in rows} - {"CONV", "DROP"}
     )
@@ -7533,11 +7576,7 @@ def markov_removal_attribution(
             )
         )
     out.sort(key=lambda t: (-t[3], t[0]))
-    return spark.createDataFrame(
-        out,
-        "channel string, p_conv_full double, p_conv_without double, "
-        "removal_effect double",
-    )
+    return spark.createDataFrame(out, _SCHEMA)
 
 
 @register(
@@ -7634,16 +7673,18 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         u1_x2.cast("bigint").alias("u1_x2"),
+        # try_divide: an empty month half zeroes the variance term —
+        # NULL z, matching DuckDB's x/0 → NULL (Spark ANSI throws, G18)
         F.round(
-            (
+            F.try_divide(
                 u1_x2.cast("double") / 2
-                - F.col("n1").cast("double") * F.col("n2") / 2
-            )
-            / F.sqrt(
-                F.col("n1").cast("double")
-                * F.col("n2")
-                * (F.col("n1") + F.col("n2") + 1)
-                / 12
+                - F.col("n1").cast("double") * F.col("n2") / 2,
+                F.sqrt(
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    * (F.col("n1") + F.col("n2") + 1)
+                    / 12
+                ),
             ),
             6,
         ).alias("z_approx"),
@@ -7837,23 +7878,28 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sxx2"),
     )
 
+    # try_divide throughout: a 1-row or zero-variance half zeroes n-1
+    # and the pooled SEM — NULL t/df, matching DuckDB's x/0 → NULL (G18)
     def sem2(sxx, sx, n):
-        return (
-            (F.col(sxx) - F.col(sx).cast("double") * F.col(sx) / F.col(n))
-            / (F.col(n).cast("double") - 1)
-            / F.col(n)
+        return F.try_divide(
+            F.try_divide(
+                F.col(sxx) - F.col(sx).cast("double") * F.col(sx) / F.col(n),
+                F.col(n).cast("double") - 1,
+            ),
+            F.col(n),
         )
 
     v1 = sem2("sxx1", "sx1", "n1")
     v2 = sem2("sxx2", "sx2", "n2")
-    t = (
+    t = F.try_divide(
         F.col("sx1").cast("double") / F.col("n1")
-        - F.col("sx2").cast("double") / F.col("n2")
-    ) / F.sqrt(v1 + v2)
-    df = (
-        (v1 + v2)
-        * (v1 + v2)
-        / (v1 * v1 / (F.col("n1") - 1) + v2 * v2 / (F.col("n2") - 1))
+        - F.col("sx2").cast("double") / F.col("n2"),
+        F.sqrt(v1 + v2),
+    )
+    df = F.try_divide(
+        (v1 + v2) * (v1 + v2),
+        F.try_divide(v1 * v1, F.col("n1") - 1)
+        + F.try_divide(v2 * v2, F.col("n2") - 1),
     )
     return wide.select(
         "n1",
@@ -7953,10 +7999,12 @@ def evt_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
     varx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
     vary = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
-    rho2 = cov * cov / (varx * vary)
+    # try_divide: a single user (degenerate corpus) zeroes both
+    # variances — NULL theta/rho², matching DuckDB's x/0 → NULL (G18)
+    rho2 = F.try_divide(cov * cov, varx * vary)
     return m.select(
         "n",
-        F.round(cov / varx, 6).alias("theta"),
+        F.round(F.try_divide(cov, varx), 6).alias("theta"),
         F.round(rho2, 6).alias("var_reduction"),
         F.round(rho2 * 1000000).cast("bigint").alias("var_reduction_ppm"),
     )
@@ -9210,12 +9258,19 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.round(ssb / 10000, 2).alias("ss_between"),
         F.round(ssw / 10000, 2).alias("ss_within"),
+        # try_divide: k=1 or n_total=k (degenerate corpus) must yield
+        # NULL, matching DuckDB's native x/0 → NULL under every layout
+        # (Spark ANSI would throw; SURVEY §7.4 G18)
         F.round(
-            (ssb / (F.col("k").cast("double") - 1))
-            / (ssw / (F.col("n_total").cast("double") - F.col("k"))),
+            F.try_divide(
+                F.try_divide(ssb, F.col("k").cast("double") - 1),
+                F.try_divide(
+                    ssw, F.col("n_total").cast("double") - F.col("k")
+                ),
+            ),
             6,
         ).alias("f_stat"),
-        F.round(ssb / sst, 6).alias("eta_squared"),
+        F.round(F.try_divide(ssb, sst), 6).alias("eta_squared"),
     )
 
 
@@ -9313,9 +9368,14 @@ def agg_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo = (
         bucketed.crossJoin(F.broadcast(tot))
         .select(
+            # try_divide: a bucket holding ALL clicks (or a clickless
+            # corpus) zeroes the leave-one-out denominator — NULL
+            # pseudo-value, matching DuckDB's x/0 → NULL (G18)
             F.round(
-                (F.col("n_all") - F.col("num_cents")).cast("double")
-                / (F.col("d_all") - F.col("den_clicks"))
+                F.try_divide(
+                    (F.col("n_all") - F.col("num_cents")).cast("double"),
+                    F.col("d_all") - F.col("den_clicks"),
+                )
                 * 1000000000
             )
             .cast("bigint")
@@ -9337,7 +9397,7 @@ def agg_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("st").cast("double") / F.lit(1e9))
         / F.col("b")
     ) * (bd - 1) / F.col("b")
-    theta = F.col("n_all").cast("double") / F.col("d_all")
+    theta = F.try_divide(F.col("n_all").cast("double"), F.col("d_all"))
     z = F.lit(1.959963984540054)
     return joined.select(
         F.col("b").alias("n_buckets"),
@@ -9543,16 +9603,20 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("r2x") * dec("r2y")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
+    # try_divide: a single user (degenerate corpus) zeroes both rank
+    # variances — NULL rho, matching DuckDB's x/0 → NULL (G18)
     return m.select(
         "n",
         F.round(
-            (nd * F.col("sxy").cast("double")
-             - F.col("sx").cast("double") * F.col("sy"))
-            / F.sqrt(
-                (nd * F.col("sxx").cast("double")
-                 - F.col("sx").cast("double") * F.col("sx"))
-                * (nd * F.col("syy").cast("double")
-                   - F.col("sy").cast("double") * F.col("sy"))
+            F.try_divide(
+                nd * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy"),
+                F.sqrt(
+                    (nd * F.col("sxx").cast("double")
+                     - F.col("sx").cast("double") * F.col("sx"))
+                    * (nd * F.col("syy").cast("double")
+                       - F.col("sy").cast("double") * F.col("sy"))
+                ),
             ),
             6,
         ).alias("spearman_rho"),
@@ -10282,12 +10346,18 @@ def evt_offpolicy_ips_snips(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("swr").cast("double") / 1000000 / F.col("n"), 6)
         .alias("ips_value"),
-        F.round(F.col("swr").cast("double") / F.col("swn"), 6)
-        .alias("snips_value"),
+        # try_divide: a corpus whose only actions score π=0 zeroes the
+        # weight sums — NULL SNIPS/ESS, matching DuckDB's x/0 → NULL
+        # (Spark ANSI throws, G18)
         F.round(
-            (F.col("swn").cast("double") / 1000000)
-            * (F.col("swn").cast("double") / 1000000)
-            / (F.col("sw2n").cast("double") / 1000000),
+            F.try_divide(F.col("swr").cast("double"), F.col("swn")), 6
+        ).alias("snips_value"),
+        F.round(
+            F.try_divide(
+                (F.col("swn").cast("double") / 1000000)
+                * (F.col("swn").cast("double") / 1000000),
+                F.col("sw2n").cast("double") / 1000000,
+            ),
             6,
         ).alias("effective_n"),
         F.round(F.col("wmax").cast("double") / 1000000, 6)
@@ -10713,10 +10783,12 @@ def agg_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = moments.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n").alias("n_total"),
-        (
-            (F.sum("sxx").cast("double")
-             - F.sum("bterm_milli").cast("double") / 1000)
-            / (F.sum("n").cast("double") - F.count(F.lit(1)))
+        # try_divide: n_total=k (one row per group) zeroes the within
+        # df — NULL MSW, matching DuckDB's x/0 → NULL (ANSI throws, G18)
+        F.try_divide(
+            F.sum("sxx").cast("double")
+            - F.sum("bterm_milli").cast("double") / 1000,
+            F.sum("n").cast("double") - F.count(F.lit(1)),
         ).alias("msw"),
     )
     a = moments.select(
@@ -10743,13 +10815,15 @@ def agg_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("df_within"),
             F.round(diff / 100, 6).alias("mean_diff"),
             F.round(
-                F.abs(diff)
-                / F.sqrt(
-                    F.col("msw") / 2
-                    * (
-                        F.lit(1.0) / F.col("na")
-                        + F.lit(1.0) / F.col("nb")
-                    )
+                F.try_divide(
+                    F.abs(diff),
+                    F.sqrt(
+                        F.col("msw") / 2
+                        * (
+                            F.lit(1.0) / F.col("na")
+                            + F.lit(1.0) / F.col("nb")
+                        )
+                    ),
                 ),
                 6,
             ).alias("q_stat"),
@@ -11197,12 +11271,16 @@ def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_pre_only",
         "c_post_only",
         "neither",
-        F.round(((b - c) * (b - c)).cast("double") / (b + c), 6).alias(
-            "mcnemar_chi2"
-        ),
+        # try_divide: zero discordant users (tiny/empty corpus) zeroes
+        # b+c — NULL χ², matching DuckDB's x/0 → NULL (ANSI throws, G18)
         F.round(
-            ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double")
-            / (b + c),
+            F.try_divide(((b - c) * (b - c)).cast("double"), b + c), 6
+        ).alias("mcnemar_chi2"),
+        F.round(
+            F.try_divide(
+                ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double"),
+                b + c,
+            ),
             6,
         ).alias("mcnemar_chi2_cc"),
     )
@@ -11823,10 +11901,16 @@ def agg_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("ra", "rb").cast("bigint").alias("m")
     )
     nbrands = rev.agg(F.count(F.lit(1)).alias("nb"))
+    # G10 guard: sequence(1, 0) is DESCENDING in Spark ([1, 0] — the
+    # d=0 row then divides by zero); an empty window must produce zero
+    # depth rows, as DuckDB's empty generate_series does natively
     depths = nbrands.select(
-        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("nb"))).alias(
-            "d"
-        )
+        F.explode(
+            F.when(
+                F.col("nb") >= 1,
+                F.sequence(F.lit(1).cast("bigint"), F.col("nb")),
+            ).otherwise(F.lit(None).cast("array<bigint>"))
+        ).alias("d")
     )
     overlaps = (
         depths.join(entry, F.col("m") <= F.col("d"), "left")
@@ -12354,7 +12438,9 @@ def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double"),
     )
     mean = s1 / n
-    std = F.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    # try_divide: a single block (degenerate corpus) zeroes n*(n-1) —
+    # NULL fit, matching DuckDB's x/0 → NULL (Spark ANSI throws, G18)
+    std = F.sqrt(F.try_divide(n * s2 - s1 * s1, n * (n - 1)))
     beta = std * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
     gamma = F.lit(0.5772156649015329)
 
@@ -12470,10 +12556,14 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("n_dows"),
         ((F.max("r") - 1) * (F.max("c") - 1)).cast("bigint").alias("dof"),
         F.round(chi2, 6).alias("chi2"),
+        # try_divide: a 1-type or 1-dow corpus zeroes the normalizer —
+        # NULL V, matching DuckDB's x/0 → NULL (Spark ANSI throws, G18)
         F.round(
             F.sqrt(
-                chi2
-                / (F.max("n") * (F.least(F.max("r"), F.max("c")) - 1))
+                F.try_divide(
+                    chi2,
+                    F.max("n") * (F.least(F.max("r"), F.max("c")) - 1),
+                )
             ),
             6,
         ).alias("cramers_v"),

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from .scans import _scratch, _sf_tag
+from .scans import _cached, _scratch, _sf_tag
 
 _N_BUCKETS = 8
 
@@ -35,11 +35,13 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os as _os
     import shutil
 
-    def ensure(name: str, cols_ddl: str, bucket_col: str, write):
+    def ensure(name: str, src_table: str, cols_ddl: str, bucket_col: str, write):
         if spark.catalog.tableExists(name):
             return
         path = _scratch("bucketed", tag, name)
-        if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        # _cached (not bare _SUCCESS): ephemeral fixture dirs reuse
+        # basenames across runs — never re-register stale bucket files
+        if _cached(path, sf_dir, src_table):
             spark.sql(
                 f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
                 f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
@@ -51,6 +53,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     ensure(
         li_name,
+        "lineitem",
         "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
         "l_orderkey",
         lambda path: (
@@ -65,6 +68,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
     ensure(
         o_name,
+        "orders",
         "o_orderkey BIGINT, o_orderpriority STRING",
         "o_orderkey",
         lambda path: (
@@ -212,7 +216,7 @@ def _date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf) a date-partitioned copy of events — the
     hive-style ``event_date=YYYY-MM-DD/`` layout a daily ETL lands."""
     out = _scratch("dpp", _sf_tag(sf_dir), "events_by_date")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    if not _cached(out, sf_dir, "events"):
         ev = load(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
         )
@@ -245,7 +249,16 @@ def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
     constant-folded and never exercise DPP. The oracle computes the
     same Monday report directly off the raw table (Spark dayofweek:
     Monday = 2; DuckDB: Monday = 1 — SURVEY §7.4 G4)."""
-    fact = spark.read.parquet(_date_partitioned_events(spark, sf_dir))
+    # explicit schema: an empty events batch writes zero partition dirs
+    # and inference fails — the no-data day must not kill the report
+    _sch = (
+        load(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .schema
+    )
+    fact = spark.read.schema(_sch).parquet(
+        _date_partitioned_events(spark, sf_dir)
+    )
     dim = (
         load(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("d"))
@@ -297,7 +310,7 @@ def sink_bloom_filter_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LOOKUP keys.
     """
     out = _scratch("bloom", _sf_tag(sf_dir), "events_bloom")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    if not _cached(out, sf_dir, "events"):
         (
             load(spark, sf_dir, "events")
             .repartition(4)

@@ -2567,6 +2567,13 @@ def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cents = [[float(x) for x in r.embedding] for r in sorted(seeds, key=lambda r: r.h)]
+    if not cents:
+        # empty corpus: no seeds exist — zero assignment rows with the
+        # same (vec_id, cell) schema instead of an untypable empty
+        # codebook literal
+        return emb.select(
+            "vec_id", F.lit(None).cast("bigint").alias("cell")
+        )
 
     def assign_col(cents_):
         cent_lit = F.array(

@@ -368,13 +368,18 @@ def agg_ks_two_sample_atscale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(
                 F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
             ).alias("d_scaled"),
+            # try_divide: an empty month half zeroes n1*n2 — NULL D,
+            # matching DuckDB's x/0 → NULL (Spark ANSI throws, G18)
             F.round(
-                F.max(
-                    F.abs(
-                        F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
-                    )
-                ).cast("double")
-                / (F.col("n1").cast("double") * F.col("n2")),
+                F.try_divide(
+                    F.max(
+                        F.abs(
+                            F.col("c1") * F.col("n2")
+                            - F.col("c2") * F.col("n1")
+                        )
+                    ).cast("double"),
+                    F.col("n1").cast("double") * F.col("n2"),
+                ),
                 6,
             ).alias("ks_d"),
         )

@@ -40,6 +40,22 @@ def _scratch(*parts: str) -> str:
     return path
 
 
+def _cached(out: str, sf_dir: str, table: str) -> bool:
+    """True iff a previous once-per-sf write at ``out`` is still valid
+    for this fixture: the ``_SUCCESS`` marker exists AND is at least as
+    new as the source parquet. Marker existence alone is not enough —
+    ephemeral test fixtures (pytest tmp dirs) reuse basenames across
+    runs, so a scratch layout keyed on the basename can silently serve
+    a PRIOR run's data (observed live: a hostile-fixture change added
+    two events and the cached date-partitioned copy kept the old 29)."""
+    marker = os.path.join(out, "_SUCCESS")
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        return os.path.getmtime(marker) >= os.path.getmtime(src)
+    except OSError:
+        return False
+
+
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")) or "sf"
 
@@ -181,7 +197,10 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch("parquet_part", _sf_tag(sf_dir), "lineitem")
     li = load(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema on read-back: an empty batch writes zero data
+    # files, and schema inference over an empty partitioned dir fails —
+    # the daily job must survive a no-data day (degenerate-corpus sweep)
+    back = spark.read.schema(li.schema).parquet(out)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
@@ -216,7 +235,8 @@ def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema: survive the no-data day (see sink_parquet_partitioned)
+    back = spark.read.schema(orders.schema).parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
@@ -372,7 +392,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    if not _cached(out, sf_dir, "orders"):
         (
             orders.write.mode("overwrite")
             .option("rootTag", "orders")
@@ -510,7 +530,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    if not _cached(out, sf_dir, "lineitem"):
         li.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("l_returnflag").agg(
@@ -545,9 +565,11 @@ def scan_partition_pruned_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice"
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    if not _cached(out, sf_dir, "lineitem"):
         src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: an empty batch writes zero partition dirs and
+    # inference fails — the daily re-run must survive a no-data day
+    back = spark.read.schema(src.schema).parquet(out)
     return (
         back.where(F.col("l_returnflag") == "R")
         .groupBy("l_linestatus")
@@ -586,7 +608,7 @@ def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    if not _cached(out, sf_dir, "orders"):
         (
             orders.write.mode("overwrite")
             .option("header", True)

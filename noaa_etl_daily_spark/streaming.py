@@ -42,9 +42,16 @@ def prepare_stream_source(
     table: str = "events",
 ) -> str:
     """Fan a fixture table out into a directory of parquet files (the
-    shape a streaming file source consumes). Idempotent per out_dir."""
+    shape a streaming file source consumes). Idempotent per out_dir;
+    the marker must be at least as new as the source parquet so a
+    reused out_dir never serves a prior fixture's data."""
     marker = os.path.join(out_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        fresh = os.path.getmtime(marker) >= os.path.getmtime(src)
+    except OSError:
+        fresh = False
+    if not fresh:
         (
             load(spark, sf_dir, table)
             .repartition(n_files)

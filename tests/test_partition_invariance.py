@@ -1,0 +1,92 @@
+"""Partitioning-invariance sweep (round 7; SURVEY §5.3 layer 10).
+
+A query's RESULT must be a function of the data, never of the physical
+layout — on a 1000-executor cluster the number of input splits, the
+shuffle partition count, and AQE's runtime coalescing all differ from
+this box and from each other run to run. Any operator whose output
+shifts with layout (order-dependent double folds, first()-without-sort,
+rank ties broken by partition id, per-partition RNG) is nondeterministic
+at scale even if it hash-matches the oracle under one local layout.
+
+This module executes every registered query TWICE in the same session:
+
+- layout A: the repo's defaults (AQE on, 2x-core shuffle partitions,
+  128 MB maxPartitionBytes → sf0.001 is one split per file);
+- layout B: adversarial — 16 KB maxPartitionBytes + zero open cost
+  (every parquet file shatters into many splits), shuffle.partitions=3
+  (different hash-bucket assignment for every exchange), AQE off.
+
+and requires the canonicalized results to be EQUAL — exact values,
+floats included: the G2 quantization discipline (round/decimal folds
+before output) is precisely what makes a distributed plan's floats
+reproducible, and this layer is its executable proof over the whole
+registry, including the 18 rows-only keys the oracle differential can
+only count.
+
+Sampling keys (reservoir/stratified/DP-noise) must hold too: the house
+discipline derives randomness from md5/xxhash of row KEYS, never from
+partition-local RNG, so their outputs are layout-free by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from noaa_etl_daily_spark.registry import load_all
+
+from .conftest import SF_DIR, _cell_key, canonicalize
+
+REGISTRY = load_all()
+ALL_KEYS = sorted(REGISTRY)
+
+#: (conf key, adversarial value) — all runtime-settable; restored via
+#: the captured layout-A values after each B run.
+_B_LAYOUT = {
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+    "spark.sql.shuffle.partitions": "3",
+    "spark.sql.adaptive.enabled": "false",
+}
+
+
+@pytest.fixture(scope="module")
+def _layout_a(spark):
+    """Capture layout-A conf values once so every test restores them."""
+    return {k: spark.conf.get(k) for k in _B_LAYOUT}
+
+
+def _run(spark, name):
+    pdf = REGISTRY[name].builder(spark, SF_DIR).toPandas()
+    return canonicalize(pdf)
+
+
+@pytest.mark.parametrize("name", ALL_KEYS)
+def test_layout_invariant(spark, _layout_a, name):
+    a = _run(spark, name)
+    try:
+        for k, v in _B_LAYOUT.items():
+            spark.conf.set(k, v)
+        b = _run(spark, name)
+    finally:
+        for k, v in _layout_a.items():
+            spark.conf.set(k, v)
+
+    assert list(a.columns) == list(b.columns), (
+        f"schema shifted with layout: {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), (
+        f"row count shifted with layout: {len(a)} vs {len(b)}"
+    )
+    for c in a.columns:
+        # _cell_key makes arrays/maps/NaN/None comparable as plain values
+        av = a[c].map(_cell_key)
+        bv = b[c].map(_cell_key)
+        neq = (av != bv).to_numpy()
+        if neq.any():
+            i = int(neq.argmax())
+            raise AssertionError(
+                f"column {c!r} depends on physical layout at row {i}: "
+                f"A={av.iloc[i]!r} B={bv.iloc[i]!r} — order-dependent "
+                f"fold or unkeyed randomness; at 1000 executors this "
+                f"query is nondeterministic"
+            )
