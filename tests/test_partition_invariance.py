@@ -39,6 +39,24 @@ from .conftest import SF_DIR, _cell_key, canonicalize
 REGISTRY = load_all()
 ALL_KEYS = sorted(REGISTRY)
 
+#: Approximate-by-design ops whose MERGE TREE is layout-dependent: the
+#: per-partition sketch partials differ when the input splits differ,
+#: and compaction is sampling/priority-based, so the ESTIMATE moves
+#: within its error bound (observed: KLL p50 250001.43 vs 252979.64
+#: across layouts, ~1.2%). Bit-equality is the wrong contract for
+#: these; each entry names the layout-free guarantee that replaces it
+#: (property-tested in tests/test_properties.py / test_layout.py).
+#: Schema and row count must still be layout-invariant and are
+#: asserted below. Everything else — including HLL (register max-merge
+#: is order-free), theta (k-min-values is a set property), count-min
+#: (deterministic hashes), and every md5-keyed sampler — must be
+#: bit-identical and is NOT whitelisted.
+VALUE_TOLERANT = {
+    "agg_kll_quantile_sketch": "KLL rank error <= eps bound, any layout",
+    "agg_approx_quantile": "GK rank error <= 1e-4 relative bound",
+    "agg_freq_items": "Misra-Gries superset-of-frequents guarantee",
+}
+
 #: (conf key, adversarial value) — all runtime-settable; restored via
 #: the captured layout-A values after each B run.
 _B_LAYOUT = {
@@ -77,6 +95,8 @@ def test_layout_invariant(spark, _layout_a, name):
     assert len(a) == len(b), (
         f"row count shifted with layout: {len(a)} vs {len(b)}"
     )
+    if name in VALUE_TOLERANT:
+        return  # estimate moves within its named bound; shape asserted
     for c in a.columns:
         # _cell_key makes arrays/maps/NaN/None comparable as plain values
         av = a[c].map(_cell_key)
