@@ -78,6 +78,77 @@ def _run(spark, name):
     return canonicalize(pdf)
 
 
+@pytest.fixture()
+def _layout_b(spark, _layout_a):
+    """Run the test body under the adversarial layout, then restore."""
+    try:
+        for k, v in _B_LAYOUT.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in _layout_a.items():
+            spark.conf.set(k, v)
+
+
+def test_kll_rank_bound_holds_under_adversarial_layout(spark, _layout_b):
+    """The whitelist entry's CLAIM, executable: whatever the merge tree
+    the layout induces, the KLL estimate must sit within ±3% rank of
+    the target quantile (the same bound test_properties asserts under
+    the default layout)."""
+    import bisect
+
+    from noaa_etl_daily_spark.tables import load
+
+    row = REGISTRY["agg_kll_quantile_sketch"].builder(spark, SF_DIR).collect()[0]
+    vals = sorted(
+        r.o_totalprice
+        for r in load(spark, SF_DIR, "orders").select("o_totalprice").collect()
+    )
+    n = len(vals)
+    assert row.n == n
+    for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+        rank = bisect.bisect_left(vals, got) / n
+        assert abs(rank - q) < 0.03, f"q={q}: {got} at rank {rank:.4f}"
+
+
+def test_gk_tolerance_holds_under_adversarial_layout(spark, _layout_b):
+    """approx_percentile's 1e-4-accuracy claim under the adversarial
+    merge tree: each flat row carries its exact twin, so the bound is
+    self-checking."""
+    rows = REGISTRY["agg_approx_quantile"].builder(spark, SF_DIR).collect()
+    assert len(rows) >= 9
+    for r in rows:
+        assert abs(r.approx_val - r.exact_val) / r.exact_val < 0.01, (
+            f"{r.l_returnflag} p{r.p}: {r.approx_val} vs {r.exact_val}"
+        )
+
+
+def test_freq_items_superset_holds_under_adversarial_layout(spark, _layout_b):
+    """Misra-Gries no-false-negative guarantee under the adversarial
+    merge tree: every combo at >= the 0.1 support threshold appears."""
+    import pyspark.sql.functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    sketched = {
+        r.frequent_combo
+        for r in REGISTRY["agg_freq_items"].builder(spark, SF_DIR).collect()
+    }
+    li = load(spark, SF_DIR, "lineitem")
+    total = li.count()
+    truly = {
+        r.combo
+        for r in li.select(
+            F.concat_ws("|", "l_returnflag", "l_linestatus").alias("combo")
+        )
+        .groupBy("combo")
+        .count()
+        .where(F.col("count") >= 0.1 * total)
+        .collect()
+    }
+    assert truly and truly <= sketched, f"missing: {truly - sketched}"
+
+
 @pytest.mark.parametrize("name", ALL_KEYS)
 def test_layout_invariant(spark, _layout_a, name):
     a = _run(spark, name)
