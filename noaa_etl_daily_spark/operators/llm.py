@@ -2416,14 +2416,25 @@ def llm_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.i == 0:
             S[r.j] = r.s
             n = r.n  # each (0,j) partial row carries the batch count once
-    mu = S / n
-    cov = (G - n * np.outer(mu, mu)) / (n - 1)
-    vals, vecs = np.linalg.eigh(cov)
-    pcs = []
-    for k in (dim - 1, dim - 2):  # eigh sorts ascending
-        v = vecs[:, k]
-        v = v if v[int(np.abs(v).argmax())] > 0 else -v  # deterministic sign
-        pcs.append([float(x) for x in v])
+    if n < 2:
+        # degenerate corpus (0 or 1 vectors): no covariance exists —
+        # center on the lone vector (or zero) and project onto the
+        # first two basis axes, deterministically, instead of feeding
+        # NaNs to the eigensolver
+        mu = S / n if n else S
+        pcs = [
+            [1.0 if d == 0 else 0.0 for d in range(dim)],
+            [1.0 if d == 1 else 0.0 for d in range(dim)],
+        ]
+    else:
+        mu = S / n
+        cov = (G - n * np.outer(mu, mu)) / (n - 1)
+        vals, vecs = np.linalg.eigh(cov)
+        pcs = []
+        for k in (dim - 1, dim - 2):  # eigh sorts ascending
+            v = vecs[:, k]
+            v = v if v[int(np.abs(v).argmax())] > 0 else -v  # deterministic sign
+            pcs.append([float(x) for x in v])
 
     mu_col = F.array(*[F.lit(float(m)) for m in mu])
     centered = F.zip_with("embedding", mu_col, lambda a, b: a - b)
