@@ -6,6 +6,9 @@
 #   1. full local suite at sf0.01 (differential + property + plan lint)
 #   2. the 10x-scale Spark-vs-DuckDB value diff at sf0.1 — the only
 #      check where the scale_rank range shuffles genuinely split data
+#   2b. the 10x partitioning-invariance sweep: every query re-folded
+#      under adversarial splits (16 KB) at a scale where the data
+#      actually shatters — layout-free results proven where it counts
 #   3. the HOSTILE value differential — every oracled query must
 #      hash-match its oracle on the poisoned corpus (round 6: found 42
 #      divergences the no-crash sweep had certified as safe)
@@ -22,6 +25,10 @@ python -m pytest tests/ -x -q
 echo "== seal 2/5: sf0.1 full differential (oracle value-diff at 10x) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
     python -m pytest tests/test_oracle.py -x -q
+
+echo "== seal 2b/5: sf0.1 partitioning invariance (10x + adversarial splits) =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
+    python -m pytest tests/test_partition_invariance.py -x -q
 
 echo "== seal 3/5: hostile value differential =="
 SPARK_GRAFT_HOSTILE_DIFF=1 \
