@@ -81,3 +81,30 @@ def test_onerow_corpus_total(spark, onerow_dir, name):
     df = REGISTRY[name].builder(spark, onerow_dir)
     df.write.format("noop").mode("overwrite").save()
     assert df.count() >= 0
+
+
+def test_cached_marker_staleness_rule(tmp_path):
+    """G19 executable: a scratch layout is valid ONLY while its
+    _SUCCESS marker is at least as new as the source parquet — an
+    ephemeral fixture that reuses a basename must invalidate the
+    cache, and a missing marker or missing source never validates."""
+    import os
+
+    from noaa_etl_daily_spark.operators.scans import _cached
+
+    sf = tmp_path / "sf"
+    out = tmp_path / "out"
+    sf.mkdir()
+    out.mkdir()
+    src = sf / "events.parquet"
+    marker = out / "_SUCCESS"
+
+    assert not _cached(str(out), str(sf), "events")  # nothing exists
+    src.write_bytes(b"v1")
+    assert not _cached(str(out), str(sf), "events")  # no marker yet
+    marker.touch()
+    os.utime(src, (1_000_000, 1_000_000))
+    os.utime(marker, (2_000_000, 2_000_000))
+    assert _cached(str(out), str(sf), "events")      # marker newer: valid
+    os.utime(src, (3_000_000, 3_000_000))            # fixture rewritten
+    assert not _cached(str(out), str(sf), "events")  # stale: rewrite

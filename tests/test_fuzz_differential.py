@@ -1672,3 +1672,112 @@ def test_known_null_event_time_window_drop(spark, oracle):
         "2024-02-01 00:00:00",
     )
     assert guarded.count() == 1  # NULL ts quarantined at ingest
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.integers(-(10**6), 10**6),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    width=64,
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.sampled_from([0, 0.0, -0.0]),
+                st.integers(-(10**3), 10**3),
+                st.floats(
+                    min_value=-1e3,
+                    max_value=1e3,
+                    allow_nan=False,
+                    width=64,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzz_try_divide_matches_duckdb_division(spark, oracle, pairs):
+    """The G18 discipline's foundation, fuzzed: Spark ``try_divide``
+    over doubles must agree with DuckDB's plain ``/`` on EVERY operand
+    class a degenerate or hostile corpus produces — zero (int and both
+    float signs), NULL on either side, and ordinary values. This is
+    what licenses fixing ANSI DIVIDE_BY_ZERO crashes on the Spark side
+    alone, with no oracle edits (x/0 → NULL natively in DuckDB).
+
+    Quantized comparison (round 9dp) per the G2 discipline — the
+    division itself is a single IEEE op, identical on both engines;
+    the rounding only canonicalizes repr."""
+    rows = [
+        (i, None if a is None else float(a), None if b is None else float(b))
+        for i, (a, b) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, a double, b double")
+    got = {
+        r.rid: r.q
+        for r in df.selectExpr(
+            "rid", "round(try_divide(a, b), 9) AS q"
+        ).collect()
+    }
+
+    def lit(v):
+        if v is None:
+            return "NULL::DOUBLE"
+        s = repr(v)
+        return f"CAST({s if 'e' in s else s + 'e0'} AS DOUBLE)"
+
+    values = ", ".join(
+        f"({i}, {lit(a)}, {lit(b)})"
+        for i, (a, b) in enumerate(
+            (None if a is None else float(a), None if b is None else float(b))
+            for a, b in pairs
+        )
+    )
+    want = dict(
+        oracle.execute(
+            f"SELECT rid, round(a / b, 9) FROM (VALUES {values}) "
+            f"t(rid, a, b)"
+        ).fetchall()
+    )
+    for rid in got:
+        g, w = got[rid], want[rid]
+        if g is not None:
+            g = g + 0.0  # -0.0 → 0.0; see the round(-0.0) pin below
+        if w is not None:
+            w = w + 0.0
+        assert (g is None and w is None) or repr(g) == repr(w), (
+            f"rid={rid}: a,b={pairs[rid]} spark={g!r} duck={w!r}"
+        )
+
+
+def test_known_round_negative_zero_divergence(spark, oracle):
+    """G14 family, pinned by the try_divide fuzz's first run: the
+    DIVISION agrees bit-for-bit (0.0/-1.0 = -0.0 on both engines), but
+    Spark's round() CANONICALIZES -0.0 to +0.0 while DuckDB's round()
+    preserves the sign bit. Latent hazard: any query whose G2 output
+    rounding can see a -0.0 (a negated zero sum, a zero ratio with a
+    negative numerator path) hash-diverges even though every magnitude
+    matches. Mitigation when it bites: append `+ 0.0` on the ORACLE
+    side (IEEE -0.0 + 0.0 = +0.0), matching Spark's round. No current
+    registry query emits -0.0 — the full differentials prove that —
+    so this stays a pinned boundary, not a fix."""
+    s = spark.sql(
+        "SELECT try_divide(0.0D, -1.0D) AS raw, "
+        "round(try_divide(0.0D, -1.0D), 9) AS rounded"
+    ).collect()[0]
+    assert repr(s.raw) == "-0.0"      # division preserves the sign bit
+    assert repr(s.rounded) == "0.0"   # Spark round canonicalizes
+    raw, rounded, fixed = oracle.execute(
+        "SELECT 0.0e0 / -1.0e0, round(0.0e0 / -1.0e0, 9), "
+        "round(0.0e0 / -1.0e0, 9) + 0.0"
+    ).fetchone()
+    assert repr(raw) == "-0.0"
+    assert repr(rounded) == "-0.0"    # DuckDB round preserves it
+    assert repr(fixed) == "0.0"       # the + 0.0 normalization
