@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from .scans import _cached, _scratch, _sf_tag
+from .scans import _cached, _scratch, _seal_cache, _sf_tag
 
 _N_BUCKETS = 8
 
@@ -36,12 +36,17 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import shutil
 
     def ensure(name: str, src_table: str, cols_ddl: str, bucket_col: str, write):
-        if spark.catalog.tableExists(name):
-            return
         path = _scratch("bucketed", tag, name)
-        # _cached (not bare _SUCCESS): ephemeral fixture dirs reuse
-        # basenames across runs — never re-register stale bucket files
-        if _cached(path, sf_dir, src_table):
+        # _cached (not bare _SUCCESS, and not bare tableExists): the
+        # fixture at sf_dir may have been rewritten at the same path
+        # within one long-lived session — a registered catalog entry
+        # must never outlive the data it was built from
+        fresh = _cached(path, sf_dir, src_table)
+        if spark.catalog.tableExists(name):
+            if fresh:
+                return
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if fresh:
             spark.sql(
                 f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
                 f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
@@ -50,6 +55,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             return
         shutil.rmtree(path, ignore_errors=True)
         write(path)
+        _seal_cache(path, sf_dir, src_table)
 
     ensure(
         li_name,
@@ -221,6 +227,7 @@ def _date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
             "event_date", F.to_date("ts")
         )
         ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        _seal_cache(out, sf_dir, "events")
     return out
 
 
@@ -320,6 +327,7 @@ def sink_bloom_filter_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("parquet.enable.dictionary#user_id", "false")
             .parquet(out)
         )
+        _seal_cache(out, sf_dir, "events")
     ev = spark.read.parquet(out)
     return (
         ev.filter(F.col("user_id").isin(7, 42, 99))

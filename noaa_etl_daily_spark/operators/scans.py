@@ -40,20 +40,44 @@ def _scratch(*parts: str) -> str:
     return path
 
 
+def _src_fp(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a fixture parquet: size + ns-resolution
+    mtime. Nanosecond stat plus the size makes a same-second rewrite
+    (coarse-mtime filesystems) distinguishable, unlike raw getmtime
+    ordering."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def _cached(out: str, sf_dir: str, table: str) -> bool:
     """True iff a previous once-per-sf write at ``out`` is still valid
-    for this fixture: the ``_SUCCESS`` marker exists AND is at least as
-    new as the source parquet. Marker existence alone is not enough —
-    ephemeral test fixtures (pytest tmp dirs) reuse basenames across
-    runs, so a scratch layout keyed on the basename can silently serve
-    a PRIOR run's data (observed live: a hostile-fixture change added
-    two events and the cached date-partitioned copy kept the old 29)."""
-    marker = os.path.join(out, "_SUCCESS")
-    src = os.path.join(sf_dir, f"{table}.parquet")
+    for this fixture: the ``_SUCCESS`` marker exists AND the sidecar
+    ``_SRC_FP`` fingerprint (written by :func:`_seal_cache` after the
+    write) equals the source parquet's current (size, mtime_ns).
+    Marker existence alone is not enough — ephemeral test fixtures
+    (pytest tmp dirs) reuse basenames across runs, so a scratch layout
+    keyed on the basename can silently serve a PRIOR run's data
+    (observed live: a hostile-fixture change added two events and the
+    cached date-partitioned copy kept the old 29). Fingerprint equality
+    rather than mtime *ordering* closes the residual hole: on a
+    filesystem with coarse (1 s) mtime granularity a fixture rewritten
+    in the same tick as the marker passed the old ``>=`` rule."""
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        return False
     try:
-        return os.path.getmtime(marker) >= os.path.getmtime(src)
+        with open(os.path.join(out, "_SRC_FP")) as fh:
+            return fh.read().strip() == _src_fp(sf_dir, table)
     except OSError:
         return False
+
+
+def _seal_cache(out: str, sf_dir: str, table: str) -> None:
+    """Record the source fixture's fingerprint after a successful
+    scratch write, making the ``out`` dir eligible for :func:`_cached`
+    reuse. Call sites write the data first, then seal — a crash between
+    the two leaves an unsealed dir that is simply rewritten next run."""
+    with open(os.path.join(out, "_SRC_FP"), "w") as fh:
+        fh.write(_src_fp(sf_dir, table))
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -400,6 +424,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("xml")
             .save(out)
         )
+        _seal_cache(out, sf_dir, "orders")
     back = (
         spark.read.format("xml")
         .option("rowTag", "row")
@@ -532,6 +557,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not _cached(out, sf_dir, "lineitem"):
         li.write.mode("overwrite").orc(out)
+        _seal_cache(out, sf_dir, "lineitem")
     back = spark.read.orc(out)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -567,6 +593,7 @@ def scan_partition_pruned_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not _cached(out, sf_dir, "lineitem"):
         src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        _seal_cache(out, sf_dir, "lineitem")
     # explicit schema: an empty batch writes zero partition dirs and
     # inference fails — the daily re-run must survive a no-data day
     back = spark.read.schema(src.schema).parquet(out)
@@ -615,6 +642,7 @@ def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("compression", "gzip")
             .csv(out)
         )
+        _seal_cache(out, sf_dir, "orders")
     back = (
         spark.read.schema(
             "o_orderkey bigint, o_orderstatus string, o_totalprice double"

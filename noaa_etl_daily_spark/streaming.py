@@ -43,21 +43,19 @@ def prepare_stream_source(
 ) -> str:
     """Fan a fixture table out into a directory of parquet files (the
     shape a streaming file source consumes). Idempotent per out_dir;
-    the marker must be at least as new as the source parquet so a
-    reused out_dir never serves a prior fixture's data."""
-    marker = os.path.join(out_dir, "_SUCCESS")
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        fresh = os.path.getmtime(marker) >= os.path.getmtime(src)
-    except OSError:
-        fresh = False
-    if not fresh:
+    freshness delegates to operators.scans._cached (the one shared
+    staleness rule — source-fingerprint sidecar) so a reused out_dir
+    never serves a prior fixture's data."""
+    from .operators.scans import _cached, _seal_cache
+
+    if not _cached(out_dir, sf_dir, table):
         (
             load(spark, sf_dir, table)
             .repartition(n_files)
             .write.mode("overwrite")
             .parquet(out_dir)
         )
+        _seal_cache(out_dir, sf_dir, table)
     return out_dir
 
 

@@ -84,13 +84,15 @@ def test_onerow_corpus_total(spark, onerow_dir, name):
 
 
 def test_cached_marker_staleness_rule(tmp_path):
-    """G19 executable: a scratch layout is valid ONLY while its
-    _SUCCESS marker is at least as new as the source parquet — an
-    ephemeral fixture that reuses a basename must invalidate the
-    cache, and a missing marker or missing source never validates."""
+    """G19 executable: a scratch layout is valid ONLY while its sealed
+    _SRC_FP sidecar fingerprint equals the source parquet's current
+    (size, mtime_ns) — an ephemeral fixture that reuses a basename must
+    invalidate the cache, a missing marker/sidecar/source never
+    validates, and (the coarse-mtime hole the fingerprint closes) a
+    SAME-TICK rewrite that changes the size also invalidates."""
     import os
 
-    from noaa_etl_daily_spark.operators.scans import _cached
+    from noaa_etl_daily_spark.operators.scans import _cached, _seal_cache
 
     sf = tmp_path / "sf"
     out = tmp_path / "out"
@@ -103,8 +105,18 @@ def test_cached_marker_staleness_rule(tmp_path):
     src.write_bytes(b"v1")
     assert not _cached(str(out), str(sf), "events")  # no marker yet
     marker.touch()
-    os.utime(src, (1_000_000, 1_000_000))
-    os.utime(marker, (2_000_000, 2_000_000))
-    assert _cached(str(out), str(sf), "events")      # marker newer: valid
-    os.utime(src, (3_000_000, 3_000_000))            # fixture rewritten
+    assert not _cached(str(out), str(sf), "events")  # marker but no seal
+    _seal_cache(str(out), str(sf), "events")
+    assert _cached(str(out), str(sf), "events")      # sealed: valid
+    src.write_bytes(b"v2-longer")                    # fixture rewritten
     assert not _cached(str(out), str(sf), "events")  # stale: rewrite
+    _seal_cache(str(out), str(sf), "events")
+    assert _cached(str(out), str(sf), "events")      # re-sealed: valid
+    # same-tick same-size rewrite: force identical coarse mtime but a
+    # different mtime_ns — the ns-resolution fingerprint must catch it
+    st = os.stat(src)
+    src.write_bytes(b"v3-longer!")
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert not _cached(str(out), str(sf), "events")
+    src.unlink()                                     # source vanished
+    assert not _cached(str(out), str(sf), "events")

@@ -19,25 +19,25 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 
-echo "== seal 1/5: full suite (sf0.01) =="
+echo "== seal 1/6: full suite (sf0.01) =="
 python -m pytest tests/ -x -q
 
-echo "== seal 2/5: sf0.1 full differential (oracle value-diff at 10x) =="
+echo "== seal 2/6: sf0.1 full differential (oracle value-diff at 10x) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
     python -m pytest tests/test_oracle.py -x -q
 
-echo "== seal 2b/5: sf0.1 partitioning invariance (10x + adversarial splits) =="
+echo "== seal 3/6: sf0.1 partitioning invariance (10x + adversarial splits) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
     python -m pytest tests/test_partition_invariance.py -x -q
 
-echo "== seal 3/5: hostile value differential =="
+echo "== seal 4/6: hostile value differential =="
 SPARK_GRAFT_HOSTILE_DIFF=1 \
     python -m pytest tests/test_hostile_oracle.py -x -q
 
-echo "== seal 4/5: regenerate CERTIFIED.md =="
+echo "== seal 5/6: regenerate CERTIFIED.md =="
 python tools_certified.py
 
-echo "== seal 5/5: bench sanity line =="
+echo "== seal 6/6: bench sanity line =="
 python bench.py
 
 echo "SEAL COMPLETE"
