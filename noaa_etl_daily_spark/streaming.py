@@ -59,18 +59,88 @@ def prepare_stream_source(
     return out_dir
 
 
-def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def prepare_stream_source_timeordered(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 6,
+    table: str = "events",
+) -> str:
+    """Fan the events fixture into ``n_files`` parquet files split by
+    EVENT-TIME range, file mtimes ascending in the same order — the
+    shape a real ingest feed has (roughly in-order arrival), and the
+    one where micro-batch boundaries matter: each batch cut advances
+    the watermark past the previous range, so append-mode window
+    finalization, state eviction, and within-watermark dedup all
+    exercise their cross-batch paths. Used by the batch-cut invariance
+    sweep (tests/test_streaming_batchcut_invariance.py) to prove final
+    answers do not depend on where Spark cuts the stream into
+    micro-batches. Idempotent per out_dir via the shared _cached rule."""
+    import shutil
+    import time as _time
+
+    from .operators.scans import _cached, _seal_cache
+
+    if _cached(out_dir, sf_dir, table):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load(spark, sf_dir, table).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    cuts = [
+        bounds.lo + (bounds.hi - bounds.lo) * i / n_files
+        for i in range(n_files + 1)
+    ]
+    now = _time.time()
+    for i in range(n_files):
+        cond = (F.col("ts") >= cuts[i]) & (
+            (F.col("ts") < cuts[i + 1])
+            if i < n_files - 1
+            else (F.col("ts") <= cuts[i + 1])
+        )
+        tmp = out_dir + f"_t{i}"
+        ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(out_dir, f"batch{i:02d}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        # ascending mtimes: the file source lists by modification time,
+        # so batches replay in event-time order like a live feed
+        mt = now - 600 + i * 60
+        os.utime(dst, (mt, mt))
+        shutil.rmtree(tmp)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out_dir, sf_dir, table)
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the prepared events directory.
 
     Watermarks require TIMESTAMP (with zone), not TIMESTAMP_NTZ — with
     the session pinned to UTC the cast is value-preserving; the twins
     cast their outputs back to NTZ so results compare 1:1 with the batch
-    forms."""
+    forms. ``max_files_per_trigger`` picks the micro-batch cut (None =
+    drain everything in one batch under availableNow) — the knob the
+    batch-cut invariance sweep turns."""
     schema = spark.read.parquet(src_dir).schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
 
 

@@ -1,0 +1,227 @@
+"""Micro-batch-boundary invariance (VERDICT r7 task 3): the streaming
+analogue of tests/test_partition_invariance.py.
+
+A real cluster never controls where the stream is cut into
+micro-batches — trigger cadence, source backpressure, and file-arrival
+timing all move the boundaries, and every boundary is a watermark
+advance, a state checkpoint, and (append mode) a finalization
+opportunity. The batch-equivalence suite (tests/test_streaming.py)
+proves each twin equals its batch oracle under ONE cut; this sweep
+proves the FINAL answer is identical under adversarially different
+cuts: ``maxFilesPerTrigger`` ∈ {1, 3, all} over a TIME-ORDERED
+6-file source (prepare_stream_source_timeordered), so the 1-file run
+takes 6 watermark steps through the corpus while the all-at-once run
+takes a single one.
+
+What each mode proves:
+
+- complete-mode windows: state accumulation is fold-order independent
+  across batch cuts (integer-cents discipline, same as the batch
+  partition-invariance sweep).
+- append-mode windows: watermark FINALIZATION is cut-invariant — a
+  window emitted after 6 incremental watermark advances carries the
+  same values as one finalized in a single drain, and the emitted SET
+  is identical (both = windows below the final watermark, which
+  depends only on the corpus max event time).
+- update-mode arbitrary state (applyInPandasWithState): the last
+  emission per key equals the full fold regardless of how many
+  micro-batch folds produced it.
+- stream-stream join: watermark-bounded join state never evicts a row
+  that could still match (10 min watermark > 5 min join range), so the
+  matched-pair set is cut-invariant.
+- dedup within watermark: the kept KEY set is cut-invariant (which
+  arrival wins within a key is racy by contract; the key set is not).
+- foreachBatch folds (count-min sketch, keyed upsert table): the
+  versioned fold gives the bit-identical standing table whether it was
+  built from 1, 3, or 8 micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_etl_daily_spark.operators.scans import _scratch
+from noaa_etl_daily_spark import streaming as st
+from noaa_etl_daily_spark.tables import load
+
+CUTS = (1, 3, None)  # maxFilesPerTrigger; None = one drain-everything batch
+
+
+@pytest.fixture(scope="module")
+def ordered_src(spark, sf_dir):
+    out = _scratch(
+        "stream_src_ordered", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    return st.prepare_stream_source_timeordered(spark, sf_dir, out)
+
+
+def _drain(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _canon(df):
+    return sorted(map(tuple, df.collect()))
+
+
+TWINS = {
+    # name: (builder over the streamed events df, output mode)
+    "tumbling_complete": (st.stream_tumbling_counts, "complete"),
+    "tumbling_append": (st.stream_tumbling_counts, "append"),
+    "sliding_complete": (st.stream_sliding_counts, "complete"),
+    "sliding_append": (st.stream_sliding_counts, "append"),
+    "session_complete": (st.stream_session_counts, "complete"),
+    "session_append": (st.stream_session_counts, "append"),
+    "ss_join_append": (st.stream_view_purchase_join, "append"),
+}
+
+
+@pytest.mark.parametrize("twin", sorted(TWINS))
+def test_batchcut_invariance(spark, ordered_src, twin):
+    builder, mode = TWINS[twin]
+    results = []
+    for cut in CUTS:
+        df = _drain(
+            spark,
+            builder(st.read_events_stream(spark, ordered_src, cut)),
+            f"bc_{twin}_{cut}",
+            mode,
+        )
+        results.append(_canon(df))
+    assert results[0] == results[1] == results[2], (
+        f"{twin}: final answer moved with the micro-batch cut "
+        f"(rows {len(results[0])}/{len(results[1])}/{len(results[2])})"
+    )
+    assert len(results[0]) > 0  # the sweep must exercise real output
+
+
+def test_batchcut_append_finalizes_exactly_final_watermark(
+    spark, sf_dir, ordered_src
+):
+    """The append runs above must have emitted exactly the windows below
+    the final watermark (corpus max ts − 10 min), computed from the
+    batch side — pinning WHAT the invariant answer is, not just that
+    the three runs agree with each other."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hi = ev.agg(F.max("ts").alias("hi")).collect()[0].hi
+    import datetime
+
+    wm = hi - datetime.timedelta(minutes=10)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("w.end") <= F.lit(wm))
+    )
+    want = {
+        (r["w"].start, r.event_type): r.n_events for r in batch.collect()
+    }
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM bc_tumbling_append_1").collect()
+    }
+    assert got == want
+
+
+def test_batchcut_dedup_key_set_invariant(spark, ordered_src):
+    key_sets = []
+    for cut in CUTS:
+        df = _drain(
+            spark,
+            st.stream_dedup(st.read_events_stream(spark, ordered_src, cut)),
+            f"bc_dedup_{cut}",
+            "append",
+        )
+        key_sets.append(
+            {
+                (r.user_id, r.event_type, r.ts.replace(second=0, microsecond=0))
+                for r in df.collect()
+            }
+        )
+    assert key_sets[0] == key_sets[1] == key_sets[2]
+    assert len(key_sets[0]) > 0
+
+
+def test_batchcut_stateful_final_state_invariant(spark, ordered_src):
+    """applyInPandasWithState: the LAST emission per user (max n_events)
+    must be identical whether the fold ran over 6, 2, or 1 batches."""
+    finals = []
+    for cut in CUTS:
+        df = _drain(
+            spark,
+            st.stream_user_running_stats(
+                st.read_events_stream(spark, ordered_src, cut)
+            ),
+            f"bc_state_{cut}",
+            "update",
+        )
+        last = {}
+        for r in df.collect():
+            if r.user_id not in last or r.n_events > last[r.user_id][0]:
+                last[r.user_id] = (r.n_events, r.total_value)
+        finals.append(last)
+    assert finals[0] == finals[1] == finals[2]
+    assert len(finals[0]) > 0
+
+
+@pytest.mark.parametrize("fpb", [1, 3, 8])
+def test_batchcut_countmin_sketch_bit_identical(
+    spark, sf_dir, ordered_src, fpb, tmp_path
+):
+    """foreachBatch sketch maintenance: the standing count-min table is
+    cell-wise identical to the one-shot batch sketch for EVERY batch
+    granularity (cell addition commutes; the versioned fold adds each
+    batch exactly once)."""
+    target = str(tmp_path / f"cm_{fpb}")
+    ckpt = str(tmp_path / f"cm_ckpt_{fpb}")
+    st.run_streaming_countmin_merge(
+        spark, ordered_src, target, ckpt, files_per_batch=fpb
+    )
+    got = {
+        (r.d, r.col): r.cnt for r in spark.read.parquet(target).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    want = {(r.d, r.col): r.cnt for r in st.countmin_cells(ev).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("fpb", [1, 3, 8])
+def test_batchcut_upsert_table_invariant(
+    spark, sf_dir, ordered_src, fpb, tmp_path
+):
+    """foreachBatch keyed upsert: the final serving table equals the
+    batch groupBy at every batch granularity."""
+    target = str(tmp_path / f"up_{fpb}")
+    ckpt = str(tmp_path / f"up_ckpt_{fpb}")
+    st.run_foreachbatch_upsert(
+        spark, ordered_src, target, ckpt, files_per_batch=fpb
+    )
+    got = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
