@@ -1409,3 +1409,152 @@ def test_scale_rank_degenerate_shapes(spark, sf_dir):
     check([(5, u) for u in range(9)])           # all keys tied (skew)
     check([(u % 2, u) for u in range(3)])       # P >> rows
     check([(9 - u, u) for u in range(11)])      # descending insert order
+
+
+def _write_embeddings(tmp_path, rows):
+    """Write a crafted embeddings corpus with the EXACT fixture arrow
+    schema (vec_id int64, embedding list<float>, label int32) into a
+    tmp sf-dir, so a builder runs on an adversarial SHAPE through the
+    identical scan path. Only embeddings.parquet is written — the
+    embed builders load nothing else."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    table = pa.table(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        },
+        schema=schema,
+    )
+    pq.write_table(
+        table, str(tmp_path / "embeddings.parquet"), compression="snappy"
+    )
+    return str(tmp_path)
+
+
+def test_kmeans_duplicate_points_empty_cell_collapse(spark, tmp_path):
+    """Adversarial corpus for the Lloyd's core (VERDICT r7 task 7 —
+    rows-only iteratives get an adversarial-shape test): EVERY vector
+    is a duplicate of one of two far-apart points A and B, so several
+    of the 8 md5-chosen seed centroids are byte-identical. The
+    1-based-argmin tie rule sends every point to the LOWEST cell whose
+    centroid matches, so the duplicate-seed cells receive ZERO members
+    in iteration 1 — the classic empty-cluster collapse; the update
+    rule must keep their centroids frozen (never NaN from a 0/0 mean)
+    and the surviving cells must partition the corpus by point
+    identity. Exact agreement with a numpy Lloyd's replicating the
+    same init, tie, and empty-cell rules."""
+    import hashlib
+
+    import numpy as np
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    A = [10.0] + [0.0] * 63
+    B = [-10.0] + [0.0] * 63
+    rows = [(i, A if i % 2 == 0 else B, i % 2) for i in range(24)]
+    sf = _write_embeddings(tmp_path, rows)
+
+    got = {
+        r.vec_id: r.cell
+        for r in load_all()["llm_embed_kmeans"].builder(spark, sf).collect()
+    }
+
+    # numpy twin with the builder's exact rules
+    K, ITERS = 8, 5
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )
+    seed_rows = order[:K]
+    # precondition of the shape: the seeds must cover BOTH points (else
+    # the corpus degenerates to one cluster and the collapse is total)
+    seed_kinds = {ids[i] % 2 for i in seed_rows}
+    assert seed_kinds == {0, 1}, "fixture no longer covers both points"
+    cents = X[seed_rows].copy()
+    for _ in range(ITERS):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # builder tie rule: array_position takes the FIRST (lowest) cell
+        cells = d.argmin(axis=1)
+        for k in range(K):
+            if (cells == k).any():
+                cents[k] = X[cells == k].mean(axis=0)
+            # else: frozen — the empty-cell rule under test
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ref = d.argmin(axis=1)
+
+    assert got == {v: ref[i] for i, v in enumerate(ids)}
+    # structural: exactly two occupied cells, pure by point identity
+    a_cells = {got[i] for i in ids if i % 2 == 0}
+    b_cells = {got[i] for i in ids if i % 2 == 1}
+    assert len(a_cells) == 1 and len(b_cells) == 1
+    assert a_cells != b_cells
+    # and no NaN leaked out of a frozen empty cell into assignments
+    assert all(0 <= c < K for c in got.values())
+
+
+def test_pca_identical_vectors_zero_covariance(spark, tmp_path):
+    """Adversarial corpus for the PCA core: every vector identical
+    (n >= 2, so the n<2 degenerate fallback does NOT fire) — the
+    covariance matrix is exactly zero, every eigenvalue ties at 0, and
+    eigh's basis choice is arbitrary. The projections must still be
+    total and exact: mean-centering maps every vector to the zero
+    vector, so pc1 = pc2 = 0.0 for every row, never NaN."""
+    import math
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    v = [float(j % 7) - 3.0 for j in range(64)]
+    rows = [(i, v, 0) for i in range(12)]
+    sf = _write_embeddings(tmp_path, rows)
+    out = load_all()["llm_embed_pca_project"].builder(spark, sf).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.pc1 == 0.0 and r.pc2 == 0.0, r
+        assert not (math.isnan(r.pc1) or math.isnan(r.pc2))
+
+
+def test_pca_collinear_corpus_rank_one(spark, tmp_path):
+    """Adversarial corpus for the PCA core: all points on ONE line
+    (x_i = t_i * v + c) — rank-1 covariance, so PC1 must recover the
+    line exactly (projected pairwise gaps equal |t_i - t_j| * ||v||)
+    and PC2, whose eigenvalue ties at 0 with 62 others, must project
+    everything to ~0 rather than leak variance or NaN."""
+    import math
+
+    import numpy as np
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    rng_v = np.array([math.sin(j + 1) for j in range(64)])
+    c = np.array([math.cos(j) for j in range(64)])
+    ts = [-3.0, -1.0, 0.0, 0.5, 2.0, 4.5]
+    rows = [
+        (i, [float(x) for x in (t * rng_v + c)], 0)
+        for i, t in enumerate(ts)
+    ]
+    sf = _write_embeddings(tmp_path, rows)
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in load_all()["llm_embed_pca_project"].builder(spark, sf).collect()
+    }
+    norm_v = float(np.linalg.norm(rng_v))
+    # float32 storage of the fixture bounds agreement at ~1e-4
+    for i, ti in enumerate(ts):
+        for j, tj in enumerate(ts):
+            want = abs(ti - tj) * norm_v
+            assert abs(abs(got[i][0] - got[j][0]) - want) < 1e-3, (i, j)
+    for i in got:
+        assert abs(got[i][1]) < 1e-3, (i, got[i])
+        assert not math.isnan(got[i][1])
