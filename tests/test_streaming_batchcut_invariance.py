@@ -225,3 +225,59 @@ def test_batchcut_upsert_table_invariant(
         .collect()
     }
     assert got == want
+
+
+def test_batchcut_neardup_flags_invariant_on_ordered_frontier(
+    spark, sf_dir, tmp_path
+):
+    """Streaming MinHash near-dedup under different micro-batch cuts.
+
+    'First-arrived doc per band bucket' is arrival-order-dependent BY
+    DESIGN, so the invariance statement needs the feed shape a real
+    crawl frontier has: monotone doc_ids (here: 4 files split by
+    doc_id range, mtimes ascending). On that feed the first arrival in
+    a bucket is its global-min doc_id under EVERY cut, so the complete
+    flag rows — (doc_id, band_id, sig, first_doc_id) — must be
+    identical whether the frontier replays 1, 2, or 4 files per
+    trigger."""
+    import pyspark.sql.functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = str(tmp_path / "docs_ordered")
+    os.makedirs(src, exist_ok=True)
+    import time as _time
+
+    now = _time.time()
+    step = (n + 3) // 4
+    for i in range(4):
+        part = docs.where(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        tmp = src + f"_t{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pfile = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"frontier{i:02d}.parquet")
+        shutil.copyfile(os.path.join(tmp, pfile), dst)
+        mt = now - 600 + i * 60
+        os.utime(dst, (mt, mt))
+        shutil.rmtree(tmp)
+
+    schema = docs.schema
+    results = []
+    for cut in (1, 2, None):
+        reader = spark.readStream.schema(schema)
+        if cut:
+            reader = reader.option("maxFilesPerTrigger", str(cut))
+        stream = reader.parquet(src)
+        df = _drain(
+            spark,
+            st.stream_neardup_band_flags(stream),
+            f"bc_neardup_{cut}",
+            "append",
+        )
+        results.append(_canon(df))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
