@@ -21,8 +21,10 @@ FIRST attempt (``TaskContext.attemptNumber() == 0``), then asserts
 each representative query's rows are bit-identical (repr-level) to the
 clean un-injected run in the same session. Every scan task failing
 once forces retry of the entire scan stage task set; downstream
-shuffles consume retried map output. A marker file per raise proves
-the injection actually fired (hundreds of failures per sweep).
+shuffles consume retried map output. A second axis wraps the FINISHED
+plan instead, so first-attempt kills land in the RESULT stage and the
+retried task re-pulls its shuffle blocks. A marker file per raise
+proves the injection actually fired (dozens of failures per sweep).
 
 Representative set spans the plan classes the verdict names: shuffle
 aggregation, multi-distinct expand, broadcast and shuffle joins,
@@ -131,6 +133,23 @@ for key in keys:
               flush=True)
     else:
         print(f"ok {key} rows={len(clean)}", flush=True)
+
+# second axis: kill first attempts in the RESULT stage instead of the
+# scan stage — the retried task re-pulls its shuffle blocks / re-reads
+# the broadcast, the downstream half of the failure surface (the scan
+# shim above only ever kills stage-0 tasks). Pass-through wrapper on
+# the FINISHED plan, so the values compared are the query's own.
+RESULT_KEYS = [k for k in keys if k not in (
+    "agg_kll_quantile_sketch",)][:8]
+for key in RESULT_KEYS:
+    clean = canon(REG[key].builder(spark, sf_dir))
+    injected = canon(_fail_first_attempt(REG[key].builder(spark, sf_dir)))
+    if clean != injected:
+        failures.append(key + "@result-stage")
+        print(f"DIVERGED {key}@result-stage: "
+              f"clean={len(clean)} inj={len(injected)}", flush=True)
+    else:
+        print(f"ok {key}@result-stage rows={len(clean)}", flush=True)
 
 # KLL sketch: NOT bit-equal under retry, BY CONSTRUCTION — DataSketches
 # KLL compaction consumes random bits that are not seeded per task
