@@ -181,3 +181,16 @@ def test_layout_invariant(spark, _layout_a, name):
                 f"fold or unkeyed randomness; at 1000 executors this "
                 f"query is nondeterministic"
             )
+
+
+def test_value_tolerant_whitelist_is_closed():
+    """VERDICT r7 'wrong-adjacent' #3, executable: the layout whitelist
+    must never grow silently. Adding an entry to VALUE_TOLERANT now
+    requires editing THIS assertion in the same diff — a reviewer sees
+    both, and each new entry must bring its own named-bound test (the
+    pattern test_kll_rank_bound_holds_under_adversarial_layout sets)."""
+    assert set(VALUE_TOLERANT) == {
+        "agg_kll_quantile_sketch",
+        "agg_approx_quantile",
+        "agg_freq_items",
+    }
