@@ -281,3 +281,75 @@ def test_batchcut_neardup_flags_invariant_on_ordered_frontier(
         results.append(_canon(df))
     assert results[0] == results[1] == results[2]
     assert len(results[0]) > 0
+
+
+def test_batchcut_resume_with_changed_cut(spark, ordered_src, tmp_path):
+    """Checkpoint resume with a RETUNED micro-batch cut — the real ops
+    move (an operator changes maxFilesPerTrigger and restarts the
+    query). Phase 1 drains the first half of the ordered feed at
+    1 file/trigger into an append-mode parquet sink; phase 2 adds the
+    rest and resumes from the SAME checkpoint with no cut (one drain
+    batch). Watermark state crosses the restart via the checkpoint, so
+    the final emitted window set must equal an uninterrupted reference
+    run — finalization must survive both the restart and the cut
+    change.
+
+    Staging gotcha, demonstrated live while writing this test: the
+    file source orders candidate files by MODIFICATION time, so a copy
+    that loses the staged mtimes (plain copyfile) can deliver file 2
+    before file 1 — the watermark jumps past file 1's whole range and
+    its ~550 windows arrive 'late' (dropped or emitted partial).
+    In-order arrival is part of the feed contract the invariance
+    statement rests on; copy2 below preserves the mtimes that encode
+    it."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(ordered_src, "batch*.parquet")))
+    assert len(files) == 6
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = spark.read.parquet(ordered_src).schema
+
+    def run_phase(cut):
+        reader = spark.readStream.schema(schema)
+        if cut:
+            reader = reader.option("maxFilesPerTrigger", str(cut))
+        stream = reader.parquet(str(src)).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        q = (
+            st.stream_tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:3]:
+        shutil.copy2(f, src / os.path.basename(f))
+    run_phase(1)
+    for f in files[3:]:
+        shutil.copy2(f, src / os.path.basename(f))
+    run_phase(None)  # resume: same checkpoint, different cut
+
+    got = _canon(spark.read.schema(
+        "window_start timestamp_ntz, event_type string, "
+        "n_events bigint, total_value double"
+    ).parquet(str(sink)))
+    ref = _canon(
+        _drain(
+            spark,
+            st.stream_tumbling_counts(
+                st.read_events_stream(spark, ordered_src, 3)
+            ),
+            "bc_resume_ref",
+            "append",
+        )
+    )
+    assert got == ref
+    assert len(got) > 0
