@@ -32,6 +32,20 @@ windows, sort/top-k, percentile, MinHash dedup, cosine top-k, KLL and
 count-min sketches, a multi-stage TPC-H pipeline, session windows, and
 a streaming micro-batch fold (retry inside a micro-batch).
 
+Speculative execution (the OTHER duplicate-attempt mechanism — a
+concurrent copy racing a straggler) was attempted and is STRUCTURALLY
+untestable on one machine: TaskSchedulerImpl hard-disables speculation
+under local[n] masters, and under local-cluster[2,4,2048] (real
+executor JVMs, speculation scheduler verified live via its
+checkSpeculatableTasks log line) the scheduler refuses to LAUNCH a
+speculative copy on the same host as the original attempt
+(TaskSetManager's hasAttemptOnHost exclusion) — and every local
+executor shares localhost. A straggler shim (7 instant peers, one 4 s
+stall, quantile 0.4, multiplier 1.2) marked the task speculatable but
+zero speculative attempts ever ran. The retry sweep above covers the
+shared property (a second attempt of the same task must produce the
+same data); the race-and-commit arbitration is cluster-only.
+
 Live finding (round 8): the sweep caught `agg_kll_quantile_sketch`
 diverging under retry — DataSketches KLL compaction consumes random
 bits not seeded per task attempt, so a retried task yields a
