@@ -79,6 +79,19 @@ KEYS = [
     "agg_countmin_sketch",      # integer sketch cells (hash-determined)
     "pipeline_regional_volume", # 9-stage pipeline
     "evt_session_window",       # session aggregation
+    # breadth wave: one per remaining plan class — all bit-equal
+    "agg_rollup",               # Expand grouping sets
+    "agg_pivot",                # pivot projection
+    "join_asof",                # union + per-key window
+    "set_except_all",           # multiset anti semantics
+    "win_range_frame",          # RANGE frame window
+    "evt_tumbling_window",      # event-time bucketing
+    "fn_array_higher_order",    # HOF-heavy scan stage
+    "llm_dedup_simhash",        # bitwise hamming blocking
+    "llm_sim_pq_adc_topk",      # PQ codebook broadcast + ADC ranks
+    "agg_theta_sketch_setops",  # theta: k-min-values is a SET property,
+                                # so unlike KLL it MUST be bit-equal
+    "agg_hll_sketch_merge",     # HLL: register max-merge, order-free
 ]
 
 SCRIPT = r'''
