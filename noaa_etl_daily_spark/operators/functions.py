@@ -82,7 +82,11 @@ def fn_string_split_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        # NULL-guarded: bare size(NULL) is ANSI-MODE-DEPENDENT (NULL
+        # under ansi=true, legacy -1 under ansi=false) — caught by the
+        # round-8 ANSI invariance sweep on the hostile NULL-text doc;
+        # DuckDB len(NULL) is NULL, so the guard is also oracle parity
+        F.when(toks.isNotNull(), F.size(toks)).alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.regexp_extract(F.col("text"), r"^([a-z]+) ([a-z]+)", 2).alias(
             "second_word"
@@ -276,7 +280,9 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # false on BOTH engines instead of a dtype-unstable NULL cell
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        # NULL-guarded size: see fn_string_split_regex (ANSI-mode
+        # dependence of size(NULL); DuckDB len(NULL) is NULL)
+        F.when(toks.isNotNull(), F.size(toks)).alias("n_tokens"),
         F.coalesce(F.array_contains(toks, "join"), F.lit(False)).alias(
             "has_join"
         ),

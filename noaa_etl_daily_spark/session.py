@@ -31,6 +31,14 @@ _SESSION_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # size(NULL) must be NULL in EVERY deployment: the conf's default
+    # tracks !spark.sql.ansi.enabled, so an estate running ansi=false
+    # silently gets the legacy -1 — which propagated into token counts,
+    # quality buckets, and calibration sums on NULL-text docs (20
+    # queries diverged in the round-8 registry-wide ANSI on/off audit
+    # on the hostile corpus; all shared this one root). Pinning false
+    # makes every query ANSI-mode-invariant (tests/test_ansi_invariance).
+    "spark.sql.legacy.sizeOfNull": "false",
 }
 
 #: AQE override knob (same per-dataset sizing philosophy as shuffle
