@@ -126,3 +126,67 @@ def test_time_queries_hold_under_non_utc_host(sf_dir):
         f"non-UTC host broke time queries:\n{proc.stdout[-3000:]}\n"
         f"{proc.stderr[-2000:]}"
     )
+
+
+_STREAM_SCRIPT = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+from noaa_etl_daily_spark.session import configure_session
+from noaa_etl_daily_spark.registry import load_all
+from noaa_etl_daily_spark import streaming as st
+from noaa_etl_daily_spark.operators.scans import _scratch
+import os
+
+spark = configure_session(
+    SparkSession.builder.master("local[8]")
+    .config("spark.driver.extraJavaOptions",
+            "-Duser.timezone=America/New_York")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+sf = %(sf)r
+src = st.prepare_stream_source(
+    spark, sf, _scratch("stream_src_tz", os.path.basename(sf.rstrip("/")),
+                        "events"))
+q = (
+    st.stream_tumbling_counts(st.read_events_stream(spark, src))
+    .writeStream.format("memory").queryName("tz_stream")
+    .outputMode("complete").trigger(availableNow=True).start()
+)
+q.awaitTermination()
+got = sorted(
+    map(repr, ((r.window_start, r.event_type, r.n_events, r.total_value)
+               for r in spark.sql("select * from tz_stream").collect()))
+)
+batch = load_all()["evt_tumbling_window"].builder(spark, sf)
+want = sorted(
+    map(repr, ((r.window_start, r.event_type, r.n_events, r.total_value)
+               for r in batch.collect()))
+)
+print("stream rows:", len(got), "batch rows:", len(want), flush=True)
+sys.exit(0 if got == want and got else 1)
+"""
+
+
+def test_streaming_windows_hold_under_non_utc_host(sf_dir):
+    """The streaming face of the TZ layer: window()/watermark bucketing
+    inside a STREAMING query runs through the same session-timeZone
+    code paths, but at micro-batch planning time — prove the UTC pin in
+    configure_session reaches them too, by draining the tumbling twin
+    on an America/New_York host and requiring bit-equality with the
+    batch twin in the same subprocess."""
+    env = dict(os.environ, TZ="America/New_York")
+    script = _STREAM_SCRIPT % {"repo": REPO, "sf": sf_dir}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"non-UTC host broke streaming windows:\n{proc.stdout[-2000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
