@@ -347,37 +347,54 @@ _PRIORITY = [
 ]
 
 
-def _certified() -> set[str]:
-    """Query keys with a GREEN driver CORRECTNESS row from any prior
-    round.  A row records green when it carries no error and its hash
-    (or, for rows-only ops, its row count) matched — keys the driver
-    found broken are re-surfaced for re-certification instead of being
+def _cert_rounds() -> dict[str, int]:
+    """Earliest round with a GREEN driver CORRECTNESS row, per key.  A
+    row records green when it carries no error and its hash (or, for
+    rows-only ops, its row count) matched — keys the driver found
+    broken are re-surfaced for re-certification instead of being
     deprioritized to the tail."""
-    seen: set[str] = set()
+    earliest: dict[str, int] = {}
+
+    def _round_of(path: str) -> int:
+        base = os.path.basename(path)  # CORRECTNESS_r08.json
+        try:
+            return int(base.split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            return 999
+
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        rnd = _round_of(path)
         for key, row in rows.items():
+            green = False
             if not isinstance(row, dict):
-                seen.add(key)
-                continue
-            err = row.get("err")
-            if err == "no_oracle" and row.get("spark_rows") is not None:
-                # rows-only op: a recorded row count is its terminal
-                # (best-achievable) driver state
-                seen.add(key)
-            elif err is None and (
-                row.get("hash_match") is True
-                or (
-                    row.get("hash_match") is None
-                    and row.get("rows_match") is True
-                )
-            ):
-                seen.add(key)
-    return seen
+                green = True
+            else:
+                err = row.get("err")
+                if err == "no_oracle" and row.get("spark_rows") is not None:
+                    # rows-only op: a recorded row count is its terminal
+                    # (best-achievable) driver state
+                    green = True
+                elif err is None and (
+                    row.get("hash_match") is True
+                    or (
+                        row.get("hash_match") is None
+                        and row.get("rows_match") is True
+                    )
+                ):
+                    green = True
+            if green and rnd < earliest.get(key, 999):
+                earliest[key] = rnd
+    return earliest
+
+
+def _certified() -> set[str]:
+    """Query keys with a GREEN driver CORRECTNESS row from any round."""
+    return set(_cert_rounds())
 
 
 def _family_rank(name: str) -> int:
@@ -395,16 +412,25 @@ def _ordered():
     Within the uncertified set: SURVEY §2 inventory keys first (in
     ``_PRIORITY`` order), then by operator family (llm, udf, pipeline,
     fn, rest), preserving registration order within a family.  The
-    already-certified tail keeps plain registration order.
+    already-certified tail is ordered OLDEST certification first
+    (earliest green round, then registration order): once the backlog
+    fits inside one ~50-key driver sample, the spare slots re-certify
+    the stalest records — r1 certifications get re-proven against the
+    current tree before newer ones do.
     """
     registry = load_all()
-    certified = _certified()
+    rounds = _cert_rounds()
     pri = {n: i for i, n in enumerate(_PRIORITY)}
-    uncert = [n for n in registry if n not in certified]
+    uncert = [n for n in registry if n not in rounds]
     uncert.sort(
         key=lambda n: (0, pri[n], 0) if n in pri else (1, _family_rank(n), 0)
     )
-    ordered = uncert + [n for n in registry if n in certified]
+    reg_idx = {n: i for i, n in enumerate(registry)}
+    cert = sorted(
+        (n for n in registry if n in rounds),
+        key=lambda n: (rounds[n], reg_idx[n]),
+    )
+    ordered = uncert + cert
     return {n: registry[n] for n in ordered}
 
 

@@ -133,18 +133,72 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(sf_dir),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }
+
+    # Same-day DuckDB proxy (VERDICT r8 task 3): the box drifts round to
+    # round (r8's official number was recorded on a measurably slower
+    # host), so every BENCH_rN carries its own same-day denominator —
+    # the SAME 15 oracle SQLs, warm, min-of-5 — instead of being
+    # compared against a proxy measured under different host load.
+    # Optional (SPARK_GRAFT_PROXY=0 skips) and failure-isolated: a proxy
+    # problem must never cost the official Spark record.
+    if os.environ.get("SPARK_GRAFT_PROXY", "1") != "0":
+        try:
+            record.update(_duckdb_proxy(registry, names, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — proxy is best-effort
+            record["proxy_error"] = f"{type(ex).__name__}: {ex}"
+
+    print(json.dumps(record))
     spark.stop()
+
+
+def _duckdb_proxy(registry, names: list[str], sf_dir: str) -> dict:
+    """Run each headline query's own DuckDB oracle SQL on the same
+    parquet, warm (one untimed pass) then min-of-5 — mirroring the
+    Spark methodology so the ratio is apples-to-apples on THIS host,
+    TODAY. Queries without an oracle (rows-only ops) are skipped and
+    named, so the proxy total is comparable only over the oracled
+    subset."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {default_parallelism()}")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    proxied: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in names:
+        sql = registry[name].oracle
+        if sql is None:
+            skipped.append(name)
+            continue
+        con.execute(sql).fetchall()  # warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        proxied[name] = round(best, 4)
+    out: dict = {
+        "proxy_engine": f"duckdb {duckdb.__version__}",
+        "proxy_total_sec": round(sum(proxied.values()), 4),
+        "proxy_queries": proxied,
+    }
+    if skipped:
+        out["proxy_skipped"] = skipped
+    return out
 
 
 if __name__ == "__main__":

@@ -40,20 +40,35 @@ def _scratch(*parts: str) -> str:
     return path
 
 
-def _src_fp(sf_dir: str, table: str) -> str:
+def _src_fp(sf_dir: str, table: str, params: str = "") -> str:
     """Content fingerprint of a fixture parquet: size + ns-resolution
-    mtime. Nanosecond stat plus the size makes a same-second rewrite
+    mtime, plus an optional caller-supplied write-parameters token.
+    Nanosecond stat plus the size makes a same-second rewrite
     (coarse-mtime filesystems) distinguishable, unlike raw getmtime
-    ordering."""
-    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    ordering. ``params`` folds the WRITE side into the key — two
+    preparers (or one preparer with different n_files) pointed at the
+    same out_dir must not validate each other's layout. Fixtures are
+    single parquet FILES by contract; a directory's size/mtime would
+    not reflect an in-place rewrite of a file inside it, so a
+    non-regular path is an error here rather than a silent stale-cache
+    hole."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    if not os.path.isfile(path):
+        raise ValueError(
+            f"fixture {path} is not a regular file; directory fixtures "
+            "need a per-data-file fingerprint, not a dir stat"
+        )
+    return f"{st.st_size}:{st.st_mtime_ns}:{params}"
 
 
-def _cached(out: str, sf_dir: str, table: str) -> bool:
+def _cached(out: str, sf_dir: str, table: str, params: str = "") -> bool:
     """True iff a previous once-per-sf write at ``out`` is still valid
     for this fixture: the ``_SUCCESS`` marker exists AND the sidecar
     ``_SRC_FP`` fingerprint (written by :func:`_seal_cache` after the
-    write) equals the source parquet's current (size, mtime_ns).
+    write) equals the source parquet's current (size, mtime_ns) plus
+    the caller's ``params`` token (preparer name / n_files — freshness
+    must key on the write parameters, not just the source bytes).
     Marker existence alone is not enough — ephemeral test fixtures
     (pytest tmp dirs) reuse basenames across runs, so a scratch layout
     keyed on the basename can silently serve a PRIOR run's data
@@ -66,18 +81,19 @@ def _cached(out: str, sf_dir: str, table: str) -> bool:
         return False
     try:
         with open(os.path.join(out, "_SRC_FP")) as fh:
-            return fh.read().strip() == _src_fp(sf_dir, table)
+            return fh.read().strip() == _src_fp(sf_dir, table, params)
     except OSError:
         return False
 
 
-def _seal_cache(out: str, sf_dir: str, table: str) -> None:
-    """Record the source fixture's fingerprint after a successful
-    scratch write, making the ``out`` dir eligible for :func:`_cached`
-    reuse. Call sites write the data first, then seal — a crash between
-    the two leaves an unsealed dir that is simply rewritten next run."""
+def _seal_cache(out: str, sf_dir: str, table: str, params: str = "") -> None:
+    """Record the source fixture's fingerprint (plus the caller's write
+    params token) after a successful scratch write, making the ``out``
+    dir eligible for :func:`_cached` reuse. Call sites write the data
+    first, then seal — a crash between the two leaves an unsealed dir
+    that is simply rewritten next run."""
     with open(os.path.join(out, "_SRC_FP"), "w") as fh:
-        fh.write(_src_fp(sf_dir, table))
+        fh.write(_src_fp(sf_dir, table, params))
 
 
 def _sf_tag(sf_dir: str) -> str:

@@ -45,17 +45,21 @@ def prepare_stream_source(
     shape a streaming file source consumes). Idempotent per out_dir;
     freshness delegates to operators.scans._cached (the one shared
     staleness rule — source-fingerprint sidecar) so a reused out_dir
-    never serves a prior fixture's data."""
+    never serves a prior fixture's data. The params token folds the
+    preparer name and n_files into the fingerprint: the same out_dir
+    written by the OTHER preparer, or by this one with a different
+    fan-out, must read as stale, not fresh."""
     from .operators.scans import _cached, _seal_cache
 
-    if not _cached(out_dir, sf_dir, table):
+    params = f"prepare_stream_source:n_files={n_files}"
+    if not _cached(out_dir, sf_dir, table, params):
         (
             load(spark, sf_dir, table)
             .repartition(n_files)
             .write.mode("overwrite")
             .parquet(out_dir)
         )
-        _seal_cache(out_dir, sf_dir, table)
+        _seal_cache(out_dir, sf_dir, table, params)
     return out_dir
 
 
@@ -75,13 +79,25 @@ def prepare_stream_source_timeordered(
     exercise their cross-batch paths. Used by the batch-cut invariance
     sweep (tests/test_streaming_batchcut_invariance.py) to prove final
     answers do not depend on where Spark cuts the stream into
-    micro-batches. Idempotent per out_dir via the shared _cached rule."""
+    micro-batches. Idempotent per out_dir via the shared _cached rule
+    (params token = preparer name + n_files, so this layout and
+    prepare_stream_source's never validate each other).
+
+    NULL-ts rows: every range predicate evaluates NULL on them, so a
+    naive split would silently DROP them while prepare_stream_source
+    (a plain repartition) keeps them — the two preparers would diverge
+    on a fixture containing NULL event times and a batchcut test
+    comparing a streamed fold against the full batch fixture would
+    miscount. They are routed into the LAST batch file explicitly. An
+    all-NULL or empty fixture (bounds.lo is None) degenerates to a
+    single batch file holding every row."""
     import shutil
     import time as _time
 
     from .operators.scans import _cached, _seal_cache
 
-    if _cached(out_dir, sf_dir, table):
+    params = f"prepare_stream_source_timeordered:n_files={n_files}"
+    if _cached(out_dir, sf_dir, table, params):
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -91,17 +107,26 @@ def prepare_stream_source_timeordered(
     bounds = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).collect()[0]
-    cuts = [
-        bounds.lo + (bounds.hi - bounds.lo) * i / n_files
-        for i in range(n_files + 1)
-    ]
+    if bounds.lo is None:
+        n_files = 1  # empty / all-NULL ts: one batch with every row
+        cuts = []
+    else:
+        cuts = [
+            bounds.lo + (bounds.hi - bounds.lo) * i / n_files
+            for i in range(n_files + 1)
+        ]
     now = _time.time()
     for i in range(n_files):
-        cond = (F.col("ts") >= cuts[i]) & (
-            (F.col("ts") < cuts[i + 1])
-            if i < n_files - 1
-            else (F.col("ts") <= cuts[i + 1])
-        )
+        if not cuts:
+            cond = F.lit(True)
+        else:
+            cond = (F.col("ts") >= cuts[i]) & (
+                (F.col("ts") < cuts[i + 1])
+                if i < n_files - 1
+                else (F.col("ts") <= cuts[i + 1])
+            )
+            if i == n_files - 1:
+                cond = cond | F.col("ts").isNull()
         tmp = out_dir + f"_t{i}"
         ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(
@@ -116,7 +141,7 @@ def prepare_stream_source_timeordered(
         shutil.rmtree(tmp)
     with open(os.path.join(out_dir, "_SUCCESS"), "w"):
         pass
-    _seal_cache(out_dir, sf_dir, table)
+    _seal_cache(out_dir, sf_dir, table, params)
     return out_dir
 
 

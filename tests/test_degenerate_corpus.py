@@ -22,6 +22,7 @@ differentials; this layer pins the *domain boundary*.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from noaa_etl_daily_spark.registry import load_all
 
@@ -120,3 +121,81 @@ def test_cached_marker_staleness_rule(tmp_path):
     assert not _cached(str(out), str(sf), "events")
     src.unlink()                                     # source vanished
     assert not _cached(str(out), str(sf), "events")
+
+
+def test_cached_params_token_staleness(tmp_path):
+    """The fingerprint keys on the WRITE parameters too: a layout
+    sealed by one preparer (or one n_files) must read stale to a
+    caller with a different params token — two preparers pointed at
+    the same out_dir can never validate each other's file count or
+    ordering (round-8 advice)."""
+    from noaa_etl_daily_spark.operators.scans import _cached, _seal_cache
+
+    sf = tmp_path / "sf"
+    out = tmp_path / "out"
+    sf.mkdir()
+    out.mkdir()
+    (sf / "events.parquet").write_bytes(b"v1")
+    (out / "_SUCCESS").touch()
+    _seal_cache(str(out), str(sf), "events", params="prepA:n_files=8")
+    assert _cached(str(out), str(sf), "events", params="prepA:n_files=8")
+    assert not _cached(str(out), str(sf), "events", params="prepA:n_files=6")
+    assert not _cached(str(out), str(sf), "events", params="prepB:n_files=8")
+    assert not _cached(str(out), str(sf), "events")  # token-less caller
+
+
+def test_src_fp_rejects_directory_fixture(tmp_path):
+    """A directory's size/mtime does not reflect an in-place rewrite of
+    a file inside it, so fingerprinting a non-regular fixture path must
+    raise instead of silently validating a stale cache."""
+    import pytest as _pytest
+
+    from noaa_etl_daily_spark.operators.scans import _src_fp
+
+    sf = tmp_path / "sf"
+    (sf / "events.parquet").mkdir(parents=True)  # directory, not a file
+    with _pytest.raises(ValueError, match="not a regular file"):
+        _src_fp(str(sf), "events")
+
+
+def test_timeordered_preparer_null_and_empty_ts(spark, tmp_path):
+    """prepare_stream_source_timeordered must keep NULL-ts rows (routed
+    into the last batch) so it never silently diverges from
+    prepare_stream_source on the same fixture, and must degenerate to
+    a single all-rows batch on an empty/all-NULL-ts fixture instead of
+    crashing on bounds.lo is None (round-8 advice)."""
+    import pandas as pd
+
+    from noaa_etl_daily_spark import streaming as st
+
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+
+    # fixture with 3 NULL-ts rows appended
+    withnull = base.limit(40).unionByName(
+        base.limit(3).withColumn("ts", F.lit(None).cast(base.schema["ts"].dataType))
+    )
+    pd_df = withnull.toPandas()
+    pd_df.to_parquet(str(sf / "events.parquet"))
+    out = st.prepare_stream_source_timeordered(
+        spark, str(sf), str(tmp_path / "out_null"), n_files=4
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 43
+    assert got.where(F.col("ts").isNull()).count() == 3
+
+    # all-NULL-ts fixture: single batch, every row kept
+    pd_all = pd_df.copy()
+    pd_all["ts"] = pd.NaT
+    sf2 = tmp_path / "sf2"
+    sf2.mkdir()
+    pd_all.to_parquet(str(sf2 / "events.parquet"))
+    out2 = st.prepare_stream_source_timeordered(
+        spark, str(sf2), str(tmp_path / "out_allnull"), n_files=4
+    )
+    import glob as _glob
+    import os as _os
+
+    assert spark.read.parquet(out2).count() == len(pd_all)
+    assert len(_glob.glob(_os.path.join(out2, "batch*.parquet"))) == 1

@@ -166,8 +166,9 @@ for key in keys:
 # the broadcast, the downstream half of the failure surface (the scan
 # shim above only ever kills stage-0 tasks). Pass-through wrapper on
 # the FINISHED plan, so the values compared are the query's own.
-RESULT_KEYS = [k for k in keys if k not in (
-    "agg_kll_quantile_sketch",)][:8]
+# agg_kll_quantile_sketch is never in FI_KEYS (it gets its own
+# named-bounds block below), so no filter is needed here.
+RESULT_KEYS = keys[:8]
 for key in RESULT_KEYS:
     clean = canon(REG[key].builder(spark, sf_dir))
     injected = canon(_fail_first_attempt(REG[key].builder(spark, sf_dir)))

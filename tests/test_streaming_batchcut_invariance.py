@@ -109,10 +109,13 @@ def test_batchcut_invariance(spark, ordered_src, twin):
 def test_batchcut_append_finalizes_exactly_final_watermark(
     spark, sf_dir, ordered_src
 ):
-    """The append runs above must have emitted exactly the windows below
+    """An append-mode tumbling run must emit exactly the windows below
     the final watermark (corpus max ts − 10 min), computed from the
     batch side — pinning WHAT the invariant answer is, not just that
-    the three runs agree with each other."""
+    the sweep's runs agree with each other. Drains its own query (cut
+    = 1 file/batch, the maximally incremental case) rather than
+    reading a sibling test's memory table, so it passes standalone
+    under -k selection, random ordering, or xdist."""
     ev = load(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -128,9 +131,17 @@ def test_batchcut_append_finalizes_exactly_final_watermark(
     want = {
         (r["w"].start, r.event_type): r.n_events for r in batch.collect()
     }
+    emitted = _drain(
+        spark,
+        st.stream_tumbling_counts(
+            st.read_events_stream(spark, ordered_src, 1)
+        ),
+        "bc_tumbling_append_final",
+        "append",
+    )
     got = {
         (r.window_start, r.event_type): r.n_events
-        for r in spark.sql("SELECT * FROM bc_tumbling_append_1").collect()
+        for r in emitted.collect()
     }
     assert got == want
 

@@ -26,6 +26,104 @@ sys.path.insert(0, _REPO)
 from noaa_etl_daily_spark.registry import load_all  # noqa: E402
 
 
+# Rows-only keys cannot hash-match a DuckDB oracle BY DESIGN (sketches,
+# sampling, approximate search, iterative algorithms). Each one instead
+# carries an oracle-equivalent PROPERTY test (exact-agreement vs a
+# numpy/python reference, named error bounds, recall vs the exact twin)
+# and, where the failure mode is shape-dependent, an adversarial-shape
+# test. This mapping is AUDITED at generation time: every rows-only key
+# in the registry must appear here, and every named test must exist in
+# the named file — so the table in CERTIFIED.md can't go stale.
+ROWS_ONLY_COVERAGE: dict[str, list[str]] = {
+    "agg_approx_count_distinct": [
+        "tests/test_properties.py::test_approx_count_distinct_within_tolerance",
+    ],
+    "agg_freq_items": [
+        "tests/test_properties.py::test_freq_items_contains_all_truly_frequent",
+        "tests/test_partition_invariance.py::test_freq_items_superset_holds_under_adversarial_layout",
+    ],
+    "agg_hll_sketch_merge": [
+        "tests/test_properties.py::test_hll_sketch_merge_within_tolerance",
+        "tests/test_fault_injection.py::test_task_retries_never_change_answers",
+    ],
+    "agg_theta_sketch_setops": [
+        "tests/test_properties.py::test_theta_sketch_set_algebra_accuracy",
+        "tests/test_fault_injection.py::test_task_retries_never_change_answers",
+    ],
+    "agg_kll_quantile_sketch": [
+        "tests/test_properties.py::test_kll_quantile_sketch_rank_accuracy",
+        "tests/test_partition_invariance.py::test_kll_rank_bound_holds_under_adversarial_layout",
+    ],
+    "llm_multimodal_image_tiles": [
+        "tests/test_analytics.py::test_image_tiles_inventory_matches_python",
+    ],
+    "graph_pagerank_brands": [
+        "tests/test_properties.py::test_pagerank_agrees_with_numpy_power_iteration",
+        "tests/test_properties.py::test_pagerank_disconnected_components",
+    ],
+    "evt_markov_removal_attribution": [
+        "tests/test_properties.py::test_markov_removal_attribution_matches_python_reference",
+        "tests/test_properties.py::test_markov_attribution_absorbing_only_user",
+    ],
+    "evt_hll_sliding_uniques": [
+        "tests/test_properties.py::test_hll_sliding_uniques_within_tolerance",
+    ],
+    "scan_csv_corrupt_permissive": [
+        "tests/test_properties.py::test_corrupt_csv_dispositions_exact",
+    ],
+    "agg_approx_quantile": [
+        "tests/test_partition_invariance.py::test_gk_tolerance_holds_under_adversarial_layout",
+    ],
+    "llm_sim_lsh_approx": [
+        "tests/test_properties.py::test_lsh_approx_recall_vs_exact",
+    ],
+    "llm_sim_lsh_multiprobe": [
+        "tests/test_properties.py::test_lsh_multiprobe_beats_single_probe_at_narrower_buckets",
+    ],
+    "llm_multimodal_frame_sample": [
+        "tests/test_properties.py::test_frame_sample_inventory_matches_payload_lengths",
+    ],
+    "llm_sim_ivf_topk": [
+        "tests/test_properties.py::test_ivf_topk_recall_vs_exact",
+    ],
+    "llm_embed_pca_project": [
+        "tests/test_properties.py::test_pca_projection_invariants",
+        "tests/test_properties.py::test_pca_identical_vectors_zero_covariance",
+        "tests/test_properties.py::test_pca_collinear_corpus_rank_one",
+    ],
+    "llm_embed_kmeans": [
+        "tests/test_properties.py::test_kmeans_matches_same_init_numpy_lloyds",
+        "tests/test_properties.py::test_kmeans_duplicate_points_empty_cell_collapse",
+    ],
+    "llm_bpe_train_merges": [
+        "tests/test_properties.py::test_bpe_train_matches_python_reference",
+        "tests/test_properties.py::test_bpe_train_tie_break_and_overlapping_merge",
+    ],
+}
+
+
+def audit_rows_only_coverage(rows_only: list[str]) -> None:
+    """Fail generation if the mapping drifted from the registry or the
+    test files — the executable form of the coverage claim."""
+    missing = sorted(set(rows_only) - set(ROWS_ONLY_COVERAGE))
+    extra = sorted(set(ROWS_ONLY_COVERAGE) - set(rows_only))
+    if missing or extra:
+        sys.exit(
+            f"ROWS_ONLY_COVERAGE drift: uncovered={missing} stale={extra}"
+        )
+    for key, tests in ROWS_ONLY_COVERAGE.items():
+        for t in tests:
+            path, _, func = t.partition("::")
+            full = os.path.join(_REPO, path)
+            try:
+                with open(full) as fh:
+                    src = fh.read()
+            except OSError:
+                sys.exit(f"{key}: test file {path} does not exist")
+            if f"def {func}(" not in src:
+                sys.exit(f"{key}: {func} not found in {path}")
+
+
 def driver_record() -> dict[str, tuple[int, str]]:
     """key -> (first round with a terminal GREEN row, status label)."""
     best: dict[str, tuple[int, str]] = {}
@@ -92,6 +190,28 @@ def main() -> None:
         else:
             status = "local-only"
         lines.append(f"| {key} | {cls} | {status} |")
+
+    audit_rows_only_coverage(rows_only)
+    lines += [
+        "",
+        "## Rows-only keys: oracle-equivalent coverage",
+        "",
+        "Rows-only-by-design keys can't hash-match a DuckDB oracle",
+        "(sketches, sampling, approximate search, iterative algorithms);",
+        "each instead carries an oracle-equivalent property test",
+        "(exact-agreement vs a numpy/python reference, named error",
+        "bounds, recall vs the exact twin) and — where failure is",
+        "shape-dependent — an adversarial-shape test. This table is",
+        "generated from an AUDITED mapping: generation fails if a",
+        "rows-only key is uncovered or a named test no longer exists.",
+        "",
+        "| key | oracle-equivalent / adversarial tests |",
+        "|---|---|",
+    ]
+    for key in sorted(ROWS_ONLY_COVERAGE):
+        tests = "<br>".join(f"`{t}`" for t in ROWS_ONLY_COVERAGE[key])
+        lines.append(f"| {key} | {tests} |")
+
     out = os.path.join(_REPO, "CERTIFIED.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -12,32 +12,39 @@
 #   3. the HOSTILE value differential — every oracled query must
 #      hash-match its oracle on the poisoned corpus (round 6: found 42
 #      divergences the no-crash sweep had certified as safe)
-#   4. regenerate CERTIFIED.md from the driver record
-#   5. one headline bench line (sanity, not the official record)
+#   4. driver-sim the never-certified BACKLOG at sf0.01 with the
+#      driver's own canonicalization — a key the driver has never
+#      sampled must be pre-verified green before the round seals
+#      (VERDICT r8 task 5); no-op once the backlog is empty
+#   5. regenerate CERTIFIED.md from the driver record
+#   6. one headline bench line (sanity, not the official record)
 #
 # Usage: bash tools_seal.sh
 set -euo pipefail
 cd "$(dirname "$0")"
 
-echo "== seal 1/6: full suite (sf0.01) =="
+echo "== seal 1/7: full suite (sf0.01) =="
 python -m pytest tests/ -x -q
 
-echo "== seal 2/6: sf0.1 full differential (oracle value-diff at 10x) =="
+echo "== seal 2/7: sf0.1 full differential (oracle value-diff at 10x) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
     python -m pytest tests/test_oracle.py -x -q
 
-echo "== seal 3/6: sf0.1 partitioning invariance (10x + adversarial splits) =="
+echo "== seal 3/7: sf0.1 partitioning invariance (10x + adversarial splits) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
     python -m pytest tests/test_partition_invariance.py -x -q
 
-echo "== seal 4/6: hostile value differential =="
+echo "== seal 4/7: hostile value differential =="
 SPARK_GRAFT_HOSTILE_DIFF=1 \
     python -m pytest tests/test_hostile_oracle.py -x -q
 
-echo "== seal 5/6: regenerate CERTIFIED.md =="
+echo "== seal 5/7: driver-sim the never-certified backlog (sf0.01) =="
+python tools_simcheck.py --backlog
+
+echo "== seal 6/7: regenerate CERTIFIED.md =="
 python tools_certified.py
 
-echo "== seal 6/6: bench sanity line =="
+echo "== seal 7/7: bench sanity line =="
 python bench.py
 
 echo "SEAL COMPLETE"

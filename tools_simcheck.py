@@ -1,8 +1,14 @@
 """Quick driver-sim over a subset of registry keys (or all with no args).
 
 Usage: python tools_simcheck.py [key ...]
+       python tools_simcheck.py --backlog   # every never-driver-certified key
 Mirrors the driver's canonicalization: sorted columns, repr-sorted rows,
 9dp float rounding, list->tuple, date->Timestamp.
+
+``--backlog`` derives the set of registered keys with no green driver
+CORRECTNESS row in any round (the same rule the entry module uses to
+order the driver sample) and checks exactly those — the seal ritual runs
+it so a red can never reach a driver round un-pre-verified.
 """
 import datetime
 import sys
@@ -45,7 +51,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
-    keys = sys.argv[1:] or sorted(qs)
+    if sys.argv[1:] == ["--backlog"]:
+        keys = sorted(set(qs) - e._certified())
+        if not keys:
+            print("backlog empty: every registered key has a green "
+                  "driver CORRECTNESS row")
+            sys.exit(0)
+        print(f"backlog: {len(keys)} never-certified keys")
+    else:
+        keys = sys.argv[1:] or sorted(qs)
     bad = 0
     for name in keys:
         try:
