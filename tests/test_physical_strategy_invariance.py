@@ -1,0 +1,229 @@
+"""Physical-strategy invariance (round 9; SURVEY §5.3 layer 16).
+
+Two runtime knobs a 1000-executor cluster moves WITHOUT changing the
+logical plan, value-compared here so the answers provably cannot move
+with them:
+
+1. **Join strategy.** AQE re-plans joins at runtime from observed
+   sizes: a join that broadcast on yesterday's corpus sort-merges on
+   today's bigger one, and `preferSortMergeJoin` flips shuffle-hash vs
+   sort-merge cluster-wide. Every join's ANSWER must be identical
+   under (a) the session default (broadcast allowed, AQE's choice),
+   (b) broadcasts disabled + sort-merge preferred, and (c) broadcasts
+   disabled + shuffle-hash preferred — on the clean fixture AND the
+   hostile corpus (dangling FKs, NULL keys: exactly where outer/anti
+   join strategy implementations differ).
+
+2. **Arrow batch size.** Pandas-UDF / applyInPandas / mapInPandas /
+   mapInArrow operators receive their partitions as a SEQUENCE of
+   Arrow batches whose cut depends on `maxRecordsPerBatch` (and, at
+   scale, on upstream partition sizes — local tests see one cozy
+   batch, production sees thousands). Any per-batch logic that should
+   be per-partition or per-group (state reset per batch, aggregation
+   closed per batch) silently corrupts results only at scale. Every
+   Arrow-path key must return bit-identical answers at batch sizes
+   10000 (default), 113, and 7.
+
+3. **Python UDF serialization path.** `pythonUDF.arrow.enabled` swaps
+   pickle row transport for Arrow columnar transport under row-at-a-
+   time UDFs — a type-coercion minefield (dates, decimals, NaN) that
+   must be value-invisible.
+
+All confs are runtime-settable and restored after each run, so the
+shared session is never left dirty.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from noaa_etl_daily_spark.registry import load_all
+
+from .conftest import SF_DIR
+from .test_hostile_inputs import build_hostile_fixture
+
+REGISTRY = load_all()
+
+#: Join-bearing keys, one per join shape the registry exercises.
+#: Hinted joins (broadcast_chain, shuffle_hash_hint) stay pinned by
+#: their hints — included to prove the hint survives hostile confs.
+JOIN_KEYS = [
+    "join_inner_equi",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_broadcast_chain",
+    "join_bucketed_colocated",
+    "join_skew_salted",
+    "join_null_safe_eq",
+    "join_shuffle_hash_hint",
+    "join_bloom_prefilter",
+    "join_fallback_lookup_chain",
+    "join_scd2_temporal",
+    "pipeline_regional_volume",
+    "pipeline_market_share",
+    "llm_dedup_near_minhash",
+]
+
+#: NULL-key / dangling-FK semantics differ most across join strategy
+#: IMPLEMENTATIONS (broadcast-null-aware vs shuffle variants), so the
+#: hostile corpus runs the subset where those paths diverge.
+JOIN_KEYS_HOSTILE = [
+    "join_inner_equi",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_anti",
+    "join_null_safe_eq",
+]
+
+_JOIN_MODES = {
+    "default": {},
+    "smj": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    },
+    "shj": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    },
+}
+
+#: Every registry key whose plan crosses the Arrow boundary
+#: (applyInPandas / mapInPandas / pandas_udf / mapInArrow / cogroup).
+#: Kept in sync by test_arrow_key_list_is_complete below.
+ARROW_KEYS = [
+    "scan_parquet_footer_census",
+    "llm_multimodal_image_tiles",
+    "evt_stateful_custom",
+    "llm_multimodal_frame_sample",
+    "llm_multimodal_decode_features",
+    "llm_embed_pca_project",
+    "llm_sim_topk_cosine_local_prune",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_map_in_pandas",
+    "udtf_cogrouped_pandas",
+    "udtf_python_native",
+    "udtf_map_in_arrow",
+    "udf_pandas_iter",
+    "udf_arrow_optimized",
+    "udtf_table_argument",
+]
+
+_BATCH_SIZES = ("113", "7")  # compared against the session default
+
+
+def _canon(df):
+    return sorted(repr(tuple(r)) for r in df.collect())
+
+
+def _run_with_confs(spark, name, sf, confs):
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        return _canon(REGISTRY[name].builder(spark, sf))
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    return build_hostile_fixture(str(tmp_path_factory.mktemp("ps_hostile")))
+
+
+def test_arrow_key_list_is_complete():
+    """Closure guard (same discipline as the layout whitelists): a new
+    Arrow-path registration must enter this sweep or fail the suite."""
+    import inspect
+
+    markers = (
+        "applyInPandas",
+        "mapInPandas",
+        "pandas_udf",
+        "mapInArrow",
+        "cogroup",
+    )
+    actual = set()
+    for n, q in REGISTRY.items():
+        try:
+            src = inspect.getsource(q.builder)
+        except (OSError, TypeError):
+            continue
+        if any(m in src for m in markers):
+            actual.add(n)
+    actual.discard("udf_python_scalar")  # row-at-a-time by design
+    assert actual == set(ARROW_KEYS), (
+        f"Arrow sweep drift: missing={sorted(actual - set(ARROW_KEYS))} "
+        f"stale={sorted(set(ARROW_KEYS) - actual)}"
+    )
+
+
+@pytest.mark.parametrize("name", JOIN_KEYS)
+def test_join_strategy_invariance_clean(spark, name):
+    results = {
+        mode: _run_with_confs(spark, name, SF_DIR, confs)
+        for mode, confs in _JOIN_MODES.items()
+    }
+    assert results["default"] == results["smj"] == results["shj"], (
+        f"{name}: answer moved with the join strategy "
+        f"(default {len(results['default'])} rows, "
+        f"smj {len(results['smj'])}, shj {len(results['shj'])})"
+    )
+    assert len(results["default"]) > 0
+
+
+@pytest.mark.parametrize("name", JOIN_KEYS_HOSTILE)
+def test_join_strategy_invariance_hostile(spark, hostile_dir, name):
+    results = {
+        mode: _run_with_confs(spark, name, hostile_dir, confs)
+        for mode, confs in _JOIN_MODES.items()
+    }
+    assert results["default"] == results["smj"] == results["shj"], (
+        f"{name}: join strategies disagree on the hostile corpus"
+    )
+
+
+@pytest.mark.parametrize("name", ARROW_KEYS)
+def test_arrow_batch_size_invariance(spark, name):
+    base = _run_with_confs(spark, name, SF_DIR, {})
+    assert len(base) > 0
+    for size in _BATCH_SIZES:
+        got = _run_with_confs(
+            spark,
+            name,
+            SF_DIR,
+            {"spark.sql.execution.arrow.maxRecordsPerBatch": size},
+        )
+        assert got == base, (
+            f"{name}: answer moved with Arrow batch size {size} — "
+            "per-batch logic where per-group/per-partition was meant"
+        )
+
+
+def test_python_udf_arrow_transport_invariance(spark):
+    """udf_python_scalar under pickle vs Arrow row transport."""
+    base = _run_with_confs(spark, "udf_python_scalar", SF_DIR, {})
+    arrow = _run_with_confs(
+        spark,
+        "udf_python_scalar",
+        SF_DIR,
+        {"spark.sql.execution.pythonUDF.arrow.enabled": "true"},
+    )
+    pickle = _run_with_confs(
+        spark,
+        "udf_python_scalar",
+        SF_DIR,
+        {"spark.sql.execution.pythonUDF.arrow.enabled": "false"},
+    )
+    assert base == arrow == pickle
+    assert len(base) > 0
