@@ -190,3 +190,59 @@ def test_streaming_windows_hold_under_non_utc_host(sf_dir):
         f"non-UTC host broke streaming windows:\n{proc.stdout[-2000:]}\n"
         f"{proc.stderr[-2000:]}"
     )
+
+
+_LOCALE_SCRIPT = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.driver.extraJavaOptions",
+            "-Duser.language=tr -Duser.country=TR")
+    .getOrCreate()
+)
+row = spark.sql(
+    "SELECT upper('istanbul i') u, lower('ISTANBUL I') l, "
+    "initcap('istanbul city') ic, format_number(1234567.891, 2) fn, "
+    "date_format(timestamp'2024-03-05 10:00:00', 'MMM EEEE') df, "
+    "format_string('%%,d', 1234567) fs"
+).collect()[0]
+got = tuple(row)
+want = ("ISTANBUL I", "istanbul i", "Istanbul City", "1,234,567.89",
+        "Mar Tuesday", "1,234,567")
+print("got:", got, flush=True)
+spark.stop()
+sys.exit(0 if got == want else 1)
+"""
+
+
+def test_string_and_format_functions_hold_under_turkish_locale():
+    """Host-LOCALE independence, the sibling hazard to host TZ: the
+    Turkish dotted/dotless-I case mapping and ',' vs '.' digit
+    grouping are the classic ways a JVM default locale corrupts
+    results on a heterogeneously-provisioned cluster. Probed live
+    (round 9): Spark 4 pins upper/lower/initcap to the Unicode
+    (UTF8_BINARY) mapping, date_format month/day names and
+    format_number/format_string grouping to a fixed locale — so under
+    -Duser.language=tr + LC_ALL=tr_TR.UTF-8 the six canary
+    expressions must equal their English/Unicode forms exactly. If an
+    engine upgrade ever reintroduces default-locale sensitivity, this
+    fails before any query does."""
+    env = dict(
+        os.environ, LANG="tr_TR.UTF-8", LC_ALL="tr_TR.UTF-8"
+    )
+    script = _LOCALE_SCRIPT % {"repo": REPO}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"Turkish-locale host moved string/format results:\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )

@@ -1,0 +1,82 @@
+"""Registry-wide join-strategy audit: every registered query executed
+under the session default AND under broadcasts-disabled sort-merge
+confs, canonical results compared.
+
+Usage: python tools_strategy_audit.py [key ...]   # default: all keys
+
+The standing per-run sweep (tests/test_physical_strategy_invariance.py)
+covers the 18 join-bearing representatives on every suite run; this
+tool is the full-registry one-off for round audits — same spirit as
+the round-6 hostile differential's first full run. Sketch keys whose
+merge tree is layout-dependent by design (the partition-invariance
+whitelist) are compared by the same named bounds there, so they are
+EXCLUDED here rather than re-whitelisted.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession  # noqa: F401  (session via engine)
+
+sys.path.insert(0, ".")
+
+from noaa_etl_daily_spark.registry import load_all  # noqa: E402
+from noaa_etl_daily_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+#: Layout-dependent-by-design sketches (named bounds asserted in
+#: tests/test_partition_invariance.py instead of bit-equality).
+SKIP = {
+    "agg_kll_quantile_sketch",
+    "agg_approx_quantile",
+    "agg_freq_items",
+}
+
+SMJ = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.join.preferSortMergeJoin": "true",
+}
+
+
+def canon(df):
+    return sorted(repr(tuple(r)) for r in df.collect())
+
+
+def main() -> None:
+    spark = get_spark(app_name="strategy-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    keys = sys.argv[1:] or [k for k in sorted(reg) if k not in SKIP]
+    bad = 0
+    for name in keys:
+        try:
+            base = canon(reg[name].builder(spark, SF))
+            prior = {k: spark.conf.get(k, None) for k in SMJ}
+            try:
+                for k, v in SMJ.items():
+                    spark.conf.set(k, v)
+                smj = canon(reg[name].builder(spark, SF))
+            finally:
+                for k, v in prior.items():
+                    spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        except Exception as ex:
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}", flush=True)
+            bad += 1
+            continue
+        if base != smj:
+            print(
+                f"DIVERGED {name}: default {len(base)} rows vs smj "
+                f"{len(smj)} rows", flush=True,
+            )
+            bad += 1
+        else:
+            print(f"ok {name} ({len(base)} rows)", flush=True)
+    print(f"done: {len(keys) - bad}/{len(keys)} ok")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
