@@ -30,9 +30,10 @@ echo "== seal 2/7: sf0.1 full differential (oracle value-diff at 10x) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
     python -m pytest tests/test_oracle.py -x -q
 
-echo "== seal 3/7: sf0.1 partitioning invariance (10x + adversarial splits) =="
+echo "== seal 3/7: sf0.1 partitioning + physical-strategy invariance (10x) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
-    python -m pytest tests/test_partition_invariance.py -x -q
+    python -m pytest tests/test_partition_invariance.py \
+    tests/test_physical_strategy_invariance.py -x -q
 
 echo "== seal 4/7: hostile value differential =="
 SPARK_GRAFT_HOSTILE_DIFF=1 \

@@ -1,8 +1,9 @@
 """Registry-wide join-strategy audit: every registered query executed
-under the session default AND under broadcasts-disabled sort-merge
-confs, canonical results compared.
+under the session default AND under broadcasts-disabled confs
+(sort-merge preferred by default; SPARK_GRAFT_AUDIT_MODE=shj prefers
+shuffle-hash instead), canonical results compared.
 
-Usage: python tools_strategy_audit.py [key ...]   # default: all keys
+Usage: [SPARK_GRAFT_AUDIT_MODE=smj|shj] python tools_strategy_audit.py [key ...]
 
 The standing per-run sweep (tests/test_physical_strategy_invariance.py)
 covers the 18 join-bearing representatives on every suite run; this
@@ -34,10 +35,15 @@ SKIP = {
     "agg_freq_items",
 }
 
+import os  # noqa: E402
+
 SMJ = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    "spark.sql.join.preferSortMergeJoin": "true",
+    "spark.sql.join.preferSortMergeJoin": (
+        "false" if os.environ.get("SPARK_GRAFT_AUDIT_MODE") == "shj"
+        else "true"
+    ),
 }
 
 
