@@ -91,7 +91,10 @@ KEYS = [
     "llm_sim_pq_adc_topk",      # PQ codebook broadcast + ADC ranks
     "agg_theta_sketch_setops",  # theta: k-min-values is a SET property,
                                 # so unlike KLL it MUST be bit-equal
-    "agg_hll_sketch_merge",     # HLL: register max-merge, order-free
+    "agg_hll_sketch_merge",     # HLL: bit-equal under RETRY (same merge
+                                # tree); NOT under exec-strategy changes
+                                # (r9 finding — named bounds in
+                                # test_physical_strategy_invariance.py)
 ]
 
 SCRIPT = r'''

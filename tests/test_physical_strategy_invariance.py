@@ -29,6 +29,22 @@ with them:
    time UDFs — a type-coercion minefield (dates, decimals, NaN) that
    must be value-invisible.
 
+4. **Parquet/ORC reader path.** The vectorized ColumnarBatch reader
+   and the row-based parquet-mr/ORC fallback are two complete decode
+   implementations (timestamps, nested arrays, NULL bitmaps); Spark
+   silently drops to the row path for schemas the vectorized reader
+   can't handle (and `nanosAsLong` + array<float> embeddings are
+   exactly the exotic corners here). Representative keys per decoded
+   type family must be bit-equal with all vectorized readers off.
+
+5. **Aggregate exec path.** One logical aggregate has three physical
+   executors: HashAggregate, ObjectHashAggregate (collect_/percentile
+   buffers), and SortAggregate — Spark picks by buffer type and can
+   FALL BACK to sort-based mid-job under memory pressure
+   (`useObjectHashAggregateExec=false` and `replaceHashWithSortAgg=
+   true` force the fallback paths deterministically). Aggregation
+   answers must not depend on which executor ran.
+
 All confs are runtime-settable and restored after each run, so the
 shared session is never left dirty.
 """
@@ -208,6 +224,124 @@ def test_arrow_batch_size_invariance(spark, name):
             f"{name}: answer moved with Arrow batch size {size} — "
             "per-batch logic where per-group/per-partition was meant"
         )
+
+
+#: One key per decoded-type family crossing the parquet/ORC readers:
+#: full-width lineitem (doubles/strings/dates), events nanos-as-long
+#: timestamps, documents long strings, embeddings array<float> (the
+#: NESTED vectorized reader), JSON-bearing text, ORC round-trip, and
+#: schema-evolution merged footers.
+READER_KEYS = [
+    "scan_parquet",
+    "evt_tumbling_window",
+    "llm_text_tokenize_counts",
+    "llm_sim_topk_cosine",
+    "fn_variant_json",
+    "scan_orc_roundtrip",
+    "scan_merge_schema_evolution",
+    "agg_stats",
+]
+
+_ROW_READER = {
+    "spark.sql.parquet.enableVectorizedReader": "false",
+    "spark.sql.parquet.enableNestedColumnVectorizedReader": "false",
+    "spark.sql.orc.enableVectorizedReader": "false",
+    "spark.sql.inMemoryColumnarStorage.enableVectorizedReader": "false",
+}
+
+#: Aggregation keys spanning the three exec strategies' buffer types:
+#: primitive hash buffers, object buffers (collect_list / percentile /
+#: mode / weighted-median), and grouping-set expansions.
+AGG_EXEC_KEYS = [
+    "agg_global",
+    "agg_groupby_multi",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_percentile",
+    "agg_collect_sorted",
+    "agg_mode_deterministic",
+    "agg_weighted_median",
+    "agg_skew_kurtosis",
+]
+
+_AGG_MODES = {
+    "no_objecthash": {
+        "spark.sql.execution.useObjectHashAggregateExec": "false",
+    },
+    "sort_agg": {
+        "spark.sql.execution.replaceHashWithSortAgg": "true",
+    },
+}
+
+
+@pytest.mark.parametrize("name", READER_KEYS)
+def test_reader_path_invariance(spark, name):
+    vectorized = _run_with_confs(spark, name, SF_DIR, {})
+    rowbased = _run_with_confs(spark, name, SF_DIR, _ROW_READER)
+    assert vectorized == rowbased, (
+        f"{name}: vectorized and row-based readers decode differently"
+    )
+    assert len(vectorized) > 0
+
+
+@pytest.mark.parametrize("name", AGG_EXEC_KEYS)
+def test_aggregate_exec_path_invariance(spark, name):
+    base = _run_with_confs(spark, name, SF_DIR, {})
+    assert len(base) > 0
+    for mode, confs in _AGG_MODES.items():
+        got = _run_with_confs(spark, name, SF_DIR, confs)
+        assert got == base, (
+            f"{name}: answer moved under {mode} aggregate execution"
+        )
+
+
+def test_hll_named_bounds_hold_under_sort_aggregate(spark):
+    """LIVE FINDING (round 9): DataSketches HLL union estimates are
+    NOT bit-deterministic across aggregate exec strategies — with
+    ObjectHashAggregate disabled, SortAggregate merges the monthly
+    partials in a different order and agg_hll_sketch_merge's 'R'
+    estimate moved 2000 → 1999 (0.05%). Layout and task-retry sweeps
+    never moved this merge topology; the exec-strategy axis does.
+    Same handling as KLL-under-retry: the named BOUND (±5% of the
+    exact distinct count, the contract test_properties.py asserts on
+    the clean path) must hold under BOTH fallback exec modes, and the
+    operational rule stands — pin consumers to the sketch's error
+    contract, never to exact estimate values across physical
+    re-planning."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    exact = {
+        r.l_returnflag: r.exact
+        for r in load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    for mode, confs in _AGG_MODES.items():
+        prior = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            got = {
+                r.l_returnflag: r.approx_parts
+                for r in REGISTRY["agg_hll_sketch_merge"]
+                .builder(spark, SF_DIR)
+                .collect()
+            }
+        finally:
+            for k, v in prior.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        assert set(got) == set(exact)
+        for flag, est in got.items():
+            rel = abs(est - exact[flag]) / exact[flag]
+            assert rel < 0.05, (
+                f"{mode} {flag}: hll={est} exact={exact[flag]} rel={rel:.3f}"
+            )
 
 
 def test_python_udf_arrow_transport_invariance(spark):

@@ -1,9 +1,13 @@
-"""Registry-wide join-strategy audit: every registered query executed
-under the session default AND under broadcasts-disabled confs
-(sort-merge preferred by default; SPARK_GRAFT_AUDIT_MODE=shj prefers
-shuffle-hash instead), canonical results compared.
+"""Registry-wide physical-strategy audit: every registered query
+executed under the session default AND under an adversarial physical
+conf set, canonical results compared.
 
-Usage: [SPARK_GRAFT_AUDIT_MODE=smj|shj] python tools_strategy_audit.py [key ...]
+Usage: [SPARK_GRAFT_AUDIT_MODE=<mode>] python tools_strategy_audit.py [key ...]
+
+Modes: smj (default; broadcasts disabled, sort-merge preferred),
+shj (broadcasts disabled, shuffle-hash preferred), rowreader (all
+vectorized parquet/ORC readers off), sortagg (ObjectHashAggregate off +
+hash-to-sort aggregate replacement on).
 
 The standing per-run sweep (tests/test_physical_strategy_invariance.py)
 covers the 18 join-bearing representatives on every suite run; this
@@ -27,24 +31,46 @@ from noaa_etl_daily_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
-#: Layout-dependent-by-design sketches (named bounds asserted in
-#: tests/test_partition_invariance.py instead of bit-equality).
+#: Merge-tree-dependent-by-design sketches (named bounds asserted in
+#: tests/test_partition_invariance.py and
+#: tests/test_physical_strategy_invariance.py instead of
+#: bit-equality). agg_hll_sketch_merge joined the list as a LIVE
+#: round-9 finding: DataSketches HLL union estimates moved 2000→1999
+#: under forced SortAggregate (merge-order sensitivity the layout and
+#: retry axes never exposed).
 SKIP = {
     "agg_kll_quantile_sketch",
     "agg_approx_quantile",
     "agg_freq_items",
+    "agg_hll_sketch_merge",
 }
 
 import os  # noqa: E402
 
-SMJ = {
-    "spark.sql.autoBroadcastJoinThreshold": "-1",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    "spark.sql.join.preferSortMergeJoin": (
-        "false" if os.environ.get("SPARK_GRAFT_AUDIT_MODE") == "shj"
-        else "true"
-    ),
+_MODES = {
+    "smj": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    },
+    "shj": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    },
+    "rowreader": {
+        "spark.sql.parquet.enableVectorizedReader": "false",
+        "spark.sql.parquet.enableNestedColumnVectorizedReader": "false",
+        "spark.sql.orc.enableVectorizedReader": "false",
+        "spark.sql.inMemoryColumnarStorage.enableVectorizedReader": "false",
+    },
+    "sortagg": {
+        "spark.sql.execution.useObjectHashAggregateExec": "false",
+        "spark.sql.execution.replaceHashWithSortAgg": "true",
+    },
 }
+
+SMJ = _MODES[os.environ.get("SPARK_GRAFT_AUDIT_MODE", "smj")]
 
 
 def canon(df):
