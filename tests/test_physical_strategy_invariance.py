@@ -344,6 +344,85 @@ def test_hll_named_bounds_hold_under_sort_aggregate(spark):
             )
 
 
+@pytest.mark.parametrize("mode", sorted(_AGG_MODES))
+def test_sketch_named_bounds_hold_under_agg_exec_modes(spark, mode):
+    """The other three named-bounds sketches (KLL, GK percentile,
+    Misra-Gries frequent items) under the fallback aggregate exec
+    strategies: like HLL, their merge trees move with the executor, so
+    bit-equality is not the contract — the NAMED BOUNDS are, re-
+    asserted here on the exec-strategy axis exactly as
+    tests/test_partition_invariance.py asserts them on the layout
+    axis."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    confs = _AGG_MODES[mode]
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        # KLL: exact n, each estimated quantile within ±3% true rank
+        row = REGISTRY["agg_kll_quantile_sketch"].builder(
+            spark, SF_DIR
+        ).collect()[0]
+        vals = sorted(
+            r.o_totalprice
+            for r in load(spark, SF_DIR, "orders")
+            .select("o_totalprice")
+            .collect()
+        )
+        assert row.n == len(vals)
+        for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+            rank = bisect.bisect_left(vals, got) / len(vals)
+            assert abs(rank - q) < 0.03, f"{mode} q={q}: rank {rank:.4f}"
+
+        # GK: each row carries its exact twin; 1% relative bound
+        rows = REGISTRY["agg_approx_quantile"].builder(
+            spark, SF_DIR
+        ).collect()
+        assert len(rows) >= 9
+        for r in rows:
+            assert abs(r.approx_val - r.exact_val) / r.exact_val < 0.01, (
+                f"{mode} {r.l_returnflag} p{r.p}: "
+                f"{r.approx_val} vs {r.exact_val}"
+            )
+
+        # Misra-Gries: no-false-negative superset guarantee
+        sketched = {
+            r.frequent_combo
+            for r in REGISTRY["agg_freq_items"].builder(
+                spark, SF_DIR
+            ).collect()
+        }
+        li = load(spark, SF_DIR, "lineitem")
+        total = li.count()
+        truly = {
+            r.combo
+            for r in li.select(
+                F.concat_ws(
+                    "|", "l_returnflag", "l_linestatus"
+                ).alias("combo")
+            )
+            .groupBy("combo")
+            .count()
+            .where(F.col("count") >= 0.1 * total)
+            .collect()
+        }
+        assert truly and truly <= sketched, (
+            f"{mode} missing: {truly - sketched}"
+        )
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_python_udf_arrow_transport_invariance(spark):
     """udf_python_scalar under pickle vs Arrow row transport."""
     base = _run_with_confs(spark, "udf_python_scalar", SF_DIR, {})

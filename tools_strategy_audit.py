@@ -68,6 +68,10 @@ _MODES = {
         "spark.sql.execution.useObjectHashAggregateExec": "false",
         "spark.sql.execution.replaceHashWithSortAgg": "true",
     },
+    "nocodegen": {
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    },
 }
 
 SMJ = _MODES[os.environ.get("SPARK_GRAFT_AUDIT_MODE", "smj")]
