@@ -364,3 +364,43 @@ def test_batchcut_resume_with_changed_cut(spark, ordered_src, tmp_path):
     )
     assert got == ref
     assert len(got) > 0
+
+
+def test_arrow_chunk_size_invariant_stateful_fold(spark, ordered_src):
+    """The Arrow axis of the stateful twin: applyInPandasWithState
+    hands each key's micro-batch rows to the update function as an
+    ITERATOR of pandas chunks whose cut follows
+    arrow.maxRecordsPerBatch — locally one cozy chunk, at scale
+    thousands. A state function that read only the first chunk (or
+    reset per chunk instead of per key) would pass every default-conf
+    test and corrupt only in production. Final per-user state at
+    chunk size 7 must equal the default's."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def final_states(name):
+        df = _drain(
+            spark,
+            st.stream_user_running_stats(
+                st.read_events_stream(spark, ordered_src, 2)
+            ),
+            name,
+            "update",
+        )
+        last = {}
+        for r in df.collect():
+            if r.user_id not in last or r.n_events > last[r.user_id][0]:
+                last[r.user_id] = (r.n_events, r.total_value)
+        return last
+
+    base = final_states("bc_arrow_default")
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = final_states("bc_arrow_tiny")
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    assert base == tiny
+    assert len(base) > 0
