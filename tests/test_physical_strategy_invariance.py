@@ -440,3 +440,103 @@ def test_python_udf_arrow_transport_invariance(spark):
     )
     assert base == arrow == pickle
     assert len(base) > 0
+
+
+OFFHEAP_KEYS = [
+    "agg_groupby_multi",
+    "agg_count_distinct",
+    "agg_percentile",
+    "join_inner_equi",
+    "join_broadcast_chain",
+    "win_topk_per_group",
+    "win_range_frame",
+    "fn_array_higher_order",
+    "fn_hash",
+    "llm_dedup_near_minhash",
+    "udaf_pandas_grouped",
+    "pipeline_regional_volume",
+]
+
+_OFFHEAP_SCRIPT = r"""
+import sys, datetime
+import duckdb
+import numpy as np
+import pandas as pd
+sys.path.insert(0, %(repo)r)
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.memory.offHeap.enabled", "true")
+    .config("spark.memory.offHeap.size", "512m")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+qs, osql = e.queries(), e.oracle_sql()
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('%(sf)s/{t}.parquet')"
+    )
+
+def norm(v):
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return pd.Timestamp(v)
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1).map(norm)
+    key = df.map(repr)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+bad = []
+for name in %(keys)r:
+    sp = canon(qs[name](spark, %(sf)r).toPandas())
+    du = canon(con.execute(osql[name]).df())
+    ok = sp.shape == du.shape and bool(
+        (sp.map(repr).values == du.map(repr).values).all()
+    )
+    print(name, "match:", ok, flush=True)
+    if not ok:
+        bad.append(name)
+spark.stop()
+sys.exit(1 if bad else 0)
+"""
+
+
+def test_queries_hold_under_offheap_memory():
+    """Off-heap Tungsten mode (spark.memory.offHeap.*) swaps the memory
+    backing for unsafe rows, hash maps, and sort buffers — the standard
+    production configuration for large executors (GC pressure), and a
+    STATIC conf, hence a subprocess session. Twelve representatives
+    across agg/join/window/HOF/hash/pandas-UDF/pipeline plans must
+    still hash-match their DuckDB oracles with all operator memory
+    off-heap."""
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = _OFFHEAP_SCRIPT % {
+        "repo": repo,
+        "sf": SF_DIR,
+        "keys": OFFHEAP_KEYS,
+    }
+    proc = _sp.run(
+        [_sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, (
+        f"off-heap memory mode broke queries:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
