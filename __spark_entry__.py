@@ -356,11 +356,18 @@ def _cert_rounds() -> dict[str, int]:
     earliest: dict[str, int] = {}
 
     def _round_of(path: str) -> int:
-        base = os.path.basename(path)  # CORRECTNESS_r08.json
+        """Round number from CORRECTNESS_r08.json-style names; an
+        unparseable name counts as round 0 ("oldest") rather than a
+        large sentinel — a green row from a readable-but-oddly-named
+        file must still certify its key (the old 999 fallback collided
+        with the not-yet-seen dict default and silently dropped such
+        rows), and 0 puts the key at the front of the re-certification
+        rotation, the conservative direction."""
+        base = os.path.basename(path)
         try:
             return int(base.split("_r")[1].split(".")[0])
         except (IndexError, ValueError):
-            return 999
+            return 0
 
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         try:
@@ -387,7 +394,7 @@ def _cert_rounds() -> dict[str, int]:
                     )
                 ):
                     green = True
-            if green and rnd < earliest.get(key, 999):
+            if green and rnd < earliest.get(key, float("inf")):
                 earliest[key] = rnd
     return earliest
 

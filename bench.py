@@ -114,23 +114,48 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Timed pass: min of 5 reps per query. local[32] on a shared box has
-    # multi-second GC/scheduler outliers (observed 0.75s..5.4s for one
-    # unchanged plan; round-5/6 A/Bs showed byte-identical plans moving
-    # ±20% run-to-run on box load); the minimum is the steady-state cost
-    # of the plan, which is what this benchmark is defined to measure —
-    # the comparand (BASELINE.md's DuckDB figure) is likewise a warm
-    # minimum. 5 reps instead of 3 tightens the minimum's variance to a
-    # few ms at ~7s extra bench wall time.
+    # Same-day DuckDB proxy (VERDICT r8 task 3, INTERLEAVED per r9 task
+    # 2): the box drifts minute to minute, and running the whole Spark
+    # pass before the whole proxy pass put that drift entirely into the
+    # ratio (BENCH_r09 read 2.12x while three same-day quiet-box runs
+    # read 1.75-1.93x). The timed phase below therefore ALTERNATES full
+    # rounds — Spark pass, proxy pass, x5 — so load hits both engines
+    # equally. Optional (SPARK_GRAFT_PROXY=0 skips) and failure-
+    # isolated: a proxy problem must never cost the official Spark
+    # record, so proxy setup/reps are try-wrapped independently.
+    proxy = None
+    proxy_error = None
+    if os.environ.get("SPARK_GRAFT_PROXY", "1") != "0":
+        try:
+            proxy = _ProxyRunner(registry, names, sf_dir)
+            proxy.run_round()  # warm pass (untimed min — discarded)
+            proxy.best = {}
+        except Exception as ex:  # noqa: BLE001 — proxy is best-effort
+            proxy = None
+            proxy_error = f"{type(ex).__name__}: {ex}"
+
+    # Timed phase: 5 alternating full rounds, min per query per engine.
+    # local[32] on a shared box has multi-second GC/scheduler outliers
+    # (observed 0.75s..5.4s for one unchanged plan; round-5/6 A/Bs
+    # showed byte-identical plans moving ±20% run-to-run on box load);
+    # the minimum is the steady-state cost of the plan, which is what
+    # this benchmark is defined to measure. 5 rounds instead of 3
+    # tightens the minimum's variance to a few ms.
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(5):
+    for _ in range(5):
+        for name in names:
             df = registry[name].builder(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            dt = time.perf_counter() - t0
+            timings[name] = min(timings.get(name, float("inf")), dt)
+        if proxy is not None:
+            try:
+                proxy.run_round()
+            except Exception as ex:  # noqa: BLE001
+                proxy_error = f"{type(ex).__name__}: {ex}"
+                proxy = None
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     record = {
@@ -140,65 +165,72 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
     }
-
-    # Same-day DuckDB proxy (VERDICT r8 task 3): the box drifts round to
-    # round (r8's official number was recorded on a measurably slower
-    # host), so every BENCH_rN carries its own same-day denominator —
-    # the SAME 15 oracle SQLs, warm, min-of-5 — instead of being
-    # compared against a proxy measured under different host load.
-    # Optional (SPARK_GRAFT_PROXY=0 skips) and failure-isolated: a proxy
-    # problem must never cost the official Spark record.
-    if os.environ.get("SPARK_GRAFT_PROXY", "1") != "0":
-        try:
-            record.update(_duckdb_proxy(registry, names, sf_dir))
-        except Exception as ex:  # noqa: BLE001 — proxy is best-effort
-            record["proxy_error"] = f"{type(ex).__name__}: {ex}"
+    if proxy is not None:
+        record.update(proxy.summary())
+        record["proxy_interleaved"] = True
+    elif proxy_error is not None:
+        record["proxy_error"] = proxy_error
 
     print(json.dumps(record))
     spark.stop()
 
 
-def _duckdb_proxy(registry, names: list[str], sf_dir: str) -> dict:
-    """Run each headline query's own DuckDB oracle SQL on the same
-    parquet, warm (one untimed pass) then min-of-5 — mirroring the
-    Spark methodology so the ratio is apples-to-apples on THIS host,
-    TODAY. Queries without an oracle (rows-only ops) are skipped and
-    named, so the proxy total is comparable only over the oracled
-    subset."""
-    import duckdb
+class _ProxyRunner:
+    """Same-day DuckDB comparand: each headline query's own oracle SQL
+    on the same parquet, one rep per query per ``run_round()`` call,
+    min across rounds — interleaved with the Spark rounds by the
+    caller so host-load drift lands on both engines. Queries without
+    an oracle (rows-only ops) are skipped and named, so the proxy
+    total is comparable only over the oracled subset.
 
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {default_parallelism()}")
-    for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
-        )
-    proxied: dict[str, float] = {}
-    skipped: list[str] = []
-    for name in names:
-        sql = registry[name].oracle
-        if sql is None:
-            skipped.append(name)
-            continue
-        con.execute(sql).fetchall()  # warm
-        best = float("inf")
-        for _ in range(5):
+    Timing note (ADVICE r9): each rep times execute()+fetchall(), which
+    includes materializing the result into Python, while the Spark side
+    times a noop sink (no driver transfer). The asymmetry favours
+    Spark by the fetch cost of the result sets — all small aggregates
+    here (≤ a few hundred rows), so the bias is sub-ms per query; it is
+    recorded in the summary as ``proxy_times_fetch`` rather than
+    corrected, since DuckDB offers no noop sink with identical
+    semantics."""
+
+    def __init__(self, registry, names: list[str], sf_dir: str):
+        import duckdb
+
+        self.con = duckdb.connect()
+        self.engine = f"duckdb {duckdb.__version__}"
+        self.con.execute(f"SET threads TO {default_parallelism()}")
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            self.con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+            )
+        self.oracles = {
+            n: registry[n].oracle for n in names
+            if registry[n].oracle is not None
+        }
+        self.skipped = [n for n in names if n not in self.oracles]
+        self.best: dict[str, float] = {}
+
+    def run_round(self) -> None:
+        for name, sql in self.oracles.items():
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        proxied[name] = round(best, 4)
-    out: dict = {
-        "proxy_engine": f"duckdb {duckdb.__version__}",
-        "proxy_total_sec": round(sum(proxied.values()), 4),
-        "proxy_queries": proxied,
-    }
-    if skipped:
-        out["proxy_skipped"] = skipped
-    return out
+            self.con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            self.best[name] = min(self.best.get(name, float("inf")), dt)
+
+    def summary(self) -> dict:
+        proxied = {n: round(v, 4) for n, v in self.best.items()}
+        out: dict = {
+            "proxy_engine": self.engine,
+            "proxy_total_sec": round(sum(proxied.values()), 4),
+            "proxy_queries": proxied,
+            "proxy_times_fetch": True,
+        }
+        if self.skipped:
+            out["proxy_skipped"] = self.skipped
+        return out
 
 
 if __name__ == "__main__":

@@ -53,12 +53,15 @@ def _src_fp(sf_dir: str, table: str, params: str = "") -> str:
     non-regular path is an error here rather than a silent stale-cache
     hole."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(path)
+    # isfile BEFORE stat: isfile is False for a missing path, so the
+    # diagnostic ValueError fires for both missing and non-regular
+    # fixtures instead of a bare FileNotFoundError pre-empting it
     if not os.path.isfile(path):
         raise ValueError(
-            f"fixture {path} is not a regular file; directory fixtures "
-            "need a per-data-file fingerprint, not a dir stat"
+            f"fixture {path} is missing or not a regular file; directory "
+            "fixtures need a per-data-file fingerprint, not a dir stat"
         )
+    st = os.stat(path)
     return f"{st.st_size}:{st.st_mtime_ns}:{params}"
 
 
@@ -82,7 +85,9 @@ def _cached(out: str, sf_dir: str, table: str, params: str = "") -> bool:
     try:
         with open(os.path.join(out, "_SRC_FP")) as fh:
             return fh.read().strip() == _src_fp(sf_dir, table, params)
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError: _src_fp's missing/non-regular-fixture diagnostic —
+        # a vanished source reads as stale here and fails loudly at load()
         return False
 
 

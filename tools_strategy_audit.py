@@ -7,7 +7,8 @@ Usage: [SPARK_GRAFT_AUDIT_MODE=<mode>] python tools_strategy_audit.py [key ...]
 Modes: smj (default; broadcasts disabled, sort-merge preferred),
 shj (broadcasts disabled, shuffle-hash preferred), rowreader (all
 vectorized parquet/ORC readers off), sortagg (ObjectHashAggregate off +
-hash-to-sort aggregate replacement on).
+hash-to-sort aggregate replacement on), nocodegen (whole-stage codegen
+off, interpreted expression evaluation).
 
 The standing per-run sweep (tests/test_physical_strategy_invariance.py)
 covers the 18 join-bearing representatives on every suite run; this
@@ -74,7 +75,13 @@ _MODES = {
     },
 }
 
-SMJ = _MODES[os.environ.get("SPARK_GRAFT_AUDIT_MODE", "smj")]
+MODE = os.environ.get("SPARK_GRAFT_AUDIT_MODE", "smj")
+if MODE not in _MODES:
+    sys.exit(
+        f"unknown SPARK_GRAFT_AUDIT_MODE={MODE!r}; "
+        f"valid modes: {', '.join(sorted(_MODES))}"
+    )
+SMJ = _MODES[MODE]
 
 
 def canon(df):
@@ -104,12 +111,12 @@ def main() -> None:
             continue
         if base != smj:
             print(
-                f"DIVERGED {name}: default {len(base)} rows vs smj "
+                f"DIVERGED {name}: default {len(base)} rows vs {MODE} "
                 f"{len(smj)} rows", flush=True,
             )
             bad += 1
         else:
-            print(f"ok {name} ({len(base)} rows)", flush=True)
+            print(f"ok [{MODE}] {name} ({len(base)} rows)", flush=True)
     print(f"done: {len(keys) - bad}/{len(keys)} ok")
     sys.exit(1 if bad else 0)
 
