@@ -847,3 +847,121 @@ def scan_parquet_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+def _manifest_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Prepare the simulated Iceberg table: orders range-split into 8
+    parquet files by o_orderkey plus a ``manifest.json`` recording each
+    data file's (path, min, max) for the sort column — the per-file
+    stats an Iceberg/Delta manifest carries. Stats are harvested from
+    the written parquet FOOTERS (pyarrow), exactly where a table format
+    gets them, so the manifest can never disagree with the data."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    out = _scratch("iceberg_sim", _sf_tag(sf_dir), "orders")
+    params = "manifest_layout:n_files=8"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    entries = []
+    for fname in sorted(os.listdir(out)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = _pq.ParquetFile(os.path.join(out, fname)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderkey"
+            )
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None  # stats-less file: never prunable
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        entries.append({"path": fname, "min": lo, "max": hi})
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump({"column": "o_orderkey", "files": entries}, fh)
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+def _manifest_prune(out: str, lo: int, hi: int) -> tuple[list, list]:
+    """Driver-side manifest pruning: (kept, pruned) absolute data-file
+    paths for predicate ``column BETWEEN lo AND hi``. A file with no
+    stats (min/max None) is conservatively KEPT — pruning must only
+    ever drop files proven disjoint from the predicate."""
+    import json as _json
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    kept, pruned = [], []
+    for entry in manifest["files"]:
+        disjoint = (
+            entry["min"] is not None
+            and entry["max"] is not None
+            and (entry["max"] < lo or entry["min"] > hi)
+        )
+        (pruned if disjoint else kept).append(os.path.join(out, entry["path"]))
+    return kept, pruned
+
+
+@register(
+    "scan_iceberg_manifest_sim",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_iceberg_manifest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format metadata pruning, simulated end-to-end (WAVE9
+    candidate 4): the table is a directory of range-split parquet files
+    plus a JSON manifest of per-file min/max stats (harvested from the
+    parquet footers); the scan prunes files against the predicate ON
+    THE DRIVER, before any file is listed or opened, then reads only
+    the surviving files and applies the full predicate as the residual
+    — Iceberg's planning model without the vendor runtime (Delta/
+    Iceberg jars are uninstallable in this sandbox, verified r3–r8).
+
+    Correctness contract: pruning must be ANSWER-INVARIANT — the oracle
+    runs the same predicate over the UNPRUNED table, and files without
+    stats are conservatively kept. tests/test_layout.py additionally
+    asserts the pruned files never appear in df.inputFiles().
+
+    At 100 TB: the manifest is O(files), not O(rows) — with ~100k data
+    files it is a bounded driver-side table (Iceberg splits it into a
+    manifest LIST + per-partition manifests so planning stays O(touched
+    partitions); one JSON file stands in for that hierarchy here). The
+    residual predicate still reaches the parquet scan as a pushed
+    filter, so row-group pruning inside kept files stacks on top of the
+    file-level prune — the two-tier skip every lakehouse read plans."""
+    out = _manifest_layout(spark, sf_dir)
+    kept, _pruned = _manifest_prune(out, 1000, 5000)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    back = spark.read.schema(schema).parquet(*kept)
+    return (
+        back.where(F.col("o_orderkey").between(1000, 5000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

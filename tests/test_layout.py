@@ -3,6 +3,8 @@ shuffle-free, approx quantiles must be within tolerance."""
 
 from __future__ import annotations
 
+import os
+
 from noaa_etl_daily_spark.registry import load_all
 
 REGISTRY = load_all()
@@ -843,3 +845,23 @@ def test_bloom_filter_layout_carries_filter_bytes(spark, sf_dir):
         f"bloom copy {total(bloom_dir)} B not larger than plain "
         f"{total(plain_dir)} B — filters not written?"
     )
+
+
+def test_manifest_pruned_scan_never_reads_pruned_files(spark, sf_dir):
+    """scan_iceberg_manifest_sim's contract: file-level pruning really
+    happens (the predicate's orderkey range must not keep all 8 files)
+    AND the executed scan's input files are exactly the manifest-kept
+    set — a pruned file appearing in df.inputFiles() would mean the
+    manifest prune silently degraded to a full scan."""
+    from noaa_etl_daily_spark.operators.scans import (
+        _manifest_layout,
+        _manifest_prune,
+    )
+
+    df = REGISTRY["scan_iceberg_manifest_sim"].builder(spark, sf_dir)
+    out = _manifest_layout(spark, sf_dir)
+    kept, pruned = _manifest_prune(out, 1000, 5000)
+    assert pruned, "predicate kept every file: pruning not exercised"
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    assert read == {os.path.basename(p) for p in kept}
+    assert not read & {os.path.basename(p) for p in pruned}
