@@ -1016,6 +1016,73 @@ def evt_rate_limit_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memory-sink query names must be process-unique; a deterministic
+#: counter (not a timestamp/uuid — builders must stay replay-safe)
+_RLB_SEQ = [0]
+
+
+@register(
+    "evt_rate_limit_burst_stream",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(count(*) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS burst
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(burst) AS max_burst_60s,
+           max(burst) >= 3 AS over_limit
+    FROM seq
+    GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def evt_rate_limit_burst_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of evt_rate_limit_burst, registered as its own
+    driver-oracled key (WAVE9 candidate 1): the events fixture is
+    fanned into a time-ordered 3-file stream source, replayed with
+    maxFilesPerTrigger=1 under Trigger.AvailableNow through the
+    applyInPandasWithState token-bucket accounting in
+    streaming.stream_rate_limit_stats, and the LAST emission per user
+    (update mode emits a running answer per touched batch; n_events is
+    strictly increasing, so max_by(n_events) is the final state) must
+    BIT-EQUAL the batch window form — which is exactly what the shared
+    DuckDB oracle asserts. This is the first registered key whose
+    builder runs an actual streaming query, so the driver's hash gate
+    certifies the stream path end-to-end, not just a local test.
+
+    Scale shape: state is per-user and 60s-bounded (see the processor's
+    docstring); the one shuffle is the same user_id layout as the batch
+    window partition. Batch-cut independence (1 vs 3 vs all files per
+    trigger) is asserted in tests/test_streaming_batchcut_invariance.py,
+    retry-safety by the fault-injection suite."""
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_rlb", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=3)
+    _RLB_SEQ[0] += 1
+    name = f"rlb_stream_{_RLB_SEQ[0]}"
+    st.run_to_memory(
+        st.stream_rate_limit_stats(
+            st.read_events_stream(spark, src, max_files_per_trigger=1)
+        ),
+        name,
+        "update",
+    )
+    emitted = spark.table(name)
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("max_burst_60s", "n_events").alias("max_burst_60s"),
+        F.max_by("over_limit", "n_events").alias("over_limit"),
+    )
+
+
 @register(
     "evt_session_attribution",
     oracle="""

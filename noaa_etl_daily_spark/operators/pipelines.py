@@ -1169,3 +1169,339 @@ def pipeline_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "pipeline_multimodal_curation",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, toks,
+             CASE WHEN len(toks) = 0 THEN NULL ELSE
+               round(0.4 * least(len(toks) / 400.0, 1.0)
+                     + 0.4 * round(len(list_distinct(toks)) * 1.0
+                                   / len(toks), 4)
+                     + 0.2 * (1.0 - round(len(list_filter(toks,
+                           t -> list_contains(['the','a','of','and','to'], t)))
+                           * 1.0 / len(toks), 4)), 4)
+             END AS quality
+      FROM toks
+    ), surv1 AS (
+      SELECT doc_id, toks FROM q WHERE quality >= 0.42
+    ), shingles AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM surv1
+    ), per_doc AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7,
+             list(DISTINCT sh) AS hs, count(DISTINCT sh) AS n_sh
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, sig FROM per_doc, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id
+    ), neardup AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM cand c
+      JOIN per_doc pa ON pa.doc_id = c.doc_a
+      JOIN per_doc pb ON pb.doc_id = c.doc_b
+      WHERE round(len(list_intersect(pa.hs, pb.hs)) * 1.0
+                  / (pa.n_sh + pb.n_sh
+                     - len(list_intersect(pa.hs, pb.hs))), 4) >= 0.8
+    ), emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x)) AS nrm
+      FROM embeddings
+    ), rem AS (
+      SELECT s.doc_id, e.label,
+             list_transform(e.e, x -> CAST(round(x * 1000000) AS BIGINT)) AS m
+      FROM surv1 s
+      JOIN emb e ON s.doc_id = e.vec_id AND e.nrm > 0
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM neardup)
+    ), sums AS (
+      SELECT label AS cell, CAST(i AS INT) AS i,
+             CAST(sum(m[CAST(i AS INT)]) AS BIGINT) AS s
+      FROM rem, unnest(generate_series(1, 64)) u(i)
+      GROUP BY label, i
+    ), cb AS (SELECT cell, list(s ORDER BY i) AS c FROM sums GROUP BY cell),
+    scored AS (
+      SELECT r.doc_id, r.m, cb.cell,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(r.m[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cb.c[CAST(i AS INT)] AS DOUBLE)))
+                   / sqrt(list_sum(list_transform(r.m,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                          * list_sum(list_transform(cb.c,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                   9) AS sim
+      FROM rem r CROSS JOIN cb
+    ), assign AS (
+      SELECT doc_id, m, cell,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sim DESC, cell) AS rn
+      FROM scored
+    ), mine AS (SELECT doc_id, m, cell FROM assign WHERE rn = 1),
+    semdup AS (
+      SELECT DISTINCT b.doc_id
+      FROM mine a JOIN mine b
+        ON a.cell = b.cell AND a.doc_id < b.doc_id
+      WHERE round(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(a.m[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(b.m[CAST(i AS INT)] AS DOUBLE)))
+                  / sqrt(list_sum(list_transform(a.m,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                         * list_sum(list_transform(b.m,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                  4) >= 0.25
+    ), manifest AS (
+      SELECT q.doc_id, q.lang, q.quality,
+             CASE WHEN q.quality IS NULL OR q.quality < 0.42
+                    THEN 'low_quality'
+                  WHEN q.doc_id IN (SELECT doc_id FROM neardup)
+                    THEN 'near_dup'
+                  WHEN e.vec_id IS NULL OR e.nrm IS NULL OR e.nrm <= 0
+                    THEN 'no_embedding'
+                  WHEN q.doc_id IN (SELECT doc_id FROM semdup)
+                    THEN 'semantic_dup'
+                  ELSE 'kept' END AS disposition
+      FROM q LEFT JOIN emb e ON q.doc_id = e.vec_id
+    )
+    SELECT doc_id, lang, quality, disposition,
+           CAST(count(*) OVER (PARTITION BY disposition) AS BIGINT)
+               AS n_in_disposition
+    FROM manifest
+    ORDER BY doc_id
+    """,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over documents ⋈ embeddings
+    (WAVE9 candidate 3) — the full "what actually runs before training"
+    pipeline in ONE plan, each stage reusing a certified operator's
+    construction: (1) heuristic quality gate (llm_text_quality_score's
+    formula, keep quality ≥ 0.42), (2) near-dup removal among survivors
+    via banded MinHash candidates + exact candidate-only Jaccard ≥ 0.8
+    keep-first (llm_dedup_near_minhash's construction), (3) join
+    survivors to their embedding on doc_id = vec_id (docs with a
+    missing or zero-norm embedding are quarantined 'no_embedding'),
+    (4) SemDeDup within nearest-centroid cells at cosine ≥ 0.25
+    keep-first (llm_semdedup_cells' construction, codebook computed
+    over the SURVIVING population). Output: the doc-grain audit
+    manifest — disposition ∈ {low_quality, near_dup, no_embedding,
+    semantic_dup, kept} with the first failing stage winning — plus the
+    per-stage attrition count as a window over disposition (the
+    bounded, post-reduction grain).
+
+    Scale shape, stage by stage: the quality gate and the MinHash
+    signatures are scan-stage higher-order functions (zero shuffles —
+    the exploded shingle stream never crosses an exchange); near-dup
+    candidates come from the slim band self-join (ReuseExchange shares
+    the one hashpartitioning, shuffle_hash hint as in
+    llm_dedup_near_minhash); the drop lists (near-dup, semantic-dup)
+    are CANDIDATE-grain — tiny by construction — so their application
+    back onto the doc table is a broadcast join; documents ⋈ embeddings
+    is the only corpus-grain equi-join (doc_id = vec_id, shuffle on the
+    id); the SemDeDup codebook is K×64 integers broadcast back, and the
+    within-cell pair space is bounded by cell population. Every stage's
+    100 TB argument is inherited from its certified standalone twin;
+    the composition adds exactly one new exchange (the doc⋈emb id
+    shuffle). The disposition window partitions on a 5-value key at
+    doc grain — bounded like agg_rfm_segmentation's post-reduction
+    windows at any corpus size."""
+    from pyspark.sql import Window
+
+    from .llm import (
+        _dot,
+        _explode_bands,
+        _minhash_sig_cols,
+        _shingle_arrays,
+        _tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    toks = _tokens()
+    n = F.size(toks)
+    uniq = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n, 4
+    )
+    quality = F.when(
+        n > 0,
+        F.round(
+            0.4 * F.least(n / 400.0, F.lit(1.0))
+            + 0.4 * uniq
+            + 0.2 * (1.0 - stop_ratio),
+            4,
+        ),
+    )
+    q = docs.select("doc_id", "lang", "text", quality.alias("quality"))
+
+    # stage 2: banded MinHash candidates among quality survivors, exact
+    # Jaccard on candidates only — llm_dedup_near_minhash's shape with
+    # the survivor filter pushed below the shingle HOFs
+    surv1 = q.where(F.col("quality") >= 0.42).select("doc_id", "text")
+    sh_tbl = _shingle_arrays(surv1)
+    sigs = sh_tbl.select("doc_id", *_minhash_sig_cols())
+    bands = _explode_bands(sigs)
+    cand = (
+        bands.alias("a")
+        .hint("shuffle_hash")
+        .join(bands.alias("b"), ["band_id", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    hs_tbl = sh_tbl.select("doc_id", F.array_distinct("sh").alias("hs"))
+    melted = cand.select(
+        "doc_a", "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    pair = (
+        melted.join(hs_tbl, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("hs"))
+            ).alias("hs_a"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("hs"))
+            ).alias("hs_b"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    n_a, n_b = F.size(F.col("hs_a")), F.size(F.col("hs_b"))
+    neardup = (
+        pair.where(
+            F.round(inter / (n_a + n_b - inter), 4) >= 0.8
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    # stage 3: survivors ⋈ embeddings — the one corpus-grain id shuffle
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1000000).cast("bigint")
+    )
+    rem = (
+        surv1.select("doc_id")
+        .join(F.broadcast(neardup), "doc_id", "left_anti")
+        .join(emb.where(F.col("nrm") > 0), F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "label", micro.alias("m"))
+    )
+
+    # stage 4: SemDeDup within nearest-centroid cells over the survivors
+    # (llm_semdedup_cells' integer-sum codebook + try_divide NULL-sim
+    # discipline; K×64 broadcast, within-cell equi-join pair space)
+    cb = rem.groupBy(F.col("label").alias("cell")).agg(
+        F.array(
+            *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(64)]
+        ).alias("c")
+    )
+    sim9 = F.round(
+        F.try_divide(
+            _dot(F.col("m"), F.col("c")),
+            F.sqrt(
+                _dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))
+            ),
+        ),
+        9,
+    )
+    scored = rem.crossJoin(F.broadcast(cb)).select(
+        "doc_id", "m", "cell", sim9.alias("sim")
+    )
+    w_assign = Window.partitionBy("doc_id").orderBy(
+        F.col("sim").desc(), "cell"
+    )
+    mine = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "m", "cell")
+    )
+    a = mine.select(
+        "cell", F.col("doc_id").alias("keep_id"), F.col("m").alias("ma")
+    )
+    b = mine.select(
+        "cell", F.col("doc_id").alias("drop_id"), F.col("m").alias("mb")
+    )
+    pair_sim = F.round(
+        F.try_divide(
+            _dot(F.col("ma"), F.col("mb")),
+            F.sqrt(
+                _dot(F.col("ma"), F.col("ma")) * _dot(F.col("mb"), F.col("mb"))
+            ),
+        ),
+        4,
+    )
+    semdup = (
+        a.join(b, "cell")
+        .where(F.col("keep_id") < F.col("drop_id"))
+        .where(pair_sim >= 0.25)
+        .select(F.col("drop_id").alias("doc_id"))
+        .distinct()
+    )
+
+    # manifest: first failing stage wins; drop lists broadcast back
+    manifest = (
+        q.join(emb, q.doc_id == emb.vec_id, "left")
+        .join(
+            F.broadcast(neardup.withColumn("is_neardup", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(semdup.withColumn("is_semdup", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.when(
+                F.col("quality").isNull() | (F.col("quality") < 0.42),
+                "low_quality",
+            )
+            .when(F.col("is_neardup"), "near_dup")
+            .when(
+                F.col("vec_id").isNull()
+                | F.col("nrm").isNull()
+                | (F.col("nrm") <= 0),
+                "no_embedding",
+            )
+            .when(F.col("is_semdup"), "semantic_dup")
+            .otherwise("kept")
+            .alias("disposition"),
+        )
+    )
+    return manifest.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "disposition",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("disposition"))
+        .alias("n_in_disposition"),
+    ).orderBy("doc_id")

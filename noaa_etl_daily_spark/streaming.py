@@ -890,3 +890,98 @@ def stream_neardup_band_flags(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_rate_limit_stats(events: DataFrame) -> DataFrame:
+    """Streaming face of ``evt_rate_limit_burst`` (WAVE9 candidate 1):
+    per-user trailing-60s burst accounting over the live event stream —
+    the quota metric an API gateway keys admission on — via
+    ``applyInPandasWithState`` keyed on user_id.
+
+    State per user is O(60s of events), not O(history): a sorted buffer
+    of event-time µs within 60s of the max seen, plus three counters
+    (n_events, max_burst, n_nulls). Each batch merges its (sorted)
+    arrivals into the buffer, recomputes trailing-window counts with a
+    vectorized two-pointer pass, folds them into max_burst, and prunes
+    the buffer to the last 60s. Pruning is exact when ingest is
+    time-ordered ACROSS batches (the prepare_stream_source_timeordered
+    contract, and the rough reality of a live feed): a future event's
+    window can never reach behind max_ts − 60s. Recomputing a buffered
+    event's window after pruning can only under-count (its lookback may
+    be gone), and max() with the stored max_burst keeps the earlier
+    exact value — so the fold is monotone-safe under any batch cut.
+
+    NULL event times mirror the batch form's RANGE-frame semantics
+    exactly: rows with a NULL order key form ONE peer group whose frame
+    is all NULL rows, so their burst equals the user's NULL count —
+    tracked as n_nulls and folded into max_burst at emission.
+
+    At 100 TB: state is per-key and time-bounded (60s × per-user rate);
+    the shuffle is the same user_id layout as the batch window's
+    partition — no new shuffle class."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, max_burst_60s bigint, "
+        "over_limit boolean"
+    )
+    state_schema = (
+        "buf array<bigint>, n_events bigint, max_burst bigint, "
+        "n_nulls bigint"
+    )
+    window_us = 60_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        buf, n_events, max_burst, n_nulls = (
+            state.get if state.exists else ([], 0, 0, 0)
+        )
+        buf = np.asarray(buf, dtype=np.int64)
+        # Accumulate the key's WHOLE micro-batch before merging: the
+        # iterator's pandas chunks follow arrow.maxRecordsPerBatch cuts
+        # and are NOT time-ordered among themselves, so a per-chunk
+        # merge-and-prune could discard lookback context a later chunk's
+        # earlier events still need (only the cross-BATCH frontier is
+        # ordered, per the timeordered-source contract).
+        chunks = []
+        for pdf in pdf_iter:
+            ts = pd.to_datetime(pdf["ts"])
+            null_mask = ts.isna()
+            n_events += len(pdf)
+            n_nulls += int(null_mask.sum())
+            # explicit µs unit: pandas may hand datetime64[ns] or [us]
+            # depending on the Arrow path, so convert via numpy's unit
+            # cast instead of assuming the epoch integer's resolution
+            chunks.append(
+                ts[~null_mask]
+                .to_numpy(dtype="datetime64[us]")
+                .astype(np.int64)
+            )
+        new = (
+            np.concatenate(chunks) if chunks else np.array([], np.int64)
+        )
+        if len(new):
+            merged = np.sort(np.concatenate([buf, new]))
+            hi = np.searchsorted(merged, merged, side="right")
+            lo = np.searchsorted(merged, merged - window_us, side="left")
+            max_burst = max(max_burst, int((hi - lo).max()))
+            buf = merged[merged >= merged[-1] - window_us]
+        state.update((buf.tolist(), n_events, max_burst, n_nulls))
+        burst_out = max(max_burst, n_nulls)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "max_burst_60s": [burst_out],
+                "over_limit": [burst_out >= 3],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

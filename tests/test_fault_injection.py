@@ -237,6 +237,33 @@ if want != got:
 else:
     print(f"ok stream_tumbling_counts rows={len(want)}", flush=True)
 
+# stateful streaming fold: retry inside the micro-batch must not change
+# the applyInPandasWithState rate-limit accounting (single-batch drain,
+# so the 60s-buffer prune never depends on arrival order here)
+def _rlb_final(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    last = {}
+    for r in spark.sql(f"select * from {name}").collect():
+        if r.user_id not in last or r.n_events > last[r.user_id][0]:
+            last[r.user_id] = (r.n_events, r.max_burst_60s, r.over_limit)
+    return last
+
+want_rlb = _rlb_final(
+    st.stream_rate_limit_stats(st.read_events_stream(spark, src)),
+    "fi_rlb_clean")
+got_rlb = _rlb_final(
+    st.stream_rate_limit_stats(
+        _fail_first_attempt(st.read_events_stream(spark, src))),
+    "fi_rlb_inj")
+if want_rlb != got_rlb:
+    failures.append("stream_rate_limit_stats")
+    print(f"DIVERGED stream_rate_limit_stats: {len(want_rlb)} vs "
+          f"{len(got_rlb)} users", flush=True)
+else:
+    print(f"ok stream_rate_limit_stats users={len(want_rlb)}", flush=True)
+
 n_injected = len(glob.glob(os.path.join(marker_dir, "*")))
 print(f"INJECTED_FAILURES={n_injected}", flush=True)
 print("RESULT=" + ("FAIL:" + ",".join(failures) if failures else "PASS"),

@@ -301,6 +301,12 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_important_stock",   # 1-row Q11 supply-total scalar
         "llm_semdedup_cells",         # K-row centroid codebook broadcast
                                       # (same bound as llm_sim_ivf_topk)
+        "llm_sim_ivfpq_topk",         # K-row cell codebook broadcast
+                                      # (the composed IVF half; the PQ
+                                      # scoring joins are equi-keyed)
+        "pipeline_multimodal_curation",  # K-row centroid codebook
+                                      # broadcast (the SemDeDup stage;
+                                      # same bound as llm_semdedup_cells)
         "agg_neyman_allocation",      # 1-row weight-total scalar over
                                       # |strata| rows
         "agg_beta_binomial_smoothing",  # 1-row global-prior scalar

@@ -82,6 +82,7 @@ JOIN_KEYS = [
     "pipeline_regional_volume",
     "pipeline_market_share",
     "llm_dedup_near_minhash",
+    "pipeline_multimodal_curation",
 ]
 
 #: NULL-key / dangling-FK semantics differ most across join strategy

@@ -1558,3 +1558,49 @@ def test_pca_collinear_corpus_rank_one(spark, tmp_path):
     for i in got:
         assert abs(got[i][1]) < 1e-3, (i, got[i])
         assert not math.isnan(got[i][1])
+
+
+def test_ivfpq_topk_recall_and_refine_semantics(spark, sf_dir):
+    """The composed IVF-PQ cascade must (a) report sims that ARE the
+    exact cosines (the re-rank stage computes them on raw vectors),
+    (b) clear the same recall floor as the IVF tier test, (c) cap at
+    k per query, and (d) degrade to EXACTLY the IVF tier when the ADC
+    cut is uncapped — same candidate pool, same exact metric, same
+    (sim desc, cand_id) tie-break — proving the PQ stage only thins
+    candidates and never changes semantics."""
+    import noaa_etl_daily_spark.operators.llm as llm
+
+    exact = {
+        (r.query_id, r.cand_id): r.sim
+        for r in REGISTRY["llm_sim_topk_cosine"].builder(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["llm_sim_ivfpq_topk"].builder(spark, sf_dir).collect()
+    assert rows, "IVF-PQ returned nothing"
+    for r in rows:
+        if (r.query_id, r.cand_id) in exact:
+            assert abs(exact[(r.query_id, r.cand_id)] - r.sim) < 1e-9
+    hits = sum(
+        1 for k in exact if k in {(r.query_id, r.cand_id) for r in rows}
+    )
+    assert hits / len(exact) >= 0.45, f"recall {hits / len(exact):.2f}"
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert max(per_q.values()) <= 5
+
+    ivf = {
+        (r.query_id, r.cand_id, r.sim)
+        for r in REGISTRY["llm_sim_ivf_topk"].builder(spark, sf_dir).collect()
+    }
+    old = llm._IVFPQ_ADC_CUT
+    try:
+        llm._IVFPQ_ADC_CUT = 10**9
+        uncapped = {
+            (r.query_id, r.cand_id, r.sim)
+            for r in REGISTRY["llm_sim_ivfpq_topk"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+    finally:
+        llm._IVFPQ_ADC_CUT = old
+    assert uncapped == ivf, "uncapped IVF-PQ diverged from the IVF tier"

@@ -404,3 +404,84 @@ def test_arrow_chunk_size_invariant_stateful_fold(spark, ordered_src):
             spark.conf.set(key, prior)
     assert base == tiny
     assert len(base) > 0
+
+
+def test_batchcut_rate_limit_burst_invariant_and_equals_batch(
+    spark, sf_dir, ordered_src
+):
+    """stream_rate_limit_stats: the final per-user (n_events,
+    max_burst_60s, over_limit) must be identical under 1/3/all
+    files-per-trigger AND bit-equal the batch window form — the
+    60s-buffer prune is exact on a time-ordered frontier regardless of
+    where the cuts land, and max() folding keeps earlier exact window
+    counts through any prune."""
+    from noaa_etl_daily_spark.registry import load_all
+
+    finals = []
+    for cut in CUTS:
+        df = _drain(
+            spark,
+            st.stream_rate_limit_stats(
+                st.read_events_stream(spark, ordered_src, cut)
+            ),
+            f"bc_rlb_{cut}",
+            "update",
+        )
+        last = {}
+        for r in df.collect():
+            if r.user_id not in last or r.n_events > last[r.user_id][0]:
+                last[r.user_id] = (
+                    r.n_events,
+                    r.max_burst_60s,
+                    r.over_limit,
+                )
+        finals.append(last)
+    assert finals[0] == finals[1] == finals[2]
+    assert len(finals[0]) > 0
+    batch = {
+        r.user_id: (r.n_events, r.max_burst_60s, r.over_limit)
+        for r in load_all()["evt_rate_limit_burst"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert finals[0] == batch
+
+
+def test_arrow_chunk_size_invariant_rate_limit_fold(spark, ordered_src):
+    """Arrow axis of the rate-limit fold: chunks inside a key's
+    micro-batch are arrow-cut, NOT time-ordered, so a per-chunk
+    merge-and-prune would drop lookback context later chunks still
+    need — the fold therefore accumulates the whole key-batch before
+    its single merge/prune, and the final answer at chunk size 7 must
+    equal the default's."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def final_states(name):
+        df = _drain(
+            spark,
+            st.stream_rate_limit_stats(
+                st.read_events_stream(spark, ordered_src, 2)
+            ),
+            name,
+            "update",
+        )
+        last = {}
+        for r in df.collect():
+            if r.user_id not in last or r.n_events > last[r.user_id][0]:
+                last[r.user_id] = (
+                    r.n_events, r.max_burst_60s, r.over_limit,
+                )
+        return last
+
+    base = final_states("bc_arrow_rlb_default")
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = final_states("bc_arrow_rlb_tiny")
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    assert base == tiny
+    assert len(base) > 0
