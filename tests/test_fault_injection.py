@@ -213,8 +213,38 @@ else:
     print(f"DIVERGED agg_kll_quantile_sketch: bounds violated {kll}",
           flush=True)
 
-# streaming fold: retry INSIDE a micro-batch (complete-mode tumbling)
+# HLL sketch: bit-equal under retry IS asserted above (FI_KEYS — the
+# merge tree is attempt-independent), but the r9 exec-strategy finding
+# (SortAggregate moved an estimate 2000 -> 1999) showed the durable
+# contract is the ERROR BOUND, not the estimate value. All three
+# nondeterminism axes (layout, retry, exec strategy) therefore carry
+# the identical named bound: every merged estimate within +/-5% of the
+# exact distinct count, asserted here under injected retries too.
 from pyspark.sql import functions as F
+_set_load(_patched_load)
+try:
+    hll_rows = REG["agg_hll_sketch_merge"].builder(spark, sf_dir).collect()
+finally:
+    _set_load(_orig_load)
+exact_parts = {
+    r.l_returnflag: r.exact
+    for r in _orig_load(spark, sf_dir, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(F.count_distinct("l_partkey").alias("exact"))
+    .collect()
+}
+hll_ok = len(hll_rows) == len(exact_parts)
+for r in hll_rows:
+    rel = abs(r.approx_parts - exact_parts[r.l_returnflag]) / exact_parts[
+        r.l_returnflag]
+    hll_ok = hll_ok and rel <= 0.05
+if hll_ok:
+    print("ok agg_hll_sketch_merge (named bounds under retry)", flush=True)
+else:
+    failures.append("agg_hll_sketch_merge@bounds")
+    print(f"DIVERGED agg_hll_sketch_merge: +/-5% bound violated", flush=True)
+
+# streaming fold: retry INSIDE a micro-batch (complete-mode tumbling)
 from noaa_etl_daily_spark import streaming as st
 src = os.path.join(os.environ["FI_STREAM_SRC"])
 clean_stream = st.stream_tumbling_counts(st.read_events_stream(spark, src))

@@ -215,6 +215,37 @@ def main() -> None:
         tests = "<br>".join(f"`{t}`" for t in ROWS_ONLY_COVERAGE[key])
         lines.append(f"| {key} | {tests} |")
 
+    lines += [
+        "",
+        "## Sketch nondeterminism contract (three axes, one bound)",
+        "",
+        "Live findings r8 (KLL under task retry) and r9 (HLL under the",
+        "SortAggregate exec fallback) established that DataSketches",
+        "estimates may move within their error bound when the physical",
+        "merge tree changes. The durable contract consumers may pin to",
+        "is therefore the NAMED BOUND, asserted identically on all",
+        "three nondeterminism axes:",
+        "",
+        "| sketch | bound | layout axis | retry axis | exec-strategy axis |",
+        "|---|---|---|---|---|",
+        "| agg_hll_sketch_merge | ±5% of exact distinct | "
+        "`test_partition_invariance.py::test_hll_named_bounds_hold_under_adversarial_layout` "
+        "(bit-equal today; bound asserted) | "
+        "`test_fault_injection.py` HLL named-bounds block (bit-equal "
+        "today; bound asserted) | "
+        "`test_physical_strategy_invariance.py::test_hll_named_bounds_hold_under_sort_aggregate` "
+        "(MOVES here — r9 finding) |",
+        "| agg_kll_quantile_sketch | ±3% rank of target quantile | "
+        "`test_partition_invariance.py::test_kll_rank_bound_holds_under_adversarial_layout` | "
+        "`test_fault_injection.py` KLL named-bounds block (MOVES here — "
+        "r8 finding) | "
+        "`test_physical_strategy_invariance.py` KLL bound param |",
+        "",
+        "Operational rule: pin downstream consumers to the sketch's",
+        "error contract, never to exact estimate values across physical",
+        "re-planning.",
+    ]
+
     out = os.path.join(_REPO, "CERTIFIED.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
