@@ -133,6 +133,21 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(local_nations, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
+    # Size-GATED broadcast of the region-reduced supplier (r9 VERDICT
+    # task 8, accepted on a same-minute interleaved A/B: 0.336 s fused
+    # vs 0.547 s at sf0.1, identical answers): Catalyst can't estimate
+    # a join OUTPUT's size, so with AQE off it shuffle-joins a table it
+    # would happily broadcast — the gate supplies the missing stat from
+    # the source file's actual bytes, and stays OFF for a corpus-scale
+    # supplier (never force-broadcast a scaling table: at 100 TB this
+    # join is AQE's runtime choice, exactly as before).
+    import os as _os
+
+    supplier_bytes = _os.path.getsize(
+        _os.path.join(sf_dir, "supplier.parquet")
+    )
+    if supplier_bytes < (64 << 20):
+        supp = F.broadcast(supp)
     cust = (
         load(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
