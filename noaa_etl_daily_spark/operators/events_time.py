@@ -2065,3 +2065,211 @@ def evt_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+_TB_MAXL = 9223372036854775807
+#: token bucket: capacity 1 token (µtoken units), cost 1 token/event,
+#: refill 1 token per hour of EVENT time (1 µtoken per 3600 µs) — the
+#: strict free-tier hourly quota; parameters chosen so the fixture
+#: exercises both branches (sf0.01: 9196 admitted / 811 rejected)
+_TB_CAP = 1_000_000
+_TB_COST = 1_000_000
+_TB_DIV = 3600
+
+_TB_REF = (
+    f"least({_TB_CAP}, s.tok + CASE WHEN s.lt = -1 THEN 0 "
+    f"ELSE (e.t_us - s.lt) // {_TB_DIV} END)"
+)
+
+_TB_ORACLE = f"""
+    -- the fold key is coalesce(user_id, MAXLONG): the recursive step
+    -- advances via an EQUI-join on the key, and NULL = NULL never
+    -- matches, so a NULL-user group (present in the hostile corpus)
+    -- would stall at rank 0 and vanish from the output while Spark's
+    -- groupBy keeps its NULL group; the sentinel is mapped back to
+    -- NULL in the final projection
+    WITH RECURSIVE ev AS (
+      SELECT coalesce(user_id, {_TB_MAXL}) AS user_id,
+             coalesce(epoch_us(CAST(ts AS TIMESTAMP)), {_TB_MAXL}) AS t_us,
+             coalesce(event_id, {_TB_MAXL}) AS eid,
+             row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY coalesce(epoch_us(CAST(ts AS TIMESTAMP)),
+                                   {_TB_MAXL}),
+                          coalesce(event_id, {_TB_MAXL})) AS rk
+      FROM events
+    ), mx AS (
+      SELECT user_id, CAST(max(rk) AS BIGINT) AS n FROM ev GROUP BY user_id
+    ),
+    -- NB: the fold is a RECURSIVE CTE (one step per event rank), not a
+    -- list_reduce lambda: DuckDB 1.0's list_reduce over a struct
+    -- accumulator with a multi-branch CASE returns chunk-dependent
+    -- wrong results (ad+rj != element count for some groups, moving
+    -- across connections) -- found while building this key; the
+    -- recursive form is plain deterministic SQL
+    step AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS rk,
+             CAST({_TB_CAP} AS BIGINT) AS tok, CAST(-1 AS BIGINT) AS lt,
+             CAST(0 AS BIGINT) AS ad, CAST(0 AS BIGINT) AS rj,
+             CAST({_TB_MAXL} AS BIGINT) AS mr
+      FROM mx
+      UNION ALL
+      SELECT s.user_id, s.rk + 1,
+             CASE WHEN e.t_us = {_TB_MAXL} THEN s.tok
+                  WHEN {_TB_REF} >= {_TB_COST} THEN {_TB_REF} - {_TB_COST}
+                  ELSE {_TB_REF} END,
+             CASE WHEN e.t_us = {_TB_MAXL} THEN s.lt ELSE e.t_us END,
+             s.ad + CASE WHEN e.t_us <> {_TB_MAXL}
+                              AND {_TB_REF} >= {_TB_COST}
+                         THEN 1 ELSE 0 END,
+             s.rj + CASE WHEN e.t_us = {_TB_MAXL} OR {_TB_REF} < {_TB_COST}
+                         THEN 1 ELSE 0 END,
+             CASE WHEN (e.t_us = {_TB_MAXL} OR {_TB_REF} < {_TB_COST})
+                       AND e.eid <> {_TB_MAXL}
+                  THEN least(s.mr, e.eid) ELSE s.mr END
+      FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rk = s.rk + 1
+    )
+    SELECT CASE WHEN s.user_id = {_TB_MAXL} THEN NULL
+                ELSE s.user_id END AS user_id,
+           s.ad + s.rj AS n_events,
+           s.ad AS n_admitted,
+           s.rj AS n_rejected,
+           CASE WHEN s.mr = {_TB_MAXL} THEN NULL ELSE s.mr END
+               AS min_rejected_event_id,
+           s.tok AS final_tokens_u
+    FROM step s JOIN mx USING (user_id) WHERE s.rk = mx.n
+"""
+
+_TB_FOLD_EXPR = f"""
+    aggregate(
+      evs,
+      named_struct(
+        'tok', CAST({_TB_CAP} AS BIGINT), 'lt', CAST(-1 AS BIGINT),
+        'ad', CAST(0 AS BIGINT), 'rj', CAST(0 AS BIGINT),
+        'mr', CAST({_TB_MAXL} AS BIGINT)),
+      (acc, x) -> CASE
+        WHEN x.t = {_TB_MAXL}L THEN named_struct(
+          'tok', acc.tok, 'lt', acc.lt, 'ad', acc.ad,
+          'rj', acc.rj + CAST(1 AS BIGINT),
+          'mr', CASE WHEN x.e = {_TB_MAXL}L THEN acc.mr
+                     ELSE least(acc.mr, x.e) END)
+        WHEN least(CAST({_TB_CAP} AS BIGINT), acc.tok
+                   + CASE WHEN acc.lt = -1L THEN CAST(0 AS BIGINT)
+                          ELSE (x.t - acc.lt) div {_TB_DIV} END)
+             >= {_TB_COST}L THEN named_struct(
+          'tok', least(CAST({_TB_CAP} AS BIGINT), acc.tok
+                   + CASE WHEN acc.lt = -1L THEN CAST(0 AS BIGINT)
+                          ELSE (x.t - acc.lt) div {_TB_DIV} END)
+                 - CAST({_TB_COST} AS BIGINT),
+          'lt', x.t, 'ad', acc.ad + CAST(1 AS BIGINT), 'rj', acc.rj,
+          'mr', acc.mr)
+        ELSE named_struct(
+          'tok', least(CAST({_TB_CAP} AS BIGINT), acc.tok
+                   + CASE WHEN acc.lt = -1L THEN CAST(0 AS BIGINT)
+                          ELSE (x.t - acc.lt) div {_TB_DIV} END),
+          'lt', x.t, 'ad', acc.ad, 'rj', acc.rj + CAST(1 AS BIGINT),
+          'mr', CASE WHEN x.e = {_TB_MAXL}L THEN acc.mr
+                     ELSE least(acc.mr, x.e) END)
+      END)
+"""
+
+
+@register("evt_token_bucket_admission", oracle=_TB_ORACLE)
+def evt_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket admission control, batch form (WAVE10 candidate 3):
+    per user, replay events in (event-time, event_id) order through a
+    bucket of capacity 1 token refilling 1 token per hour of EVENT
+    time; report admitted/rejected counts, the first rejected event,
+    and the final bucket level — the strict hourly-quota decision an
+    API gateway enforces, computed EXACTLY as an ordered integer fold.
+
+    Exactness: all arithmetic is integer µtokens (refill = Δt_µs //
+    3600), so the fold is bit-identical cross-engine; NULL event times
+    are rejected deterministically WITHOUT touching the bucket (no
+    clock, no refill — and since they neither read nor write state,
+    their fold position cannot matter); NULL event_ids count as
+    rejections but are excluded from min_rejected_event_id (both
+    NULL-sentinels sort last via MAXLONG).
+
+    Scale shape: ONE shuffle on user_id; the per-user ordered fold runs
+    over a collect-sorted struct array, bounded by per-user activity —
+    fine for gateway-grain keys, and the registered STREAMING twin
+    (evt_token_bucket_admission_stream) is the corpus-scale path with
+    O(1) state per user and no per-user array at all. The decision
+    sequence is inherently sequential per key (each admission changes
+    the state the next one reads), so a window rewrite cannot express
+    it — this collect-fold IS the honest batch form."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp")), F.lit(_TB_MAXL)
+        ).alias("t"),
+        F.coalesce("event_id", F.lit(_TB_MAXL)).alias("e"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "e"))).alias("evs")
+    )
+    folded = per_user.select(
+        "user_id", F.expr(_TB_FOLD_EXPR).alias("st")
+    )
+    return folded.select(
+        "user_id",
+        (F.col("st.ad") + F.col("st.rj")).alias("n_events"),
+        F.col("st.ad").alias("n_admitted"),
+        F.col("st.rj").alias("n_rejected"),
+        F.when(F.col("st.mr") == _TB_MAXL, F.lit(None).cast("bigint"))
+        .otherwise(F.col("st.mr"))
+        .alias("min_rejected_event_id"),
+        F.col("st.tok").alias("final_tokens_u"),
+    )
+
+
+@register(
+    "evt_token_bucket_admission_stream",
+    oracle=_TB_ORACLE,
+    tags=("streaming",),
+)
+def evt_token_bucket_admission_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING form of evt_token_bucket_admission, registered as its
+    own driver-oracled key (WAVE10 candidate 3, the admission-control
+    sibling of evt_rate_limit_burst_stream): the events fixture is
+    fanned into a time-ordered 3-file stream, replayed with
+    maxFilesPerTrigger=1 through streaming.stream_token_bucket_admission
+    (O(1) five-integer state per user), and the last emission per user
+    must hash-match the SAME recursive-CTE oracle the batch fold key
+    carries — driver-certifying that a live quota gate and its batch
+    audit recomputation can never disagree.
+
+    Scale: this IS the production form of the quota gate — the batch
+    twin's per-user collect-fold is the audit/backfill path; the stream
+    holds five integers per user and shuffles on the same user_id
+    layout. Refill depends on inter-event gaps, so cross-batch
+    correctness requires the time-ordered ingest frontier (documented
+    in the processor; the batch-cut sweep proves cut-independence on
+    that frontier)."""
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_tb", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=3)
+    _RLB_SEQ[0] += 1
+    name = f"tb_stream_{_RLB_SEQ[0]}"
+    st.run_to_memory(
+        st.stream_token_bucket_admission(
+            st.read_events_stream(spark, src, max_files_per_trigger=1)
+        ),
+        name,
+        "update",
+    )
+    emitted = spark.table(name)
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("n_admitted", "n_events").alias("n_admitted"),
+        F.max_by("n_rejected", "n_events").alias("n_rejected"),
+        F.max_by("min_rejected_event_id", "n_events").alias(
+            "min_rejected_event_id"
+        ),
+        F.max_by("final_tokens_u", "n_events").alias("final_tokens_u"),
+    )

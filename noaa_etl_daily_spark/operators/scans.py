@@ -965,3 +965,188 @@ def scan_iceberg_manifest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+def _snapshot_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Prepare the simulated snapshot chain (WAVE10 candidate 1):
+
+    - snapshot v1: orders range-split into 8 parquet files (same
+      construction as ``_manifest_layout``), manifest lists them with
+      per-file o_orderkey min/max from the footers.
+    - snapshot v2: an Iceberg-style copy-on-write UPDATE —
+      ``o_totalprice`` doubled WHERE o_orderkey BETWEEN 1000 AND 5000.
+      The files OVERLAPPING the predicate (per the v1 manifest stats)
+      are rewritten whole (matching rows updated, the rest copied
+      unchanged); untouched v1 files are REFERENCED, not copied, by
+      the v2 manifest — exactly the metadata shape a table format
+      commits, so the row-level result equals the SQL UPDATE no matter
+      where the file boundaries fall.
+
+    ``manifest.json``: {"column": ..., "snapshots": {"v1": [entries],
+    "v2": [entries]}} with (path, min, max) per entry."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    lo, hi = 1000, 5000
+    out = _scratch("snapshot_sim", _sf_tag(sf_dir), "orders")
+    params = "snapshot_layout:n_files=8:upd=1000-5000"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = out + "_v1"
+    (
+        src.repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+
+    def _stats(dirname, fname):
+        md = _pq.ParquetFile(os.path.join(dirname, fname)).metadata
+        flo, fhi = None, None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderkey"
+            )
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None, None  # stats-less: never prunable/skippable
+            flo = st.min if flo is None else min(flo, st.min)
+            fhi = st.max if fhi is None else max(fhi, st.max)
+        return flo, fhi
+
+    v1 = []
+    for i, fname in enumerate(
+        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+    ):
+        dst = f"v1-{i:02d}.parquet"
+        shutil.copyfile(os.path.join(tmp, fname), os.path.join(out, dst))
+        flo, fhi = _stats(out, dst)
+        v1.append({"path": dst, "min": flo, "max": fhi})
+    shutil.rmtree(tmp)
+
+    # copy-on-write: rewrite only the files the predicate can touch
+    # (stats-less files conservatively count as touched)
+    touched = [
+        e for e in v1
+        if e["min"] is None or not (e["max"] < lo or e["min"] > hi)
+    ]
+    untouched = [e for e in v1 if e not in touched]
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    rewrite_src = spark.read.schema(schema).parquet(
+        *[os.path.join(out, e["path"]) for e in touched]
+    )
+    updated = rewrite_src.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey").between(lo, hi),
+            F.col("o_totalprice") * 2,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    tmp2 = out + "_v2"
+    updated.repartitionByRange(2, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(tmp2)
+    v2 = list(untouched)
+    for i, fname in enumerate(
+        f for f in sorted(os.listdir(tmp2)) if f.endswith(".parquet")
+    ):
+        dst = f"v2-{i:02d}.parquet"
+        shutil.copyfile(os.path.join(tmp2, fname), os.path.join(out, dst))
+        flo, fhi = _stats(out, dst)
+        v2.append({"path": dst, "min": flo, "max": fhi})
+    shutil.rmtree(tmp2)
+
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump(
+            {"column": "o_orderkey", "snapshots": {"v1": v1, "v2": v2}},
+            fh,
+        )
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+def _snapshot_files(out: str, snapshot: str) -> list:
+    """Absolute data-file paths a snapshot references (its manifest
+    entry list — time travel is a pure metadata lookup)."""
+    import json as _json
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    return [
+        os.path.join(out, e["path"])
+        for e in manifest["snapshots"][snapshot]
+    ]
+
+
+@register(
+    "scan_snapshot_time_travel_sim",
+    oracle="""
+    WITH v1 AS (
+      SELECT 'v1' AS snapshot, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders GROUP BY o_orderstatus
+    ), v2 AS (
+      SELECT 'v2' AS snapshot, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(CASE WHEN o_orderkey BETWEEN 1000 AND 5000
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END), 2) AS total_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def scan_snapshot_time_travel_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the simulated table format (WAVE10
+    candidate 1, sibling of scan_iceberg_manifest_sim): snapshot v1 is
+    the original 8-file layout; snapshot v2 is a copy-on-write UPDATE
+    (o_totalprice doubled for o_orderkey ∈ [1000, 5000]) that rewrote
+    ONLY the files whose footer stats overlap the predicate and kept
+    every other v1 file by reference. Reading "as of" a snapshot is a
+    pure metadata lookup — the manifest names the file set, no data is
+    copied or scanned to plan — and this query aggregates BOTH
+    snapshots side by side, proving v1 stays byte-stable after the v2
+    commit (the time-travel guarantee) and v2 equals the SQL UPDATE
+    row-for-row regardless of file boundaries.
+
+    The oracle recomputes both snapshots from the ORIGINAL table (v1 =
+    identity, v2 = CASE-expression update), so the whole
+    copy-on-write machinery — overlap selection, whole-file rewrite,
+    reference-not-copy manifest — must be answer-exact to hash-match.
+    tests/test_layout.py additionally asserts the v2 read never opens a
+    replaced v1 file and DOES share the untouched files with v1.
+
+    At 100 TB: commits are O(touched files) data + O(files) metadata;
+    historical reads cost the same planning as current reads (manifest
+    lookup), which is why table formats make time travel free — this
+    key documents and tests that model end to end."""
+    out = _snapshot_layout(spark, sf_dir)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+
+    def snap(tag: str) -> DataFrame:
+        back = spark.read.schema(schema).parquet(
+            *_snapshot_files(out, tag)
+        )
+        return back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select(
+            F.lit(tag).alias("snapshot"),
+            "o_orderstatus",
+            "n_orders",
+            "total_price",
+        )
+
+    return snap("v1").unionAll(snap("v2"))

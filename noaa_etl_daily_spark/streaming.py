@@ -985,3 +985,102 @@ def stream_rate_limit_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_token_bucket_admission(events: DataFrame) -> DataFrame:
+    """Streaming face of ``evt_token_bucket_admission`` (WAVE10
+    candidate 3): per-user token-bucket quota enforcement at ingest —
+    capacity 1 token, refill 1 token per hour of EVENT time, one token
+    per event — via ``applyInPandasWithState`` keyed on user_id.
+
+    State per user is FIVE integers (bucket level µ, last event ts µs,
+    admitted, rejected, min rejected event_id) — O(1), the true
+    100 TB-scale form of the batch twin's per-user collect-fold. Each
+    batch accumulates all its arrow chunks (chunks are not
+    time-ordered), sorts by (ts-sentinel, event_id-sentinel) exactly
+    like the batch fold, and replays the bucket. Cross-batch
+    correctness needs the time-ordered ingest frontier
+    (prepare_stream_source_timeordered): refill depends on the gap
+    since the LAST event, so an out-of-order arrival across batches
+    would see a different gap than the batch fold — within a batch the
+    sort handles any disorder. NULL-ts events are rejected without
+    touching the bucket (no clock, no refill) and NULL event_ids are
+    excluded from min_rejected_event_id — both via the same MAXLONG
+    sentinels as the batch twin, so the two forms are bit-equal and
+    share one DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .operators.events_time import (
+        _TB_CAP,
+        _TB_COST,
+        _TB_DIV,
+        _TB_MAXL,
+    )
+
+    out_schema = (
+        "user_id bigint, n_events bigint, n_admitted bigint, "
+        "n_rejected bigint, min_rejected_event_id bigint, "
+        "final_tokens_u bigint"
+    )
+    state_schema = (
+        "tok bigint, lt bigint, ad bigint, rj bigint, mr bigint"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        tok, lt, ad, rj, mr = (
+            state.get if state.exists else (_TB_CAP, -1, 0, 0, _TB_MAXL)
+        )
+        ts_chunks, eid_chunks = [], []
+        for pdf in pdf_iter:
+            ts = pd.to_datetime(pdf["ts"])
+            t_us = ts.to_numpy(dtype="datetime64[us]").astype(np.int64)
+            t_us = np.where(ts.isna().to_numpy(), _TB_MAXL, t_us)
+            eid = pdf["event_id"].astype("Int64")
+            e = np.where(
+                eid.isna().to_numpy(),
+                _TB_MAXL,
+                eid.fillna(0).astype(np.int64).to_numpy(),
+            )
+            ts_chunks.append(t_us)
+            eid_chunks.append(e)
+        if ts_chunks:
+            t_all = np.concatenate(ts_chunks)
+            e_all = np.concatenate(eid_chunks)
+            order = np.lexsort((e_all, t_all))
+            for t, e in zip(t_all[order], e_all[order]):
+                t, e = int(t), int(e)
+                if t == _TB_MAXL:
+                    rj += 1
+                    if e != _TB_MAXL:
+                        mr = min(mr, e)
+                    continue
+                ref = min(
+                    _TB_CAP, tok + (0 if lt == -1 else (t - lt) // _TB_DIV)
+                )
+                if ref >= _TB_COST:
+                    tok, lt, ad = ref - _TB_COST, t, ad + 1
+                else:
+                    tok, lt, rj = ref, t, rj + 1
+                    if e != _TB_MAXL:
+                        mr = min(mr, e)
+        state.update((tok, lt, ad, rj, mr))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [ad + rj],
+                "n_admitted": [ad],
+                "n_rejected": [rj],
+                "min_rejected_event_id": [None if mr == _TB_MAXL else mr],
+                "final_tokens_u": [tok],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -294,6 +294,32 @@ if want_rlb != got_rlb:
 else:
     print(f"ok stream_rate_limit_stats users={len(want_rlb)}", flush=True)
 
+# token-bucket admission fold under retry (same single-batch drain)
+def _tb_final(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    last = {}
+    for r in spark.sql(f"select * from {name}").collect():
+        if r.user_id not in last or r.n_events > last[r.user_id][0]:
+            last[r.user_id] = (r.n_events, r.n_admitted, r.n_rejected,
+                               r.min_rejected_event_id, r.final_tokens_u)
+    return last
+
+want_tb = _tb_final(
+    st.stream_token_bucket_admission(st.read_events_stream(spark, src)),
+    "fi_tb_clean")
+got_tb = _tb_final(
+    st.stream_token_bucket_admission(
+        _fail_first_attempt(st.read_events_stream(spark, src))),
+    "fi_tb_inj")
+if want_tb != got_tb:
+    failures.append("stream_token_bucket_admission")
+    print(f"DIVERGED stream_token_bucket_admission", flush=True)
+else:
+    print(f"ok stream_token_bucket_admission users={len(want_tb)}",
+          flush=True)
+
 n_injected = len(glob.glob(os.path.join(marker_dir, "*")))
 print(f"INJECTED_FAILURES={n_injected}", flush=True)
 print("RESULT=" + ("FAIL:" + ",".join(failures) if failures else "PASS"),

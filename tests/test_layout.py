@@ -871,3 +871,34 @@ def test_manifest_pruned_scan_never_reads_pruned_files(spark, sf_dir):
     read = {os.path.basename(p) for p in df.inputFiles()}
     assert read == {os.path.basename(p) for p in kept}
     assert not read & {os.path.basename(p) for p in pruned}
+
+
+def test_snapshot_time_travel_shares_untouched_files(spark, sf_dir):
+    """scan_snapshot_time_travel_sim's metadata contract: the v2
+    snapshot must REFERENCE (not copy) every v1 file the update's
+    predicate could not touch, and must never read a replaced v1 file
+    — proving commits are O(touched files) and time travel is a pure
+    manifest lookup."""
+    from noaa_etl_daily_spark.operators.scans import (
+        _snapshot_files,
+        _snapshot_layout,
+    )
+
+    out = _snapshot_layout(spark, sf_dir)
+    v1 = {os.path.basename(p) for p in _snapshot_files(out, "v1")}
+    v2 = {os.path.basename(p) for p in _snapshot_files(out, "v2")}
+    shared = v1 & v2
+    replaced = v1 - v2
+    added = v2 - v1
+    assert replaced and added, "update rewrote nothing: not exercised"
+    assert shared, "v2 copied every file: reference-not-copy violated"
+
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    read_v2 = {
+        os.path.basename(p)
+        for p in spark.read.schema(schema)
+        .parquet(*_snapshot_files(out, "v2"))
+        .inputFiles()
+    }
+    assert read_v2 == v2
+    assert not read_v2 & replaced

@@ -485,3 +485,82 @@ def test_arrow_chunk_size_invariant_rate_limit_fold(spark, ordered_src):
             spark.conf.set(key, prior)
     assert base == tiny
     assert len(base) > 0
+
+
+def test_batchcut_token_bucket_invariant_and_equals_batch(
+    spark, sf_dir, ordered_src
+):
+    """stream_token_bucket_admission: final per-user admission ledger
+    identical under 1/3/all files-per-trigger AND bit-equal the batch
+    ordered fold — refill gaps are reconstructed identically on any
+    cut of the time-ordered frontier because every batch is sorted and
+    the bucket state carries the last event time across cuts."""
+    from noaa_etl_daily_spark.registry import load_all
+
+    cols = (
+        "n_events", "n_admitted", "n_rejected",
+        "min_rejected_event_id", "final_tokens_u",
+    )
+    finals = []
+    for cut in CUTS:
+        df = _drain(
+            spark,
+            st.stream_token_bucket_admission(
+                st.read_events_stream(spark, ordered_src, cut)
+            ),
+            f"bc_tb_{cut}",
+            "update",
+        )
+        last = {}
+        for r in df.collect():
+            if r.user_id not in last or r.n_events > last[r.user_id][0]:
+                last[r.user_id] = tuple(r[c] for c in cols)
+        finals.append(last)
+    assert finals[0] == finals[1] == finals[2]
+    assert len(finals[0]) > 0
+    batch = {
+        r.user_id: tuple(r[c] for c in cols)
+        for r in load_all()["evt_token_bucket_admission"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert finals[0] == batch
+
+
+def test_arrow_chunk_size_invariant_token_bucket_fold(spark, ordered_src):
+    """Arrow axis of the token-bucket fold (same hazard as the
+    rate-limit fold: chunks inside a key's micro-batch are not
+    time-ordered, so the fold must accumulate the whole key-batch
+    before sorting and replaying the bucket)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def final_states(name):
+        df = _drain(
+            spark,
+            st.stream_token_bucket_admission(
+                st.read_events_stream(spark, ordered_src, 2)
+            ),
+            name,
+            "update",
+        )
+        last = {}
+        for r in df.collect():
+            if r.user_id not in last or r.n_events > last[r.user_id][0]:
+                last[r.user_id] = (
+                    r.n_events, r.n_admitted, r.n_rejected,
+                    r.min_rejected_event_id, r.final_tokens_u,
+                )
+        return last
+
+    base = final_states("bc_arrow_tb_default")
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = final_states("bc_arrow_tb_tiny")
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    assert base == tiny
+    assert len(base) > 0
