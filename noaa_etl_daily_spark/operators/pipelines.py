@@ -1520,3 +1520,402 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("disposition"))
         .alias("n_in_disposition"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_incremental_curation",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, toks,
+             CASE WHEN len(toks) = 0 THEN NULL ELSE
+               round(0.4 * least(len(toks) / 400.0, 1.0)
+                     + 0.4 * round(len(list_distinct(toks)) * 1.0
+                                   / len(toks), 4)
+                     + 0.2 * (1.0 - round(len(list_filter(toks,
+                           t -> list_contains(['the','a','of','and','to'], t)))
+                           * 1.0 / len(toks), 4)), 4)
+             END AS quality
+      FROM tk WHERE doc_id % 5 = 4
+    ), surv1 AS (
+      SELECT doc_id, toks FROM q WHERE quality >= 0.42
+    ), standing AS (
+      SELECT doc_id, toks FROM tk WHERE doc_id % 5 <> 4 OR doc_id IS NULL
+    ), shn AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM surv1
+    ), shs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM standing
+    ), pdn AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7,
+             list(DISTINCT sh) AS hs, count(DISTINCT sh) AS n_sh
+      FROM shn GROUP BY doc_id
+    ), pds AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7,
+             list(DISTINCT sh) AS hs, count(DISTINCT sh) AS n_sh
+      FROM shs GROUP BY doc_id
+    ), bn AS (
+      SELECT doc_id, band_id, sig FROM pdn, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), bs AS (
+      SELECT doc_id, band_id, sig FROM pds, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), dup_corpus AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS st_id
+            FROM bn n JOIN bs s
+              ON n.band_id = s.band_id AND n.sig = s.sig) c
+      JOIN pdn pa ON pa.doc_id = c.new_id
+      JOIN pds pb ON pb.doc_id = c.st_id
+      WHERE round(len(list_intersect(pa.hs, pb.hs)) * 1.0
+                  / (pa.n_sh + pb.n_sh
+                     - len(list_intersect(pa.hs, pb.hs))), 4) >= 0.8
+    ), dup_batch AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bn a JOIN bn b
+              ON a.band_id = b.band_id AND a.sig = b.sig
+             AND a.doc_id < b.doc_id) c
+      JOIN pdn pa ON pa.doc_id = c.doc_a
+      JOIN pdn pb ON pb.doc_id = c.doc_b
+      WHERE round(len(list_intersect(pa.hs, pb.hs)) * 1.0
+                  / (pa.n_sh + pb.n_sh
+                     - len(list_intersect(pa.hs, pb.hs))), 4) >= 0.8
+    ), emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x)) AS nrm
+      FROM embeddings
+    ), semb AS (
+      SELECT s.doc_id, e.label,
+             list_transform(e.e, x -> CAST(round(x * 1000000) AS BIGINT)) AS m
+      FROM standing s JOIN emb e ON s.doc_id = e.vec_id AND e.nrm > 0
+    ), remn AS (
+      SELECT s.doc_id,
+             list_transform(e.e, x -> CAST(round(x * 1000000) AS BIGINT)) AS m
+      FROM surv1 s JOIN emb e ON s.doc_id = e.vec_id AND e.nrm > 0
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM dup_corpus)
+        AND s.doc_id NOT IN (SELECT doc_id FROM dup_batch)
+    ), sums AS (
+      SELECT label AS cell, CAST(i AS INT) AS i,
+             CAST(sum(m[CAST(i AS INT)]) AS BIGINT) AS s
+      FROM semb, unnest(generate_series(1, 64)) u(i)
+      GROUP BY label, i
+    ), cb AS (SELECT cell, list(s ORDER BY i) AS c FROM sums GROUP BY cell),
+    assign_n AS (
+      SELECT doc_id, m, cell FROM (
+        SELECT r.doc_id, r.m, cb.cell,
+               row_number() OVER (PARTITION BY r.doc_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(r.m[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(cb.c[CAST(i AS INT)] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(r.m,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                              * list_sum(list_transform(cb.c,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                       9) DESC, cb.cell) AS rn
+        FROM remn r CROSS JOIN cb)
+      WHERE rn = 1
+    ), assign_s AS (
+      SELECT doc_id, m, cell FROM (
+        SELECT r.doc_id, r.m, cb.cell,
+               row_number() OVER (PARTITION BY r.doc_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(r.m[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(cb.c[CAST(i AS INT)] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(r.m,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                              * list_sum(list_transform(cb.c,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                       9) DESC, cb.cell) AS rn
+        FROM semb r CROSS JOIN cb)
+      WHERE rn = 1
+    ), semdup AS (
+      SELECT DISTINCT n.doc_id
+      FROM assign_n n JOIN assign_s s ON n.cell = s.cell
+      WHERE round(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(n.m[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(s.m[CAST(i AS INT)] AS DOUBLE)))
+                  / sqrt(list_sum(list_transform(n.m,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                         * list_sum(list_transform(s.m,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                  4) >= 0.25
+    ), manifest AS (
+      SELECT q.doc_id, q.lang, q.quality,
+             CASE WHEN q.quality IS NULL OR q.quality < 0.42
+                    THEN 'low_quality'
+                  WHEN q.doc_id IN (SELECT doc_id FROM dup_corpus)
+                    THEN 'dup_of_corpus'
+                  WHEN q.doc_id IN (SELECT doc_id FROM dup_batch)
+                    THEN 'near_dup_in_batch'
+                  WHEN e.vec_id IS NULL OR e.nrm IS NULL OR e.nrm <= 0
+                    THEN 'no_embedding'
+                  WHEN q.doc_id IN (SELECT doc_id FROM semdup)
+                    THEN 'semantic_dup_of_corpus'
+                  ELSE 'admitted' END AS disposition
+      FROM q LEFT JOIN emb e ON q.doc_id = e.vec_id
+    )
+    SELECT doc_id, lang, quality, disposition,
+           CAST(count(*) OVER (PARTITION BY disposition) AS BIGINT)
+               AS n_in_disposition
+    FROM manifest
+    ORDER BY doc_id
+    """,
+)
+def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-INCREMENTAL curation (WAVE10 candidate 2): a new-docs
+    batch (doc_id % 5 = 4, the arriving 20%) is admitted against the
+    STANDING corpus (the other 80%) with O(batch) work — the re-curation
+    shape a training-data pipeline actually runs daily, complementing
+    the full-corpus pipeline_multimodal_curation:
+
+    1. quality gate on the BATCH only (standing docs are never
+       re-scored);
+    2. duplicate-of-corpus: the batch's MinHash bands probe the
+       standing band index ONE-DIRECTIONALLY (new ⋈ standing on
+       (band, sig) — candidates are O(batch × bucket), never
+       O(corpus²)), exact Jaccard ≥ 0.8 on candidates only;
+    3. within-batch near-dup keep-first (new ⋈ new band self-join,
+       batch-sized);
+    4. semantic dup-of-corpus: batch embeddings assigned to the
+       STANDING centroid codebook's nearest cell and compared against
+       that cell's standing occupants only (cosine ≥ 0.25) —
+       batch-internal semantic dups intentionally fall to the next
+       full rebuild, keeping this pass O(batch × cell).
+
+    Output: per-new-doc audit manifest, first failing stage wins, plus
+    the per-disposition attrition count.
+
+    At 100 TB the standing band index and cell assignments are
+    MATERIALIZED tables (written once by the full pipeline, probed by
+    every increment — here they are recomputed in-plan so the DuckDB
+    oracle can replicate the whole flow); everything batch-sided is
+    candidate-blocked equi-joins, the codebook is a K×64 integer
+    broadcast, and the one corpus-grain input (standing bands/cells)
+    is touched via equi-keys only. Same integer-µ cosine and
+    try_divide NULL-sim discipline as llm_semdedup_cells."""
+    from pyspark.sql import Window
+
+    from .llm import (
+        _dot,
+        _explode_bands,
+        _minhash_sig_cols,
+        _shingle_arrays,
+        _tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    toks = _tokens()
+    n = F.size(toks)
+    uniq = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n, 4
+    )
+    quality = F.when(
+        n > 0,
+        F.round(
+            0.4 * F.least(n / 400.0, F.lit(1.0))
+            + 0.4 * uniq
+            + 0.2 * (1.0 - stop_ratio),
+            4,
+        ),
+    )
+    q = docs.where(is_new).select(
+        "doc_id", "lang", "text", quality.alias("quality")
+    )
+    standing = docs.where(~is_new | F.col("doc_id").isNull()).select(
+        "doc_id", "text"
+    )
+    surv1 = q.where(F.col("quality") >= 0.42).select("doc_id", "text")
+
+    shn = _shingle_arrays(surv1)
+    shs = _shingle_arrays(standing)
+    bn = _explode_bands(shn.select("doc_id", *_minhash_sig_cols()))
+    bs = _explode_bands(shs.select("doc_id", *_minhash_sig_cols()))
+    hsn = shn.select("doc_id", F.array_distinct("sh").alias("hs"))
+    hss = shs.select("doc_id", F.array_distinct("sh").alias("hs"))
+
+    def _jaccard_drops(cand, hs_a, hs_b, a_col, b_col, keep_col):
+        pair = (
+            cand.join(
+                hs_a.select(
+                    F.col("doc_id").alias(a_col), F.col("hs").alias("hs_a")
+                ),
+                a_col,
+            )
+            .join(
+                hs_b.select(
+                    F.col("doc_id").alias(b_col), F.col("hs").alias("hs_b")
+                ),
+                b_col,
+            )
+        )
+        inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        na, nb = F.size(F.col("hs_a")), F.size(F.col("hs_b"))
+        return (
+            pair.where(F.round(inter / (na + nb - inter), 4) >= 0.8)
+            .select(F.col(keep_col).alias("doc_id"))
+            .distinct()
+        )
+
+    cand_corpus = (
+        bn.select(F.col("doc_id").alias("new_id"), "band_id", "sig")
+        .join(
+            bs.select(F.col("doc_id").alias("st_id"), "band_id", "sig"),
+            ["band_id", "sig"],
+        )
+        .select("new_id", "st_id")
+        .distinct()
+    )
+    dup_corpus = _jaccard_drops(
+        cand_corpus, hsn, hss, "new_id", "st_id", "new_id"
+    )
+    cand_batch = (
+        bn.alias("a")
+        .join(bn.alias("b"), ["band_id", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    dup_batch = _jaccard_drops(
+        cand_batch, hsn, hsn, "doc_a", "doc_b", "doc_b"
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1000000).cast("bigint")
+    )
+    semb = standing.select("doc_id").join(
+        emb.where(F.col("nrm") > 0), F.col("doc_id") == F.col("vec_id")
+    ).select("doc_id", "label", micro.alias("m"))
+    remn = (
+        surv1.select("doc_id")
+        .join(F.broadcast(dup_corpus), "doc_id", "left_anti")
+        .join(F.broadcast(dup_batch), "doc_id", "left_anti")
+        .join(emb.where(F.col("nrm") > 0), F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", micro.alias("m"))
+    )
+
+    cb = semb.groupBy(F.col("label").alias("cell")).agg(
+        F.array(
+            *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(64)]
+        ).alias("c")
+    )
+    sim9 = F.round(
+        F.try_divide(
+            _dot(F.col("m"), F.col("c")),
+            F.sqrt(
+                _dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))
+            ),
+        ),
+        9,
+    )
+
+    def _assign(df):
+        w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), "cell")
+        return (
+            df.crossJoin(F.broadcast(cb))
+            .select("doc_id", "m", "cell", sim9.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "m", "cell")
+        )
+
+    an = _assign(remn)
+    asg = _assign(semb.select("doc_id", "m"))
+    pair_sim = F.round(
+        F.try_divide(
+            _dot(F.col("mn"), F.col("ms")),
+            F.sqrt(
+                _dot(F.col("mn"), F.col("mn")) * _dot(F.col("ms"), F.col("ms"))
+            ),
+        ),
+        4,
+    )
+    semdup = (
+        an.select("cell", F.col("doc_id").alias("new_id"), F.col("m").alias("mn"))
+        .join(
+            asg.select("cell", F.col("m").alias("ms")),
+            "cell",
+        )
+        .where(pair_sim >= 0.25)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+
+    manifest = (
+        q.join(emb, q.doc_id == emb.vec_id, "left")
+        .join(
+            F.broadcast(dup_corpus.withColumn("is_dupc", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(dup_batch.withColumn("is_dupb", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(semdup.withColumn("is_semdup", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.when(
+                F.col("quality").isNull() | (F.col("quality") < 0.42),
+                "low_quality",
+            )
+            .when(F.col("is_dupc"), "dup_of_corpus")
+            .when(F.col("is_dupb"), "near_dup_in_batch")
+            .when(
+                F.col("vec_id").isNull()
+                | F.col("nrm").isNull()
+                | (F.col("nrm") <= 0),
+                "no_embedding",
+            )
+            .when(F.col("is_semdup"), "semantic_dup_of_corpus")
+            .otherwise("admitted")
+            .alias("disposition"),
+        )
+    )
+    return manifest.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "disposition",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("disposition"))
+        .alias("n_in_disposition"),
+    ).orderBy("doc_id")

@@ -83,6 +83,7 @@ JOIN_KEYS = [
     "pipeline_market_share",
     "llm_dedup_near_minhash",
     "pipeline_multimodal_curation",
+    "pipeline_incremental_curation",
 ]
 
 #: NULL-key / dangling-FK semantics differ most across join strategy
