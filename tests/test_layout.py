@@ -307,6 +307,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_multimodal_curation",  # K-row centroid codebook
                                       # broadcast (the SemDeDup stage;
                                       # same bound as llm_semdedup_cells)
+        "pipeline_incremental_curation",  # same K-row codebook broadcast
+                                      # (standing-cell assignment of the
+                                      # new batch + standing occupants)
         "agg_neyman_allocation",      # 1-row weight-total scalar over
                                       # |strata| rows
         "agg_beta_binomial_smoothing",  # 1-row global-prior scalar
