@@ -2236,8 +2236,9 @@ def evt_token_bucket_admission_stream(
     own driver-oracled key (WAVE10 candidate 3, the admission-control
     sibling of evt_rate_limit_burst_stream): the events fixture is
     fanned into a time-ordered 3-file stream, replayed with
-    maxFilesPerTrigger=1 through streaming.stream_token_bucket_admission
-    (O(1) five-integer state per user), and the last emission per user
+    maxFilesPerTrigger=1 through the applyInPandasWithState fold in
+    streaming.stream_token_bucket_admission (O(1) five-integer state
+    per user), and the last emission per user
     must hash-match the SAME recursive-CTE oracle the batch fold key
     carries — driver-certifying that a live quota gate and its batch
     audit recomputation can never disagree.
