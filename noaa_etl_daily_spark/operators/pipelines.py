@@ -1919,3 +1919,106 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
         .over(Window.partitionBy("disposition"))
         .alias("n_in_disposition"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_snapshot_diff",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_updated,
+           CAST(0 AS BIGINT) AS n_added,
+           CAST(0 AS BIGINT) AS n_deleted,
+           round(sum(o_totalprice), 2) AS price_delta,
+           min(o_orderkey) AS min_updated_key,
+           max(o_orderkey) AS max_updated_key
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_totalprice <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-read over the snapshot sim (WAVE11 candidate 2): diff
+    snapshot v1 → v2 of ``scan_snapshot_time_travel_sim``'s layout into
+    a per-status change census. The diff reads ONLY the files the two
+    manifests do not share — v2-added files full-outer-joined against
+    the v1 files they replaced — never a byte of the files both
+    snapshots reference (those rows are unchanged by identity: same
+    file, same bytes). tests/test_layout.py pins that restriction:
+    the diff's inputFiles are exactly (v1 ∖ v2) ∪ (v2 ∖ v1) and are
+    disjoint from the shared set.
+
+    Inside the restricted scope the full-outer join on the key
+    classifies every row: both sides present with differing values →
+    updated; v2-only → added; v1-only → deleted (this commit is a pure
+    UPDATE, so the oracle pins added = deleted = 0 — the census proves
+    it rather than assuming it). Copy-on-write rewrites whole files,
+    so the scope also contains carried-over rows whose values are
+    bit-identical; the null-safe ``<=>`` inequality drops them, which
+    makes every output column independent of where the file boundaries
+    fell. ``price_delta`` is exact: v2 = 2·p and 2·p − p = p in IEEE
+    754 (shared mantissa), so the delta equals the original price sum
+    the oracle computes from the base table.
+
+    At 100 TB: an incremental consumer's cost is O(changed files), not
+    O(table) — the manifest diff is pure metadata, the join scope is
+    bounded by the commit's touched-file set, and the one shuffle is
+    the key-equi full-outer join over that scope. Reading shared files
+    for a diff is wasted IO at any scale; this plan cannot, by
+    construction."""
+    from .scans import _snapshot_files, _snapshot_layout
+
+    out = _snapshot_layout(spark, sf_dir)
+    v1 = set(_snapshot_files(out, "v1"))
+    v2 = set(_snapshot_files(out, "v2"))
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    old = spark.read.schema(schema).parquet(*sorted(v1 - v2)).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("st1"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    new = spark.read.schema(schema).parquet(*sorted(v2 - v1)).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("st2"),
+        F.col("o_totalprice").alias("p2"),
+    )
+    changed = (
+        old.join(new, old.k1 == new.k2, "full_outer")
+        # null-safe: carried-over identical rows drop; adds/deletes
+        # (one side entirely NULL) survive as their own classes
+        .where(~F.col("p1").eqNullSafe(F.col("p2")))
+    )
+    return (
+        changed.groupBy(
+            F.coalesce("st2", "st1").alias("o_orderstatus")
+        ).agg(
+            F.sum(
+                F.when(F.col("k1").isNotNull() & F.col("k2").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_updated"),
+            F.sum(F.when(F.col("k1").isNull(), 1).otherwise(0)).alias(
+                "n_added"
+            ),
+            F.sum(F.when(F.col("k2").isNull(), 1).otherwise(0)).alias(
+                "n_deleted"
+            ),
+            F.round(
+                F.sum(
+                    F.coalesce("p2", F.lit(0.0))
+                    - F.coalesce("p1", F.lit(0.0))
+                ),
+                2,
+            ).alias("price_delta"),
+            F.min(
+                F.when(
+                    F.col("k1").isNotNull() & F.col("k2").isNotNull(),
+                    F.col("k1"),
+                )
+            ).alias("min_updated_key"),
+            F.max(
+                F.when(
+                    F.col("k1").isNotNull() & F.col("k2").isNotNull(),
+                    F.col("k1"),
+                )
+            ).alias("max_updated_key"),
+        )
+    )

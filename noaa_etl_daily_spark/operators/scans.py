@@ -1150,3 +1150,163 @@ def scan_snapshot_time_travel_sim(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return snap("v1").unionAll(snap("v2"))
+
+
+def _mor_delete_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Prepare the simulated merge-on-read DELETE layout (WAVE11
+    candidate 1, third leg of the table-format trio beside
+    ``_manifest_layout`` and ``_snapshot_layout``):
+
+    - commit 1 (base): orders range-split into 8 parquet files
+      ``base-xx.parquet`` (same construction as the manifest sim);
+      their md5 digests are recorded in the manifest at write time.
+    - commit 2 (DELETE): an Iceberg-style merge-on-read EQUALITY
+      delete — ``DELETE WHERE o_orderkey % 7 = 0`` writes ONLY a small
+      ``delete-00.parquet`` of the deleted keys next to the base files.
+      No base file is opened, rewritten, or copied (copy-on-write
+      never happens); readers apply the delete file as a LEFT ANTI
+      join until a compaction folds it in.
+
+    ``manifest.json``: {"base": [{path, md5}], "deletes": [path],
+    "predicate": ...} — the md5s are the commit-1 record the layout
+    test replays against the post-delete-commit bytes."""
+    import hashlib as _hashlib
+    import json as _json
+    import shutil
+
+    out = _scratch("mor_delete_sim", _sf_tag(sf_dir), "orders")
+    params = "mor_delete_layout:n_files=8:del=mod7"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = out + "_base"
+    (
+        src.repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+
+    def _md5(path):
+        h = _hashlib.md5()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    base = []
+    for i, fname in enumerate(
+        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+    ):
+        dst = f"base-{i:02d}.parquet"
+        shutil.copyfile(os.path.join(tmp, fname), os.path.join(out, dst))
+        base.append({"path": dst, "md5": _md5(os.path.join(out, dst))})
+    shutil.rmtree(tmp)
+
+    # commit 2: the DELETE — O(deleted keys) data, O(1) metadata; the
+    # base files above are never touched again
+    tmp2 = out + "_del"
+    (
+        src.where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp2)
+    )
+    deletes = []
+    for i, fname in enumerate(
+        f for f in sorted(os.listdir(tmp2)) if f.endswith(".parquet")
+    ):
+        dst = f"delete-{i:02d}.parquet"
+        shutil.copyfile(os.path.join(tmp2, fname), os.path.join(out, dst))
+        deletes.append(dst)
+    shutil.rmtree(tmp2)
+
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump(
+            {
+                "base": base,
+                "deletes": deletes,
+                "predicate": "o_orderkey % 7 = 0",
+            },
+            fh,
+        )
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+def _mor_files(out: str) -> tuple[list, list]:
+    """(base data files, delete files) the manifest references, as
+    absolute paths — the reader plans from metadata only."""
+    import json as _json
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    return (
+        [os.path.join(out, e["path"]) for e in manifest["base"]],
+        [os.path.join(out, p) for p in manifest["deletes"]],
+    )
+
+
+@register(
+    "scan_merge_on_read_delete_sim",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_orderkey) AS min_live_key,
+           max(o_orderkey) AS max_live_key
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM orders d
+                      WHERE d.o_orderkey % 7 = 0
+                        AND d.o_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_merge_on_read_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE over the simulated table format (WAVE11
+    candidate 1, completing the trio: manifest pruning, time travel,
+    and now deletes — the half real users hit first: GDPR erasure,
+    bad-record corrections). The DELETE commit wrote ONLY a small
+    parquet of deleted keys (an Iceberg equality-delete file); the
+    base data files are byte-identical before and after the commit
+    (tests/test_layout.py replays the manifest's commit-1 md5s against
+    the current bytes). This read applies the delete file as a
+    broadcast LEFT ANTI join on the key before aggregating — the
+    merge-on-read contract: writers pay O(deleted keys), readers pay
+    one anti join until compaction folds the tombstones in.
+
+    The oracle recomputes the same aggregate over the ORIGINAL table
+    with the null-safe NOT EXISTS form of NOT IN (the
+    sql_not_in_null_aware lesson: LEFT ANTI ≡ NOT EXISTS, and unlike
+    NOT IN it cannot be null-poisoned by a NULL key on either side),
+    so the whole delete-file machinery must be answer-exact to
+    hash-match.
+
+    At 100 TB: DELETE commits are O(deleted keys) data + O(1)
+    metadata — no copy-on-write rewrite amplification; reads pay one
+    broadcast anti join against the (small, compaction-bounded) delete
+    set, hash-partitioned only if the tombstone set outgrows the
+    broadcast threshold; the plan test pins the anti-join side to the
+    bounded delete file, never a second pass over the base data."""
+    out = _mor_delete_layout(spark, sf_dir)
+    base_files, delete_files = _mor_files(out)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    base = spark.read.schema(schema).parquet(*base_files)
+    tombstones = spark.read.schema("o_orderkey bigint").parquet(
+        *delete_files
+    )
+    live = base.join(
+        F.broadcast(tombstones), "o_orderkey", "left_anti"
+    )
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_live_key"),
+        F.max("o_orderkey").alias("max_live_key"),
+    )

@@ -905,3 +905,80 @@ def test_snapshot_time_travel_shares_untouched_files(spark, sf_dir):
     }
     assert read_v2 == v2
     assert not read_v2 & replaced
+
+
+def test_mor_delete_base_bytes_stable_and_antijoin_is_delete_file(
+    spark, sf_dir
+):
+    """scan_merge_on_read_delete_sim's contract (WAVE11 candidate 1):
+    the DELETE commit must never rewrite a base file (merge-on-read,
+    not copy-on-write) — the manifest's commit-1 md5s are replayed
+    against the bytes on disk AFTER the delete commit — and the read's
+    anti-join build side must be exactly the bounded delete file, with
+    the total input being base ∪ delete (no second pass over base
+    data to resolve tombstones)."""
+    import hashlib
+
+    from noaa_etl_daily_spark.operators.scans import (
+        _mor_delete_layout,
+        _mor_files,
+    )
+
+    out = _mor_delete_layout(spark, sf_dir)
+    base_files, delete_files = _mor_files(out)
+    assert delete_files, "delete commit wrote no tombstone file"
+
+    import json
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    for entry in manifest["base"]:
+        h = hashlib.md5()
+        with open(os.path.join(out, entry["path"]), "rb") as fh:
+            h.update(fh.read())
+        assert h.hexdigest() == entry["md5"], (
+            f"base file {entry['path']} changed across the delete "
+            "commit: copy-on-write happened"
+        )
+
+    # the delete file is bounded: ~1/7 of the keys, single file
+    base_bytes = sum(os.path.getsize(p) for p in base_files)
+    del_bytes = sum(os.path.getsize(p) for p in delete_files)
+    assert del_bytes < base_bytes / 2, "tombstone set is not small"
+
+    df = REGISTRY["scan_merge_on_read_delete_sim"].builder(spark, sf_dir)
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    want = {os.path.basename(p) for p in base_files} | {
+        os.path.basename(p) for p in delete_files
+    }
+    assert read == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "delete application is not an anti join"
+    assert "BroadcastExchange" in plan, (
+        "tombstones were not broadcast: the bounded delete set must be "
+        "the build side"
+    )
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_never_reads_shared_files(spark, sf_dir):
+    """pipeline_snapshot_diff's contract (WAVE11 candidate 2): the CDC
+    read's input is exactly the symmetric difference of the two
+    manifests' file sets — shared files (referenced by both snapshots)
+    are never opened, because their rows are unchanged by identity."""
+    from noaa_etl_daily_spark.operators.scans import (
+        _snapshot_files,
+        _snapshot_layout,
+    )
+
+    out = _snapshot_layout(spark, sf_dir)
+    v1 = {os.path.basename(p) for p in _snapshot_files(out, "v1")}
+    v2 = {os.path.basename(p) for p in _snapshot_files(out, "v2")}
+    shared = v1 & v2
+    assert shared, "no shared files: the restriction is not exercised"
+
+    df = REGISTRY["pipeline_snapshot_diff"].builder(spark, sf_dir)
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    assert read == (v1 - v2) | (v2 - v1)
+    assert not read & shared
