@@ -1582,7 +1582,10 @@ def test_ivfpq_topk_recall_and_refine_semantics(spark, sf_dir):
     hits = sum(
         1 for k in exact if k in {(r.query_id, r.cand_id) for r in rows}
     )
-    assert hits / len(exact) >= 0.45, f"recall {hits / len(exact):.2f}"
+    # floor raised 0.45 → 0.60 with the WAVE11 trained codebooks
+    # (measured 0.64 = the IVF tier's own recall: the ADC cut loses
+    # nothing; the old label-mean codebooks measured 0.56)
+    assert hits / len(exact) >= 0.60, f"recall {hits / len(exact):.2f}"
     from collections import Counter
 
     per_q = Counter(r.query_id for r in rows)
@@ -1604,3 +1607,201 @@ def test_ivfpq_topk_recall_and_refine_semantics(spark, sf_dir):
     finally:
         llm._IVFPQ_ADC_CUT = old
     assert uncapped == ivf, "uncapped IVF-PQ diverged from the IVF tier"
+
+
+def _numpy_pq_training_inputs(sf_dir):
+    """Spark-faithful numpy replication of _pq_quantized_subs: the
+    admissible corpus (sequential-fold norm > 0), µ-quantized with
+    Spark's HALF_UP rounding (decimal, not floor(v+.5) — the binary
+    expansion of a double never crosses a .5 integer boundary its
+    shortest repr doesn't, so Decimal(float) matches BigDecimal here),
+    reshaped to (n, 8, 8)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from noaa_etl_daily_spark.tables import path_for
+
+    df = duckdb.sql(
+        "SELECT vec_id, embedding, label FROM "
+        f"'{path_for(sf_dir, 'embeddings')}' ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy()
+    lab = df["label"].to_numpy()
+    E = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.zeros(len(E))
+    for j in range(E.shape[1]):  # sequential fold, as F.aggregate does
+        nrm += E[:, j] * E[:, j]
+    keep = nrm > 0
+    ids, lab, E, nrm = ids[keep], lab[keep], E[keep], nrm[keep]
+    V = E / np.sqrt(nrm)[:, None] * 1e6
+    one = Decimal(1)
+    Q = np.array(
+        [
+            [
+                int(Decimal(float(v)).quantize(one, rounding=ROUND_HALF_UP))
+                for v in row
+            ]
+            for row in V
+        ],
+        dtype=np.int64,
+    )
+    return ids, lab, E, nrm, Q.reshape(len(ids), 8, 8)
+
+
+def _numpy_pq_assign(subs_f, codebooks):
+    """Per-subspace nearest-code assignment with the Spark fold's
+    exact addition order (term-by-term over j) and first-minimum
+    tie-break."""
+    import numpy as np
+
+    codes = np.zeros((len(subs_f), 8), dtype=np.int64)
+    for s in range(8):
+        C = np.asarray(codebooks[s])
+        d = np.zeros((len(subs_f), len(C)))
+        for j in range(8):
+            d += (subs_f[:, s, j, None] - C[None, :, j]) ** 2
+        codes[:, s] = d.argmin(axis=1)
+    return codes
+
+
+def test_pq_trained_codebook_matches_numpy_reference(spark, sf_dir):
+    """WAVE11 candidate 3's exactness contract: the distributed Lloyd's
+    training in _pq_train_codebooks and the registered census key must
+    agree with a local numpy replay INTEGER FOR INTEGER — same
+    md5-ordered seeds, same HALF_UP µ-quantization, same sequential-
+    fold distances, same exact int64 means, same first-min tie-break.
+    Any nondeterminism (partition-order float drift, banker's-rounding
+    mismatch, tie instability) fails this exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from noaa_etl_daily_spark.operators.llm import (
+        _PQ_TRAIN_ITERS,
+        _PQ_TRAIN_K,
+        _pq_train_codebooks,
+    )
+    from noaa_etl_daily_spark.registry import load_all
+
+    ids, _lab, _E, _nrm, Qs = _numpy_pq_training_inputs(sf_dir)
+    subs_f = Qs.astype(np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )[:_PQ_TRAIN_K]
+    ref = [
+        [[float(x) for x in Qs[i, s, :]] for i in order] for s in range(8)
+    ]
+    for _ in range(_PQ_TRAIN_ITERS):
+        codes = _numpy_pq_assign(subs_f, ref)
+        for s in range(8):
+            for k in range(len(ref[s])):
+                m = codes[:, s] == k
+                if m.any():
+                    ref[s][k] = [
+                        int(Qs[m, s, j].sum()) / int(m.sum())
+                        for j in range(8)
+                    ]
+
+    got = _pq_train_codebooks(spark, sf_dir)
+    assert len(got) == 8 and all(len(cb) == len(ref[0]) for cb in got)
+    for s in range(8):
+        for k in range(len(ref[s])):
+            assert got[s][k] == ref[s][k], (s, k)
+
+    codes = _numpy_pq_assign(subs_f, ref)
+    want = {}
+    for s in range(8):
+        for k in range(len(ref[s])):
+            m = codes[:, s] == k
+            if m.any():
+                want[(s, k)] = (
+                    int(m.sum()),
+                    int(Qs[m, s, :].sum()),
+                    int((Qs[m, s, :].astype(object) ** 2).sum()),
+                )
+    census = {
+        (r.sub, r.code): (r.n_assigned, r.sum_x, r.sum_xsq)
+        for r in load_all()["llm_embed_pq_trained_codebook"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert census == want
+
+
+def test_pq_trained_codebook_capture_beats_label_mean(spark, sf_dir):
+    """The WAVE11 upgrade's measured win, asserted: ADC top-20 capture
+    of the true top-5 (per query, within the IVF-probed candidate
+    pool) with the TRAINED codebooks must be at least the label-mean
+    tier's, and clear an absolute floor. Measured at sf0.01: trained
+    0.52 vs label-mean 0.28 (and end-to-end recall 0.64 vs 0.56)."""
+    import numpy as np
+
+    from noaa_etl_daily_spark.operators.llm import (
+        _IVF_NPROBE,
+        _pq_train_codebooks,
+    )
+
+    ids, lab, E, nrm, Qs = _numpy_pq_training_inputs(sf_dir)
+    subs_f = Qs.astype(np.float64)
+    n = len(ids)
+    cos = (E @ E.T) / np.sqrt(np.outer(nrm, nrm))
+    qidx = np.where(ids % 100 == 0)[0]
+    assert len(qidx) > 0
+
+    # coarse label-mean cells (the IVF tier's construction)
+    cells = sorted(set(lab.tolist()))
+    cent = np.array([E[lab == c].mean(0) for c in cells])
+    cnrm = (cent * cent).sum(1)
+    csim = np.round((E @ cent.T) / np.sqrt(np.outer(nrm, cnrm)), 6)
+    best = np.array(
+        [
+            max(range(len(cells)), key=lambda c: (csim[i, c], -cells[c]))
+            for i in range(n)
+        ]
+    )
+
+    label_cb = [
+        [
+            Qs[lab == c, s, :].sum(0) / int((lab == c).sum())
+            for c in cells
+        ]
+        for s in range(8)
+    ]
+    trained_cb = _pq_train_codebooks(spark, sf_dir)
+
+    def capture(cb):
+        codes = _numpy_pq_assign(subs_f, cb)
+        hits = tot = 0
+        for qi in qidx:
+            probe = sorted(
+                range(len(cells)), key=lambda c: (-csim[qi, c], cells[c])
+            )[:_IVF_NPROBE]
+            cand = [
+                j for j in range(n) if best[j] in probe and j != qi
+            ]
+            adc = {}
+            for j in cand:
+                t = 0
+                for s in range(8):
+                    C = np.asarray(cb[s])
+                    t += round(
+                        float(((subs_f[qi, s] - C[codes[j, s]]) ** 2).sum())
+                    )
+                adc[j] = t
+            cut20 = sorted(cand, key=lambda j: (adc[j], ids[j]))[:20]
+            sims = np.round(cos[qi], 4)
+            true5 = sorted(
+                (j for j in range(n) if j != qi),
+                key=lambda j: (-sims[j], ids[j]),
+            )[:5]
+            hits += len({ids[j] for j in true5} & {ids[j] for j in cut20})
+            tot += 5
+        return hits / tot
+
+    trained = capture(trained_cb)
+    label = capture(label_cb)
+    assert trained >= label, (trained, label)
+    assert trained >= 0.45, trained
