@@ -132,6 +132,7 @@ def main() -> None:
     # Spark record, so proxy setup/reps are try-wrapped independently.
     proxy = None
     proxy_error = None
+    proxy_partial = None
     if os.environ.get("SPARK_GRAFT_PROXY", "1") != "0":
         try:
             proxy = _ProxyRunner(registry, names, sf_dir)
@@ -161,6 +162,10 @@ def main() -> None:
                 proxy.run_query(name)
             except Exception as ex:  # noqa: BLE001
                 proxy_error = f"{type(ex).__name__}: {ex}"
+                # keep the runner for its already-timed queries: a
+                # mid-interleave failure must not discard the partial
+                # comparand (ADVICE r10) — the record marks it partial
+                proxy_partial = proxy
                 proxy = None
     timings = {k: round(v, 4) for k, v in timings.items()}
 
@@ -177,6 +182,12 @@ def main() -> None:
         record["proxy_interleaved"] = "per-query"
     elif proxy_error is not None:
         record["proxy_error"] = proxy_error
+        if proxy_partial is not None and proxy_partial.best:
+            # the queries timed before the failure are still a valid
+            # same-minute comparand over their named subset
+            record.update(proxy_partial.summary())
+            record["proxy_interleaved"] = "per-query"
+            record["proxy_partial"] = True
 
     print(json.dumps(record))
     spark.stop()

@@ -1076,11 +1076,19 @@ def evt_rate_limit_burst_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
     )
     emitted = spark.table(name)
-    return emitted.groupBy("user_id").agg(
+    final = emitted.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("max_burst_60s", "n_events").alias("max_burst_60s"),
         F.max_by("over_limit", "n_events").alias("over_limit"),
     )
+    # materialize the per-user FINAL aggregate, then drop the memory
+    # sink (ADVICE r10): the sink holds the whole update-mode emission
+    # history in driver memory, and a lazy return would pin it for the
+    # DataFrame's lifetime — repeated builder calls in one session
+    # (strategy audits, batch-cut sweeps) would accumulate it per run
+    out = final.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @register(
@@ -2265,7 +2273,7 @@ def evt_token_bucket_admission_stream(
         "update",
     )
     emitted = spark.table(name)
-    return emitted.groupBy("user_id").agg(
+    final = emitted.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("n_admitted", "n_events").alias("n_admitted"),
         F.max_by("n_rejected", "n_events").alias("n_rejected"),
@@ -2274,3 +2282,8 @@ def evt_token_bucket_admission_stream(
         ),
         F.max_by("final_tokens_u", "n_events").alias("final_tokens_u"),
     )
+    # same memory-sink hygiene as evt_rate_limit_burst_stream: pin the
+    # K-row final answer, release the emission history (ADVICE r10)
+    out = final.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

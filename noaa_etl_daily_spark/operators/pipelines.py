@@ -143,10 +143,19 @@ def pipeline_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join is AQE's runtime choice, exactly as before).
     import os as _os
 
-    supplier_bytes = _os.path.getsize(
-        _os.path.join(sf_dir, "supplier.parquet")
-    )
-    if supplier_bytes < (64 << 20):
+    # ADVICE r10 hardening: (a) isfile, matching _src_fp's
+    # single-file-fixture contract — getsize on a directory-shaped
+    # fixture returns the tiny dir-inode size and would silently pass
+    # the gate for an arbitrarily large table, so a non-file shape
+    # disables the forced broadcast instead; (b) threshold 16 MB of
+    # on-disk parquet ≈ 64 MB in-memory at the ~4× snappy+encoding
+    # inflation the fixtures measure — conservative against the
+    # classic compressed-size-vs-memory broadcast OOM.
+    supplier_path = _os.path.join(sf_dir, "supplier.parquet")
+    if (
+        _os.path.isfile(supplier_path)
+        and _os.path.getsize(supplier_path) < (16 << 20)
+    ):
         supp = F.broadcast(supp)
     cust = (
         load(spark, sf_dir, "customer")

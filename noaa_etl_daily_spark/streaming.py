@@ -892,7 +892,11 @@ def stream_neardup_band_flags(docs: DataFrame) -> DataFrame:
     )
 
 
-def stream_rate_limit_stats(events: DataFrame) -> DataFrame:
+def stream_rate_limit_stats(
+    events: DataFrame,
+    evict: bool = False,
+    evict_log_dir: str | None = None,
+) -> DataFrame:
     """Streaming face of ``evt_rate_limit_burst`` (WAVE9 candidate 1):
     per-user trailing-60s burst accounting over the live event stream —
     the quota metric an API gateway keys admission on — via
@@ -918,7 +922,26 @@ def stream_rate_limit_stats(events: DataFrame) -> DataFrame:
 
     At 100 TB: state is per-key and time-bounded (60s × per-user rate);
     the shuffle is the same user_id layout as the batch window's
-    partition — no new shuffle class."""
+    partition — no new shuffle class.
+
+    ``evict=True`` (WAVE11 candidate 4) arms the production form: a
+    watermark (delay 60 s) plus ``EventTimeTimeout`` timers that PRUNE
+    an idle user's event buffer once the watermark passes their last
+    buffered event + 60 s. Safety is the same monotone argument as
+    batch-cut pruning: a future event t arrives on the time-ordered
+    frontier with t ≥ watermark, and every dropped buffer entry is
+    < watermark − 60 s < t − 60 s — outside any window a future event
+    can open — so the availableNow answer is IDENTICAL to the
+    NoTimeout form (that invariant IS tests/test_streaming_eviction).
+    The three counters (n_events, max_burst, n_nulls) are the
+    irreducible answer-state of the registered lifetime aggregate and
+    survive eviction; a 24/7 deployment that also needed to retire
+    whole keys would age the finalized counters into a compacted sink
+    (the foreachBatch upsert pattern in this module) rather than drop
+    them. NULL-ts rows never set timers (no event time), so the
+    NULL peer-group semantics are untouched. ``evict_log_dir`` is test
+    instrumentation: each pruned key drops a marker file, proving
+    timers actually fired in an equivalence run."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -934,6 +957,18 @@ def stream_rate_limit_stats(events: DataFrame) -> DataFrame:
     window_us = 60_000_000
 
     def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # idle past the horizon: prune the buffer, keep the
+            # O(1) counters; no emission — the running answer cannot
+            # have changed since the last data batch emitted it
+            buf, n_events, max_burst, n_nulls = state.get
+            state.update(([], n_events, max_burst, n_nulls))
+            if evict_log_dir:
+                with open(
+                    os.path.join(evict_log_dir, f"rlb_{key[0]}"), "w"
+                ):
+                    pass
+            return
         buf, n_events, max_burst, n_nulls = (
             state.get if state.exists else ([], 0, 0, 0)
         )
@@ -968,6 +1003,14 @@ def stream_rate_limit_stats(events: DataFrame) -> DataFrame:
             max_burst = max(max_burst, int((hi - lo).max()))
             buf = merged[merged >= merged[-1] - window_us]
         state.update((buf.tolist(), n_events, max_burst, n_nulls))
+        if evict and len(buf):
+            # fire once the watermark passes the newest buffered event
+            # + the window span; clamp above the current watermark
+            # (EventTimeTimeout rejects a timer at-or-before it)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(int(buf[-1]) // 1000 + 60_001, wm_ms + 1)
+            )
         burst_out = max(max_burst, n_nulls)
         yield pd.DataFrame(
             {
@@ -978,16 +1021,25 @@ def stream_rate_limit_stats(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    stream = events.withWatermark("ts", "60 seconds") if evict else events
+    return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
-def stream_token_bucket_admission(events: DataFrame) -> DataFrame:
+def stream_token_bucket_admission(
+    events: DataFrame,
+    evict: bool = False,
+    evict_log_dir: str | None = None,
+) -> DataFrame:
     """Streaming face of ``evt_token_bucket_admission`` (WAVE10
     candidate 3): per-user token-bucket quota enforcement at ingest —
     capacity 1 token, refill 1 token per hour of EVENT time, one token
@@ -1007,7 +1059,26 @@ def stream_token_bucket_admission(events: DataFrame) -> DataFrame:
     touching the bucket (no clock, no refill) and NULL event_ids are
     excluded from min_rejected_event_id — both via the same MAXLONG
     sentinels as the batch twin, so the two forms are bit-equal and
-    share one DuckDB oracle."""
+    share one DuckDB oracle.
+
+    ``evict=True`` (WAVE11 candidate 4) arms the TTL'd refill form: an
+    ``EventTimeTimeout`` timer at the bucket's time-to-full NORMALIZES
+    an idle user's clock state to the fresh-init sentinel
+    (tok = CAP, lt = −1) once the watermark proves the bucket has
+    refilled to capacity. Safety: refill is monotone in the gap, so a
+    bucket full at the watermark is full for every future event
+    t ≥ watermark (time-ordered frontier), and the fold from
+    (CAP, −1) is identical to the un-normalized fold — the
+    availableNow answer is IDENTICAL to NoTimeout
+    (tests/test_streaming_eviction asserts it). The three counters
+    (ad, rj, mr) are the irreducible answer-state of the registered
+    lifetime aggregate and survive normalization — a deployment
+    retiring whole keys would age them into a compacted sink first.
+    If the watermark passes before the bucket refills, the timer
+    re-arms at the remaining time-to-full instead of normalizing
+    early (a mid-refill reset would UNDER-refill: the split
+    ⌊(wm−lt)/div⌋ + ⌊(t−wm)/div⌋ ≤ ⌊(t−lt)/div⌋ is an inequality,
+    not an identity — only the saturated bucket is reset-safe)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1029,6 +1100,29 @@ def stream_token_bucket_admission(events: DataFrame) -> DataFrame:
     )
 
     def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            tok, lt, ad, rj, mr = state.get
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            if lt == -1 or tok + (wm_us - lt) // _TB_DIV >= _TB_CAP:
+                # saturated: reset the clock pair to the fresh-init
+                # sentinel — the fold from (CAP, -1) is identical
+                state.update((_TB_CAP, -1, ad, rj, mr))
+                if evict_log_dir:
+                    with open(
+                        os.path.join(evict_log_dir, f"tb_{key[0]}"), "w"
+                    ):
+                        pass
+            else:
+                # not yet full (watermark outran the timer): re-arm at
+                # the remaining time-to-full, never reset mid-refill
+                state.update((tok, lt, ad, rj, mr))
+                state.setTimeoutTimestamp(
+                    max(
+                        (lt + (_TB_CAP - tok) * _TB_DIV) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+            return
         tok, lt, ad, rj, mr = (
             state.get if state.exists else (_TB_CAP, -1, 0, 0, _TB_MAXL)
         )
@@ -1066,6 +1160,14 @@ def stream_token_bucket_admission(events: DataFrame) -> DataFrame:
                     if e != _TB_MAXL:
                         mr = min(mr, e)
         state.update((tok, lt, ad, rj, mr))
+        if evict and lt != -1 and tok < _TB_CAP:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(
+                    (lt + (_TB_CAP - tok) * _TB_DIV) // 1000 + 1,
+                    wm_ms + 1,
+                )
+            )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -1077,10 +1179,15 @@ def stream_token_bucket_admission(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    stream = events.withWatermark("ts", "60 seconds") if evict else events
+    return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
