@@ -51,6 +51,16 @@ DEFAULT_HEADLINE = [
     "join_bucketed_colocated",
     "pipeline_shipping_priority",
     "pipeline_regional_volume",
+    # r11 promotions (VERDICT r10 task 6): the ledger tracks the newer
+    # operator families, not just the r3-era set. evt_token_bucket_
+    # admission is the ordered-fold family; pipeline_multimodal_
+    # curation is the end-to-end curation family; llm_sim_ivfpq_topk
+    # is the ANN cascade (rows-only → Spark-only line, proxy names it
+    # in proxy_skipped; its trained codebook is a cached offline
+    # artifact, so timed reps measure query cost, as production would).
+    "evt_token_bucket_admission",
+    "pipeline_multimodal_curation",
+    "llm_sim_ivfpq_topk",
 ]
 
 

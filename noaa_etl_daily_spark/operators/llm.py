@@ -5014,3 +5014,172 @@ def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 5)
     )
+
+
+_IVFK_CELLS = 8  # trained coarse cells (llm_embed_kmeans's K)
+#: train-once cache for the coarse codebook, same contract as
+#: _PQ_CB_CACHE: a fixed-size offline artifact keyed on the fixture's
+#: content fingerprint. {(path, size, mtime_ns, K, iters): centroids}
+_IVFK_CB_CACHE: dict = {}
+
+
+def _ivf_train_cells(
+    spark: SparkSession, sf_dir: str, K: int = _IVFK_CELLS, iters: int = 3
+) -> list:
+    """K-means-TRAINED coarse cells for IVF probing — the label-free
+    counterpart of llm_sim_ivf_topk's labelled-init cells, reusing
+    llm_embed_kmeans's deterministic construction exactly (md5-ranked
+    seeds, literal-codebook map-only assignment, K×64-row update
+    collect) but over the UNIT-NORMALIZED admissible corpus, because
+    the probe metric is cosine and on the unit sphere L2-kmeans is
+    spherical kmeans up to the metric identity ‖a−b‖² = 2 − 2·cos.
+    Returns K centroids of 64 floats; [] on an empty corpus."""
+    fp_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(fp_path)
+        key = (fp_path, st.st_size, st.st_mtime_ns, K, iters)
+    except OSError:
+        key = (fp_path, None, None, K, iters)
+    if key in _IVFK_CB_CACHE:
+        return _IVFK_CB_CACHE[key]
+
+    emb = _spread(_sim_embeddings(spark, sf_dir))
+    unit = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double) / "
+            "sqrt(aggregate(transform(embedding, "
+            "y -> cast(y as double) * cast(y as double)), "
+            "cast(0 as double), (a, v) -> a + v)))"
+        ).alias("e"),
+    )
+    seeds = (
+        unit.where(F.col("vec_id").isNotNull())
+        .select(
+            "vec_id", "e", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(K)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r.h)
+    if not seeds:
+        _IVFK_CB_CACHE[key] = []
+        return []
+    cents = [[float(x) for x in r.e] for r in seeds]
+
+    def assign(cents_):
+        lit = F.array(
+            *[F.array(*[F.lit(c) for c in cent]) for cent in cents_]
+        )
+        dists = F.transform(
+            lit,
+            lambda c: F.aggregate(
+                F.zip_with("e", c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).alias(
+            "cell"
+        )
+
+    for _ in range(iters):
+        rows = (
+            unit.select(assign(cents), F.posexplode("e").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        for r in rows:
+            cents[r.cell][r.pos] = r.m
+    _IVFK_CB_CACHE[key] = cents
+    return cents
+
+
+@register("llm_sim_ivf_kmeans_topk", tags=("approx", "rows-only"))
+def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a fully LABEL-FREE coarse quantizer — the companion
+    that finishes de-labelling the ANN stack (WAVE11 follow-through):
+    where llm_sim_ivf_topk's cells are one k-means step from the
+    labelled init (kept as registered, its refine-equivalence twin
+    llm_sim_ivfpq_topk depends on that exact pool), this key probes
+    cells TRAINED by seeded Lloyd's over the corpus alone
+    (``_ivf_train_cells``), so the whole cascade —
+    trained coarse cells here + trained PQ sub-codebooks in
+    _pq_train_codebooks — now needs nothing a raw 100 TB corpus does
+    not carry. Same query surface: every 100th vector probes its
+    ``_IVF_NPROBE`` best cells by rounded cosine, candidates are the
+    probed cells' populations, exact cosine re-rank to top-5.
+
+    Scale shape identical to the IVF tier: the codebook is a K-row
+    broadcast (map-only scoring), each corpus vector lives in exactly
+    one cell (at 100 TB the cell id is a partition column), candidates
+    per query ≈ nprobe/K of the corpus. Approx → rows-only; recall@5
+    vs the exact baseline is property-tested with the same floor
+    methodology as the labelled tier."""
+    cents = _ivf_train_cells(spark, sf_dir)
+    emb = _spread(_sim_embeddings(spark, sf_dir))
+    d = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    if not cents:
+        return d.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(0.0).alias("sim"),
+        ).where(F.lit(False))
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, c_e array<double>",
+    ).withColumn("c_nrm", _dot(F.col("c_e"), F.col("c_e")))
+
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("c_e"))
+        / F.sqrt(F.col("nrm") * F.col("c_nrm")),
+        6,
+    )
+    scored = d.join(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "cell", csim.alias("csim")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cell", F.struct(F.col("csim"), (-F.col("cell")).alias("nc"))
+        ).alias("cell"),
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell")
+    )
+    qprob = (
+        scored.where(F.col("vec_id") % 100 == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_e"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        best.join(F.broadcast(qprob), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

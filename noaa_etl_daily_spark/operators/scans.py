@@ -1161,8 +1161,10 @@ def _mor_delete_layout(spark: SparkSession, sf_dir: str) -> str:
       ``base-xx.parquet`` (same construction as the manifest sim);
       their md5 digests are recorded in the manifest at write time.
     - commit 2 (DELETE): an Iceberg-style merge-on-read EQUALITY
-      delete — ``DELETE WHERE o_orderkey % 7 = 0`` writes ONLY a small
-      ``delete-00.parquet`` of the deleted keys next to the base files.
+      delete — ``DELETE WHERE o_orderkey % 7 = 0 AND o_orderkey
+      BETWEEN 1000 AND 5000`` (a bounded cohort erasure, the GDPR
+      shape) writes ONLY a small ``delete-00.parquet`` of the deleted
+      keys next to the base files.
       No base file is opened, rewritten, or copied (copy-on-write
       never happens); readers apply the delete file as a LEFT ANTI
       join until a compaction folds it in.
@@ -1175,7 +1177,7 @@ def _mor_delete_layout(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     out = _scratch("mor_delete_sim", _sf_tag(sf_dir), "orders")
-    params = "mor_delete_layout:n_files=8:del=mod7"
+    params = "mor_delete_layout:n_files=8:del=mod7_1000_5000"
     if _cached(out, sf_dir, "orders", params):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -1210,7 +1212,10 @@ def _mor_delete_layout(spark: SparkSession, sf_dir: str) -> str:
     # base files above are never touched again
     tmp2 = out + "_del"
     (
-        src.where(F.col("o_orderkey") % 7 == 0)
+        src.where(
+            (F.col("o_orderkey") % 7 == 0)
+            & F.col("o_orderkey").between(1000, 5000)
+        )
         .select("o_orderkey")
         .coalesce(1)
         .write.mode("overwrite")
@@ -1230,7 +1235,8 @@ def _mor_delete_layout(spark: SparkSession, sf_dir: str) -> str:
             {
                 "base": base,
                 "deletes": deletes,
-                "predicate": "o_orderkey % 7 = 0",
+                "predicate": "o_orderkey % 7 = 0 AND o_orderkey "
+                "BETWEEN 1000 AND 5000",
             },
             fh,
         )
@@ -1264,6 +1270,7 @@ def _mor_files(out: str) -> tuple[list, list]:
     FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM orders d
                       WHERE d.o_orderkey % 7 = 0
+                        AND d.o_orderkey BETWEEN 1000 AND 5000
                         AND d.o_orderkey = o.o_orderkey)
     GROUP BY o_orderstatus
     """,
@@ -1310,3 +1317,196 @@ def scan_merge_on_read_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("o_orderkey").alias("min_live_key"),
         F.max("o_orderkey").alias("max_live_key"),
     )
+
+
+def _mor_compacted_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Compaction commit over the merge-on-read delete layout (the
+    lifecycle step after ``_mor_delete_layout``): rewrite ONLY the base
+    files that contain at least one tombstoned key (decided from the
+    delete keys vs each file's footer min/max — pure metadata), drop
+    the delete file from the manifest, and REFERENCE every untouched
+    base file unchanged. After compaction a read is a plain scan again
+    — no anti join — which is exactly why table formats compact:
+    the merge-on-read tax is paid only between compactions.
+
+    ``manifest.json``: {"files": [...], "carried": [paths shared with
+    the pre-compaction layout], "rewritten": [...]} — the carried list
+    is the layout test's reference-not-copy record."""
+    import json as _json
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    out = _scratch("mor_compacted_sim", _sf_tag(sf_dir), "orders")
+    params = "mor_compacted_layout:src=mod7_1000_5000"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    src_out = _mor_delete_layout(spark, sf_dir)
+    base_files, delete_files = _mor_files(src_out)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    deleted = {
+        r.o_orderkey
+        for r in spark.read.schema("o_orderkey bigint")
+        .parquet(*delete_files)
+        .collect()
+    }
+
+    def _keys_in(path):
+        md = _pq.ParquetFile(path).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema
+                == "o_orderkey"
+            )
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return True  # stats-less: conservatively rewrite
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return any(lo <= k <= hi for k in deleted)
+
+    carried, to_rewrite = [], []
+    for p in base_files:
+        (to_rewrite if _keys_in(p) else carried).append(p)
+    files = []
+    for p in carried:
+        dst = os.path.basename(p)
+        shutil.copyfile(p, os.path.join(out, dst))
+        files.append(dst)
+    if to_rewrite:
+        live = (
+            spark.read.schema(schema)
+            .parquet(*to_rewrite)
+            .join(
+                F.broadcast(
+                    spark.read.schema("o_orderkey bigint").parquet(
+                        *delete_files
+                    )
+                ),
+                "o_orderkey",
+                "left_anti",
+            )
+        )
+        tmp = out + "_rw"
+        live.repartitionByRange(
+            max(1, len(to_rewrite) // 2), "o_orderkey"
+        ).write.mode("overwrite").parquet(tmp)
+        for i, fname in enumerate(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        ):
+            dst = f"compact-{i:02d}.parquet"
+            shutil.copyfile(
+                os.path.join(tmp, fname), os.path.join(out, dst)
+            )
+            files.append(dst)
+        shutil.rmtree(tmp)
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump(
+            {
+                "files": files,
+                "carried": [os.path.basename(p) for p in carried],
+                "rewritten": [os.path.basename(p) for p in to_rewrite],
+            },
+            fh,
+        )
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+@register(
+    "scan_mor_compaction_sim",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_orderkey) AS min_live_key,
+           max(o_orderkey) AS max_live_key
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM orders d
+                      WHERE d.o_orderkey % 7 = 0
+                        AND d.o_orderkey BETWEEN 1000 AND 5000
+                        AND d.o_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_mor_compaction_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone COMPACTION over the merge-on-read delete layout — the
+    lifecycle step that closes the trio's delete story: the compaction
+    commit folds the delete file into the data by rewriting ONLY the
+    base files whose footer key range can contain a tombstoned key
+    (metadata decision, no data read to plan) and carrying every other
+    base file by reference; the post-compaction read is a PLAIN SCAN,
+    no anti join (the layout test asserts the executed plan has no
+    join at all and that carried files are byte-shared with the
+    pre-compaction layout). Same aggregate and oracle as
+    scan_merge_on_read_delete_sim, so the driver hash-certifies that
+    the merge-on-read read path and the compacted read path give the
+    same answer — the invariant compaction must preserve.
+
+    At 100 TB: compaction cost is O(files overlapping the tombstone
+    key space), amortized across the reads it speeds up; readers
+    before compaction pay the anti join, readers after pay nothing —
+    this pair of keys IS that trade, measured."""
+    out = _mor_compacted_layout(spark, sf_dir)
+    import json as _json
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        files = _json.load(fh)["files"]
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    live = spark.read.schema(schema).parquet(
+        *[os.path.join(out, f) for f in files]
+    )
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_live_key"),
+        F.max("o_orderkey").alias("max_live_key"),
+    )
+
+
+def _cdc_matview_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The standing MATERIALIZED AGGREGATE a CDC consumer maintains
+    (pipeline_cdc_apply's bootstrap): per-status order count and
+    EXACT integer-cents price total over snapshot v1, written once as
+    a tiny parquet next to its own manifest marker. Cents are
+    ``round(price·100)`` — 2dp fixture prices make that exact — so
+    incremental merges are int64 arithmetic, order-free and drift-free
+    no matter how many deltas are folded in over the view's lifetime
+    (the classic incremental-view-maintenance exactness requirement).
+    Reading v1 in full happens HERE, at bootstrap, exactly once —
+    the registered consumer never does."""
+    import shutil
+
+    out = _scratch("cdc_matview", _sf_tag(sf_dir), "orders")
+    params = "cdc_matview:v1"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    snap = _snapshot_layout(spark, sf_dir)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    v1 = spark.read.schema(schema).parquet(*_snapshot_files(snap, "v1"))
+    agg = v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+    tmp = out + "_w"
+    agg.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copyfile(
+        os.path.join(tmp, part), os.path.join(out, "matview.parquet")
+    )
+    shutil.rmtree(tmp)
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out, sf_dir, "orders", params)
+    return out

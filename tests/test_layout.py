@@ -269,6 +269,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_sim_ivf_topk",           # K=10-row codebook broadcast (the
                                       # IVF scoring pass is map-only by
                                       # design; K is a constant)
+        "llm_sim_ivf_kmeans_topk",    # K=8-row TRAINED codebook broadcast
+                                      # (same bound as llm_sim_ivf_topk;
+                                      # label-free cells, WAVE11)
         "evt_power_users",            # 1-row p90 threshold scalar
         "evt_activity_autocorr",      # 1-row × 1-row moment scalars
         "pipeline_dormant_customers", # 1-row global-average scalar
@@ -982,3 +985,92 @@ def test_snapshot_diff_never_reads_shared_files(spark, sf_dir):
     read = {os.path.basename(p) for p in df.inputFiles()}
     assert read == (v1 - v2) | (v2 - v1)
     assert not read & shared
+
+
+def test_mor_compaction_carries_untouched_files_and_drops_join(
+    spark, sf_dir
+):
+    """scan_mor_compaction_sim's contract: compaction rewrites ONLY the
+    base files whose key range can contain a tombstone — untouched base
+    files are carried byte-identical (md5 vs the pre-compaction layout)
+    — and the post-compaction read is a plain scan: no join of any
+    kind in the executed plan."""
+    import hashlib
+    import json
+
+    from noaa_etl_daily_spark.operators.scans import (
+        _mor_compacted_layout,
+        _mor_delete_layout,
+    )
+
+    pre = _mor_delete_layout(spark, sf_dir)
+    out = _mor_compacted_layout(spark, sf_dir)
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["rewritten"], "compaction rewrote nothing"
+    assert manifest["carried"], (
+        "no base file was carried: the bounded tombstone cohort should "
+        "leave files outside its key range untouched"
+    )
+
+    def md5(path):
+        h = hashlib.md5()
+        with open(path, "rb") as fh:
+            h.update(fh.read())
+        return h.hexdigest()
+
+    for fname in manifest["carried"]:
+        assert md5(os.path.join(out, fname)) == md5(
+            os.path.join(pre, fname)
+        ), f"carried file {fname} changed during compaction"
+
+    df = REGISTRY["scan_mor_compaction_sim"].builder(spark, sf_dir)
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    assert read == set(manifest["files"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, (
+        "post-compaction read still joins: tombstones were not folded"
+    )
+
+    # the two lifecycle keys must agree exactly (same oracle, but
+    # assert it engine-side too — compaction preserves the answer)
+    mor = {
+        tuple(r)
+        for r in REGISTRY["scan_merge_on_read_delete_sim"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    compacted = {tuple(r) for r in df.collect()}
+    assert mor == compacted
+
+
+def test_cdc_apply_reads_only_matview_and_diff_files(spark, sf_dir):
+    """pipeline_cdc_apply's contract: incremental view maintenance
+    touches the tiny materialized-view parquet plus the manifests'
+    symmetric-difference file set — never a shared snapshot file and
+    never snapshot v1 in full (the bootstrap read happened once, at
+    layout time, outside the registered plan)."""
+    from noaa_etl_daily_spark.operators.scans import (
+        _cdc_matview_layout,
+        _snapshot_files,
+        _snapshot_layout,
+    )
+
+    snap = _snapshot_layout(spark, sf_dir)
+    mv_dir = _cdc_matview_layout(spark, sf_dir)
+    v1 = {os.path.basename(p) for p in _snapshot_files(snap, "v1")}
+    v2 = {os.path.basename(p) for p in _snapshot_files(snap, "v2")}
+    shared = v1 & v2
+    assert shared
+
+    df = REGISTRY["pipeline_cdc_apply"].builder(spark, sf_dir)
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    assert read == ((v1 - v2) | (v2 - v1) | {"matview.parquet"})
+    assert not read & shared
+
+    mv_bytes = os.path.getsize(os.path.join(mv_dir, "matview.parquet"))
+    table_bytes = sum(
+        os.path.getsize(p)
+        for p in _snapshot_files(snap, "v1")
+    )
+    assert mv_bytes < table_bytes / 4, "matview is not small"

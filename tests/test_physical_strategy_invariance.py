@@ -84,6 +84,9 @@ JOIN_KEYS = [
     "llm_dedup_near_minhash",
     "pipeline_multimodal_curation",
     "pipeline_incremental_curation",
+    # round-11 shapes: tombstone anti join and the IVM delta fold
+    "scan_merge_on_read_delete_sim",
+    "pipeline_cdc_apply",
 ]
 
 #: NULL-key / dangling-FK semantics differ most across join strategy
