@@ -89,6 +89,13 @@ ROWS_ONLY_COVERAGE: dict[str, list[str]] = {
     "llm_sim_ivfpq_topk": [
         "tests/test_properties.py::test_ivfpq_topk_recall_and_refine_semantics",
     ],
+    "llm_embed_pq_trained_codebook": [
+        "tests/test_properties.py::test_pq_trained_codebook_matches_numpy_reference",
+        "tests/test_properties.py::test_pq_trained_codebook_capture_beats_label_mean",
+    ],
+    "llm_sim_ivf_kmeans_topk": [
+        "tests/test_properties.py::test_ivf_kmeans_topk_recall_vs_exact",
+    ],
     "llm_embed_pca_project": [
         "tests/test_properties.py::test_pca_projection_invariants",
         "tests/test_properties.py::test_pca_identical_vectors_zero_covariance",
