@@ -1070,7 +1070,12 @@ def evt_rate_limit_burst_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"rlb_stream_{_RLB_SEQ[0]}"
     st.run_to_memory(
         st.stream_rate_limit_stats(
-            st.read_events_stream(spark, src, max_files_per_trigger=1)
+            st.read_events_stream(spark, src, max_files_per_trigger=1),
+            # the PRODUCTION form is the certified one (WAVE12 c3):
+            # EventTimeTimeout prunes idle users' buffers; answer
+            # identity vs NoTimeout is proven by the eviction
+            # equivalence suite, and the driver hash re-certifies it
+            evict=True,
         ),
         name,
         "update",
@@ -2267,7 +2272,11 @@ def evt_token_bucket_admission_stream(
     name = f"tb_stream_{_RLB_SEQ[0]}"
     st.run_to_memory(
         st.stream_token_bucket_admission(
-            st.read_events_stream(spark, src, max_files_per_trigger=1)
+            st.read_events_stream(spark, src, max_files_per_trigger=1),
+            # production form certified (WAVE12 c3): saturated-bucket
+            # clock normalization under EventTimeTimeout; identity vs
+            # NoTimeout proven by the eviction equivalence suite
+            evict=True,
         ),
         name,
         "update",

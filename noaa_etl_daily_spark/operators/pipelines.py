@@ -2131,3 +2131,126 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+def _snapshot_pair_delta(spark, out, a_files, b_files):
+    """Per-status (d_n, d_cents) between two adjacent snapshots,
+    computed ONLY from the files the two manifests do not share —
+    the shared-files-never-read rule of pipeline_snapshot_diff,
+    applied per commit of the chain. Null-safe cent comparison drops
+    carried-over identical rows; updates contribute value deltas,
+    adds +1, deletes −1 (and −cents)."""
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    a = set(a_files)
+    b = set(b_files)
+    old = spark.read.schema(schema).parquet(*sorted(a - b)).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("st1"),
+        cents("o_totalprice").alias("c1"),
+    )
+    new = spark.read.schema(schema).parquet(*sorted(b - a)).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("st2"),
+        cents("o_totalprice").alias("c2"),
+    )
+    return (
+        old.join(new, old.k1 == new.k2, "full_outer")
+        .where(~F.col("c1").eqNullSafe(F.col("c2")))
+        .groupBy(F.coalesce("st2", "st1").alias("o_orderstatus"))
+        .agg(
+            F.sum(
+                F.when(F.col("k1").isNull(), 1)
+                .when(F.col("k2").isNull(), -1)
+                .otherwise(0)
+            ).alias("d_n"),
+            F.sum(
+                F.coalesce("c2", F.lit(0)) - F.coalesce("c1", F.lit(0))
+            ).alias("d_cents"),
+        )
+    )
+
+
+@register(
+    "pipeline_snapshot_chain_replay",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CASE WHEN o_orderkey BETWEEN 1000 AND 5000
+                          THEN o_totalprice * 2
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey BETWEEN 1000 AND 3000)
+    GROUP BY o_orderstatus
+    """,
+)
+def pipeline_snapshot_chain_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance COMPOSED across commit types
+    (WAVE12 candidate 4): the three-snapshot chain commits an UPDATE
+    (v1→v2) and then a copy-on-write DELETE (v2→v3, overlapping the
+    updated key range), and the standing per-status matview
+    (bootstrapped over v1, exact int64 cents) is replayed through BOTH
+    deltas to the v3 answer. Each delta is computed only from the
+    files its commit's two manifests do not share (the
+    pipeline_snapshot_diff rule, per commit); the registered plan
+    reads matview.parquet + the two symmetric differences — never v1
+    in full, never a file both adjacent snapshots reference (layout
+    test pins inputFiles). The oracle recomputes v3 from the ORIGINAL
+    table (update CASE + delete predicate), so bootstrap, both delta
+    classifications, and the integer fold must compose answer-exactly.
+
+    Why this key exists beyond pipeline_cdc_apply: a single-delta
+    replay cannot catch sign errors that cancel (an update mis-read as
+    delete+add still sums to the right cents); composing a delete
+    delta AFTER an update delta over overlapping keys means the v2
+    prices (already doubled) must be the ones the delete subtracts —
+    the classic compose-order bug this key would catch and the oracle
+    would flag. At 100 TB the consumer replays every commit since its
+    checkpoint the same way: O(Σ changed files), never O(table)."""
+    import os as _os
+
+    from .scans import _snapshot_chain_layout
+
+    out = _snapshot_chain_layout(spark, sf_dir)
+    import json as _json
+
+    with open(_os.path.join(out, "manifest.json")) as fh:
+        snaps = _json.load(fh)["snapshots"]
+    paths = {
+        tag: [_os.path.join(out, e["path"]) for e in entries]
+        for tag, entries in snaps.items()
+    }
+    d12 = _snapshot_pair_delta(spark, out, paths["v1"], paths["v2"])
+    d23 = _snapshot_pair_delta(spark, out, paths["v2"], paths["v3"])
+    deltas = (
+        d12.unionByName(d23)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("d_n").alias("d_n"),
+            F.sum("d_cents").alias("d_cents"),
+        )
+    )
+    matview = spark.read.schema(
+        "o_orderstatus string, n_orders bigint, cents bigint"
+    ).parquet(_os.path.join(out, "matview.parquet"))
+    return (
+        matview.join(F.broadcast(deltas), "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce("n_orders", F.lit(0))
+                + F.coalesce("d_n", F.lit(0))
+            ).alias("n_orders"),
+            F.round(
+                (
+                    F.coalesce("cents", F.lit(0))
+                    + F.coalesce("d_cents", F.lit(0))
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

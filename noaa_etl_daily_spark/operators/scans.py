@@ -1510,3 +1510,417 @@ def _cdc_matview_layout(spark: SparkSession, sf_dir: str) -> str:
         pass
     _seal_cache(out, sf_dir, "orders", params)
     return out
+
+
+def _schema_evo_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Schema-evolution layout (WAVE12 candidate 2): generation-1
+    files written under schema v1 (no ``o_clerk_bucket``), a
+    METADATA-ONLY schema-change commit, then generation-2 files under
+    schema v2 (with the column). Generation membership is
+    ``o_orderkey % 3 = 0`` → gen-2 (written after the change) — rows'
+    write-time is uncorrelated with their key, the realistic shape.
+    No gen-1 file is rewritten by the commit (md5s recorded at write
+    time; the layout test replays them) — rewriting history to add a
+    column is exactly what schema-in-metadata exists to avoid.
+
+    ``manifest.json``: {"schemas": {"v1": [...], "v2": [...]},
+    "gen1": [{path, md5}], "gen2": [paths]}."""
+    import hashlib as _hashlib
+    import json as _json
+    import shutil
+
+    out = _scratch("schema_evo_sim", _sf_tag(sf_dir), "orders")
+    params = "schema_evo_layout:gen=mod3:col=clerk_bucket"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def _md5(path):
+        h = _hashlib.md5()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    def _fan(df, tmp, prefix, n):
+        df.repartitionByRange(n, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        names = []
+        for i, fname in enumerate(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        ):
+            dst = f"{prefix}-{i:02d}.parquet"
+            shutil.copyfile(
+                os.path.join(tmp, fname), os.path.join(out, dst)
+            )
+            names.append(dst)
+        shutil.rmtree(tmp)
+        return names
+
+    gen1_names = _fan(
+        src.where(F.col("o_orderkey") % 3 != 0), out + "_g1", "gen1", 4
+    )
+    gen1 = [
+        {"path": p, "md5": _md5(os.path.join(out, p))} for p in gen1_names
+    ]
+    # schema-change commit: metadata only — then gen-2 writes carry it
+    gen2 = _fan(
+        src.where(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_clerk_bucket", (F.col("o_orderkey") % 10).cast("int")
+        ),
+        out + "_g2",
+        "gen2",
+        2,
+    )
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump(
+            {
+                "schemas": {
+                    "v1": [
+                        "o_orderkey", "o_orderstatus", "o_totalprice"
+                    ],
+                    "v2": [
+                        "o_orderkey", "o_orderstatus", "o_totalprice",
+                        "o_clerk_bucket",
+                    ],
+                },
+                "gen1": gen1,
+                "gen2": gen2,
+            },
+            fh,
+        )
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+@register(
+    "scan_schema_evolution_sim",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(o_orderkey % 10 AS INT)
+                ELSE CAST(-1 AS INT) END AS clerk_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_schema_evolution_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution over the simulated table format (WAVE12
+    candidate 2, the fourth lifecycle leg after manifest pruning, time
+    travel, and merge-on-read deletes): generation-1 files predate the
+    ``o_clerk_bucket`` column, generation-2 files carry it, and ONE
+    scan under the evolved schema reads both generations — the parquet
+    reader null-fills the missing column for old files (the format's
+    add-column default semantics), and the aggregate maps that null to
+    the ``-1`` pre-evolution bucket. The schema-change commit touched
+    no data file (gen-1 md5s replayed by the layout test): adding a
+    column to a 100 TB table is a metadata write, and THAT is the
+    entire point of schema-in-metadata formats.
+
+    The oracle recomputes the same census from the original table with
+    the generation predicate inlined, so null-fill semantics, the
+    single-scan union of heterogeneous files, and the bucket cast must
+    all be answer-exact to hash-match."""
+    import json as _json
+
+    out = _schema_evo_layout(spark, sf_dir)
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    files = [
+        os.path.join(out, e["path"]) for e in manifest["gen1"]
+    ] + [os.path.join(out, p) for p in manifest["gen2"]]
+    v2 = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_clerk_bucket int"
+    )
+    evolved = spark.read.schema(v2).parquet(*files)
+    return (
+        evolved.select(
+            F.coalesce("o_clerk_bucket", F.lit(-1)).alias("clerk_bucket"),
+            "o_totalprice",
+        )
+        .groupBy("clerk_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def _snapshot_chain_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Three-snapshot chain (WAVE12 candidate 4): v1 = 8-file range
+    split of orders; v2 = copy-on-write UPDATE (price ×2 for
+    o_orderkey ∈ [1000, 5000]); v3 = copy-on-write DELETE
+    (o_orderkey % 5 = 0 ∧ o_orderkey ∈ [1000, 3000]) — two different
+    commit TYPES so the incremental consumer must compose an update
+    delta and a delete delta. Each commit rewrites only the files
+    whose footer stats overlap its predicate (stats-less files
+    conservatively rewritten) and references the rest. A per-status
+    matview over v1 (count + exact int64 cents) is materialized here
+    at bootstrap, so the replay key never reads v1 in full.
+
+    ``manifest.json``: {"snapshots": {"v1"|"v2"|"v3": [{path, min,
+    max}]}}; plus ``matview.parquet``."""
+    import json as _json
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    out = _scratch("snapshot_chain", _sf_tag(sf_dir), "orders")
+    params = "snapshot_chain:upd=1000-5000:del=mod5_1000-3000"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+
+    def _stats(path):
+        md = _pq.ParquetFile(path).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema
+                == "o_orderkey"
+            )
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+
+    def _fan(df, prefix, n):
+        tmp = out + "_t"
+        df.repartitionByRange(n, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        entries = []
+        for i, fname in enumerate(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        ):
+            dst = f"{prefix}-{i:02d}.parquet"
+            shutil.copyfile(
+                os.path.join(tmp, fname), os.path.join(out, dst)
+            )
+            lo, hi = _stats(os.path.join(out, dst))
+            entries.append({"path": dst, "min": lo, "max": hi})
+        shutil.rmtree(tmp)
+        return entries
+
+    def _cow_commit(prev, lo, hi, transform, prefix, n_files):
+        """Copy-on-write: rewrite only predicate-overlapping files."""
+        touched = [
+            e for e in prev
+            if e["min"] is None or not (e["max"] < lo or e["min"] > hi)
+        ]
+        kept = [e for e in prev if e not in touched]
+        if not touched:
+            return list(prev)
+        src = spark.read.schema(schema).parquet(
+            *[os.path.join(out, e["path"]) for e in touched]
+        )
+        return kept + _fan(transform(src), prefix, n_files)
+
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = _fan(src, "v1", 8)
+
+    v2 = _cow_commit(
+        v1, 1000, 5000,
+        lambda df: df.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey").between(1000, 5000),
+                F.col("o_totalprice") * 2,
+            ).otherwise(F.col("o_totalprice")),
+        ),
+        "v2", 2,
+    )
+    v3 = _cow_commit(
+        v2, 1000, 3000,
+        lambda df: df.where(
+            ~(
+                (F.col("o_orderkey") % 5 == 0)
+                & F.col("o_orderkey").between(1000, 3000)
+            )
+        ),
+        "v3", 2,
+    )
+
+    mv = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(out, e["path"]) for e in v1])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    tmp = out + "_mv"
+    mv.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copyfile(
+        os.path.join(tmp, part), os.path.join(out, "matview.parquet")
+    )
+    shutil.rmtree(tmp)
+
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump({"snapshots": {"v1": v1, "v2": v2, "v3": v3}}, fh)
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+def _partition_evo_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Partition-spec evolution layout (WAVE12 candidate 5): data
+    before the spec-change commit (o_orderdate < 1999-01-01) is laid
+    out one file per YEAR; data after it one file per MONTH — the
+    Iceberg hidden-partitioning story, where changing the spec never
+    rewrites old files and the manifest records each file's partition
+    TRANSFORM VALUE (its date span) so readers prune each generation
+    under its own spec. ``manifest.json``: [{path, spec, lo, hi}] with
+    ISO date bounds derived from the partition value (metadata, not
+    footer scans)."""
+    import json as _json
+    import shutil
+
+    out = _scratch("partition_evo_sim", _sf_tag(sf_dir), "orders")
+    params = "partition_evo_layout:cut=1999-01-01:year->month"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cut = "1999-01-01"
+    gen1 = src.where(
+        F.col("o_orderdate") < F.lit(cut).cast("timestamp_ntz")
+    ).withColumn("pv", F.date_format("o_orderdate", "yyyy"))
+    gen2 = src.where(
+        F.col("o_orderdate") >= F.lit(cut).cast("timestamp_ntz")
+    ).withColumn("pv", F.date_format("o_orderdate", "yyyy-MM"))
+
+    entries = []
+    for gen, spec, prefix in ((gen1, "year", "y"), (gen2, "month", "m")):
+        tmp = out + "_t"
+        gen.write.mode("overwrite").partitionBy("pv").parquet(tmp)
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith("pv="):
+                continue
+            pv = d.split("=", 1)[1]
+            part = next(
+                f
+                for f in sorted(os.listdir(os.path.join(tmp, d)))
+                if f.endswith(".parquet")
+            )
+            dst = f"{prefix}-{pv}.parquet"
+            shutil.copyfile(
+                os.path.join(tmp, d, part), os.path.join(out, dst)
+            )
+            if spec == "year":
+                lo, hi = f"{pv}-01-01", f"{int(pv) + 1}-01-01"
+            else:
+                y, m = int(pv[:4]), int(pv[5:7])
+                nxt = (
+                    f"{y + 1}-01-01"
+                    if m == 12
+                    else f"{y}-{m + 1:02d}-01"
+                )
+                lo, hi = f"{pv}-01", nxt
+            entries.append(
+                {"path": dst, "spec": spec, "lo": lo, "hi": hi}
+            )
+        shutil.rmtree(tmp)
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump({"files": entries, "cut": cut}, fh)
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+def _partition_evo_prune(out: str, lo: str, hi: str) -> tuple[list, list]:
+    """Manifest pruning across BOTH specs: keep a file iff its
+    partition-value span [lo, hi) intersects the query range
+    [lo, hi] — each generation pruned under its own transform, the
+    whole point of spec evolution. Returns (kept, pruned) entries."""
+    import json as _json
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        entries = _json.load(fh)["files"]
+    kept = [e for e in entries if e["lo"] <= hi and lo < e["hi"]]
+    return kept, [e for e in entries if e not in kept]
+
+
+_PEVO_LO, _PEVO_HI = "1998-06-01", "1999-03-31"
+
+
+@register(
+    "scan_partition_evolution_sim",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_PEVO_LO} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{_PEVO_HI} 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_partition_evolution_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-spec evolution (WAVE12 candidate 5, fifth
+    table-format leg): history is partitioned by YEAR, data written
+    after the spec-change commit by MONTH, and one query whose date
+    range STRADDLES the commit prunes each generation under its own
+    spec from the manifest alone — the straddle keeps exactly the
+    1998 year file plus the 1999-01..03 month files (layout test pins
+    inputFiles to that set). Old files are never rewritten when the
+    spec changes; the manifest's partition-transform values are the
+    pruning metadata, so planning stays O(files) with zero footer
+    reads.
+
+    The oracle recomputes the same range aggregate from the original
+    table, so the generation split, both pruning paths, and the
+    residual row-level filter (file grain is coarser than the
+    predicate: the year file contains rows before 1998-06-01 that
+    must drop in-scan) are all answer-exact. At 100 TB this is why
+    formats version the partition SPEC in metadata: re-laying-out
+    history to a finer grain would rewrite the table; evolving the
+    spec costs one metadata commit and queries prune both layouts
+    correctly forever."""
+    out = _partition_evo_layout(spark, sf_dir)
+    kept, _pruned = _partition_evo_prune(out, _PEVO_LO, _PEVO_HI)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz"
+    )
+    lo = F.lit(f"{_PEVO_LO} 00:00:00").cast("timestamp_ntz")
+    hi = F.lit(f"{_PEVO_HI} 00:00:00").cast("timestamp_ntz")
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(out, e["path"]) for e in kept]
+    )
+    return (
+        df.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

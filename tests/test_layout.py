@@ -272,6 +272,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_sim_ivf_kmeans_topk",    # K=8-row TRAINED codebook broadcast
                                       # (same bound as llm_sim_ivf_topk;
                                       # label-free cells, WAVE11)
+        "llm_sim_ivfpq_kmeans_topk",  # same K-row trained-cell broadcast
+                                      # (the composed label-free cascade;
+                                      # PQ scoring joins are equi-keyed)
         "evt_power_users",            # 1-row p90 threshold scalar
         "evt_activity_autocorr",      # 1-row × 1-row moment scalars
         "pipeline_dormant_customers", # 1-row global-average scalar
@@ -1074,3 +1077,116 @@ def test_cdc_apply_reads_only_matview_and_diff_files(spark, sf_dir):
         for p in _snapshot_files(snap, "v1")
     )
     assert mv_bytes < table_bytes / 4, "matview is not small"
+
+
+def test_schema_evolution_gen1_untouched_and_single_scan(spark, sf_dir):
+    """scan_schema_evolution_sim's contract: generation-1 files
+    physically LACK the evolved column (footer schema check) and are
+    byte-identical across the schema-change commit (md5 replay); the
+    evolved read is ONE scan over both generations (inputFiles =
+    gen1 ∪ gen2, single FileScan in the plan — not a union of two
+    reads)."""
+    import hashlib
+    import json
+
+    import pyarrow.parquet as pq
+
+    from noaa_etl_daily_spark.operators.scans import _schema_evo_layout
+
+    out = _schema_evo_layout(spark, sf_dir)
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["gen1"] and manifest["gen2"]
+
+    for entry in manifest["gen1"]:
+        path = os.path.join(out, entry["path"])
+        names = pq.ParquetFile(path).schema_arrow.names
+        assert "o_clerk_bucket" not in names, (
+            f"{entry['path']} carries the evolved column: history was "
+            "rewritten"
+        )
+        h = hashlib.md5()
+        with open(path, "rb") as fh:
+            h.update(fh.read())
+        assert h.hexdigest() == entry["md5"]
+    for p in manifest["gen2"]:
+        names = pq.ParquetFile(os.path.join(out, p)).schema_arrow.names
+        assert "o_clerk_bucket" in names
+
+    df = REGISTRY["scan_schema_evolution_sim"].builder(spark, sf_dir)
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    want = {e["path"] for e in manifest["gen1"]} | set(manifest["gen2"])
+    assert read == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, (
+        "heterogeneous generations must merge in one scan, not a union"
+    )
+
+
+def test_snapshot_chain_replay_reads_only_deltas_and_matview(
+    spark, sf_dir
+):
+    """pipeline_snapshot_chain_replay's contract: the composed replay
+    reads matview.parquet plus the two adjacent symmetric differences
+    (v1△v2 and v2△v3) — a file referenced unchanged by all three
+    snapshots is never opened, and both commits actually rewrote
+    something (else the compose test is vacuous)."""
+    import json
+
+    from noaa_etl_daily_spark.operators.scans import (
+        _snapshot_chain_layout,
+    )
+
+    out = _snapshot_chain_layout(spark, sf_dir)
+    with open(os.path.join(out, "manifest.json")) as fh:
+        snaps = json.load(fh)["snapshots"]
+    v1 = {e["path"] for e in snaps["v1"]}
+    v2 = {e["path"] for e in snaps["v2"]}
+    v3 = {e["path"] for e in snaps["v3"]}
+    assert v1 ^ v2 and v2 ^ v3, "a commit rewrote nothing"
+    stable = v1 & v2 & v3
+    assert stable, "no file survived all three snapshots untouched"
+
+    df = REGISTRY["pipeline_snapshot_chain_replay"].builder(
+        spark, sf_dir
+    )
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    assert read == (v1 ^ v2) | (v2 ^ v3) | {"matview.parquet"}
+    assert not read & stable
+
+
+def test_partition_evolution_prunes_each_generation_under_its_spec(
+    spark, sf_dir
+):
+    """scan_partition_evolution_sim's contract: the straddling date
+    range keeps EXACTLY the 1998 year file plus the 1999-01..03 month
+    files — each generation pruned under its own partition transform —
+    and the executed read's input is exactly that kept set (a pruned
+    file appearing in inputFiles would mean the manifest prune
+    silently degraded to a full scan)."""
+    from noaa_etl_daily_spark.operators.scans import (
+        _PEVO_HI,
+        _PEVO_LO,
+        _partition_evo_layout,
+        _partition_evo_prune,
+    )
+
+    out = _partition_evo_layout(spark, sf_dir)
+    kept, pruned = _partition_evo_prune(out, _PEVO_LO, _PEVO_HI)
+    assert pruned, "predicate kept every file: pruning not exercised"
+    names = {e["path"] for e in kept}
+    assert names == {
+        "y-1998.parquet",
+        "m-1999-01.parquet",
+        "m-1999-02.parquet",
+        "m-1999-03.parquet",
+    }, names
+    specs = {e["spec"] for e in kept}
+    assert specs == {"year", "month"}, (
+        "the straddle must touch BOTH generations"
+    )
+
+    df = REGISTRY["scan_partition_evolution_sim"].builder(spark, sf_dir)
+    read = {os.path.basename(p) for p in df.inputFiles()}
+    assert read == names

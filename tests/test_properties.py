@@ -1834,3 +1834,56 @@ def test_ivf_kmeans_topk_recall_vs_exact(spark, sf_dir):
 
     per_q = Counter(r.query_id for r in rows)
     assert max(per_q.values()) <= 5
+
+
+def test_ivfpq_kmeans_refine_semantics(spark, sf_dir):
+    """The fully label-free cascade's contract, mirroring the labelled
+    pair's test: (a) reported sims ARE the exact cosines, (b) recall@5
+    clears the trained-coarse floor (measured 0.84 at CUT=64 — EQUAL
+    to the trained tier, the ADC stage loses nothing on the fixture;
+    floor pinned 0.80), (c) ≤ k rows per query, (d) with the cut
+    uncapped the output is BIT-IDENTICAL to llm_sim_ivf_kmeans_topk —
+    guaranteed structurally by the shared _ivf_kmeans_frames, asserted
+    here so a future fork of the construction fails loudly."""
+    import noaa_etl_daily_spark.operators.llm as llm
+    from noaa_etl_daily_spark.registry import load_all
+
+    R = load_all()
+    exact = {
+        (r.query_id, r.cand_id): r.sim
+        for r in R["llm_sim_topk_cosine"].builder(spark, sf_dir).collect()
+    }
+    rows = R["llm_sim_ivfpq_kmeans_topk"].builder(spark, sf_dir).collect()
+    assert rows, "label-free IVF-PQ returned nothing"
+    for r in rows:
+        if (r.query_id, r.cand_id) in exact:
+            assert abs(exact[(r.query_id, r.cand_id)] - r.sim) < 1e-9
+    hits = sum(
+        1 for k in exact if k in {(r.query_id, r.cand_id) for r in rows}
+    )
+    assert hits / len(exact) >= 0.80, f"recall {hits / len(exact):.2f}"
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert max(per_q.values()) <= 5
+
+    tier = {
+        (r.query_id, r.cand_id, r.sim)
+        for r in R["llm_sim_ivf_kmeans_topk"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    old = llm._IVFPQ_ADC_CUT
+    try:
+        llm._IVFPQ_ADC_CUT = 10**9
+        uncapped = {
+            (r.query_id, r.cand_id, r.sim)
+            for r in R["llm_sim_ivfpq_kmeans_topk"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+    finally:
+        llm._IVFPQ_ADC_CUT = old
+    assert uncapped == tier, (
+        "uncapped label-free IVF-PQ diverged from its coarse tier"
+    )

@@ -96,6 +96,9 @@ ROWS_ONLY_COVERAGE: dict[str, list[str]] = {
     "llm_sim_ivf_kmeans_topk": [
         "tests/test_properties.py::test_ivf_kmeans_topk_recall_vs_exact",
     ],
+    "llm_sim_ivfpq_kmeans_topk": [
+        "tests/test_properties.py::test_ivfpq_kmeans_refine_semantics",
+    ],
     "llm_embed_pca_project": [
         "tests/test_properties.py::test_pca_projection_invariants",
         "tests/test_properties.py::test_pca_identical_vectors_zero_covariance",
