@@ -1346,14 +1346,8 @@ def _mor_compacted_layout(spark: SparkSession, sf_dir: str) -> str:
     src_out = _mor_delete_layout(spark, sf_dir)
     base_files, delete_files = _mor_files(src_out)
     schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
-    deleted = {
-        r.o_orderkey
-        for r in spark.read.schema("o_orderkey bigint")
-        .parquet(*delete_files)
-        .collect()
-    }
 
-    def _keys_in(path):
+    def _key_range(path):
         md = _pq.ParquetFile(path).metadata
         lo, hi = None, None
         for rg in range(md.num_row_groups):
@@ -1365,14 +1359,34 @@ def _mor_compacted_layout(spark: SparkSession, sf_dir: str) -> str:
             )
             st = col.statistics
             if st is None or not st.has_min_max:
-                return True  # stats-less: conservatively rewrite
+                return None  # stats-less: conservatively rewrite
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        return any(lo <= k <= hi for k in deleted)
+        return lo, hi
+
+    # the touched-file decision: footer ranges (metadata) probed by
+    # ONE aggregated pass over the tombstone file whose driver result
+    # is a single row of n_files booleans — never the delete-key set
+    # itself, which is corpus-scale after a big erasure; a per-key
+    # collect here would be the classic driver-hop anti-pattern
+    ranges = [_key_range(p) for p in base_files]
+    tomb = spark.read.schema("o_orderkey bigint").parquet(*delete_files)
+    flags = tomb.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("o_orderkey").between(r[0], r[1]), 1
+                ).otherwise(0)
+            ).alias(f"f{i}")
+            for i, r in enumerate(ranges)
+            if r is not None
+        ]
+    ).collect()[0] if any(r is not None for r in ranges) else None
 
     carried, to_rewrite = [], []
-    for p in base_files:
-        (to_rewrite if _keys_in(p) else carried).append(p)
+    for i, p in enumerate(base_files):
+        touched = ranges[i] is None or bool(flags[f"f{i}"])
+        (to_rewrite if touched else carried).append(p)
     files = []
     for p in carried:
         dst = os.path.basename(p)
