@@ -1070,12 +1070,19 @@ def evt_rate_limit_burst_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"rlb_stream_{_RLB_SEQ[0]}"
     st.run_to_memory(
         st.stream_rate_limit_stats(
-            st.read_events_stream(spark, src, max_files_per_trigger=1),
-            # the PRODUCTION form is the certified one (WAVE12 c3):
-            # EventTimeTimeout prunes idle users' buffers; answer
-            # identity vs NoTimeout is proven by the eviction
-            # equivalence suite, and the driver hash re-certifies it
-            evict=True,
+            # NoTimeout ON PURPOSE (WAVE12 c3 reverted on measurement,
+            # seal r11 stage 4): the evict form's watermark makes the
+            # stateful operator late-filter rows at-or-behind the
+            # current watermark — which starts at epoch 0, so the
+            # hostile corpus's epoch-zero default timestamp is late
+            # from the FIRST batch and the batch oracle can never
+            # hash-match (user 9003 reproduced; NULL-ts rows,
+            # measured, are NOT filtered). The evicting production
+            # variant exists behind evict=True for feeds with
+            # upstream plausibility bounds (bound_event_time); its
+            # answer identity on bounded feeds and the exact loss
+            # mechanism are both pinned in test_streaming_eviction.
+            st.read_events_stream(spark, src, max_files_per_trigger=1)
         ),
         name,
         "update",
@@ -2272,11 +2279,13 @@ def evt_token_bucket_admission_stream(
     name = f"tb_stream_{_RLB_SEQ[0]}"
     st.run_to_memory(
         st.stream_token_bucket_admission(
-            st.read_events_stream(spark, src, max_files_per_trigger=1),
-            # production form certified (WAVE12 c3): saturated-bucket
-            # clock normalization under EventTimeTimeout; identity vs
-            # NoTimeout proven by the eviction equivalence suite
-            evict=True,
+            # NoTimeout ON PURPOSE — same measured reversal as
+            # evt_rate_limit_burst_stream: the watermark path late-
+            # filters rows at-or-behind the watermark (epoch-zero
+            # defaults from the first batch), which the oracle's fold
+            # counts; evict=True is the bounded-feed production
+            # variant (see test_streaming_eviction)
+            st.read_events_stream(spark, src, max_files_per_trigger=1)
         ),
         name,
         "update",

@@ -927,7 +927,12 @@ def stream_rate_limit_stats(
     ``evict=True`` (WAVE11 candidate 4) arms the production form: a
     watermark (delay 60 s) plus ``EventTimeTimeout`` timers that PRUNE
     an idle user's event buffer once the watermark passes their last
-    buffered event + 60 s. Safety is the same monotone argument as
+    buffered event + 60 s. PRECONDITION (measured, seal r11): the
+    watermark makes Spark late-filter rows at-or-behind it before the
+    processor — the watermark starts at epoch 0, so epoch-default
+    timestamps are lost from the first batch — which is why the
+    registered keys stay NoTimeout and this form is for feeds behind
+    ingest plausibility bounds (``bound_event_time``). Safety is the same monotone argument as
     batch-cut pruning: a future event t arrives on the time-ordered
     frontier with t ≥ watermark, and every dropped buffer entry is
     < watermark − 60 s < t − 60 s — outside any window a future event

@@ -118,3 +118,79 @@ def test_token_bucket_eviction_answer_identical(spark, sf_dir, tmp_path):
     assert os.listdir(probe), (
         "no bucket normalization fired: the equivalence run was vacuous"
     )
+
+
+def test_evict_watermark_drops_behind_watermark_rows_hence_not_registered(
+    spark, tmp_path
+):
+    """The measured reason the REGISTERED stream keys stay NoTimeout
+    (WAVE12 c3 reversed at seal r11 stage 4): arming EventTimeTimeout
+    requires a watermark, and the stateful operator's late-row filter
+    then drops rows at-or-behind the CURRENT watermark before the
+    processor. The watermark starts at epoch 0, so the classic
+    epoch-zero default poison (a 1970-01-01 timestamp — exactly the
+    hostile corpus's failing row) is late FROM THE FIRST BATCH and the
+    batch oracle's count can never match. NULL-ts rows, measured, are
+    NOT late-filtered (they survive both forms) — the loss class is
+    behind-watermark timestamps specifically. This test pins the
+    mechanism on a tiny synthetic feed: an epoch-zero row per user in
+    the first batch, normal 2024 traffic after; the evict form loses
+    exactly the epoch rows. The production reading: eviction is for
+    feeds with upstream plausibility bounds (bound_event_time) where
+    epoch-default/far-future rows are quarantined before the stateful
+    stage — with bounds applied, the clean-fixture equivalence above
+    is the behavior contract."""
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = []
+    for i in range(4):  # one epoch-zero default row per user
+        rows.append(
+            {
+                "event_id": 100 + i,
+                "ts": pd.Timestamp("1970-01-01"),
+                "user_id": i,
+                "etype": "view",
+                "value": 1.0,
+                "payload": "{}",
+            }
+        )
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=3 * i),
+                "user_id": i % 4,
+                "etype": "view",
+                "value": 1.0,
+                "payload": "{}",
+            }
+        )
+    pd.DataFrame(rows).to_parquet(sf / "events.parquet")
+    src = str(tmp_path / "feed")
+    st.prepare_stream_source_timeordered(spark, str(sf), src, n_files=3)
+
+    base = _drain(
+        spark,
+        st.stream_rate_limit_stats(
+            st.read_events_stream(spark, src, max_files_per_trigger=1)
+        ),
+        _rlb_agg,
+    )
+    evic = _drain(
+        spark,
+        st.stream_rate_limit_stats(
+            st.read_events_stream(spark, src, max_files_per_trigger=1),
+            evict=True,
+        ),
+        _rlb_agg,
+    )
+    assert base["n_events"].sum() == 44, base
+    # the watermark path loses the epoch-zero rows — the two forms
+    # MUST disagree here; if Spark's late filter semantics ever
+    # change, this flips and the registered keys can revisit the flip
+    assert evic["n_events"].sum() < base["n_events"].sum(), (
+        "evict form kept behind-watermark rows: the NoTimeout-on-"
+        "purpose decision for the registered keys should be revisited"
+    )
