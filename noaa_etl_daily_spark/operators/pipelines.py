@@ -2112,8 +2112,11 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     matview = spark.read.schema(
         "o_orderstatus string, n_orders bigint, cents bigint"
     ).parquet(_os.path.join(mv_dir, "matview.parquet"))
+    # no broadcast hint: Spark cannot broadcast ANY side of a full
+    # outer join (both sides must see all keys), so the hint would be
+    # silently ignored; both inputs here are already |status|-sized
     return (
-        matview.join(F.broadcast(delta), "o_orderstatus", "full_outer")
+        matview.join(delta, "o_orderstatus", "full_outer")
         .select(
             "o_orderstatus",
             (
@@ -2235,8 +2238,10 @@ def pipeline_snapshot_chain_replay(
     matview = spark.read.schema(
         "o_orderstatus string, n_orders bigint, cents bigint"
     ).parquet(_os.path.join(out, "matview.parquet"))
+    # no broadcast hint on a full outer join (ignored by Spark);
+    # both sides are |status|-sized reductions already
     return (
-        matview.join(F.broadcast(deltas), "o_orderstatus", "full_outer")
+        matview.join(deltas, "o_orderstatus", "full_outer")
         .select(
             "o_orderstatus",
             (
