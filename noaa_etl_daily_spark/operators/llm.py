@@ -5028,9 +5028,12 @@ def _ivf_train_cells(
 ) -> list:
     """K-means-TRAINED coarse cells for IVF probing — the label-free
     counterpart of llm_sim_ivf_topk's labelled-init cells, reusing
-    llm_embed_kmeans's deterministic construction exactly (md5-ranked
-    seeds, literal-codebook map-only assignment, K×64-row update
-    collect) but over the UNIT-NORMALIZED admissible corpus, because
+    llm_embed_kmeans's deterministic construction (md5-ranked seeds,
+    literal-codebook map-only assignment, K×64-row update collect) with
+    the update hardened to µ-quantized int64 sums — partition-order
+    free, so centroids reproduce bit for bit across runs, matching
+    _pq_train_codebooks' discipline — but over the UNIT-NORMALIZED
+    admissible corpus, because
     the probe metric is cosine and on the unit sphere L2-kmeans is
     spherical kmeans up to the metric identity ‖a−b‖² = 2 − 2·cos.
     Returns K centroids of 64 floats; [] on an empty corpus."""
@@ -5084,15 +5087,26 @@ def _ivf_train_cells(
             "cell"
         )
 
+    # Update step over µ-quantized int64 sums (µ = 1e6, the same scale
+    # _pq_quantized_subs uses): float avg() is partition-order
+    # dependent, which would make the trained centroids — and hence
+    # cell assignments and the rows-only recall floors — cross-run
+    # flaky; sum(bigint)/count is merge-order free, so the whole loop
+    # is reproducible from the fixture alone, like _pq_train_codebooks.
     for _ in range(iters):
         rows = (
             unit.select(assign(cents), F.posexplode("e").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * 1000000).cast("bigint")
+                ).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         for r in rows:
-            cents[r.cell][r.pos] = r.m
+            cents[r.cell][r.pos] = r.sx / r.n / 1000000.0
     _IVFK_CB_CACHE[key] = cents
     return cents
 

@@ -1979,22 +1979,24 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _snapshot_layout(spark, sf_dir)
     v1 = set(_snapshot_files(out, "v1"))
     v2 = set(_snapshot_files(out, "v2"))
-    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
-    old = spark.read.schema(schema).parquet(*sorted(v1 - v2)).select(
+    old = _read_snapshot_scope(spark, v1 - v2).select(
         F.col("o_orderkey").alias("k1"),
         F.col("o_orderstatus").alias("st1"),
         F.col("o_totalprice").alias("p1"),
     )
-    new = spark.read.schema(schema).parquet(*sorted(v2 - v1)).select(
+    new = _read_snapshot_scope(spark, v2 - v1).select(
         F.col("o_orderkey").alias("k2"),
         F.col("o_orderstatus").alias("st2"),
         F.col("o_totalprice").alias("p2"),
     )
     changed = (
         old.join(new, old.k1 == new.k2, "full_outer")
-        # null-safe: carried-over identical rows drop; adds/deletes
-        # (one side entirely NULL) survive as their own classes
-        .where(~F.col("p1").eqNullSafe(F.col("p2")))
+        # null-safe over the FULL value struct: carried-over identical
+        # rows drop; adds/deletes (one side entirely NULL) survive as
+        # their own classes; a status-only change (price untouched) is
+        # still detected. Census attribution of an update is to its
+        # NEW status (coalesce(st2, st1)).
+        .where(~F.struct("st1", "p1").eqNullSafe(F.struct("st2", "p2")))
     )
     return (
         changed.groupBy(
@@ -2062,9 +2064,12 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture prices make round(p·100) exact) and the delta is a sum of
     exact cent differences, so the fold is integer arithmetic —
     order-free, drift-free over arbitrarily many maintenance cycles —
-    and the 2dp rounding happens once, at presentation. Counts use the
-    full-outer classification (updates 0, adds +1, deletes −1), so
-    the same plan maintains the view through any commit type.
+    and the 2dp rounding happens once, at presentation. Change
+    detection compares the full (status, cents) struct and each
+    changed row contributes per side (old status −1/−cents, new
+    status +1/+cents — see _changed_pair_delta), so the same plan
+    maintains the view through any commit type, including
+    status-moving updates the fixture does not issue.
 
     At 100 TB: maintenance cost is O(changed files) + O(view), the
     exact promise of incremental view maintenance — recomputing the
@@ -2082,33 +2087,9 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv_dir = _cdc_matview_layout(spark, sf_dir)
     v1 = set(_snapshot_files(snap, "v1"))
     v2 = set(_snapshot_files(snap, "v2"))
-    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
-    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
-    old = spark.read.schema(schema).parquet(*sorted(v1 - v2)).select(
-        F.col("o_orderkey").alias("k1"),
-        F.col("o_orderstatus").alias("st1"),
-        cents("o_totalprice").alias("c1"),
-    )
-    new = spark.read.schema(schema).parquet(*sorted(v2 - v1)).select(
-        F.col("o_orderkey").alias("k2"),
-        F.col("o_orderstatus").alias("st2"),
-        cents("o_totalprice").alias("c2"),
-    )
-    delta = (
-        old.join(new, old.k1 == new.k2, "full_outer")
-        .where(~F.col("c1").eqNullSafe(F.col("c2")))
-        .groupBy(F.coalesce("st2", "st1").alias("o_orderstatus"))
-        .agg(
-            F.sum(
-                F.when(F.col("k1").isNull(), 1)
-                .when(F.col("k2").isNull(), -1)
-                .otherwise(0)
-            ).alias("d_n"),
-            F.sum(
-                F.coalesce("c2", F.lit(0)) - F.coalesce("c1", F.lit(0))
-            ).alias("d_cents"),
-        )
-    )
+    old = _cents_scope(spark, v1 - v2, "k1", "st1", "c1")
+    new = _cents_scope(spark, v2 - v1, "k2", "st2", "c2")
+    delta = _changed_pair_delta(old, new)
     matview = spark.read.schema(
         "o_orderstatus string, n_orders bigint, cents bigint"
     ).parquet(_os.path.join(mv_dir, "matview.parquet"))
@@ -2136,42 +2117,90 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAP_SCOPE_SCHEMA = (
+    "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+)
+
+
+def _read_snapshot_scope(spark, files):
+    """Read a snapshot symmetric-difference file set. An EMPTY set is
+    legitimate — a commit whose predicate overlaps no files is a no-op
+    (_cow_commit returns prev unchanged) — and must yield an empty
+    frame, not a crash from ``.parquet()`` with zero paths."""
+    files = sorted(files)
+    if not files:
+        return spark.createDataFrame([], _SNAP_SCOPE_SCHEMA)
+    return spark.read.schema(_SNAP_SCOPE_SCHEMA).parquet(*files)
+
+
+def _cents_scope(spark, files, k, st, c):
+    """(key, status, int64-cents) projection of a snapshot scope."""
+    return _read_snapshot_scope(spark, files).select(
+        F.col("o_orderkey").alias(k),
+        F.col("o_orderstatus").alias(st),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(c),
+    )
+
+
+def _changed_pair_delta(old, new):
+    """Per-status (d_n, d_cents) from the full-outer classification of
+    two symmetric-difference scopes. Change detection compares the FULL
+    value struct (status, cents) null-safely, so a commit that flips
+    o_orderstatus with an unchanged price is still seen as a change.
+    Each changed row then contributes per SIDE: the old side (−1,
+    −cents) under its OLD status, the new side (+1, +cents) under its
+    NEW status — a status-moving update nets d_n = 0 overall while
+    correctly decrementing the old status and incrementing the new;
+    price-only updates collapse to (0, c2−c1) under their unchanged
+    status; adds/deletes have exactly one side. This is what makes the
+    maintained view correct through ANY commit type, not just the
+    price-only commits the fixture happens to issue."""
+    changed = old.join(new, old.k1 == new.k2, "full_outer").where(
+        ~F.struct("st1", "c1").eqNullSafe(F.struct("st2", "c2"))
+    )
+    contrib = (
+        changed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("st1").alias("st"),
+                        F.lit(-1).cast("bigint").alias("dn"),
+                        (-F.coalesce(F.col("c1"), F.lit(0)))
+                        .cast("bigint")
+                        .alias("dc"),
+                        F.col("k1").isNotNull().alias("keep"),
+                    ),
+                    F.struct(
+                        F.col("st2").alias("st"),
+                        F.lit(1).cast("bigint").alias("dn"),
+                        F.coalesce(F.col("c2"), F.lit(0))
+                        .cast("bigint")
+                        .alias("dc"),
+                        F.col("k2").isNotNull().alias("keep"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .where(F.col("e.keep"))
+    )
+    return contrib.groupBy(F.col("e.st").alias("o_orderstatus")).agg(
+        F.sum("e.dn").alias("d_n"),
+        F.sum("e.dc").alias("d_cents"),
+    )
+
+
 def _snapshot_pair_delta(spark, out, a_files, b_files):
     """Per-status (d_n, d_cents) between two adjacent snapshots,
     computed ONLY from the files the two manifests do not share —
     the shared-files-never-read rule of pipeline_snapshot_diff,
-    applied per commit of the chain. Null-safe cent comparison drops
-    carried-over identical rows; updates contribute value deltas,
-    adds +1, deletes −1 (and −cents)."""
-    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
-    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    applied per commit of the chain. Full-struct null-safe comparison
+    drops carried-over identical rows and catches status-only changes;
+    contributions are two-sided (see _changed_pair_delta)."""
     a = set(a_files)
     b = set(b_files)
-    old = spark.read.schema(schema).parquet(*sorted(a - b)).select(
-        F.col("o_orderkey").alias("k1"),
-        F.col("o_orderstatus").alias("st1"),
-        cents("o_totalprice").alias("c1"),
-    )
-    new = spark.read.schema(schema).parquet(*sorted(b - a)).select(
-        F.col("o_orderkey").alias("k2"),
-        F.col("o_orderstatus").alias("st2"),
-        cents("o_totalprice").alias("c2"),
-    )
-    return (
-        old.join(new, old.k1 == new.k2, "full_outer")
-        .where(~F.col("c1").eqNullSafe(F.col("c2")))
-        .groupBy(F.coalesce("st2", "st1").alias("o_orderstatus"))
-        .agg(
-            F.sum(
-                F.when(F.col("k1").isNull(), 1)
-                .when(F.col("k2").isNull(), -1)
-                .otherwise(0)
-            ).alias("d_n"),
-            F.sum(
-                F.coalesce("c2", F.lit(0)) - F.coalesce("c1", F.lit(0))
-            ).alias("d_cents"),
-        )
-    )
+    old = _cents_scope(spark, a - b, "k1", "st1", "c1")
+    new = _cents_scope(spark, b - a, "k2", "st2", "c2")
+    return _changed_pair_delta(old, new)
 
 
 @register(

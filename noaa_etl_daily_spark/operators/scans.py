@@ -1335,8 +1335,6 @@ def _mor_compacted_layout(spark: SparkSession, sf_dir: str) -> str:
     import json as _json
     import shutil
 
-    import pyarrow.parquet as _pq
-
     out = _scratch("mor_compacted_sim", _sf_tag(sf_dir), "orders")
     params = "mor_compacted_layout:src=mod7_1000_5000"
     if _cached(out, sf_dir, "orders", params):
@@ -1347,29 +1345,55 @@ def _mor_compacted_layout(spark: SparkSession, sf_dir: str) -> str:
     base_files, delete_files = _mor_files(src_out)
     schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
 
-    def _key_range(path):
-        md = _pq.ParquetFile(path).metadata
-        lo, hi = None, None
-        for rg in range(md.num_row_groups):
-            col = next(
-                md.row_group(rg).column(i)
-                for i in range(md.num_columns)
-                if md.row_group(rg).column(i).path_in_schema
-                == "o_orderkey"
-            )
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                return None  # stats-less: conservatively rewrite
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        return lo, hi
+    def _harvest_key_ranges(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq2
 
+        for pdf in batches:
+            rows = {"path": [], "lo": [], "hi": [], "has_stats": []}
+            for path in pdf["path"]:
+                md = _pq2.ParquetFile(path).metadata
+                lo, hi, ok = None, None, True
+                for rg in range(md.num_row_groups):
+                    col = next(
+                        md.row_group(rg).column(i)
+                        for i in range(md.num_columns)
+                        if md.row_group(rg).column(i).path_in_schema
+                        == "o_orderkey"
+                    )
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        ok = False  # stats-less: conservatively rewrite
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                rows["path"].append(path)
+                rows["lo"].append(lo if ok else None)
+                rows["hi"].append(hi if ok else None)
+                rows["has_stats"].append(ok)
+            yield _pd.DataFrame(rows)
+
+    # footer ranges harvested DISTRIBUTED (the scan_parquet_footer_census
+    # mapInPandas pattern — each task reads only its files' metadata
+    # tails), collected as n_files metadata rows; a real table format
+    # reads these ranges straight from its manifests, so at scale this
+    # stage is pure manifest metadata with no footer IO at all
+    files_df = spark.createDataFrame(
+        [(p,) for p in base_files], "path string"
+    ).repartition(4)
+    rmap = {
+        r.path: ((r.lo, r.hi) if r.has_stats else None)
+        for r in files_df.mapInPandas(
+            _harvest_key_ranges,
+            "path string, lo bigint, hi bigint, has_stats boolean",
+        ).collect()
+    }
     # the touched-file decision: footer ranges (metadata) probed by
     # ONE aggregated pass over the tombstone file whose driver result
     # is a single row of n_files booleans — never the delete-key set
     # itself, which is corpus-scale after a big erasure; a per-key
     # collect here would be the classic driver-hop anti-pattern
-    ranges = [_key_range(p) for p in base_files]
+    ranges = [rmap[p] for p in base_files]
     tomb = spark.read.schema("o_orderkey bigint").parquet(*delete_files)
     flags = tomb.agg(
         *[
@@ -1832,16 +1856,29 @@ def _partition_evo_layout(spark: SparkSession, sf_dir: str) -> str:
     entries = []
     for gen, spec, prefix in ((gen1, "year", "y"), (gen2, "month", "m")):
         tmp = out + "_t"
-        gen.write.mode("overwrite").partitionBy("pv").parquet(tmp)
+        # Repartition on the partition value first so every pv lands in
+        # exactly one task → exactly one part file per pv= directory; the
+        # single-file copy below would otherwise silently drop rows if the
+        # upstream split (multi-file fixture, AQE) spread a pv across tasks.
+        gen.repartition("pv").write.mode("overwrite").partitionBy(
+            "pv"
+        ).parquet(tmp)
         for d in sorted(os.listdir(tmp)):
             if not d.startswith("pv="):
                 continue
             pv = d.split("=", 1)[1]
-            part = next(
+            part_files = [
                 f
                 for f in sorted(os.listdir(os.path.join(tmp, d)))
                 if f.endswith(".parquet")
-            )
+            ]
+            if len(part_files) != 1:
+                raise AssertionError(
+                    f"partition_evo layout: expected exactly one part file "
+                    f"in {d}, found {len(part_files)} — the one-file-per-pv "
+                    f"invariant the manifest relies on is broken"
+                )
+            part = part_files[0]
             dst = f"{prefix}-{pv}.parquet"
             shutil.copyfile(
                 os.path.join(tmp, d, part), os.path.join(out, dst)
