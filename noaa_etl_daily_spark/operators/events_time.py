@@ -2305,3 +2305,87 @@ def evt_token_bucket_admission_stream(
     out = final.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "evt_exactly_once_sink_sim",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def evt_exactly_once_sink_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EXACTLY-ONCE streaming sink, registered and oracled
+    (WAVE13 candidate 1): the events fixture streams through a
+    foreachBatch two-phase versioned fold into a keyed parquet serving
+    table, the query is KILLED right after a mid-stream batch's sink
+    commit but before its checkpoint commit (the at-least-once replay
+    window), restarted from the same checkpoint, and drained — and the
+    resulting table must HASH-MATCH the plain batch aggregation of the
+    whole fixture. No duplicates from the replayed batch (its committed
+    version marker short-circuits the merge), no holes from the killed
+    run (unprocessed batches replay from the checkpoint). The oracle is
+    the batch answer, so the driver's gate certifies the whole
+    kill-restart-converge story, not a local test alone.
+
+    Scale shape: per-batch cost is O(batch + serving table) — the
+    merge is one null-safe full-outer equi-join on the serving key
+    (NULL user_id merges as ONE key, matching groupBy semantics);
+    at production scale the table side stays bucketed on user_id and
+    the rewrite narrows to touched partitions. The commit protocol
+    (versioned sink + checkpoint restart) is the contract a 24/7
+    ingest deploys; crash-window coverage beyond the registered kill
+    point — torn writes, old-batch replays, backup-restore — is pinned
+    in tests/test_streaming.py's _fold_versioned suite."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_x1", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=4)
+    work = tempfile.mkdtemp(prefix="x1_sink_")
+    target = os.path.join(work, "serving")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        killed = st.run_exactly_once_sink(
+            spark, src, target, ckpt, files_per_batch=1,
+            crash_on_nth_commit=2,
+        )
+        resumed = st.run_exactly_once_sink(
+            spark, src, target, ckpt, files_per_batch=1
+        )
+        if len(killed) == 2:
+            # the kill fired (multi-batch corpus): the killed batch's
+            # checkpoint never committed, so the restart MUST have
+            # replayed it — exactly the dupe hazard the versioned fold
+            # absorbs. (Degenerate single-batch corpora never reach the
+            # kill point; the restart is then legitimately a no-op.)
+            assert killed[-1] in resumed, (killed, resumed)
+        out = (
+            spark.read.parquet(target)
+            .select(
+                "user_id",
+                "n_events",
+                # serving table stores instants (stream watermark
+                # contract); present NTZ like every batch twin
+                F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+                # coalesced on BOTH sides: the merge's coalesce(x,0)+…
+                # folds an all-NULL-value user to 0 after its second
+                # batch, so a raw NULL (single-batch case) must present
+                # as 0 too, batch-cut-independently
+                F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

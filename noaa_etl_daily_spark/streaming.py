@@ -567,7 +567,12 @@ def stream_session_finalize_on_timeout(events: DataFrame) -> DataFrame:
 def merge_user_partials(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     """Merge a micro-batch's per-user partials into the standing state
     table: counts add, last_ts takes the max, value accumulates in
-    integer cents (re-mergeable and bit-stable in any order)."""
+    integer cents (re-mergeable and bit-stable in any order). The merge
+    key comparison is NULL-SAFE: groupBy puts all NULL-user rows in ONE
+    group, so the table merge must treat NULL as one mergeable key too —
+    a plain equi-join would never match NULL against NULL and every
+    batch touching a NULL-user event would append a fresh NULL row,
+    silently forking the serving table away from the batch answer."""
     part = batch.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("ts").alias("last_ts"),
@@ -580,7 +585,7 @@ def merge_user_partials(existing: DataFrame | None, batch: DataFrame) -> DataFra
     e, b = existing.alias("e"), part.alias("b")
     zero = F.lit(0).cast("long")
     return e.join(
-        b, F.col("e.user_id") == F.col("b.user_id"), "full_outer"
+        b, F.col("e.user_id").eqNullSafe(F.col("b.user_id")), "full_outer"
     ).select(
         F.coalesce("b.user_id", "e.user_id").alias("user_id"),
         (
@@ -645,6 +650,86 @@ def run_foreachbatch_upsert(
     )
     q.awaitTermination()
     return n_batches
+
+
+#: marker folded into the injected crash message so the caller can tell
+#: the deliberate kill from a real failure surfacing through the same
+#: StreamingQueryException channel
+_X1_CRASH_MARKER = "injected-sink-crash-marker"
+
+
+class InjectedSinkCrash(RuntimeError):
+    """Deliberate kill AFTER a micro-batch's sink commit but BEFORE
+    Structured Streaming commits the batch to its checkpoint — the
+    exact at-least-once replay window foreachBatch exposes."""
+
+
+def run_exactly_once_sink(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    files_per_batch: int = 1,
+    crash_on_nth_commit: int | None = None,
+) -> list[int]:
+    """End-to-end exactly-once foreachBatch sink (WAVE13 candidate 1):
+    drain ``src_dir`` through the two-phase versioned fold
+    (``_fold_versioned`` + ``merge_user_partials``) into a keyed
+    serving table at ``target_dir``, optionally KILLING the query
+    right after its ``crash_on_nth_commit``-th sink commit — after the
+    version directory sealed its ``_SUCCESS`` but before the
+    checkpoint recorded the batch, so a restart from the same
+    checkpoint MUST replay that batch. The versioned fold detects the
+    replay by its committed version marker and skips the merge, which
+    is precisely what turns foreachBatch's at-least-once delivery into
+    an exactly-once table. Returns the batch ids whose sink commit ran
+    in THIS invocation (the crashed run's list ends at the kill point).
+
+    A real 24/7 ingest deploys exactly this loop: idempotent versioned
+    sink + checkpoint restart; at scale the rewrite narrows to touched
+    partitions (dynamic partition overwrite) and the version markers
+    live in a manifest table instead of _SUCCESS files, but the commit
+    protocol — sink-version check, merge-into-new-version, mirror,
+    prune — is unchanged."""
+    schema = spark.read.parquet(src_dir).schema
+    commits: list[int] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_versioned(
+            batch_df.sparkSession,
+            target_dir,
+            batch_id,
+            merge_user_partials,
+            batch_df,
+        )
+        commits.append(batch_id)
+        if (
+            crash_on_nth_commit is not None
+            and len(commits) == crash_on_nth_commit
+        ):
+            raise InjectedSinkCrash(
+                f"{_X1_CRASH_MARKER}: killed after sink commit of batch "
+                f"{batch_id}, before its checkpoint commit"
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except Exception as ex:  # noqa: BLE001 — re-raised unless ours
+        if crash_on_nth_commit is None or _X1_CRASH_MARKER not in str(ex):
+            raise
+    return commits
 
 
 def _committed_versions(vroot: str) -> list[int]:

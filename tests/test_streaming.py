@@ -1140,3 +1140,56 @@ def test_fold_versioned_prunes_stale_futures_and_keeps_merge_source(
         (r.d, r.col): r.cnt for r in spark.read.parquet(target).collect()
     }
     assert got == want
+
+
+def test_exactly_once_sink_kill_restart_equals_batch(spark, sf_dir, tmp_path):
+    """Registered-form crash replay (WAVE13 c1): run_exactly_once_sink
+    is KILLED right after its second micro-batch's sink commit — the
+    version directory sealed, the checkpoint NOT yet advanced — then
+    restarted from the same checkpoint. The restart must REPLAY the
+    killed batch (its id appears in both runs), the versioned fold must
+    absorb the replay (no double-add), the remaining batches must drain
+    (no holes), and the serving table must equal the one-shot batch
+    aggregation of the whole fixture."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    src = str(tmp_path / "src")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=4)
+    target = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+
+    killed = st.run_exactly_once_sink(
+        spark, src, target, ckpt, files_per_batch=1, crash_on_nth_commit=2
+    )
+    assert len(killed) == 2, killed  # the kill fired mid-stream
+    # the serving table is readable and consistent at the kill point
+    # (mirror of the newest committed version, never a torn write)
+    assert spark.read.parquet(target).count() >= 0
+
+    resumed = st.run_exactly_once_sink(
+        spark, src, target, ckpt, files_per_batch=1
+    )
+    assert killed[-1] in resumed, (killed, resumed)  # replay happened
+    assert set(killed) | set(resumed) == {0, 1, 2, 3}  # no holes
+
+    got = {
+        r.user_id: (r.n_events, r.last_ts, r.value_cents)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.last_ts, r.value_cents)
+        for r in load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want, "kill/restart lost or duplicated rows"
