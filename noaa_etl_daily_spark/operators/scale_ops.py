@@ -550,3 +550,185 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_naive_dir_read",
         )
     )
+
+
+_RGC_LO, _RGC_HI = "2024-01-12 00:00:00", "2024-01-14 00:00:00"
+
+
+def _rg_census_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Range-sorted events layout tuned for a ROW-GROUP census
+    (WAVE13 candidate 3): two range-disjoint files written with a
+    64 KiB parquet block size so each file holds MANY row groups —
+    with the default 128 MiB blocks every small fixture file is a
+    single group and the row-group-skipping story collapses into
+    plain file pruning, which test_layout already proves. Cached per
+    fixture via the shared ``_cached`` fingerprint rule. At 100 TB
+    the knob inverts (default-sized groups, thousands of files) but
+    the census arithmetic below is grain-independent."""
+    import os as _os
+
+    from .scans import _cached, _seal_cache
+
+    out = _scratch("rg_census", _sf_tag(sf_dir), "events")
+    params = "rg_census_layout:files=2:block=65536"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    (
+        load(spark, sf_dir, "events")
+        .repartitionByRange(2, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 65536)
+        .parquet(out)
+    )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+@register("scan_row_group_skipping_census", tags=("rows-only",))
+def scan_row_group_skipping_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MEASURED row-group skipping (WAVE13 candidate 3): quantify, from
+    the parquet footers alone, how many row groups a selective time
+    predicate reads vs skips over the range-sorted layout — turning
+    sink_range_sorted_layout's 'sorted layouts save IO' claim into a
+    per-file census instead of an assertion. One row per data file:
+    row groups total / read / skipped under ``ts ∈ [_RGC_LO, _RGC_HI)``
+    (footer min/max intersection, the same decision rule Spark's
+    parquet reader applies), plus the row counts behind them — the
+    rows_in_read_groups : rows_total ratio IS the measured IO saving.
+
+    Census semantics: a stats-less row group must be read (counted
+    read, never skipped) — skipping is only sound when the footer
+    PROVES disjointness. Soundness (skipped groups hold zero matching
+    rows) and completeness (read groups hold every matching row) are
+    pinned against an actual pyarrow row-group read in
+    tests/test_layout.py; the VALUE correctness of the pruned read is
+    the oracled sibling scan_row_group_pruned_read.
+
+    Scale shape: footers are harvested DISTRIBUTED (the
+    scan_parquet_footer_census mapInPandas pattern — each task reads
+    only metadata tails, never data pages); the census aggregation is
+    one equi-keyed groupBy over (files × row-groups) metadata rows,
+    corpus-size-independent. Rows-only by design: row-group boundaries
+    are a writer artifact (block size × task split), not a semantic
+    answer any SQL engine is required to reproduce."""
+    import glob as _glob
+    import os as _os
+
+    out = _rg_census_layout(spark, sf_dir)
+    paths = sorted(_glob.glob(_os.path.join(out, "*.parquet")))
+    files = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        if paths
+        else spark.createDataFrame([], "path string")
+    ).repartition(4)
+
+    def harvest(batches):
+        import os as _os2
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            rows = {
+                "file": [], "rg": [], "ts_min": [], "ts_max": [],
+                "n_rows": [],
+            }
+            for path in pdf["path"]:
+                md = _pq.ParquetFile(path).metadata
+                base = _os2.path.basename(path)
+                for rg in range(md.num_row_groups):
+                    col = next(
+                        md.row_group(rg).column(i)
+                        for i in range(md.num_columns)
+                        if md.row_group(rg).column(i).path_in_schema
+                        == "ts"
+                    )
+                    st = col.statistics
+                    ok = st is not None and st.has_min_max
+                    rows["file"].append(base)
+                    rows["rg"].append(rg)
+                    rows["ts_min"].append(st.min if ok else None)
+                    rows["ts_max"].append(st.max if ok else None)
+                    rows["n_rows"].append(md.row_group(rg).num_rows)
+            out_pdf = _pd.DataFrame(rows)
+            out_pdf["ts_min"] = _pd.to_datetime(out_pdf["ts_min"])
+            out_pdf["ts_max"] = _pd.to_datetime(out_pdf["ts_max"])
+            yield out_pdf
+
+    groups = files.mapInPandas(
+        harvest,
+        "file string, rg int, ts_min timestamp_ntz, "
+        "ts_max timestamp_ntz, n_rows bigint",
+    )
+    lo = F.lit(_RGC_LO).cast("timestamp_ntz")
+    hi = F.lit(_RGC_HI).cast("timestamp_ntz")
+    # read iff the footer CANNOT prove disjointness: stats overlap the
+    # half-open query range, or stats are missing entirely
+    must_read = (
+        F.col("ts_min").isNull()
+        | F.col("ts_max").isNull()
+        | ((F.col("ts_min") < hi) & (F.col("ts_max") >= lo))
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        groups.withColumn("read", must_read)
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("rg_total"),
+            one_if(F.col("read")).alias("rg_read"),
+            one_if(~F.col("read")).alias("rg_skipped"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(
+                F.when(F.col("read"), F.col("n_rows")).otherwise(0)
+            ).alias("rows_in_read_groups"),
+            F.min("ts_min").alias("file_ts_min"),
+            F.max("ts_max").alias("file_ts_max"),
+        )
+    )
+
+
+@register(
+    "scan_row_group_pruned_read",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_RGC_LO}' AND ts < TIMESTAMP '{_RGC_HI}'
+    GROUP BY event_type
+    """,
+)
+def scan_row_group_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED answer half of scan_row_group_skipping_census: the
+    same selective predicate executed as a real query over the
+    row-group-sized sorted layout. The ts range filter reaches the
+    parquet scan (PushedFilters), so execution actually skips the
+    censused row groups — and the hash-match against the base-table
+    oracle proves skipping lost nothing: every matching row was in a
+    read group, every skipped group was disjoint. Together the pair
+    makes the sorted-layout IO claim measured AND value-verified.
+
+    Scale shape: scan-stage filter + one partial-agg'd groupBy on
+    event_type; the layout rewrite is amortized across queries (cached
+    artifact, same as production compaction output)."""
+    from ..tables import load as _load
+
+    out = _rg_census_layout(spark, sf_dir)
+    back = spark.read.schema(_load(spark, sf_dir, "events").schema).parquet(
+        out
+    )
+    lo = F.lit(_RGC_LO).cast("timestamp_ntz")
+    hi = F.lit(_RGC_HI).cast("timestamp_ntz")
+    return (
+        back.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
+        )
+    )

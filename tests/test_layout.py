@@ -1190,3 +1190,80 @@ def test_partition_evolution_prunes_each_generation_under_its_spec(
     df = REGISTRY["scan_partition_evolution_sim"].builder(spark, sf_dir)
     read = {os.path.basename(p) for p in df.inputFiles()}
     assert read == names
+
+
+def test_row_group_census_sound_and_complete(spark, sf_dir):
+    """The census's skip decision must match physical reality: reading
+    ONLY the groups it marks read yields every predicate-matching row
+    (completeness), the groups it marks skipped contain none
+    (soundness), some groups are actually skipped (the measured IO
+    saving exists), and the censused totals reconcile with the layout."""
+    import datetime
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.scale_ops import (
+        _RGC_HI,
+        _RGC_LO,
+        _rg_census_layout,
+        scan_row_group_skipping_census,
+    )
+
+    census = {
+        r.file: r
+        for r in scan_row_group_skipping_census(spark, sf_dir).collect()
+    }
+    assert census, "census produced no files"
+    assert sum(r.rg_skipped for r in census.values()) > 0, (
+        "no row group skipped — the predicate or block size no longer "
+        "exercises skipping"
+    )
+    lo = datetime.datetime.fromisoformat(_RGC_LO)
+    hi = datetime.datetime.fromisoformat(_RGC_HI)
+    out = _rg_census_layout(spark, sf_dir)
+    matching_in_read = matching_in_skipped = 0
+    for path in glob.glob(os.path.join(out, "*.parquet")):
+        base = os.path.basename(path)
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        row = census[base]
+        assert row.rg_total == md.num_row_groups
+        assert row.rg_read + row.rg_skipped == row.rg_total
+        assert row.rows_total == sum(
+            md.row_group(g).num_rows for g in range(md.num_row_groups)
+        )
+        for g in range(md.num_row_groups):
+            col = next(
+                md.row_group(g).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(g).column(i).path_in_schema == "ts"
+            )
+            st = col.statistics
+            read = (
+                st is None
+                or not st.has_min_max
+                or (st.min < hi and st.max >= lo)
+            )
+            ts = pf.read_row_group(g, columns=["ts"]).column("ts")
+            n_match = sum(
+                1
+                for v in ts.to_pylist()
+                if v is not None and lo <= v < hi
+            )
+            if read:
+                matching_in_read += n_match
+            else:
+                matching_in_skipped += n_match
+    assert matching_in_skipped == 0, "skipped a group holding matches"
+    want = (
+        spark.read.parquet(out)
+        .where(
+            (F.col("ts") >= F.lit(_RGC_LO).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(_RGC_HI).cast("timestamp_ntz"))
+        )
+        .count()
+    )
+    assert matching_in_read == want, "read groups missed matching rows"
