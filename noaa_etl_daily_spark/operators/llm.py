@@ -4278,6 +4278,18 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "cell")
     )
+    return _semdedup_dispositions(mine)
+
+
+def _semdedup_dispositions(mine: DataFrame) -> DataFrame:
+    """Within-cell keep-first SemDeDup over an assigned corpus
+    ``(vec_id, m, cell)`` (``m`` = micro-quantized integer embedding):
+    drop any vector with a lower-id cell-mate at 4dp cosine ≥ 0.25.
+    Shared by the oracled label-cell key (llm_semdedup_cells) and the
+    trained-cell sibling (llm_semdedup_cells_kmeans) so the dedup
+    semantics cannot drift between them — only the cell ASSIGNMENT
+    differs. The within-cell self-join is the only pair shuffle,
+    equi-keyed on cell; pair space is bounded by cell population."""
     a = mine.select(
         F.col("cell"), F.col("vec_id").alias("keep_id"), F.col("m").alias("ma")
     )
@@ -4311,6 +4323,43 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register("llm_semdedup_cells_kmeans", tags=("rows-only", "approx"))
+def llm_semdedup_cells_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on TRAINED cells (WAVE13 candidate 4) — the label-free
+    sibling of llm_semdedup_cells: cell assignment comes from
+    ``_ivf_kmeans_frames`` (each vector's best ``_ivf_train_cells``
+    k-means centroid, the SAME shared frame the label-free ANN cascade
+    probes, so SemDeDup and similarity search agree on the partition of
+    semantic space), and the within-cell keep-first dedup is
+    structurally identical via ``_semdedup_dispositions``. This removes
+    the last label-derived component from the dedup/ANN stack; the
+    label-mean original stays registered and ORACLED (the WAVE9 rule:
+    never trade an oracle away silently) — this form is rows-only
+    because the trained centroids are an iterative artifact no SQL
+    oracle reproduces. Property tests pin a numpy replay of the
+    assignment, exact disposition agreement of the dedup half, and the
+    measured balance/yield shift vs the labelled cells
+    (tests/test_properties.py::test_semdedup_kmeans_*).
+
+    Scale shape: unchanged from the original — K×64-double broadcast
+    codebook, map-side assignment, ONE equi-keyed within-cell pair
+    shuffle bounded by cell population (K ≈ √n at corpus scale); the
+    training cost lives in the cached offline artifact exactly like
+    the production recipe (train on a bounded sample, assign the
+    corpus map-only)."""
+    _, best, _ = _ivf_kmeans_frames(spark, sf_dir)
+    if best is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, cell bigint, disposition string"
+        )
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x * 1000000).cast("bigint"),
+    )
+    mine = best.select("vec_id", micro.alias("m"), "cell")
+    return _semdedup_dispositions(mine)
 
 
 def _bpe_merge_pair(syms_col, a: str, b: str):

@@ -307,6 +307,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "pipeline_important_stock",   # 1-row Q11 supply-total scalar
         "llm_semdedup_cells",         # K-row centroid codebook broadcast
                                       # (same bound as llm_sim_ivf_topk)
+        "llm_semdedup_cells_kmeans",  # same K-row codebook broadcast,
+                                      # TRAINED cells (WAVE13 c4); the
+                                      # dedup half is equi-keyed on cell
         "llm_sim_ivfpq_topk",         # K-row cell codebook broadcast
                                       # (the composed IVF half; the PQ
                                       # scoring joins are equi-keyed)

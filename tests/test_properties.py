@@ -1887,3 +1887,126 @@ def test_ivfpq_kmeans_refine_semantics(spark, sf_dir):
     assert uncapped == tier, (
         "uncapped label-free IVF-PQ diverged from its coarse tier"
     )
+
+
+def test_semdedup_kmeans_assignment_matches_numpy(spark, sf_dir):
+    """The trained-cell SemDeDup sibling's assignment must agree with a
+    local numpy replay of nearest-trained-centroid cosine assignment
+    (round-6, tie to the lowest cell) on essentially every vector —
+    same methodology as the kmeans/PQ numpy-agreement tests."""
+    import duckdb
+    import numpy as np
+
+    from noaa_etl_daily_spark.operators.llm import _ivf_train_cells
+    from noaa_etl_daily_spark.registry import load_all
+    from noaa_etl_daily_spark.tables import path_for
+
+    got = {
+        r.vec_id: r.cell
+        for r in load_all()["llm_semdedup_cells_kmeans"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    cents = np.array(_ivf_train_cells(spark, sf_dir), dtype=np.float64)
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{path_for(sf_dir, 'embeddings')}'"
+        " ORDER BY vec_id"
+    ).df()
+    ids = df["vec_id"].to_numpy()
+    X = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    nrm = (X * X).sum(axis=1)
+    keep = nrm > 0  # similarity-admissible corpus
+    ids, X, nrm = ids[keep], X[keep], nrm[keep]
+    cn = (cents * cents).sum(axis=1)
+    sims = np.round(
+        (X @ cents.T) / np.sqrt(nrm[:, None] * cn[None, :]), 6
+    )
+    # max sim, tie -> lowest cell id (argmax returns the first maximum)
+    ref = sims.argmax(axis=1)
+    assert set(got) == set(ids.tolist())
+    agree = sum(got[int(v)] == ref[i] for i, v in enumerate(ids))
+    assert agree / len(ids) > 0.99, f"only {agree}/{len(ids)} agree"
+
+
+def test_semdedup_kmeans_dedup_half_exact_on_assignment(spark, sf_dir):
+    """Conditional on the Spark assignment, the within-cell keep-first
+    dedup must replay EXACTLY in integer arithmetic: micro-quantized
+    int64 dot products, 4dp half-up cosine, drop iff a lower-id
+    cell-mate scores >= 0.25. This isolates the dedup half of the
+    sibling key from assignment-rounding noise."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from noaa_etl_daily_spark.registry import load_all
+    from noaa_etl_daily_spark.tables import path_for
+
+    rows = (
+        load_all()["llm_semdedup_cells_kmeans"].builder(spark, sf_dir).collect()
+    )
+    cells = {r.vec_id: r.cell for r in rows}
+    got = {r.vec_id: r.disposition for r in rows}
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{path_for(sf_dir, 'embeddings')}'"
+        " ORDER BY vec_id"
+    ).df()
+    M = {}
+    for vid, e in zip(df["vec_id"], df["embedding"]):
+        if int(vid) in cells:
+            M[int(vid)] = np.round(
+                np.asarray(e, dtype=np.float64) * 1_000_000
+            ).astype(np.int64)
+
+    def sim4(a, b):
+        num = int((a * b).sum())
+        den = float(np.sqrt(float((a * a).sum()) * float((b * b).sum())))
+        if den == 0.0:
+            return None
+        return float(
+            Decimal(repr(num / den)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    by_cell = {}
+    for vid, c in cells.items():
+        by_cell.setdefault(c, []).append(vid)
+    want = {}
+    for members in by_cell.values():
+        members.sort()
+        for j, drop in enumerate(members):
+            hit = any(
+                (s := sim4(M[keep], M[drop])) is not None and s >= 0.25
+                for keep in members[:j]
+            )
+            want[drop] = "dropped" if hit else "kept"
+    assert got == want
+
+
+def test_semdedup_kmeans_balance_and_yield_vs_labels(spark, sf_dir):
+    """The MEASURED before/after of de-labelling SemDeDup (WAVE13 c4),
+    pinned with margin. At sf0.01: labelled cells max/mean population
+    1.28 with 294/500 dropped; trained cells 1.12 with 349/500 dropped
+    — trained centroids partition semantic space MORE evenly and find
+    MORE within-cell near-dup pairs, so de-labelling improves both
+    balance and yield (the same direction as the IVF recall gain)."""
+    from collections import Counter
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    R = load_all()
+    lab = R["llm_semdedup_cells"].builder(spark, sf_dir).collect()
+    trn = R["llm_semdedup_cells_kmeans"].builder(spark, sf_dir).collect()
+    assert len(trn) == len(lab)  # same admissible corpus, one row each
+
+    pops = Counter(r.cell for r in trn)
+    balance = max(pops.values()) / (len(trn) / len(pops))
+    assert balance <= 1.35, f"trained-cell balance degraded: {balance:.2f}"
+
+    lab_dropped = sum(1 for r in lab if r.disposition == "dropped")
+    trn_dropped = sum(1 for r in trn if r.disposition == "dropped")
+    assert trn_dropped >= 0.9 * lab_dropped, (
+        f"trained-cell dedup yield regressed: {trn_dropped} vs "
+        f"labelled {lab_dropped}"
+    )
