@@ -5388,3 +5388,161 @@ def llm_sim_ivfpq_kmeans_topk(
         )
         .where(F.col("rk") <= 5)
     )
+
+
+@register(
+    "llm_curation_drift_monitor",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+             list_filter(string_split(lower(text), ' '), t -> t <> '')
+                 AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, cohort,
+             md5(array_to_string(toks, ' ')) AS h,
+             coalesce(len(toks), 0) AS n_tokens,
+             CASE WHEN coalesce(len(toks), 0) = 0 THEN NULL
+                  ELSE len(list_distinct(toks)) * 1.0 / len(toks)
+                  END AS uniq_ratio
+      FROM tk
+    ), ranked AS (
+      SELECT cohort, n_tokens, uniq_ratio,
+             sum(CASE WHEN n_tokens BETWEEN 2 AND 80
+                       AND uniq_ratio >= 0.35 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY h ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS surv_rank
+      FROM f
+    ), disp AS (
+      SELECT cohort,
+             CASE WHEN n_tokens = 0 THEN 'empty'
+                  WHEN n_tokens < 2 OR n_tokens > 80 THEN 'length_gate'
+                  WHEN uniq_ratio < 0.35 THEN 'low_quality'
+                  WHEN surv_rank > 1 THEN 'exact_dup'
+                  ELSE 'kept' END AS stage
+      FROM ranked
+    ), c AS (
+      SELECT stage,
+             CAST(sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+             CAST(sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+      FROM disp GROUP BY stage
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb
+      FROM c
+    )
+    SELECT c.stage, c.n_a, c.n_b,
+           round(CAST(c.n_a AS DOUBLE) / t.ta, 6) AS share_a,
+           round(CAST(c.n_b AS DOUBLE) / t.tb, 6) AS share_b,
+           CASE WHEN c.n_a = 0 OR c.n_b = 0 THEN NULL
+                ELSE CAST(round((CAST(c.n_b AS DOUBLE) / t.tb
+                                 - CAST(c.n_a AS DOUBLE) / t.ta)
+                                * ln((CAST(c.n_b AS DOUBLE) / t.tb)
+                                     / (CAST(c.n_a AS DOUBLE) / t.ta))
+                                * 1000000000) AS BIGINT)
+                END AS psi_term_nano
+    FROM c CROSS JOIN t
+    ORDER BY c.stage
+    """,
+)
+def llm_curation_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation drift monitoring (WAVE13 candidate 2) — the table a
+    production curation pipeline pages on: two ingest cohorts (doc_id
+    parity stands in for 'yesterday vs today') run through the same
+    curation funnel — empty gate → token-length gate [2, 80] →
+    lexical-diversity gate (uniq_ratio ≥ 0.35) → exact dedup against
+    the WHOLE standing corpus (normalized-token md5, keep-first by
+    doc_id, first-failing-stage-wins) — and the monitor reports, per
+    funnel stage, each cohort's attrition count and share plus the
+    nano-quantized PSI term of the disposition-mix shift
+    ((share_b − share_a)·ln(share_b/share_a), the
+    agg_population_stability_index discipline; alert when the summed
+    terms cross 0.1/0.25). A stage with either cohort empty yields a
+    NULL term (PSI undefined), never ±inf.
+
+    Semantics notes: NULL/whitespace-only text lands in 'empty'
+    (coalesced token count); the dedup rank counts only
+    quality-surviving rows via a conditional running sum inside the
+    hash partition — one window, no survivor re-join; dedup is
+    deliberately CROSS-cohort (a new ingest day dedups against the
+    standing corpus, not just itself). On the pristine fixture the
+    exact_dup stage is empty (all texts distinct — the monitor shows
+    a clean day); the hostile corpus populates it (whitespace-variant
+    near-identical docs normalize to one hash).
+
+    Scale shape: tokenize/gates/hash are scan-stage expressions; the
+    ONE corpus-grain exchange is the hash-partition window (16-byte
+    digests, never text); the census is a stage-cardinality groupBy
+    and the PSI arithmetic joins a broadcast 1-row total. At 100 TB
+    the monitor costs one dedup-shaped pass — which the pipeline
+    already runs — plus bounded arithmetic."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+    f = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias(
+            "cohort"
+        ),
+        F.md5(F.array_join(toks, " ").cast("binary")).alias("h"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+        F.try_divide(
+            F.size(F.array_distinct(toks)), F.size(toks)
+        ).alias("uniq_ratio"),
+    )
+    passes = (
+        F.col("n_tokens").between(2, 80) & (F.col("uniq_ratio") >= 0.35)
+    )
+    w = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = f.select(
+        "cohort",
+        "n_tokens",
+        "uniq_ratio",
+        F.sum(F.when(passes, 1).otherwise(0)).over(w).alias("surv_rank"),
+    )
+    disp = ranked.select(
+        "cohort",
+        F.when(F.col("n_tokens") == 0, "empty")
+        .when(
+            (F.col("n_tokens") < 2) | (F.col("n_tokens") > 80),
+            "length_gate",
+        )
+        .when(F.col("uniq_ratio") < 0.35, "low_quality")
+        .when(F.col("surv_rank") > 1, "exact_dup")
+        .otherwise("kept")
+        .alias("stage"),
+    )
+    c = disp.groupBy("stage").agg(
+        F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    t = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    sa = F.try_divide(F.col("n_a").cast("double"), F.col("ta"))
+    sb = F.try_divide(F.col("n_b").cast("double"), F.col("tb"))
+    psi = F.when(
+        (F.col("n_a") == 0) | (F.col("n_b") == 0),
+        F.lit(None).cast("bigint"),
+    ).otherwise(
+        F.round((sb - sa) * F.log(F.try_divide(sb, sa)) * 1e9).cast(
+            "bigint"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "stage",
+            "n_a",
+            "n_b",
+            F.round(sa, 6).alias("share_a"),
+            F.round(sb, 6).alias("share_b"),
+            psi.alias("psi_term_nano"),
+        )
+        .orderBy("stage")
+    )

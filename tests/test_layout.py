@@ -292,6 +292,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_fk_integrity_audit",     # 1-row × 1-row relation assembly
         "evt_control_chart",          # 1-row center-line scalar
         "llm_bloom_decontaminate",    # 1-row census assembly scalars
+        "llm_curation_drift_monitor", # 1-row cohort-total scalar over
+                                      # |stages| rows (PSI arithmetic)
         "llm_interpolated_lm_ppl",    # 1-row unigram-total scalar
         "evt_survival_km",            # >=t join over the <=30-row
                                       # lifetime table (calendar-bounded)
@@ -398,6 +400,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_data_freshness_sla",     # 1-row max() per table
         "evt_seasonal_decompose",     # trend window over DAY rows
         "llm_bloom_decontaminate",    # 1-row census reduces
+        "llm_curation_drift_monitor", # 1-row cohort-total reduce of
+                                      # |stages| rows
         "llm_interpolated_lm_ppl",    # 1-row unigram-total reduce
         "evt_survival_km",            # KM window over <=30 risk rows
         "agg_ks_two_sample",          # global CDF sort (the honest exact-KS
