@@ -2288,3 +2288,134 @@ def pipeline_snapshot_chain_replay(
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+_CURR_EPOCHS = ((1, 3), (2, 5), (3, 8), (4, 10))  # epoch -> max decile
+_CURR_BUDGET = 6000  # tokens per epoch
+
+
+@register(
+    "pipeline_token_budget_curriculum",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 * 1000000 // len(string_split(text, ' ')) AS quality_ppm
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY quality_ppm DESC, doc_id)
+                 AS rnk,
+             ntile(10) OVER (ORDER BY quality_ppm DESC, doc_id)
+                 AS decile
+      FROM scored
+    ), wd AS (
+      SELECT *, rnk - min(rnk) OVER (PARTITION BY decile) + 1 AS pos
+      FROM ranked
+    ), epochs AS (
+      SELECT * FROM (VALUES (1, 3), (2, 5), (3, 8), (4, 10))
+          AS t(epoch, max_decile)
+    ), admitted AS (
+      SELECT e.epoch, w.decile, w.n_tokens, w.pos,
+             sum(w.n_tokens) OVER (
+                 PARTITION BY e.epoch ORDER BY w.pos, w.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM wd w JOIN epochs e ON w.decile <= e.max_decile
+    )
+    SELECT epoch, decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_admitted,
+           CAST(max(pos) AS BIGINT) AS depth_reached
+    FROM admitted
+    WHERE cum <= {_CURR_BUDGET}
+    GROUP BY epoch, decile
+    ORDER BY epoch, decile
+    """,
+)
+def pipeline_token_budget_curriculum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum ordering under per-epoch token budgets (WAVE13
+    candidate 5) — the ORDERING half of the packing story
+    (llm_pack_token_shards covers sharding, llm_token_budget_selection
+    covers one-shot admission): documents are ranked by quality
+    (lexical-diversity ppm, llm_token_budget_selection's integer
+    score), cut into deciles, and each training epoch admits a widening
+    decile prefix (1-3, 1-5, 1-8, 1-10 — the high-quality-first
+    annealing schedule) consumed as a deterministic INTERLEAVE — docs
+    ordered by (within-decile position, decile), i.e. round-robin
+    across admitted deciles — until the epoch's token budget cuts the
+    stream. Output: per (epoch, decile) admitted doc/token counts and
+    the interleave depth reached, the audit table for 'what mix does
+    epoch e actually train on'.
+
+    Engine-exactness: quality is integer ppm (// both engines), ranks
+    and deciles are total-ordered with doc_id tiebreak, the budget is
+    an int64 running-sum comparison; the interleave order (pos, decile)
+    is unique by construction. NULL-text docs carry NULL tokens: they
+    rank last (NULLS LAST both engines), never contribute to the sum,
+    and the budget has always been exhausted before decile 10's tail.
+
+    Scale shape: NO corpus-grain global window anywhere — the global
+    rank is scale_rank.with_global_rank's distributed form (range
+    shuffle + P-row broadcast offsets), the decile is ntile_bucket
+    arithmetic on (rank, n) — no second rank pass — the within-decile
+    position is rank minus a broadcast 10-row per-decile minimum, and
+    each epoch's budget cut is one distributed prefix sum
+    (with_cumsum) over its admitted subset; the four epochs are a
+    FIXED-size schedule, so the union is a bounded 4-branch plan over
+    one shared (lazily checkpointed) ranked frame."""
+    from functools import reduce
+
+    from .scale_rank import ntile_bucket, with_cumsum, with_global_rank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L "
+            "div size(split(text, ' '))"
+        ).alias("quality_ppm"),
+    )
+    ranked = with_global_rank(
+        scored,
+        [F.col("quality_ppm").desc(), F.col("doc_id").asc()],
+        "rnk",
+        "ntot",
+    ).withColumn(
+        "decile", ntile_bucket(F.col("rnk"), F.col("ntot"), 10)
+    )
+    dmin = ranked.groupBy("decile").agg(F.min("rnk").alias("dmin"))
+    wd = ranked.join(F.broadcast(dmin), "decile").select(
+        "decile",
+        "n_tokens",
+        (F.col("rnk") - F.col("dmin") + 1).alias("pos"),
+    )
+    frames = []
+    for epoch, max_dec in _CURR_EPOCHS:
+        adm = wd.where(F.col("decile") <= max_dec)
+        cum = with_cumsum(
+            adm,
+            [F.col("pos").asc(), F.col("decile").asc()],
+            ["n_tokens"],
+            ["__cum"],
+        )
+        frames.append(
+            cum.where(F.col("__cum") <= _CURR_BUDGET).select(
+                F.lit(epoch).alias("epoch"), "decile", "n_tokens", "pos"
+            )
+        )
+    sel = reduce(DataFrame.unionByName, frames)
+    return (
+        sel.groupBy("epoch", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_admitted"),
+            F.max("pos").alias("depth_reached"),
+        )
+        .orderBy("epoch", "decile")
+    )

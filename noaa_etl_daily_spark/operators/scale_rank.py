@@ -99,19 +99,15 @@ def with_global_rank(
     return out.drop("__pid", "__rn", "__off", "__n")
 
 
-def with_ntile(
-    df: DataFrame, order_cols: list[Column], k: int, out_col: str
-) -> DataFrame:
-    """Exact ``ntile(k)`` over ``order_cols`` via distributed rank: the
-    SQL-standard bucket rule (first n%k buckets take one extra row) is
-    arithmetic on (rank, n), so the result is bit-identical to the
-    single-partition ``F.ntile`` — proven by registering each consumer
-    against the original query's oracle."""
-    ranked = with_global_rank(df, order_cols, "__rank", "__ntot")
-    base_i = F.floor(F.col("__ntot") / k)
-    rem = F.col("__ntot") % k
+def ntile_bucket(r: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``ntile(k)`` bucket as pure arithmetic on a 1-based
+    global rank ``r`` and total count ``n`` (first n%k buckets take one
+    extra row) — bit-identical to the single-partition ``F.ntile``.
+    Shared by with_ntile and any consumer that already carries a
+    distributed rank and wants the bucket without a second rank pass."""
+    base_i = F.floor(n / k)
+    rem = n % k
     big = (base_i + 1) * rem  # rows living in the (base+1)-sized buckets
-    r = F.col("__rank")
     bucket = F.when(
         r <= big, F.floor((r - 1) / (base_i + 1)) + 1
     ).otherwise(
@@ -120,9 +116,20 @@ def with_ntile(
         # nullif keeps the analyzer happy anyway
         rem + F.floor((r - big - 1) / F.nullif(base_i, F.lit(0))) + 1
     )
-    return ranked.withColumn(out_col, bucket.cast("int")).drop(
-        "__rank", "__ntot"
-    )
+    return bucket.cast("int")
+
+
+def with_ntile(
+    df: DataFrame, order_cols: list[Column], k: int, out_col: str
+) -> DataFrame:
+    """Exact ``ntile(k)`` over ``order_cols`` via distributed rank: the
+    SQL-standard bucket rule is arithmetic on (rank, n) — see
+    ntile_bucket — proven by registering each consumer against the
+    original query's oracle."""
+    ranked = with_global_rank(df, order_cols, "__rank", "__ntot")
+    return ranked.withColumn(
+        out_col, ntile_bucket(F.col("__rank"), F.col("__ntot"), k)
+    ).drop("__rank", "__ntot")
 
 
 def with_cumsum(

@@ -468,6 +468,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_ks_two_sample_atscale",
         "llm_token_budget_selection_atscale",
         "llm_pack_token_shards",
+        "pipeline_token_budget_curriculum",  # P-row offsets windows
+                                      # (distributed rank + per-epoch
+                                      # prefix sums) + 10-row decile-min
+                                      # broadcast
     }
     # Unpartitioned-WINDOW whitelist (VERDICT r4 task 3): a logical
     # Window with an EMPTY partition spec funnels its whole input
@@ -496,6 +500,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_eval_winrate_atscale",
         "llm_token_budget_selection_atscale",
         "llm_pack_token_shards",      # distributed prefix sum (P-row offsets)
+        "pipeline_token_budget_curriculum",  # same P-row offsets windows
+                                      # (scale_rank rank + 4 epoch cumsums)
         # bounded post-reduction grains
         "evt_activity_autocorr",      # DAY-grain lead window
         "evt_alert_debounce",         # HOUR-grain run windows
