@@ -61,6 +61,13 @@ DEFAULT_HEADLINE = [
     "evt_token_bucket_admission",
     "pipeline_multimodal_curation",
     "llm_sim_ivfpq_topk",
+    # r12 promotions: llm_curation_drift_monitor is the monitoring
+    # family (dedup-shaped hash window + PSI arithmetic);
+    # pipeline_token_budget_curriculum is the scale_rank family
+    # (distributed rank + per-epoch prefix sums). Both oracled, so the
+    # proxy stays comparable over them.
+    "llm_curation_drift_monitor",
+    "pipeline_token_budget_curriculum",
 ]
 
 
