@@ -2389,3 +2389,94 @@ def evt_exactly_once_sink_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "evt_exactly_once_sink_partitioned_sim",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def evt_exactly_once_sink_partitioned_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED exactly-once streaming sink (the touched-partitions
+    production shape): the events stream folds into a day-partitioned
+    serving table via a per-(batch, partition) version ledger, the
+    query is KILLED mid-batch — after the batch's FIRST day partition
+    committed but before its checkpoint commit, a torn multi-partition
+    write — restarted, and drained; the table must hash-match the
+    batch per-(day, type) aggregation. The replay skips the day whose
+    version committed and folds the rest: partition-grain
+    exactly-once, not just whole-table. Untouched-partition immutability
+    (later batches never rewrite earlier days' files) is checksummed in
+    tests/test_streaming.py.
+
+    Scale shape: per-batch cost is O(batch + touched partitions) — the
+    time-ordered feed touches a bounded day span per trigger; untouched
+    partitions are never read or written (the whole-table sibling
+    rewrites O(table) per batch, this one does not); the touched-day
+    driver hop is partition-count-bounded. This is the plan shape a
+    24/7 partitioned ingest (dynamic partition overwrite + commit
+    ledger) actually deploys."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_x1", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=4)
+    work = tempfile.mkdtemp(prefix="x1p_sink_")
+    target = os.path.join(work, "serving")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        killed = st.run_exactly_once_sink_partitioned(
+            spark, src, target, ckpt, files_per_batch=1,
+            crash_in_nth_batch=2,
+        )
+        resumed = st.run_exactly_once_sink_partitioned(
+            spark, src, target, ckpt, files_per_batch=1
+        )
+        killed_bids = {c[0] for c in killed}
+        if len(killed_bids) == 2:
+            # the kill fired on the 2nd batch's first partition: the
+            # restart must replay that batch (same batch id appears),
+            # re-visit the already-committed (batch, day) — and SKIP
+            # its merge (merged=False), while merging the batch's
+            # remaining days for the first time
+            kb, kd, km = killed[-1]
+            assert km, killed  # the pre-kill fold really merged
+            replays = {(b, d): m for b, d, m in resumed}
+            assert (kb, kd) in replays, (killed, resumed)
+            assert replays[(kb, kd)] is False, (killed, resumed)
+            assert any(
+                b == kb and d != kd and m for b, d, m in resumed
+            ), resumed
+        if not os.path.isdir(target):
+            return spark.createDataFrame(
+                [],
+                "day date, event_type string, n_events bigint, "
+                "value_cents bigint",
+            )
+        out = (
+            spark.read.parquet(target)
+            .select(
+                F.col("day").cast("date").alias("day"),
+                "event_type",
+                "n_events",
+                F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -1193,3 +1193,86 @@ def test_exactly_once_sink_kill_restart_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want, "kill/restart lost or duplicated rows"
+
+
+def test_partitioned_sink_touches_only_its_partitions(spark, sf_dir, tmp_path):
+    """The partitioned exactly-once sink's cost claim, checksummed:
+    day partitions fully owned by an earlier drain are never rewritten
+    by later batches (byte-identical live files), while the merged
+    table still equals the batch answer. Also drives the mid-batch
+    kill: the replayed batch must skip the day that committed
+    (merged=False) and merge the rest."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.tables import load
+
+    srcfull = str(tmp_path / "srcfull")
+    st.prepare_stream_source_timeordered(spark, sf_dir, srcfull, n_files=4)
+    files = sorted(glob.glob(os.path.join(srcfull, "batch*.parquet")))
+    assert len(files) == 4
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for d in glob.glob(os.path.join(target, "day=*"))
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+        }
+
+    # phase 1: first half of the feed, with the mid-batch kill + resume
+    for f in files[:2]:
+        shutil.copy(f, src / os.path.basename(f))
+    killed = st.run_exactly_once_sink_partitioned(
+        spark, str(src), target, ckpt, files_per_batch=1,
+        crash_in_nth_batch=2,
+    )
+    resumed = st.run_exactly_once_sink_partitioned(
+        spark, str(src), target, ckpt, files_per_batch=1
+    )
+    kb, kd, km = killed[-1]
+    assert km and (kb, kd, False) in resumed, (killed, resumed)
+    phase1 = snap()
+    phase1_days = {p.split("day=")[1].split("/")[0] for p in phase1}
+
+    # phase 2: rest of the feed resumes from the same checkpoint
+    for f in files[2:]:
+        shutil.copy(f, src / os.path.basename(f))
+    st.run_exactly_once_sink_partitioned(
+        spark, str(src), target, ckpt, files_per_batch=1
+    )
+    phase2 = snap()
+
+    # every phase-1 day except the boundary (max) day must be
+    # byte-identical — later batches never rewrote it
+    boundary = max(phase1_days)
+    untouched = {
+        p: v for p, v in phase1.items() if f"day={boundary}/" not in p
+    }
+    assert untouched, "no fully-owned phase-1 partition to check"
+    for p, v in untouched.items():
+        assert phase2.get(p) == v, f"untouched partition rewritten: {p}"
+
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.value_cents)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.n_events, r.value_cents)
+        for r in load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want, "partitioned fold lost or duplicated rows"
