@@ -12568,3 +12568,98 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register("agg_psi_kll_edges", tags=("approx", "rows-only"))
+def agg_psi_kll_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI with SKETCHED reference edges (WAVE14 candidate 3) — the
+    100 TB form agg_population_stability_index's docstring names: the
+    reference half's decile edges come from a mergeable KLL quantile
+    sketch (one map-side-combinable aggregate, a few KB of state)
+    instead of percentile_disc's global sort, then the identical
+    binning + nano-quantized PSI arithmetic runs against them. At
+    production scale yesterday's per-partition sketches merge into the
+    reference edges for free; the exact key stays registered and
+    oracled as this key's semantic anchor.
+
+    Rows-only by construction (KLL's quantile rule is
+    implementation-defined at compaction boundaries); the property
+    suite pins (a) the partition invariant — every value lands in
+    exactly one bin, so per-half bin counts sum to the exact totals —
+    and (b) each sketched edge's true rank within the KLL rank-error
+    envelope of its decile target, and (c) the summed PSI within a
+    named bound of the exact key's answer
+    (tests/test_properties.py::test_psi_kll_edges_*)."""
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+        "ref",
+    ).otherwise("cur")
+    vals = ev.select(
+        half.alias("half"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    edges = (
+        vals.filter(F.col("half") == "ref")
+        .agg(
+            F.kll_sketch_agg_double(F.col("v").cast("double")).alias("sk")
+        )
+        .select(
+            # CaseWhen short-circuits: an EMPTY reference half still
+            # yields a valid 8-byte zero-item sketch (not NULL), and
+            # calling get_quantile on it raises
+            # KLL_INVALID_INPUT_SKETCH_BUFFER (degenerate-corpus
+            # sweep) — guard on the sketch's item count; NULL edges
+            # then make every bin NULL, the PSI-undefined answer an
+            # empty reference deserves
+            F.when(
+                F.kll_sketch_get_n_double(F.col("sk")) > 0,
+                F.array(
+                    *[
+                        F.kll_sketch_get_quantile_double(
+                            F.col("sk"), F.lit(d / 10.0)
+                        )
+                        for d in range(1, 10)
+                    ]
+                ),
+            )
+            .otherwise(F.lit(None).cast("array<double>"))
+            .alias("e")
+        )
+    )
+    binned = vals.crossJoin(F.broadcast(edges)).select(
+        "half",
+        (
+            1
+            + F.expr(
+                "size(filter(e, edge -> cast(v as double) > edge))"
+            )
+        ).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias(
+            "n_cur"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    rs = F.try_divide(F.col("n_ref").cast("double"), F.col("tr"))
+    cs = F.try_divide(F.col("n_cur").cast("double"), F.col("tc"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(rs, 6).alias("ref_share"),
+            F.round(cs, 6).alias("cur_share"),
+            F.round((cs - rs) * F.log(F.try_divide(cs, rs)) * 1e9)
+            .cast("bigint")
+            .alias("psi_term_nano"),
+        )
+        .orderBy("bin")
+    )

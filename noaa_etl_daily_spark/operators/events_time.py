@@ -2480,3 +2480,63 @@ def evt_exactly_once_sink_partitioned_sim(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_QUAR_LO, _QUAR_HI = "2024-01-01 00:00:00", "2024-01-31 23:59:59"
+
+
+@register(
+    "evt_stream_quarantine_split",
+    oracle=f"""
+    SELECT CASE WHEN ts IS NULL THEN 'null_ts'
+                WHEN ts < TIMESTAMP '{_QUAR_LO}' THEN 'before_window'
+                WHEN ts > TIMESTAMP '{_QUAR_HI}' THEN 'after_window'
+                ELSE 'admitted' END AS disposition,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_cents,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def evt_stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing for event-time plausibility (WAVE14
+    candidate 2) — the production contract
+    streaming.bound_event_time's docstring promises: instead of
+    dropping rows outside the plausibility window on the floor, ONE
+    scan-stage classification routes every event to a disposition —
+    null_ts / before_window / after_window / admitted — and the census
+    carries counts, cent-exact value totals, and min/max event_id per
+    (disposition, type) as the reprocessing provenance pointers. The
+    'admitted' branch is definitionally bound_event_time's output
+    (same [lo, hi] comparison), so wiring this census upstream of a
+    watermarked stream is a pure filter swap; the quarantined rows go
+    to their own sink instead of vanishing.
+
+    Why it matters at 100 TB: a single future-dated row poisons a
+    stream's watermark and silently evicts all legitimate traffic
+    (test_stream_watermark_poison_guard demonstrates it live); the
+    quarantine table is how an on-call engineer SEES the poison — the
+    hostile corpus populates before_window (epoch default) and
+    after_window (2030 producer clock) exactly as a real feed would.
+    One scan, zero state, one stage-cardinality groupBy."""
+    ev = load(spark, sf_dir, "events")
+    lo = F.lit(_QUAR_LO).cast("timestamp_ntz")
+    hi = F.lit(_QUAR_HI).cast("timestamp_ntz")
+    disp = (
+        F.when(F.col("ts").isNull(), "null_ts")
+        .when(F.col("ts") < lo, "before_window")
+        .when(F.col("ts") > hi, "after_window")
+        .otherwise("admitted")
+    )
+    return ev.groupBy(disp.alias("disposition"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+        ).alias("value_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )

@@ -5480,13 +5480,24 @@ def llm_curation_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the PSI arithmetic joins a broadcast 1-row total. At 100 TB
     the monitor costs one dedup-shaped pass — which the pipeline
     already runs — plus bounded arithmetic."""
-    docs = _spread(load(spark, sf_dir, "documents"))
+    return _drift_funnel_psi(
+        _spread(load(spark, sf_dir, "documents")),
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"),
+    )
+
+
+def _drift_funnel_psi(docs: DataFrame, cohort) -> DataFrame:
+    """The shared funnel + PSI construction of the drift monitors:
+    classify each doc into the curation funnel's first-failing stage,
+    census per (stage, cohort), emit shares and nano-quantized PSI
+    terms. ``cohort`` is the 'a' (reference) / 'b' (current) labelling
+    Column — the parity monitor and the incremental
+    standing-vs-new-batch monitor differ ONLY here, so their funnel
+    semantics cannot drift apart."""
     toks = _tokens()
     f = docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias(
-            "cohort"
-        ),
+        cohort.alias("cohort"),
         F.md5(F.array_join(toks, " ").cast("binary")).alias("h"),
         F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
         F.try_divide(
@@ -5545,4 +5556,88 @@ def llm_curation_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             psi.alias("psi_term_nano"),
         )
         .orderBy("stage")
+    )
+
+
+@register(
+    "llm_curation_drift_incremental",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 4 THEN 'b' ELSE 'a' END AS cohort,
+             list_filter(string_split(lower(text), ' '), t -> t <> '')
+                 AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, cohort,
+             md5(array_to_string(toks, ' ')) AS h,
+             coalesce(len(toks), 0) AS n_tokens,
+             CASE WHEN coalesce(len(toks), 0) = 0 THEN NULL
+                  ELSE len(list_distinct(toks)) * 1.0 / len(toks)
+                  END AS uniq_ratio
+      FROM tk
+    ), ranked AS (
+      SELECT cohort, n_tokens, uniq_ratio,
+             sum(CASE WHEN n_tokens BETWEEN 2 AND 80
+                       AND uniq_ratio >= 0.35 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY h ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS surv_rank
+      FROM f
+    ), disp AS (
+      SELECT cohort,
+             CASE WHEN n_tokens = 0 THEN 'empty'
+                  WHEN n_tokens < 2 OR n_tokens > 80 THEN 'length_gate'
+                  WHEN uniq_ratio < 0.35 THEN 'low_quality'
+                  WHEN surv_rank > 1 THEN 'exact_dup'
+                  ELSE 'kept' END AS stage
+      FROM ranked
+    ), c AS (
+      SELECT stage,
+             CAST(sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+             CAST(sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+      FROM disp GROUP BY stage
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb
+      FROM c
+    )
+    SELECT c.stage, c.n_a, c.n_b,
+           round(CAST(c.n_a AS DOUBLE) / t.ta, 6) AS share_a,
+           round(CAST(c.n_b AS DOUBLE) / t.tb, 6) AS share_b,
+           CASE WHEN c.n_a = 0 OR c.n_b = 0 THEN NULL
+                ELSE CAST(round((CAST(c.n_b AS DOUBLE) / t.tb
+                                 - CAST(c.n_a AS DOUBLE) / t.ta)
+                                * ln((CAST(c.n_b AS DOUBLE) / t.tb)
+                                     / (CAST(c.n_a AS DOUBLE) / t.ta))
+                                * 1000000000) AS BIGINT)
+                END AS psi_term_nano
+    FROM c CROSS JOIN t
+    ORDER BY c.stage
+    """,
+)
+def llm_curation_drift_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drift monitoring over the INCREMENTAL curation cohorts (WAVE14
+    candidate 5): reference = the standing corpus (doc_id % 5 ≠ 4),
+    current = the arriving batch (doc_id % 5 = 4 —
+    pipeline_incremental_curation's exact split), same funnel and PSI
+    arithmetic as llm_curation_drift_monitor via the shared
+    ``_drift_funnel_psi`` construction. This is the day-over-day form
+    a pipeline actually alerts on: 'does today's ingest attrit
+    differently than the corpus it joins?' — an unbalanced 80/20
+    split, so the share normalization (per-cohort totals) is doing
+    real work, unlike the parity monitor's 50/50. Dedup remains
+    cross-cohort: a new doc identical to a standing doc is exact_dup
+    (keep-first by doc_id), the incremental pipeline's admission rule.
+
+    Scale shape: identical to the parity monitor — one 16-byte-digest
+    hash window, stage-cardinality census, broadcast 1-row totals;
+    the monitor rides the dedup pass the increment already pays."""
+    return _drift_funnel_psi(
+        _spread(load(spark, sf_dir, "documents")),
+        F.when(F.col("doc_id") % 5 == 4, "b").otherwise("a"),
     )

@@ -732,3 +732,294 @@ def scan_row_group_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+_DPO_LO, _DPO_HI = "2024-01-10", "2024-01-11"  # inclusive day span
+
+
+def _dpo_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned copy of events for the dynamic-partition-
+    overwrite key: ``day=YYYY-MM-DD`` directories written once per
+    fixture (shared _cached rule). Each partition value is routed to
+    one task before the write so the layout is deterministic."""
+    from .scans import _cached, _seal_cache
+
+    out = _scratch("dpo", _sf_tag(sf_dir), "events")
+    params = "dpo_layout:day_partitioned:v1"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    (
+        load(spark, sf_dir, "events")
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) BETWEEN DATE '{_DPO_LO}' AND DATE '{_DPO_HI}'
+               AS backfilled,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(CASE WHEN CAST(ts AS DATE)
+                                    BETWEEN DATE '{_DPO_LO}'
+                                        AND DATE '{_DPO_HI}'
+                               THEN value * 2 ELSE value END * 100)
+                    AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE dynamic partition overwrite (WAVE14 candidate 1) — the
+    Spark feature the hand-rolled partitioned exactly-once sink points
+    at: a two-day backfill correction (values doubled, the classic
+    'reprocess a bad day' operation) is written with
+    ``option("partitionOverwriteMode", "dynamic")`` over the
+    day-partitioned events copy, so Spark replaces ONLY the day
+    directories present in the written frame and leaves every other
+    partition's files untouched on disk (byte-checksummed in
+    tests/test_layout.py). The registered answer reads the whole table
+    back and aggregates per (backfilled-window, event_type); the
+    oracle recomputes it from the base table with the correction as a
+    CASE — hash-match proves the overwrite applied exactly where
+    addressed and nowhere else.
+
+    Idempotent per call: the replacement slice derives from the
+    ORIGINAL fixture (not the table), so re-running the backfill
+    converges — the audit/strategy sweeps re-run it freely. In STATIC
+    mode the same write would TRUNCATE the table to two days (the
+    classic production incident); dynamic mode is the difference
+    between a backfill and a data loss.
+
+    Scale shape: the backfill writes O(touched partitions); the
+    read-back aggregation is one partial-agg'd groupBy whose partition
+    column comes free from directory pruning. At 100 TB this is the
+    nightly correction pattern for a partitioned lake table without a
+    MERGE-capable format."""
+    import glob as _glob
+    import os as _os
+
+    out = _dpo_layout(spark, sf_dir)
+    lo = F.lit(_DPO_LO).cast("date")
+    hi = F.lit(_DPO_HI).cast("date")
+    repl = (
+        load(spark, sf_dir, "events")
+        .where(F.to_date("ts").between(lo, hi))
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .repartition("day")
+    )
+    (
+        repl.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    if not _glob.glob(_os.path.join(out, "day=*")):
+        return spark.createDataFrame(
+            [],
+            "backfilled boolean, event_type string, n_events bigint, "
+            "total_value double",
+        )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(
+            F.col("day").cast("date").between(lo, hi).alias("backfilled"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
+        )
+    )
+
+
+_ZRGC_LO, _ZRGC_HI = 16, 31  # user_id predicate window (2nd dimension)
+
+
+def _zorder_expr():
+    """The Morton z-value expression shared with sink_zorder_layout:
+    8-bit quantization of (user_id clamped at 255, month-hour bucket),
+    bits interleaved scan-stage."""
+    ux = F.least(F.col("user_id").cast("int"), F.lit(255))
+    tx = ((F.dayofmonth("ts") - 1) * 8 + (F.hour("ts") / 3).cast("int"))
+    z = F.lit(0)
+    for i in range(8):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ux, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(tx, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def _zorder_rgc_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Z-ordered events layout at ROW-GROUP census grain (WAVE14
+    candidate 4): the sink_zorder_layout clustering written with 64 KiB
+    parquet blocks into two z-range files, so each file holds many row
+    groups and second-dimension skipping is measurable at group grain.
+    Cached per fixture via the shared ``_cached`` rule."""
+    from .scans import _cached, _seal_cache
+
+    out = _scratch("zorder_rgc", _sf_tag(sf_dir), "events")
+    params = "zorder_rgc_layout:files=2:block=65536"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    (
+        load(spark, sf_dir, "events")
+        .withColumn("zvalue", _zorder_expr())
+        .repartitionByRange(2, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 65536)
+        .parquet(out)
+    )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+def _harvest_user_rg_stats(spark: SparkSession, paths: list, layout: str):
+    """Distributed user_id footer stats per row group of ``paths``
+    (the scan_parquet_footer_census mapInPandas pattern), tagged with
+    the layout name."""
+    files = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        if paths
+        else spark.createDataFrame([], "path string")
+    ).repartition(4)
+
+    def harvest(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            rows = {"lo": [], "hi": [], "has_stats": [], "n_rows": []}
+            for path in pdf["path"]:
+                md = _pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    col = next(
+                        md.row_group(rg).column(i)
+                        for i in range(md.num_columns)
+                        if md.row_group(rg).column(i).path_in_schema
+                        == "user_id"
+                    )
+                    st = col.statistics
+                    ok = st is not None and st.has_min_max
+                    rows["lo"].append(int(st.min) if ok else None)
+                    rows["hi"].append(int(st.max) if ok else None)
+                    rows["has_stats"].append(ok)
+                    rows["n_rows"].append(md.row_group(rg).num_rows)
+            yield _pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        harvest,
+        "lo bigint, hi bigint, has_stats boolean, n_rows bigint",
+    ).withColumn("layout", F.lit(layout))
+
+
+@register("scan_zorder_rg_skipping_census", tags=("rows-only",))
+def scan_zorder_rg_skipping_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHY Z-ORDER, measured at row-group grain (WAVE14 candidate 4):
+    the same second-dimension predicate (user_id ∈ [16, 31]) censused
+    against BOTH layouts' footers — the z-ordered copy and the plain
+    ts-sorted copy (the WAVE13 census layout) — one summary row per
+    layout: groups total / read / skipped and the row counts behind
+    them. Measured at sf0.01: z-order reads 5 of 10 groups; the
+    ts-sorted layout reads 9 of 9 (every time-sorted group spans the
+    whole user domain, so user predicates can skip NOTHING) — the
+    quantified version of test_zorder_beats_lexicographic's span
+    argument, at the grain the reader actually skips. Soundness and
+    completeness of the skip rule are pinned in tests/test_layout.py
+    by reading the groups themselves; the VALUE correctness of the
+    pruned read is the oracled sibling scan_zorder_pruned_read.
+
+    Scale shape: footers harvested distributed (metadata tails only);
+    the census is a 2-row aggregate. Rows-only: row-group boundaries
+    are writer artifacts. Stats-less groups count as read —
+    skipping is only sound when the footer proves disjointness."""
+    import glob as _glob
+    import os as _os
+
+    zout = _zorder_rgc_layout(spark, sf_dir)
+    tout = _rg_census_layout(spark, sf_dir)
+    groups = _harvest_user_rg_stats(
+        spark, sorted(_glob.glob(_os.path.join(zout, "*.parquet"))), "zorder"
+    ).unionByName(
+        _harvest_user_rg_stats(
+            spark,
+            sorted(_glob.glob(_os.path.join(tout, "*.parquet"))),
+            "ts_sorted",
+        )
+    )
+    must_read = (
+        ~F.col("has_stats")
+        | ((F.col("lo") <= _ZRGC_HI) & (F.col("hi") >= _ZRGC_LO))
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        groups.withColumn("read", must_read)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("rg_total"),
+            one_if(F.col("read")).alias("rg_read"),
+            one_if(~F.col("read")).alias("rg_skipped"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(
+                F.when(F.col("read"), F.col("n_rows")).otherwise(0)
+            ).alias("rows_in_read_groups"),
+        )
+        .orderBy("layout")
+    )
+
+
+@register(
+    "scan_zorder_pruned_read",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    WHERE user_id BETWEEN {_ZRGC_LO} AND {_ZRGC_HI}
+    GROUP BY event_type
+    """,
+)
+def scan_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED answer half of scan_zorder_rg_skipping_census: the
+    second-dimension predicate executed as a real query over the
+    z-ordered layout. The user_id filter reaches the parquet scan
+    (PushedFilters), so execution skips the censused groups — and the
+    hash-match against the base-table oracle proves the z-order
+    rewrite + skip lost nothing on a dimension the primary sort does
+    not own. Scan-stage filter + one partial-agg'd groupBy."""
+    from ..tables import load as _load
+
+    out = _zorder_rgc_layout(spark, sf_dir)
+    schema = (
+        _load(spark, sf_dir, "events")
+        .withColumn("zvalue", F.lit(0))
+        .schema
+    )
+    back = spark.read.schema(schema).parquet(out)
+    return (
+        back.where(F.col("user_id").between(_ZRGC_LO, _ZRGC_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
+        )
+    )

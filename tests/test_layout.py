@@ -294,6 +294,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_bloom_decontaminate",    # 1-row census assembly scalars
         "llm_curation_drift_monitor", # 1-row cohort-total scalar over
                                       # |stages| rows (PSI arithmetic)
+        "llm_curation_drift_incremental",  # same 1-row total scalar
+                                      # (shared _drift_funnel_psi)
         "llm_interpolated_lm_ppl",    # 1-row unigram-total scalar
         "evt_survival_km",            # >=t join over the <=30-row
                                       # lifetime table (calendar-bounded)
@@ -302,6 +304,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "agg_lorenz_curve",           # 1-row revenue-total scalar
         "agg_population_stability_index",  # 1-row decile-edge + totals
                                            # scalars
+        "agg_psi_kll_edges",          # same 1-row edge/total scalars
+                                      # (edges from the KLL sketch)
         "graph_triangle_census",      # 1-row n_edges × 1-row n_triangles
                                       # scalar assembly
         "agg_ks_two_sample_atscale",  # 1-row sizes scalar (as original)
@@ -402,6 +406,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_bloom_decontaminate",    # 1-row census reduces
         "llm_curation_drift_monitor", # 1-row cohort-total reduce of
                                       # |stages| rows
+        "llm_curation_drift_incremental",  # same 1-row total reduce
         "llm_interpolated_lm_ppl",    # 1-row unigram-total reduce
         "evt_survival_km",            # KM window over <=30 risk rows
         "agg_ks_two_sample",          # global CDF sort (the honest exact-KS
@@ -409,6 +414,7 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_annotation_kappa",       # 1-row confusion-matrix reduce
         "llm_prefix_cache_analysis",  # 1-row census over prefix groups
         "agg_population_stability_index",  # 1-row edge/total reduces
+        "agg_psi_kll_edges",          # 1-row sketch-merge + total reduces
         "llm_eval_winrate",           # quartile ntile over DOC rows
         "llm_zipf_exponent_fit",      # rank window over VOCAB rows +
                                       # 1-row regression reduce
@@ -1280,3 +1286,149 @@ def test_row_group_census_sound_and_complete(spark, sf_dir):
         .count()
     )
     assert matching_in_read == want, "read groups missed matching rows"
+
+
+def test_dynamic_partition_overwrite_touches_only_addressed_days(
+    spark, sf_dir, tmp_path
+):
+    """The native DPO contract, checksummed: the two-day backfill
+    rewrite leaves every non-addressed day directory byte-identical,
+    rewrites the addressed ones — and in STATIC mode the very same
+    write would truncate the table to two days (the production
+    incident dynamic mode exists to prevent), demonstrated on a
+    separate copy."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.scale_ops import _DPO_HI, _DPO_LO
+    from noaa_etl_daily_spark.tables import load
+
+    def write_base(path):
+        (
+            load(spark, sf_dir, "events")
+            .withColumn(
+                "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+            )
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+
+    def repl():
+        lo = F.lit(_DPO_LO).cast("date")
+        hi = F.lit(_DPO_HI).cast("date")
+        return (
+            load(spark, sf_dir, "events")
+            .where(F.to_date("ts").between(lo, hi))
+            .withColumn("value", F.col("value") * 2)
+            .withColumn(
+                "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+            )
+            .repartition("day")
+        )
+
+    def snap(path):
+        return {
+            p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for p in glob.glob(os.path.join(path, "day=*", "*.parquet"))
+        }
+
+    addressed = {f"day={_DPO_LO}", f"day={_DPO_HI}"}
+
+    dyn = str(tmp_path / "dyn")
+    write_base(dyn)
+    before = snap(dyn)
+    assert len({p.split("/")[-2] for p in before}) > 2
+    repl().write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(dyn)
+    after = snap(dyn)
+    for p, v in before.items():
+        day = p.split("/")[-2]
+        if day in addressed:
+            assert after.get(p) != v, f"addressed partition not rewritten: {p}"
+        else:
+            assert after.get(p) == v, f"untouched partition rewritten: {p}"
+
+    # the incident static mode causes: same write, table truncated
+    stat = str(tmp_path / "stat")
+    write_base(stat)
+    repl().write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("day").parquet(stat)
+    left = {os.path.basename(d) for d in glob.glob(os.path.join(stat, "day=*"))}
+    assert left == addressed, f"static overwrite kept {left}"
+
+
+def test_zorder_rg_census_sound_complete_and_beats_tssort(spark, sf_dir):
+    """The z-order census must (a) show the z-layout actually skipping
+    groups on the second-dimension predicate while the ts-sorted layout
+    skips none (the measured WHY of z-order), and (b) match physical
+    reality: skipped groups hold zero predicate-matching rows, read
+    groups hold them all."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.scale_ops import (
+        _ZRGC_HI,
+        _ZRGC_LO,
+        _rg_census_layout,
+        _zorder_rgc_layout,
+        scan_zorder_rg_skipping_census,
+    )
+
+    census = {
+        r.layout: r
+        for r in scan_zorder_rg_skipping_census(spark, sf_dir).collect()
+    }
+    z, t = census["zorder"], census["ts_sorted"]
+    assert z.rg_skipped > 0, "z-order skipped nothing on user predicate"
+    assert t.rg_skipped == 0, (
+        "ts-sorted layout skipped on a dimension it does not own — "
+        "fixture shape changed, re-derive the claim"
+    )
+    assert z.rg_read + z.rg_skipped == z.rg_total
+
+    # physical soundness/completeness over the z layout
+    zout = _zorder_rgc_layout(spark, sf_dir)
+    in_read = in_skipped = 0
+    for path in glob.glob(os.path.join(zout, "*.parquet")):
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        for g in range(md.num_row_groups):
+            col = next(
+                md.row_group(g).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(g).column(i).path_in_schema == "user_id"
+            )
+            st = col.statistics
+            read = (
+                st is None
+                or not st.has_min_max
+                or (st.min <= _ZRGC_HI and st.max >= _ZRGC_LO)
+            )
+            users = pf.read_row_group(g, columns=["user_id"]).column(
+                "user_id"
+            )
+            n = sum(
+                1
+                for v in users.to_pylist()
+                if v is not None and _ZRGC_LO <= v <= _ZRGC_HI
+            )
+            if read:
+                in_read += n
+            else:
+                in_skipped += n
+    assert in_skipped == 0, "z census skipped a group holding matches"
+    want = (
+        spark.read.parquet(_rg_census_layout(spark, sf_dir))
+        .where(F.col("user_id").between(_ZRGC_LO, _ZRGC_HI))
+        .count()
+    )
+    assert in_read == want, "z census read-set missed matching rows"

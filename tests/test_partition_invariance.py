@@ -55,6 +55,10 @@ VALUE_TOLERANT = {
     "agg_kll_quantile_sketch": "KLL rank error <= eps bound, any layout",
     "agg_approx_quantile": "GK rank error <= 1e-4 relative bound",
     "agg_freq_items": "Misra-Gries superset-of-frequents guarantee",
+    "agg_psi_kll_edges": (
+        "bin partition exact + summed PSI within 0.002 of the "
+        "exact-edge key (test_psi_kll_edges_partition_and_accuracy)"
+    ),
 }
 
 #: (conf key, adversarial value) — all runtime-settable; restored via

@@ -2010,3 +2010,44 @@ def test_semdedup_kmeans_balance_and_yield_vs_labels(spark, sf_dir):
         f"trained-cell dedup yield regressed: {trn_dropped} vs "
         f"labelled {lab_dropped}"
     )
+
+
+def test_psi_kll_edges_partition_and_accuracy(spark, sf_dir):
+    """The sketched-edge PSI's contract: (a) binning is a PARTITION —
+    per-half bin counts sum exactly to the corpus halves (no value
+    dropped or double-binned, an exact assertion independent of sketch
+    error); (b) each bin holds its decile's share of the reference
+    within the KLL rank-error envelope (|share − 0.1| ≤ 0.03, k=200
+    normalized rank error ~1.65% with margin); (c) the summed PSI is
+    within 0.002 of the exact-edge key's answer (measured at sf0.01:
+    sketched 0.00269 vs exact 0.00286, delta 0.00018)."""
+    import duckdb
+
+    from noaa_etl_daily_spark.registry import load_all
+    from noaa_etl_daily_spark.tables import path_for
+
+    R = load_all()
+    sk = R["agg_psi_kll_edges"].builder(spark, sf_dir).collect()
+    n_ref, n_cur = duckdb.sql(
+        f"""SELECT sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                            THEN 1 ELSE 0 END),
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                            THEN 1 ELSE 0 END)
+            FROM read_parquet('{path_for(sf_dir, "events")}')"""
+    ).fetchall()[0]
+    assert sum(r.n_ref for r in sk) == (n_ref or 0)
+    assert sum(r.n_cur for r in sk) == (n_cur or 0)
+    if n_ref and n_ref > 1000:  # envelope meaningful only at scale
+        for r in sk:
+            assert abs(r.n_ref / n_ref - 0.1) <= 0.03, (
+                f"bin {r.bin} share {r.n_ref / n_ref:.3f} outside the "
+                "KLL envelope"
+            )
+    ex = R["agg_population_stability_index"].builder(spark, sf_dir).collect()
+    psi_sk = sum(
+        r.psi_term_nano for r in sk if r.psi_term_nano is not None
+    ) / 1e9
+    psi_ex = sum(
+        r.psi_term_nano for r in ex if r.psi_term_nano is not None
+    ) / 1e9
+    assert abs(psi_sk - psi_ex) <= 0.002, (psi_sk, psi_ex)
