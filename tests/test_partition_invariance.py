@@ -115,6 +115,27 @@ def test_kll_rank_bound_holds_under_adversarial_layout(spark, _layout_b):
         assert abs(rank - q) < 0.03, f"q={q}: {got} at rank {rank:.4f}"
 
 
+def test_psi_kll_bound_holds_under_adversarial_layout(spark, _layout_b):
+    """The agg_psi_kll_edges whitelist entry's CLAIM, executable under
+    the adversarial layout: whatever merge tree the layout induces in
+    the KLL edge sketch, (a) binning stays a PARTITION — per-half bin
+    counts sum exactly to the corpus halves — and (b) the summed PSI
+    stays within 0.002 of the exact-edge key's answer."""
+    sk = REGISTRY["agg_psi_kll_edges"].builder(spark, SF_DIR).collect()
+    ex = REGISTRY["agg_population_stability_index"].builder(
+        spark, SF_DIR
+    ).collect()
+    assert sum(r.n_ref for r in sk) == sum(r.n_ref for r in ex)
+    assert sum(r.n_cur for r in sk) == sum(r.n_cur for r in ex)
+    psi_sk = sum(
+        r.psi_term_nano for r in sk if r.psi_term_nano is not None
+    ) / 1e9
+    psi_ex = sum(
+        r.psi_term_nano for r in ex if r.psi_term_nano is not None
+    ) / 1e9
+    assert abs(psi_sk - psi_ex) <= 0.002, (psi_sk, psi_ex)
+
+
 def test_gk_tolerance_holds_under_adversarial_layout(spark, _layout_b):
     """approx_percentile's 1e-4-accuracy claim under the adversarial
     merge tree: each flat row carries its exact twin, so the bound is
@@ -197,6 +218,11 @@ def test_value_tolerant_whitelist_is_closed():
         "agg_kll_quantile_sketch",
         "agg_approx_quantile",
         "agg_freq_items",
+        # WAVE14 c3: sketched-edge PSI — named bound asserted under the
+        # adversarial layout in
+        # test_psi_kll_bound_holds_under_adversarial_layout and under
+        # the default layout in test_properties
+        "agg_psi_kll_edges",
     }
 
 
