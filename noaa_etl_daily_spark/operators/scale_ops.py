@@ -955,6 +955,8 @@ def scan_zorder_rg_skipping_census(
 
     zout = _zorder_rgc_layout(spark, sf_dir)
     tout = _rg_census_layout(spark, sf_dir)
+    # footer harvest via _harvest_user_rg_stats (a mapInPandas pass —
+    # named here so the Arrow-path closure guard sweeps this key too)
     groups = _harvest_user_rg_stats(
         spark, sorted(_glob.glob(_os.path.join(zout, "*.parquet"))), "zorder"
     ).unionByName(

@@ -141,6 +141,11 @@ ARROW_KEYS = [
     # too so the registry-wide axis stays closed
     "evt_rate_limit_burst_stream",
     "evt_token_bucket_admission_stream",
+    # WAVE13/14 row-group censuses: distributed footer harvests via
+    # mapInPandas (metadata tails only) — batch size must not move a
+    # census whose unit is the row group, not the Arrow batch
+    "scan_row_group_skipping_census",
+    "scan_zorder_rg_skipping_census",
 ]
 
 _BATCH_SIZES = ("113", "7")  # compared against the session default
