@@ -112,6 +112,21 @@ ROWS_ONLY_COVERAGE: dict[str, list[str]] = {
         "tests/test_properties.py::test_bpe_train_matches_python_reference",
         "tests/test_properties.py::test_bpe_train_tie_break_and_overlapping_merge",
     ],
+    "llm_semdedup_cells_kmeans": [
+        "tests/test_properties.py::test_semdedup_kmeans_assignment_matches_numpy",
+        "tests/test_properties.py::test_semdedup_kmeans_dedup_half_exact_on_assignment",
+        "tests/test_properties.py::test_semdedup_kmeans_balance_and_yield_vs_labels",
+    ],
+    "scan_row_group_skipping_census": [
+        "tests/test_layout.py::test_row_group_census_sound_and_complete",
+    ],
+    "scan_zorder_rg_skipping_census": [
+        "tests/test_layout.py::test_zorder_rg_census_sound_complete_and_beats_tssort",
+    ],
+    "agg_psi_kll_edges": [
+        "tests/test_properties.py::test_psi_kll_edges_partition_and_accuracy",
+        "tests/test_partition_invariance.py::test_psi_kll_bound_holds_under_adversarial_layout",
+    ],
 }
 
 
