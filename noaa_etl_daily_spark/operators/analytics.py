@@ -12663,3 +12663,146 @@ def agg_psi_kll_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "fn_trigram_index_fuzzy_match",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def fn_trigram_index_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-INVERTED-INDEX fuzzy self-match (WAVE15 candidate 3) —
+    the scale path fn_levenshtein_fuzzy_match's docstring promises,
+    made real and LOSSLESS: all supplier-name pairs within Levenshtein
+    distance 1, found without ever forming the |supplier|² pair space.
+    The oracle is the DIRECT all-pairs form, so the driver's hash gate
+    proves the index path finds exactly the same pairs (no false
+    negatives) — the property that separates an index from a heuristic
+    blocker like dedup_er_blocked_pairs.
+
+    Construction (q-gram lemma + prefix filtering, the pg_trgm /
+    PPJoin discipline, same family as llm_dedup_ngram_jaccard):
+
+    - POSITIONAL trigrams: element = gram '#' occurrence-number, so
+      set intersection equals the q-gram MULTISET overlap the lemma
+      bounds: ed(a,b) <= d implies shared grams >= max(|a|,|b|)-2-3d.
+    - PREFIX filter: under a global (document-frequency, element)
+      order, two strings with overlap >= T must share an element
+      within their (grams-T+1)-prefixes; with d=1 and the |len_a -
+      len_b| <= 1 length filter, 3d+1 = 4 rarest elements per string
+      suffice. Candidates come from ONE equi-join on prefix elements.
+    - The lemma needs T >= 1, i.e. max(len) >= 6: pairs where BOTH
+      names are <= 5 chars fall back to a length-bucketed equi-join
+      over that bounded short cohort (empty on the clean fixture; the
+      hostile corpus's degenerate names land here).
+    - Exact levenshtein runs on candidates only.
+
+    Measured selectivity at sf0.1: 13,500 true pairs out of 499,500 —
+    the distance-2 variant is 100% dense on this name domain (every
+    zero-padded id is within 2 substitutions of every other), so d=1
+    is the setting where an index can prove itself.
+
+    Scale shape: gram/element construction is scan-stage HOFs (the
+    per-string occurrence scan is O(16²) on bounded-length names); the
+    df census is one element-keyed groupBy; prefix selection is a
+    per-key window (key-partitioned); the candidate join is a plain
+    hash join on rare elements — document-frequency ordering keeps hot
+    grams ('Supplier#...' prefixes shared by EVERY name) out of the
+    prefixes, so bucket sizes track digit-gram selectivity, not corpus
+    size. An exact-duplicate cohort makes the true answer itself
+    Omega(cohort²) — production runs exact dedup first (llm_dedup_*),
+    same caveat llm_dedup_ngram_jaccard documents."""
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_name").isNotNull())
+        .select("s_suppkey", "s_name", F.length("s_name").alias("len"))
+    )
+    grams = sup.withColumn(
+        "grams",
+        F.when(
+            F.col("len") >= 3,
+            F.expr(
+                "transform(sequence(1, length(s_name) - 2),"
+                " i -> substring(s_name, i, 3))"
+            ),
+        ).otherwise(F.expr("array()")),
+    ).withColumn(
+        "elems",
+        F.expr(
+            "transform(grams, (g, i) -> concat(g, '#',"
+            " size(filter(slice(grams, 1, i + 1), x -> x = g))))"
+        ),
+    )
+    posting = grams.select(
+        "s_suppkey", "len", F.explode("elems").alias("elem")
+    )
+    df_tab = posting.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("s_suppkey").orderBy("df", "elem")
+    prefix = (
+        posting.join(df_tab, "elem")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 4)
+        .select("s_suppkey", "len", "elem")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand_idx = (
+        a.join(
+            b,
+            (F.col("a.elem") == F.col("b.elem"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(1)
+            ),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+        )
+        .distinct()
+    )
+    # short-cohort fallback: the lemma needs max(len) >= 6, so pairs of
+    # two <= 5-char names are generated by a length-bucket equi-join
+    # over that bounded set (each short probes its 3 admissible partner
+    # lengths) — a hash join, never a cross product
+    shorts = sup.where(F.col("len") <= 5)
+    probe = shorts.select(
+        F.col("s_suppkey"),
+        F.explode(
+            F.sequence(F.col("len") - 1, F.col("len") + 1)
+        ).alias("plen"),
+    )
+    cand_short = (
+        probe.alias("a")
+        .join(
+            shorts.alias("b"),
+            (F.col("a.plen") == F.col("b.len"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+        )
+        .distinct()
+    )
+    cand = cand_idx.unionByName(cand_short).distinct()
+    na = sup.select(
+        F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a")
+    )
+    nb = sup.select(
+        F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b")
+    )
+    return (
+        cand.join(na, "key_a")
+        .join(nb, "key_b")
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .where(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )

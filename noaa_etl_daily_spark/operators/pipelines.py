@@ -2419,3 +2419,126 @@ def pipeline_token_budget_curriculum(
         )
         .orderBy("epoch", "decile")
     )
+
+_PACK_SHARD = 2000  # tokens per training shard (llm_pack_token_shards)
+
+
+@register(
+    "pipeline_curriculum_pack",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 * 1000000 // len(string_split(text, ' ')) AS quality_ppm
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY quality_ppm DESC, doc_id)
+                 AS rnk,
+             ntile(10) OVER (ORDER BY quality_ppm DESC, doc_id)
+                 AS decile
+      FROM scored
+    ), wd AS (
+      SELECT *, rnk - min(rnk) OVER (PARTITION BY decile) + 1 AS pos
+      FROM ranked
+    ), admitted AS (
+      SELECT doc_id, decile, n_tokens, pos,
+             sum(n_tokens) OVER (
+                 ORDER BY pos, decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM wd WHERE decile <= 3
+    ), packed AS (
+      SELECT doc_id, decile, n_tokens, pos,
+             CAST(floor((cum - n_tokens) / {_PACK_SHARD}.0) AS INTEGER)
+                 AS shard_id
+      FROM admitted
+      WHERE cum <= {_CURR_BUDGET}
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(count(DISTINCT decile) AS BIGINT) AS n_deciles,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def pipeline_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering COMPOSED with shard packing (WAVE15
+    candidate 4) — the end-to-end 'what the trainer actually reads'
+    table: epoch 1's admitted set (quality deciles 1-3 consumed as the
+    (pos, decile) round-robin interleave until the epoch token budget
+    cuts it — pipeline_token_budget_curriculum's exact admission rule)
+    is packed, IN THE INTERLEAVE ORDER, into ~2000-token training
+    shards via the llm_pack_token_shards rule
+    (shard = floor(exclusive-prefix-sum / budget)). Output: per-shard
+    doc/token counts, how many deciles the shard mixes, and its
+    doc_id span — the audit table for 'which shard does step s train
+    on, and what quality mix is inside it'.
+
+    Engine-exactness: both halves are already driver-certified alone;
+    the composition reuses the SAME distributed machinery (global rank
+    → ntile arithmetic → per-decile position → ONE prefix sum over the
+    admitted subset) so shard boundaries are an int64 running-sum
+    comparison on a unique (pos, decile) total order — no ties, no
+    float fold.
+
+    Scale shape: identical to its parents — range-shuffle rank,
+    broadcast 10-row decile minima, one distributed prefix sum
+    (scale_rank.with_cumsum) over the admitted subset; the pack stage
+    adds ZERO exchanges beyond the prefix sum it shares with the
+    budget cut (shard id is arithmetic on the same cumulative column).
+    At 100 TB epoch packing runs per (day, source) partition first,
+    exactly as llm_pack_token_shards documents."""
+    from .scale_rank import ntile_bucket, with_cumsum, with_global_rank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000L "
+            "div size(split(text, ' '))"
+        ).alias("quality_ppm"),
+    )
+    ranked = with_global_rank(
+        scored,
+        [F.col("quality_ppm").desc(), F.col("doc_id").asc()],
+        "rnk",
+        "ntot",
+    ).withColumn(
+        "decile", ntile_bucket(F.col("rnk"), F.col("ntot"), 10)
+    )
+    dmin = ranked.groupBy("decile").agg(F.min("rnk").alias("dmin"))
+    wd = ranked.join(F.broadcast(dmin), "decile").select(
+        "doc_id",
+        "decile",
+        "n_tokens",
+        (F.col("rnk") - F.col("dmin") + 1).alias("pos"),
+    )
+    adm = with_cumsum(
+        wd.where(F.col("decile") <= 3),
+        [F.col("pos").asc(), F.col("decile").asc()],
+        ["n_tokens"],
+        ["__cum"],
+    )
+    packed = adm.where(F.col("__cum") <= _CURR_BUDGET).withColumn(
+        "shard_id",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / float(_PACK_SHARD))
+        .cast("int"),
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.countDistinct("decile").alias("n_deciles"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )

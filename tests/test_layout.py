@@ -478,6 +478,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # (distributed rank + per-epoch
                                       # prefix sums) + 10-row decile-min
                                       # broadcast
+        "pipeline_curriculum_pack",   # same scale_rank machinery: P-row
+                                      # offsets windows + one epoch-1
+                                      # prefix sum + 10-row decile-min
+                                      # broadcast
     }
     # Unpartitioned-WINDOW whitelist (VERDICT r4 task 3): a logical
     # Window with an EMPTY partition spec funnels its whole input
@@ -508,6 +512,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_pack_token_shards",      # distributed prefix sum (P-row offsets)
         "pipeline_token_budget_curriculum",  # same P-row offsets windows
                                       # (scale_rank rank + 4 epoch cumsums)
+        "pipeline_curriculum_pack",   # same P-row offsets windows
+                                      # (scale_rank rank + epoch-1 cumsum)
         # bounded post-reduction grains
         "evt_activity_autocorr",      # DAY-grain lead window
         "evt_alert_debounce",         # HOUR-grain run windows
