@@ -1025,3 +1025,205 @@ def scan_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+_PCOMP_CUT = "2024-01-16"  # days >= cut hold 4 small files (recent ingest)
+
+
+def _pcomp_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned events copy simulating a long-running partitioned
+    streaming sink: days BEFORE the cut were compacted long ago (one
+    file each); days at/after the cut accumulated 4 small files from
+    successive micro-batches (one append per event_id quartile — each
+    ``repartition('day')`` write routes a day's rows to one task, so
+    file counts are deterministic and session-conf-independent).
+    NULL-day rows (NULL ts) ride the old side. Immutable once sealed
+    (shared ``_cached`` rule) so the before-census is reproducible."""
+    from .scans import _cached, _seal_cache
+
+    out = _scratch("pcomp", _sf_tag(sf_dir), "events")
+    params = "pcomp_layout:old=1:recent=4:v1"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    cut = F.lit(_PCOMP_CUT)
+    (
+        ev.where((F.col("day") < cut) | F.col("day").isNull())
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    recent = ev.where(F.col("day") >= cut)
+    for i in range(4):
+        (
+            recent.where(
+                F.coalesce(F.pmod("event_id", F.lit(4)), F.lit(0)) == i
+            )
+            .repartition("day")
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+def _pcomp_file_census(layout: str) -> dict[str, int]:
+    """Parquet-file count per day partition directory of ``layout``.
+    A bounded metadata hop (one entry per PARTITION, not per row); at
+    production scale the same numbers come from the table manifest —
+    the discipline scan_mor_compaction_sim documents."""
+    import os as _os
+
+    census: dict[str, int] = {}
+    if not _os.path.isdir(layout):
+        return census
+    for d in sorted(_os.listdir(layout)):
+        full = _os.path.join(layout, d)
+        if d.startswith("day=") and _os.path.isdir(full):
+            census[d[4:]] = sum(
+                1 for f in _os.listdir(full) if f.endswith(".parquet")
+            )
+    return census
+
+
+def _pcomp_compacted(spark: SparkSession, sf_dir: str, layout: str) -> str:
+    """Copy-on-write small-file compaction of the multi-file days:
+    each day with >1 file is read (partition-pruned) and rewritten as
+    ONE file per day under a NEW root; single-file days are never read
+    or written — the compacted table REFERENCES their original files
+    (scan_mor_compaction_sim's touched-file discipline at partition
+    grain). Sealed per fixture so re-runs (audit sweeps) are
+    deterministic; untouched-day byte-identity is structural — their
+    files are never opened for write."""
+    from .scans import _cached, _seal_cache
+
+    out = _scratch("pcomp_out", _sf_tag(sf_dir), "events")
+    params = "pcomp_compacted:v1"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    census = _pcomp_file_census(layout)
+    multi = sorted(d for d, n in census.items() if n > 1)
+    import os as _os
+
+    _os.makedirs(out, exist_ok=True)
+    if multi:
+        (
+            spark.read.parquet(layout)
+            .where(F.col("day").cast("string").isin(multi))
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+@register(
+    "sink_partitioned_compaction",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sink_partitioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction over a partitioned serving table (WAVE15
+    candidate 2) — the lifecycle step between the partitioned
+    exactly-once sink and a long-running deployment: after many
+    micro-batches the recent day partitions each hold several small
+    files; compaction bin-packs each multi-file day into ONE file,
+    REFERENCING the already-compact days (their files are never read,
+    rewritten, or copied — copy-on-write at partition grain, the
+    scan_mor_compaction_sim discipline). The registered answer reads
+    the post-compaction table — referenced original files for
+    untouched days unioned with the rewritten days — and aggregates
+    per (day, type); the hash-match against the base-table oracle
+    proves compaction moved bytes without changing ONE row.
+
+    Mechanics pinned elsewhere: the before/after file census is the
+    rows-only sibling (sink_partitioned_compaction_census);
+    untouched-day byte-identity is asserted from real file checksums
+    in tests/test_layout.py.
+
+    Scale shape: compaction cost is O(multi-file partitions) — the
+    read is partition-pruned to exactly those days, each day funnels
+    to one writer task (a day is one micro-batch-hour grain at
+    production, not a corpus); the census that picks the days is a
+    per-PARTITION metadata hop (manifest-served at scale). The answer
+    read unions two partition-pruned scans — zero joins."""
+    layout = _pcomp_layout(spark, sf_dir)
+    census = _pcomp_file_census(layout)
+    schema = (
+        "day date, event_type string, n_events bigint, value_cents bigint"
+    )
+    if not census:
+        return spark.createDataFrame([], schema)
+    comp = _pcomp_compacted(spark, sf_dir, layout)
+    multi = sorted(d for d, n in census.items() if n > 1)
+    ref = spark.read.parquet(layout).where(
+        ~F.coalesce(
+            F.col("day").cast("string").isin(multi or ["__none__"]),
+            F.lit(False),
+        )
+    )
+    import glob as _glob
+    import os as _os
+
+    parts = [ref]
+    if _glob.glob(_os.path.join(comp, "day=*")):
+        parts.append(spark.read.parquet(comp))
+    table = parts[0]
+    for p in parts[1:]:
+        table = table.unionByName(p)
+    return table.groupBy(
+        F.col("day").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # coalesce + outer cast on BOTH sides: an all-NULL-value group
+        # must present as 0 (not NaN-typed float), and DuckDB's
+        # sum(BIGINT) widens to HUGEINT (float64 in pandas) without it
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+        ).alias("value_cents"),
+    )
+
+
+@register("sink_partitioned_compaction_census", tags=("rows-only",))
+def sink_partitioned_compaction_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """File census of the partitioned compaction (rows-only — file
+    counts are physical layout, not SQL-derivable): per day partition,
+    files before, files after, and whether compaction touched it.
+    Properties pinned in tests/test_layout.py: compacted days end at
+    exactly ONE file; untouched days keep their file count AND their
+    exact bytes; compacted iff files_before > 1. One row per PARTITION
+    — the census a production compactor logs to its manifest."""
+    layout = _pcomp_layout(spark, sf_dir)
+    census = _pcomp_file_census(layout)
+    comp = _pcomp_compacted(spark, sf_dir, layout)
+    after = _pcomp_file_census(comp)
+    rows = [
+        (
+            d,
+            n,
+            after.get(d, n),
+            d in after,
+        )
+        for d, n in sorted(census.items())
+    ]
+    schema = (
+        "day string, files_before int, files_after int, compacted boolean"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)

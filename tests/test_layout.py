@@ -1438,3 +1438,61 @@ def test_zorder_rg_census_sound_complete_and_beats_tssort(spark, sf_dir):
         .count()
     )
     assert in_read == want, "z census read-set missed matching rows"
+
+
+def test_partitioned_compaction_census_and_untouched_bytes(spark, sf_dir):
+    """sink_partitioned_compaction's physical contract: every
+    multi-file day compacts to exactly ONE file under the NEW root;
+    single-file days are never touched (the original layout's files
+    stay byte-identical across a full key execution — copy-on-write at
+    partition grain); the census key reports exactly that."""
+    import glob
+    import os
+
+    from noaa_etl_daily_spark.operators.scale_ops import (
+        _pcomp_compacted,
+        _pcomp_file_census,
+        _pcomp_layout,
+    )
+    from noaa_etl_daily_spark.registry import load_all
+
+    registry = load_all()
+    layout = _pcomp_layout(spark, sf_dir)
+    before_census = _pcomp_file_census(layout)
+    assert any(n > 1 for n in before_census.values()), (
+        "fixture must produce at least one multi-file (recent) day"
+    )
+    assert any(n == 1 for n in before_census.values()), (
+        "fixture must produce at least one already-compact day"
+    )
+
+    def snap(path):
+        return {
+            p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for p in glob.glob(os.path.join(path, "day=*", "*.parquet"))
+        }
+
+    before = snap(layout)
+    registry["sink_partitioned_compaction"].builder(spark, sf_dir).collect()
+    census = (
+        registry["sink_partitioned_compaction_census"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert snap(layout) == before, (
+        "compaction must never rewrite the original layout's files"
+    )
+    comp = _pcomp_compacted(spark, sf_dir, layout)
+    after_census = _pcomp_file_census(comp)
+    by_day = {r.day: r for r in census}
+    assert set(by_day) == set(before_census)
+    for day, n in before_census.items():
+        r = by_day[day]
+        assert r.files_before == n
+        assert r.compacted == (n > 1)
+        if n > 1:
+            assert r.files_after == 1
+            assert after_census[day] == 1
+        else:
+            assert r.files_after == n
+            assert day not in after_census

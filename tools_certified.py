@@ -127,6 +127,9 @@ ROWS_ONLY_COVERAGE: dict[str, list[str]] = {
         "tests/test_properties.py::test_psi_kll_edges_partition_and_accuracy",
         "tests/test_partition_invariance.py::test_psi_kll_bound_holds_under_adversarial_layout",
     ],
+    "sink_partitioned_compaction_census": [
+        "tests/test_layout.py::test_partitioned_compaction_census_and_untouched_bytes",
+    ],
 }
 
 
