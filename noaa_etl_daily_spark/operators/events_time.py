@@ -2540,3 +2540,143 @@ def evt_stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@register(
+    "evt_exactly_once_sink_evolving_sim",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_cents,
+           CAST(coalesce(sum(CASE WHEN (coalesce(event_id, 0) & 3) >= 2
+                                  THEN (coalesce(event_id, 0) & 7)
+                                  ELSE 0 END), 0) AS BIGINT) AS flag_sum
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def evt_exactly_once_sink_evolving_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA-EVOLVING exactly-once streaming sink (WAVE15 candidate
+    5): the exactly-once foreachBatch sink is killed mid-replay under
+    the generation-1 source schema; the source then EVOLVES — new
+    files arrive carrying an added ``flag_val`` column — and the query
+    restarts from the same checkpoint with the WIDENED schema. The
+    restart must (a) replay the killed batch idempotently (version
+    marker skips the merge), (b) read pre-evolution files under the
+    widened schema (parquet null-fills the absent column), and (c)
+    WIDEN the standing state table written before the evolution
+    instead of losing or forking it. The serving table must hash-match
+    the batch aggregate over BOTH generations — the oracle computes
+    the widened answer from the base table, so the driver's gate
+    certifies the full kill → evolve → restart → converge story.
+
+    The new column's derivation (``event_id & 7`` on gen-2 rows,
+    ``(event_id & 3) >= 2`` membership) uses two's-complement bitwise
+    ops — identical in Spark and DuckDB even on hostile negative ids,
+    where ``%`` diverges (Spark pmod vs DuckDB signed rem, gotcha
+    G15's sibling).
+
+    Scale shape: identical per-batch cost to evt_exactly_once_sink_sim
+    (one null-safe serving-key merge per batch); schema evolution adds
+    ZERO passes — old files are never rewritten (the
+    scan_schema_evolution_sim economics), the widening is a metadata
+    default applied at read and merge time."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    g1 = _scratch("stream_xev1", _sf_tag(sf_dir), "events")
+    g2 = _scratch("stream_xev2", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_evolving(spark, sf_dir, g1, g2)
+    work = tempfile.mkdtemp(prefix="xev_sink_")
+    src = os.path.join(work, "src")
+    target = os.path.join(work, "serving")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    def _adopt(gen_dir: str, tag: str, base_mt: float) -> int:
+        n = 0
+        for i, f in enumerate(
+            sorted(
+                p for p in os.listdir(gen_dir) if p.endswith(".parquet")
+            )
+        ):
+            dst = os.path.join(src, f"{tag}{i:02d}.parquet")
+            shutil.copyfile(os.path.join(gen_dir, f), dst)
+            mt = base_mt + i * 60
+            os.utime(dst, (mt, mt))
+            n += 1
+        return n
+
+    try:
+        import time as _time
+
+        now = _time.time()
+        n1 = _adopt(g1, "gen1_", now - 1200)
+        # an empty generation (degenerate corpus) has no part files to
+        # infer from — the base fixture schema is the gen-1 schema by
+        # construction
+        schema1 = (
+            spark.read.parquet(g1).schema
+            if n1
+            else load(spark, sf_dir, "events").schema
+        )
+        killed = st.run_exactly_once_sink_evolving(
+            spark, src, target, ckpt, schema1, files_per_batch=1,
+            crash_on_nth_commit=1,
+        )
+        # the EVOLUTION: gen-2 files (with flag_val) arrive, and the
+        # restart reads everything under the widened schema
+        n2 = _adopt(g2, "gen2_", now - 600)
+        schema2 = (
+            spark.read.parquet(g2).schema
+            if n2
+            else StructType(
+                list(schema1.fields)
+                + [StructField("flag_val", IntegerType())]
+            )
+        )
+        assert "flag_val" in schema2.fieldNames()
+        assert isinstance(
+            schema2["flag_val"], StructField
+        ) and isinstance(schema2["flag_val"].dataType, IntegerType)
+        resumed = st.run_exactly_once_sink_evolving(
+            spark, src, target, ckpt, schema2, files_per_batch=1
+        )
+        if n1 >= 1 and killed:
+            # the kill fired after gen-1's first batch committed its
+            # sink version but not its checkpoint: the widened restart
+            # MUST replay that batch (idempotently) before the gen-2
+            # files — the pre-evolution state-widening path is provably
+            # exercised, not skipped
+            assert killed[-1] in resumed, (killed, resumed)
+        if not os.path.isdir(target):
+            return spark.createDataFrame(
+                [],
+                "user_id bigint, n_events bigint, last_ts timestamp_ntz, "
+                "value_cents bigint, flag_sum bigint",
+            )
+        out = (
+            spark.read.parquet(target)
+            .select(
+                "user_id",
+                "n_events",
+                F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+                F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+                F.coalesce("flag_sum", F.lit(0)).alias("flag_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -1404,3 +1404,154 @@ def stream_token_bucket_admission(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def merge_user_partials_evolving(
+    existing: DataFrame | None, batch: DataFrame
+) -> DataFrame:
+    """merge_user_partials widened for SCHEMA EVOLUTION: the source may
+    gain a ``flag_val`` column mid-stream (new producer generation), so
+    the fold must (a) aggregate it when the batch carries it, (b) treat
+    its absence as zero, and (c) WIDEN a standing state table written
+    before the evolution (no ``flag_sum`` column yet) instead of losing
+    or forking it — the mergeSchema story applied to streaming state."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    ]
+    zero = F.lit(0).cast("long")
+    if "flag_val" in batch.columns:
+        aggs.append(
+            F.sum(F.coalesce(F.col("flag_val").cast("long"), zero)).alias(
+                "flag_sum"
+            )
+        )
+    part = batch.groupBy("user_id").agg(*aggs)
+    if "flag_sum" not in part.columns:
+        part = part.withColumn("flag_sum", zero)
+    if existing is None:
+        return part
+    if "flag_sum" not in existing.columns:
+        # pre-evolution state: widen, don't fork — rows folded before
+        # the new column existed contribute 0 to it by definition
+        existing = existing.withColumn("flag_sum", zero)
+    e, b = existing.alias("e"), part.alias("b")
+    return e.join(
+        b, F.col("e.user_id").eqNullSafe(F.col("b.user_id")), "full_outer"
+    ).select(
+        F.coalesce("b.user_id", "e.user_id").alias("user_id"),
+        (
+            F.coalesce("e.n_events", zero) + F.coalesce("b.n_events", zero)
+        ).alias("n_events"),
+        F.greatest("e.last_ts", "b.last_ts").alias("last_ts"),
+        (
+            F.coalesce("e.value_cents", zero)
+            + F.coalesce("b.value_cents", zero)
+        ).alias("value_cents"),
+        (
+            F.coalesce("e.flag_sum", zero) + F.coalesce("b.flag_sum", zero)
+        ).alias("flag_sum"),
+    )
+
+
+def run_exactly_once_sink_evolving(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema,
+    files_per_batch: int = 1,
+    crash_on_nth_commit: int | None = None,
+) -> list[int]:
+    """run_exactly_once_sink with a CALLER-SUPPLIED source schema and
+    the evolution-aware merge: each restart passes the schema the
+    source currently has, so a stream killed under the gen-1 schema
+    can resume under the widened gen-2 schema — parquet files written
+    before the evolution null-fill the new column at read time, and
+    ``merge_user_partials_evolving`` widens the standing state. Same
+    two-phase versioned commit protocol and kill window as the
+    non-evolving runner."""
+    commits: list[int] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_versioned(
+            batch_df.sparkSession,
+            target_dir,
+            batch_id,
+            merge_user_partials_evolving,
+            batch_df,
+        )
+        commits.append(batch_id)
+        if (
+            crash_on_nth_commit is not None
+            and len(commits) == crash_on_nth_commit
+        ):
+            raise InjectedSinkCrash(
+                f"{_X1_CRASH_MARKER}: killed after sink commit of batch "
+                f"{batch_id}, before its checkpoint commit"
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except Exception as ex:  # noqa: BLE001 — re-raised unless ours
+        if crash_on_nth_commit is None or _X1_CRASH_MARKER not in str(ex):
+            raise
+    return commits
+
+
+def prepare_stream_source_evolving(
+    spark: SparkSession, sf_dir: str, out1: str, out2: str
+) -> tuple[str, str]:
+    """Two source GENERATIONS of the events feed for the
+    schema-evolving exactly-once sink: gen-1 files carry the original
+    schema (rows with ``(event_id & 3) < 2``); gen-2 files carry the
+    WIDENED schema — the same remaining rows plus a new ``flag_val``
+    column (``event_id & 7``; bitwise ops are two's-complement in both
+    engines, so the derivation is oracle-exact even on hostile negative
+    ids). Each generation is fanned into 2 files so the sink sees
+    multiple micro-batches per generation. Both dirs sealed per fixture
+    via the shared ``_cached`` rule."""
+    from .operators.scans import _cached, _seal_cache
+
+    ev = load(spark, sf_dir, "events")
+    gen_bits = F.coalesce(F.col("event_id"), F.lit(0)).bitwiseAND(F.lit(3))
+    p1 = "prepare_stream_source_evolving:gen1"
+    if not _cached(out1, sf_dir, "events", p1):
+        (
+            ev.where(gen_bits < 2)
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(out1)
+        )
+        _seal_cache(out1, sf_dir, "events", p1)
+    p2 = "prepare_stream_source_evolving:gen2"
+    if not _cached(out2, sf_dir, "events", p2):
+        (
+            ev.where(gen_bits >= 2)
+            .withColumn(
+                "flag_val",
+                F.coalesce(F.col("event_id"), F.lit(0))
+                .bitwiseAND(F.lit(7))
+                .cast("int"),
+            )
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(out2)
+        )
+        _seal_cache(out2, sf_dir, "events", p2)
+    return out1, out2

@@ -1276,3 +1276,37 @@ def test_partitioned_sink_touches_only_its_partitions(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want, "partitioned fold lost or duplicated rows"
+
+
+def test_evolving_merge_widens_pre_evolution_state(spark):
+    """merge_user_partials_evolving's three contracts, isolated: a
+    batch WITHOUT flag_val folds as zero; a standing state table
+    written before the evolution (no flag_sum column) is widened, not
+    forked; post-evolution batches accumulate flag_val on top of the
+    widened state."""
+    import noaa_etl_daily_spark.streaming as st
+
+    old_batch = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 01:00:00", 2.0)],
+        "user_id bigint, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s0 = st.merge_user_partials_evolving(None, old_batch)
+    assert [r.flag_sum for r in s0.collect()] == [0]
+
+    # simulate pre-evolution state on disk: the narrow schema
+    legacy = s0.drop("flag_sum")
+    new_batch = spark.createDataFrame(
+        [
+            (1, "2024-01-01 02:00:00", 3.0, 5),
+            (2, "2024-01-01 03:00:00", 4.0, None),
+        ],
+        "user_id bigint, ts string, value double, flag_val int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merged = {
+        r.user_id: r
+        for r in st.merge_user_partials_evolving(legacy, new_batch).collect()
+    }
+    assert merged[1].n_events == 3
+    assert merged[1].value_cents == 600
+    assert merged[1].flag_sum == 5  # widened 0 + batch 5
+    assert merged[2].flag_sum == 0  # NULL flag_val folds as zero
