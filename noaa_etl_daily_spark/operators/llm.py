@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..registry import register
+from ..registry import REGISTRY, register
 from ..tables import load
 
 # ---------------------------------------------------------------------------
@@ -5486,16 +5486,13 @@ def llm_curation_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drift_funnel_psi(docs: DataFrame, cohort) -> DataFrame:
-    """The shared funnel + PSI construction of the drift monitors:
-    classify each doc into the curation funnel's first-failing stage,
-    census per (stage, cohort), emit shares and nano-quantized PSI
-    terms. ``cohort`` is the 'a' (reference) / 'b' (current) labelling
-    Column — the parity monitor and the incremental
-    standing-vs-new-batch monitor differ ONLY here, so their funnel
-    semantics cannot drift apart."""
+def _funnel_fields(docs: DataFrame, cohort) -> DataFrame:
+    """Per-doc scan-stage funnel fields shared by the batch drift
+    monitors AND the streaming fold (streaming.fold_drift_census):
+    cohort label, normalized-token md5, coalesced token count, lexical
+    uniqueness ratio."""
     toks = _tokens()
-    f = docs.select(
+    return docs.select(
         "doc_id",
         cohort.alias("cohort"),
         F.md5(F.array_join(toks, " ").cast("binary")).alias("h"),
@@ -5504,9 +5501,39 @@ def _drift_funnel_psi(docs: DataFrame, cohort) -> DataFrame:
             F.size(F.array_distinct(toks)), F.size(toks)
         ).alias("uniq_ratio"),
     )
-    passes = (
-        F.col("n_tokens").between(2, 80) & (F.col("uniq_ratio") >= 0.35)
+
+
+#: quality predicate over _funnel_fields columns (length + diversity
+#: gates) — a doc passing it competes in the exact-dedup rank
+def _funnel_passes():
+    return F.col("n_tokens").between(2, 80) & (F.col("uniq_ratio") >= 0.35)
+
+
+def _funnel_stage(surv_rank):
+    """First-failing-stage CASE over _funnel_fields columns, given the
+    doc's (cross-corpus) survivor rank among quality-passing docs of
+    its hash: empty → length_gate → low_quality → exact_dup → kept."""
+    return (
+        F.when(F.col("n_tokens") == 0, "empty")
+        .when(
+            (F.col("n_tokens") < 2) | (F.col("n_tokens") > 80),
+            "length_gate",
+        )
+        .when(F.col("uniq_ratio") < 0.35, "low_quality")
+        .when(surv_rank > 1, "exact_dup")
+        .otherwise("kept")
     )
+
+
+def _drift_funnel_psi(docs: DataFrame, cohort) -> DataFrame:
+    """The shared funnel + PSI construction of the drift monitors:
+    classify each doc into the curation funnel's first-failing stage,
+    census per (stage, cohort), emit shares and nano-quantized PSI
+    terms. ``cohort`` is the 'a' (reference) / 'b' (current) labelling
+    Column — the parity monitor and the incremental
+    standing-vs-new-batch monitor differ ONLY here, so their funnel
+    semantics cannot drift apart."""
+    f = _funnel_fields(docs, cohort)
     w = (
         Window.partitionBy("h")
         .orderBy("doc_id")
@@ -5516,24 +5543,25 @@ def _drift_funnel_psi(docs: DataFrame, cohort) -> DataFrame:
         "cohort",
         "n_tokens",
         "uniq_ratio",
-        F.sum(F.when(passes, 1).otherwise(0)).over(w).alias("surv_rank"),
+        F.sum(F.when(_funnel_passes(), 1).otherwise(0))
+        .over(w)
+        .alias("surv_rank"),
     )
     disp = ranked.select(
-        "cohort",
-        F.when(F.col("n_tokens") == 0, "empty")
-        .when(
-            (F.col("n_tokens") < 2) | (F.col("n_tokens") > 80),
-            "length_gate",
-        )
-        .when(F.col("uniq_ratio") < 0.35, "low_quality")
-        .when(F.col("surv_rank") > 1, "exact_dup")
-        .otherwise("kept")
-        .alias("stage"),
+        "cohort", _funnel_stage(F.col("surv_rank")).alias("stage")
     )
     c = disp.groupBy("stage").agg(
         F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("n_b"),
     )
+    return _census_psi(c)
+
+
+def _census_psi(c: DataFrame) -> DataFrame:
+    """PSI arithmetic over a (stage, n_a, n_b) census — the
+    presentation half of the drift monitors, shared with the streaming
+    fold so the emitted table is column-identical however the census
+    was maintained."""
     t = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     sa = F.try_divide(F.col("n_a").cast("double"), F.col("ta"))
     sb = F.try_divide(F.col("n_b").cast("double"), F.col("tb"))
@@ -5641,3 +5669,73 @@ def llm_curation_drift_incremental(
         _spread(load(spark, sf_dir, "documents")),
         F.when(F.col("doc_id") % 5 == 4, "b").otherwise("a"),
     )
+
+
+@register(
+    "evt_drift_monitor_stream",
+    oracle=REGISTRY["llm_curation_drift_monitor"].oracle,
+    tags=("streaming",),
+)
+def evt_drift_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor as a STREAMING query (WAVE15 candidate 1):
+    the documents frontier drains through foreachBatch; each
+    micro-batch's funnel census folds into a standing
+    per-(hash, cohort, stage) table under the two-phase versioned
+    commit protocol (streaming.fold_drift_census — replay-safe,
+    additive integer merges); the final table's per-stage census must
+    equal the BATCH monitor bit-for-bit — it registers with
+    llm_curation_drift_monitor's own oracle SQL, so the driver's hash
+    gate certifies that the alerting table a 24/7 curation pipeline
+    pages on can be maintained incrementally, batch by batch.
+
+    The only cross-batch coupling in the funnel is exact dedup
+    (keep-first by doc_id across the WHOLE corpus): the fold resolves
+    it by probing the standing index for each hash's already-admitted
+    quality-passing count and adding the within-batch rank — sound on
+    a doc_id-ordered frontier (the crawl shape
+    prepare_stream_source_docs_ordered replays, monotone ingest ids),
+    where every predecessor arrives no later than its successor.
+    Batch-cut invariance under that feed is pinned in
+    tests/test_streaming_batchcut_invariance.py.
+
+    Scale shape: per batch — scan-stage funnel fields, one batch-local
+    digest window, one hash equi-join against the standing index, one
+    additive census merge: O(batch + state) with only 16-byte digests
+    and bounded enums in state, never text. The PSI presentation
+    (_census_psi) runs once on the final stage-cardinality census."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_docs_ord", _sf_tag(sf_dir), "documents")
+    st.prepare_stream_source_docs_ordered(spark, sf_dir, src, n_files=4)
+    work = _tempfile.mkdtemp(prefix="drift_stream_")
+    target = _os.path.join(work, "census")
+    ckpt = _os.path.join(work, "ckpt")
+    try:
+        n = st.run_drift_monitor_stream(
+            spark, src, target, ckpt, files_per_batch=1
+        )
+        if not _os.path.isdir(target) or n == 0:
+            c = spark.createDataFrame(
+                [], "stage string, n_a bigint, n_b bigint"
+            )
+        else:
+            state = spark.read.parquet(target)
+            c = state.groupBy("stage").agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("cohort") == "a", F.col("n"))),
+                    F.lit(0),
+                ).alias("n_a"),
+                F.coalesce(
+                    F.sum(F.when(F.col("cohort") == "b", F.col("n"))),
+                    F.lit(0),
+                ).alias("n_b"),
+            )
+        out = _census_psi(c).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

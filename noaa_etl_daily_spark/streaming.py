@@ -1555,3 +1555,162 @@ def prepare_stream_source_evolving(
         )
         _seal_cache(out2, sf_dir, "events", p2)
     return out1, out2
+
+
+def prepare_stream_source_docs_ordered(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Fan the documents fixture into ``n_files`` parquet files split
+    by DOC_ID range, mtimes ascending — the crawl-frontier feed shape
+    (monotone ingest ids) under which keep-first exact dedup is
+    well-defined across micro-batches: every doc's dedup predecessors
+    arrive in earlier batches or earlier in its own batch. NULL doc_id
+    rows ride the FIRST file, matching the batch window's
+    asc_nulls_first order. Idempotent per out_dir (shared _cached
+    rule)."""
+    import shutil
+    import time as _time
+
+    from .operators.scans import _cached, _seal_cache
+
+    params = f"prepare_stream_source_docs_ordered:n_files={n_files}"
+    if _cached(out_dir, sf_dir, "documents", params):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        n_files = 1
+        cuts = []
+    else:
+        span = int(bounds.hi) - int(bounds.lo)
+        cuts = [
+            int(bounds.lo) + span * i // n_files for i in range(n_files + 1)
+        ]
+    now = _time.time()
+    for i in range(n_files):
+        if not cuts:
+            cond = F.lit(True)
+        else:
+            cond = (F.col("doc_id") >= cuts[i]) & (
+                (F.col("doc_id") < cuts[i + 1])
+                if i < n_files - 1
+                else (F.col("doc_id") <= cuts[i + 1])
+            )
+            if i == 0:
+                cond = cond | F.col("doc_id").isNull()
+        tmp = out_dir + f"_t{i}"
+        docs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(out_dir, f"frontier{i:02d}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        mt = now - 600 + i * 60
+        os.utime(dst, (mt, mt))
+        shutil.rmtree(tmp)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    _seal_cache(out_dir, sf_dir, "documents", params)
+    return out_dir
+
+
+def fold_drift_census(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Micro-batch fold of the curation-drift funnel census — the
+    streaming maintenance of llm_curation_drift_monitor's table.
+
+    State = per-(hash, cohort, stage) counts. A batch's dispositions
+    need ONE thing from standing state: how many quality-PASSING docs
+    of each hash have already been admitted (their stage is 'kept' or
+    'exact_dup' — passing is definitionally what competes in the
+    rank). The batch's own docs rank within the batch by doc_id, so on
+    a doc_id-ordered frontier the global survivor rank is
+    prior_passes(h) + within-batch rank — exactly the batch monitor's
+    cross-corpus window, maintained incrementally. Dispositions then
+    census per (h, cohort, stage) and merge ADDITIVELY (order-free
+    integer sums).
+
+    Scale shape: per batch, one batch-local window (16-byte digests),
+    one hash equi-join against the standing index, one additive merge
+    — O(batch + state), the llm_dedup_incremental_batch economics; at
+    production scale the state table is bucketed on h so the probe
+    join never reshuffles it."""
+    from .operators.llm import _funnel_fields, _funnel_passes, _funnel_stage
+    from pyspark.sql.window import Window as _W
+
+    f = _funnel_fields(
+        batch,
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"),
+    )
+    w = (
+        _W.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    ranked = f.withColumn(
+        "brank", F.sum(F.when(_funnel_passes(), 1).otherwise(0)).over(w)
+    )
+    if existing is not None:
+        prior = (
+            existing.where(F.col("stage").isin("kept", "exact_dup"))
+            .groupBy("h")
+            .agg(F.sum("n").alias("prior_pass"))
+        )
+        ranked = ranked.join(prior, "h", "left")
+    else:
+        ranked = ranked.withColumn("prior_pass", F.lit(None).cast("long"))
+    surv = F.coalesce(F.col("prior_pass"), F.lit(0)) + F.col("brank")
+    census = (
+        ranked.select(
+            "h", "cohort", _funnel_stage(surv).alias("stage")
+        )
+        .groupBy("h", "cohort", "stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    if existing is None:
+        return census
+    return (
+        existing.unionByName(census)
+        .groupBy("h", "cohort", "stage")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def run_drift_monitor_stream(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    files_per_batch: int = 1,
+) -> int:
+    """Drain a documents frontier through the drift-census fold under
+    the two-phase versioned commit protocol (exactly-once under
+    foreachBatch's at-least-once replay). Returns micro-batch count."""
+    schema = spark.read.parquet(src_dir).schema
+    n_batches = 0
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        _fold_versioned(
+            batch_df.sparkSession,
+            target_dir,
+            batch_id,
+            fold_drift_census,
+            batch_df,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

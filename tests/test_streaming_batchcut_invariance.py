@@ -564,3 +564,44 @@ def test_arrow_chunk_size_invariant_token_bucket_fold(spark, ordered_src):
             spark.conf.set(key, prior)
     assert base == tiny
     assert len(base) > 0
+
+
+def test_batchcut_drift_census_fold_invariant_on_ordered_frontier(
+    spark, sf_dir, tmp_path
+):
+    """The streaming drift monitor's fold under different micro-batch
+    cuts: on the doc_id-ordered frontier the standing census — and
+    therefore the emitted monitor table — must be identical whether
+    the feed replays 1, 2, or all files per trigger, and must equal
+    the BATCH monitor bit-for-bit (cross-batch exact dedup is the only
+    stateful coupling; the prior-passes probe must resolve it
+    identically at every cut)."""
+    from noaa_etl_daily_spark.operators.scans import _sf_tag
+    from noaa_etl_daily_spark.registry import load_all
+
+    registry = load_all()
+    src = _scratch("stream_docs_ord", _sf_tag(sf_dir), "documents")
+    st.prepare_stream_source_docs_ordered(spark, sf_dir, src, n_files=4)
+
+    results = []
+    for cut in (1, 2, None):
+        work = str(tmp_path / f"drift_{cut}")
+        target = os.path.join(work, "census")
+        st.run_drift_monitor_stream(
+            spark,
+            src,
+            target,
+            os.path.join(work, "ckpt"),
+            files_per_batch=cut or 16,
+        )
+        results.append(_canon(spark.read.parquet(target)))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+    stream_monitor = _canon(
+        registry["evt_drift_monitor_stream"].builder(spark, sf_dir)
+    )
+    batch_monitor = _canon(
+        registry["llm_curation_drift_monitor"].builder(spark, sf_dir)
+    )
+    assert stream_monitor == batch_monitor
