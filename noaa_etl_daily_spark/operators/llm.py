@@ -5739,3 +5739,87 @@ def evt_drift_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "evt_neardup_ingest_stream",
+    oracle="""
+    WITH shingles AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks
+            FROM documents)
+    ), per_doc AS (
+      SELECT doc_id,
+             min(md5(sh || '#0')) AS h0, min(md5(sh || '#1')) AS h1,
+             min(md5(sh || '#2')) AS h2, min(md5(sh || '#3')) AS h3,
+             min(md5(sh || '#4')) AS h4, min(md5(sh || '#5')) AS h5,
+             min(md5(sh || '#6')) AS h6, min(md5(sh || '#7')) AS h7
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, sig FROM per_doc, LATERAL (VALUES
+        (0, h0 || h1), (1, h2 || h3),
+        (2, h4 || h5), (3, h6 || h7)) AS b(band_id, sig)
+    ), firsts AS (
+      SELECT band_id, sig, min(doc_id) AS first_doc_id
+      FROM bands GROUP BY band_id, sig
+    )
+    SELECT b.doc_id, b.band_id, b.sig, f.first_doc_id
+    FROM bands b JOIN firsts f
+      ON b.band_id = f.band_id AND b.sig = f.sig
+    WHERE b.doc_id > f.first_doc_id
+    """,
+    tags=("streaming",),
+)
+def evt_neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dedup at INGEST, registered and oracled
+    (WAVE16 candidate 1): the documents frontier replays through the
+    per-(band, sig) keyed-state flagger
+    (streaming.stream_neardup_band_flags — applyInPandasWithState, one
+    first-arrival doc_id per occupied bucket), and the emitted flag
+    rows must equal the BATCH band index exactly: every doc except
+    each bucket's global-min doc_id, tagged with that first arrival.
+    The oracle recomputes the banded-MinHash construction in SQL
+    (identical shingles → 8 min-hashes → 4 band signatures), so the
+    driver's hash gate certifies the streaming ingest path end to end
+    — the WAVE13 exactly-once promotion applied to the repo's oldest
+    test-only streaming capability.
+
+    Soundness on the feed shape: 'first arrival' equals 'global min
+    doc_id' on a doc_id-ordered frontier (monotone ingest ids — the
+    crawl shape prepare_stream_source_docs_ordered replays; within a
+    micro-batch the fold sorts ids). Batch-cut invariance under that
+    feed is pinned in tests/test_streaming_batchcut_invariance.py.
+
+    Scale shape: per batch — scan-stage shingle/minhash HOFs, ONE
+    (band, sig) state shuffle carrying 16-byte digests; state is one
+    doc_id per occupied bucket (the persisted band index, bounded by
+    distinct signatures, TTL-aged in a time-scoped deployment). The
+    flag census rides the ingest path instead of re-scanning the
+    corpus per batch."""
+    import os as _os
+
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_docs_ord", _sf_tag(sf_dir), "documents")
+    st.prepare_stream_source_docs_ordered(spark, sf_dir, src, n_files=4)
+    docs_schema = load(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "t_neardup_ingest_reg"
+    st.run_to_memory(
+        st.stream_neardup_band_flags(stream), name, "append"
+    )
+    out = (
+        spark.table(name)
+        .select("doc_id", "band_id", "sig", "first_doc_id")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out

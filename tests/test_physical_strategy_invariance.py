@@ -141,6 +141,11 @@ ARROW_KEYS = [
     # too so the registry-wide axis stays closed
     "evt_rate_limit_burst_stream",
     "evt_token_bucket_admission_stream",
+    # WAVE16 stream-executing key: drains the applyInPandasWithState
+    # band-flag fold — the fold accumulates the whole key-batch before
+    # deciding first-arrival (Arrow chunks inside a micro-batch are not
+    # ordered), so the flag rows must be chunk-size-invariant
+    "evt_neardup_ingest_stream",
     # WAVE13/14 row-group censuses: distributed footer harvests via
     # mapInPandas (metadata tails only) — batch size must not move a
     # census whose unit is the row group, not the Arrow batch
