@@ -5823,3 +5823,54 @@ def evt_neardup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "evt_pack_token_shards_stream",
+    oracle=REGISTRY["llm_pack_token_shards"].oracle,
+    tags=("streaming",),
+)
+def evt_pack_token_shards_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-shard packing as a STREAMING fold (WAVE16 candidate 4):
+    the documents frontier drains through foreachBatch; each
+    micro-batch's docs take shard ids from the standing token offset
+    (derived from the census state itself — sum of shard_tokens IS the
+    running total) plus a within-batch distributed prefix sum, and the
+    per-shard census merges additively under the two-phase versioned
+    commit protocol (streaming.fold_pack_census). The final table
+    registers with llm_pack_token_shards' own oracle SQL, so the
+    driver's hash gate certifies that the packing table a trainer
+    reads can be maintained on the ingest path instead of nightly
+    rebuilt. Sound on the doc_id-ordered frontier; batch-cut
+    invariance (1/2/all files per trigger) pinned in
+    tests/test_streaming_batchcut_invariance.py.
+
+    Scale shape: per batch — one range-shuffle prefix sum over the
+    BATCH, a broadcast 1-row offset, one shard-grain additive merge;
+    state is shard-cardinality, never per-doc."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_docs_ord", _sf_tag(sf_dir), "documents")
+    st.prepare_stream_source_docs_ordered(spark, sf_dir, src, n_files=4)
+    work = _tempfile.mkdtemp(prefix="pack_stream_")
+    target = _os.path.join(work, "census")
+    ckpt = _os.path.join(work, "ckpt")
+    try:
+        n = st.run_pack_shards_stream(
+            spark, src, target, ckpt, files_per_batch=1
+        )
+        if not _os.path.isdir(target) or n == 0:
+            return spark.createDataFrame(
+                [],
+                "shard_id int, n_docs bigint, shard_tokens bigint, "
+                "first_doc bigint, last_doc bigint",
+            )
+        out = spark.read.parquet(target).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -1714,3 +1714,106 @@ def run_drift_monitor_stream(
     )
     q.awaitTermination()
     return n_batches
+
+
+def fold_pack_census(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Micro-batch fold of the token-shard packing census — the
+    streaming maintenance of llm_pack_token_shards' table.
+
+    State = the per-shard census itself; the standing token offset is
+    DERIVED from it (every token lands in a shard, so
+    sum(shard_tokens) is the running total — no second state table).
+    Each batch's docs take shard ids from offset + the within-batch
+    exclusive prefix sum over doc_id order (the distributed
+    scale_rank.with_cumsum, never a single-partition funnel), then the
+    batch census merges additively: counts/tokens sum, doc spans
+    min/max — all order-free integer folds. Sound on a doc_id-ordered
+    frontier, where every earlier-id doc arrives no later.
+
+    Scale shape: per batch — one range-shuffle prefix sum over the
+    BATCH (not the corpus), a broadcast 1-row offset, one additive
+    shard-grain merge; state is shard-cardinality (corpus_tokens /
+    2000 rows), never per-doc."""
+    from .operators.llm import _tokens
+    from .operators.scale_rank import with_cumsum
+
+    toks = batch.select(
+        "doc_id", F.size(_tokens()).alias("n_tokens")
+    )
+    if existing is not None:
+        off_row = existing.agg(
+            F.coalesce(F.sum("shard_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("__off_tot")
+        )
+    else:
+        off_row = None
+    cum = with_cumsum(
+        toks, [F.col("doc_id").asc()], ["n_tokens"], ["__cum_incl"]
+    )
+    if off_row is not None:
+        cum = cum.crossJoin(F.broadcast(off_row))
+        running = (
+            F.col("__off_tot") + F.col("__cum_incl") - F.col("n_tokens")
+        )
+    else:
+        running = F.col("__cum_incl") - F.col("n_tokens")
+    packed = cum.withColumn(
+        "shard_id", F.floor(running / 2000.0).cast("int")
+    )
+    census = packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    if existing is None:
+        return census
+    return (
+        existing.unionByName(census)
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("shard_tokens").alias("shard_tokens"),
+            F.min("first_doc").alias("first_doc"),
+            F.max("last_doc").alias("last_doc"),
+        )
+    )
+
+
+def run_pack_shards_stream(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    files_per_batch: int = 1,
+) -> int:
+    """Drain a documents frontier through the pack-census fold under
+    the two-phase versioned commit protocol. Returns batch count."""
+    schema = spark.read.parquet(src_dir).schema
+    n_batches = 0
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        _fold_versioned(
+            batch_df.sparkSession,
+            target_dir,
+            batch_id,
+            fold_pack_census,
+            batch_df,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

@@ -605,3 +605,40 @@ def test_batchcut_drift_census_fold_invariant_on_ordered_frontier(
         registry["llm_curation_drift_monitor"].builder(spark, sf_dir)
     )
     assert stream_monitor == batch_monitor
+
+
+def test_batchcut_pack_census_fold_invariant_on_ordered_frontier(
+    spark, sf_dir, tmp_path
+):
+    """The streaming pack fold under different micro-batch cuts: shard
+    boundaries depend on the GLOBAL running token total, so the fold's
+    derived-offset handshake (standing census → offset → batch prefix
+    sum) must put every doc in the same shard whether the frontier
+    replays 1, 2, or all files per trigger — and the final census must
+    equal the batch packing key bit-for-bit."""
+    from noaa_etl_daily_spark.operators.scans import _sf_tag
+    from noaa_etl_daily_spark.registry import load_all
+
+    registry = load_all()
+    src = _scratch("stream_docs_ord", _sf_tag(sf_dir), "documents")
+    st.prepare_stream_source_docs_ordered(spark, sf_dir, src, n_files=4)
+
+    results = []
+    for cut in (1, 2, None):
+        work = str(tmp_path / f"pack_{cut}")
+        target = os.path.join(work, "census")
+        st.run_pack_shards_stream(
+            spark,
+            src,
+            target,
+            os.path.join(work, "ckpt"),
+            files_per_batch=cut or 16,
+        )
+        results.append(_canon(spark.read.parquet(target)))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+    batch_census = _canon(
+        registry["llm_pack_token_shards"].builder(spark, sf_dir)
+    )
+    assert results[0] == batch_census
