@@ -1227,3 +1227,207 @@ def sink_partitioned_compaction_census(
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+def _scomp_source_layout(spark: SparkSession, sf_dir: str) -> str:
+    """A day's worth of accumulated micro-batch files before
+    compaction: 4 small parquet files, each a TIME SLICE of the events
+    fixture (time-ordered ingest writes time-local files). Sealed per
+    fixture."""
+    from .scans import _cached, _seal_cache
+
+    out = _scratch("scomp_src", _sf_tag(sf_dir), "events")
+    params = "scomp_source:files=4:block=65536"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    (
+        load(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 65536)
+        .parquet(out)
+    )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+def _scomp_compacted(spark: SparkSession, sf_dir: str, sort: bool) -> str:
+    """Compact the 4 micro-batch files into 2 size-targeted files two
+    ways: RANGE-AWARE (repartitionByRange(ts) + sortWithinPartitions —
+    row groups stay time-disjoint) vs ROUND-ROBIN (plain
+    repartition(n), exactly sink_compact_small_files' size-targeted
+    rewrite — rows from every time slice interleave into each output
+    partition, so row groups span wide time ranges). Same file count
+    and row-group-sized 64 KiB blocks on both, so the census isolates
+    the CLUSTERING difference at group grain. Sealed per fixture.
+
+    (A single-file repartition(1) was measured first and REJECTED as
+    the naive arm: one shuffle consumer drains its producers roughly
+    in scan order, accidentally preserving locality — the realistic
+    degradation is the multi-file round-robin every size-targeted
+    compactor defaults to.)"""
+    from .scans import _cached, _seal_cache
+
+    tag = "sorted" if sort else "naive"
+    out = _scratch(f"scomp_{tag}", _sf_tag(sf_dir), "events")
+    params = f"scomp_compacted:{tag}:files=2:block=65536:v2"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    src = _scomp_source_layout(spark, sf_dir)
+    base = spark.read.schema(
+        load(spark, sf_dir, "events").schema
+    ).parquet(src)
+    if sort:
+        one = base.repartitionByRange(2, "ts").sortWithinPartitions("ts")
+    else:
+        one = base.repartition(2)
+    (
+        one.write.mode("overwrite")
+        .option("parquet.block.size", 65536)
+        .parquet(out)
+    )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+def _harvest_ts_rg_stats(spark: SparkSession, paths: list, layout: str):
+    """Distributed ts footer stats per row group of ``paths`` (the
+    scan_parquet_footer_census mapInPandas pattern — metadata tails
+    only), tagged with the layout name."""
+    files = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        if paths
+        else spark.createDataFrame([], "path string")
+    ).repartition(4)
+
+    def harvest(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            rows = {"rg": [], "ts_min": [], "ts_max": [], "n_rows": []}
+            for path in pdf["path"]:
+                md = _pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    col = next(
+                        md.row_group(rg).column(i)
+                        for i in range(md.num_columns)
+                        if md.row_group(rg).column(i).path_in_schema == "ts"
+                    )
+                    st = col.statistics
+                    ok = st is not None and st.has_min_max
+                    rows["rg"].append(rg)
+                    rows["ts_min"].append(st.min if ok else None)
+                    rows["ts_max"].append(st.max if ok else None)
+                    rows["n_rows"].append(md.row_group(rg).num_rows)
+            out_pdf = _pd.DataFrame(rows)
+            out_pdf["ts_min"] = _pd.to_datetime(out_pdf["ts_min"])
+            out_pdf["ts_max"] = _pd.to_datetime(out_pdf["ts_max"])
+            yield out_pdf
+
+    return files.mapInPandas(
+        harvest,
+        "rg int, ts_min timestamp_ntz, ts_max timestamp_ntz, "
+        "n_rows bigint",
+    ).withColumn("layout", F.lit(layout))
+
+
+@register("sink_compaction_sorted_census", tags=("rows-only",))
+def sink_compaction_sorted_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does row-group skipping SURVIVE compaction? (WAVE16 candidate
+    2, rows-only): the same 4 time-sliced micro-batch files are
+    compacted into 2 size-targeted files twice — range-aware
+    (repartitionByRange(ts) + sortWithinPartitions) and round-robin
+    (plain repartition, sink_compact_small_files' own size-targeted
+    rewrite) — and the census reports, per layout, how many row groups the
+    ``ts ∈ [_RGC_LO, _RGC_HI)`` predicate reads vs skips, from the
+    parquet footers (the scan_row_group_skipping_census decision
+    rule: read iff stats overlap or are missing). A compactor that
+    drops the clustering silently costs every downstream range query —
+    this key makes that cost a measured number instead of advice.
+    Properties pinned in tests/test_layout.py: identical row totals
+    across layouts, the range-aware layout never reads more groups
+    than the round-robin one, strictly fewer groups AND rows on the
+    clean fixture, and skipping soundness against actual pyarrow
+    row-group reads.
+
+    Scale shape: footers harvested distributed (the
+    _harvest_ts_rg_stats mapInPandas helper — metadata tails only);
+    census is a 2-row groupBy. Rows-only by design: row-group
+    boundaries are writer artifacts no SQL engine reproduces."""
+    import glob as _glob
+    import os as _os
+
+    frames = []
+    for sort, tag in ((True, "sorted"), (False, "naive")):
+        out = _scomp_compacted(spark, sf_dir, sort)
+        paths = sorted(_glob.glob(_os.path.join(out, "*.parquet")))
+        frames.append(_harvest_ts_rg_stats(spark, paths, tag))
+    groups = frames[0].unionByName(frames[1])
+    lo = F.lit(_RGC_LO).cast("timestamp_ntz")
+    hi = F.lit(_RGC_HI).cast("timestamp_ntz")
+    must_read = (
+        F.col("ts_min").isNull()
+        | F.col("ts_max").isNull()
+        | ((F.col("ts_min") < hi) & (F.col("ts_max") >= lo))
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        groups.withColumn("read", must_read)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("rg_total"),
+            one_if(F.col("read")).alias("rg_read"),
+            one_if(~F.col("read")).alias("rg_skipped"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(
+                F.when(F.col("read"), F.col("n_rows")).otherwise(0)
+            ).alias("rows_in_read_groups"),
+        )
+    )
+
+
+@register(
+    "scan_compacted_sorted_pruned_read",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_RGC_LO}' AND ts < TIMESTAMP '{_RGC_HI}'
+    GROUP BY event_type
+    """,
+)
+def scan_compacted_sorted_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ORACLED answer half of sink_compaction_sorted_census: the
+    selective predicate executed as a real query over the
+    SORT-PRESERVING compacted file. The pushed ts filter skips the
+    censused groups at execution time, and the hash-match against the
+    base-table oracle proves compaction + skipping together lost
+    nothing — the same pairing scan_row_group_pruned_read gives the
+    pre-compaction layout.
+
+    Scale shape: scan-stage filter + one partial-agg'd groupBy; the
+    compacted artifact is cached, exactly like a production
+    compaction output."""
+    out = _scomp_compacted(spark, sf_dir, sort=True)
+    back = spark.read.schema(
+        load(spark, sf_dir, "events").schema
+    ).parquet(out)
+    lo = F.lit(_RGC_LO).cast("timestamp_ntz")
+    hi = F.lit(_RGC_HI).cast("timestamp_ntz")
+    return (
+        back.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
+        )
+    )

@@ -1496,3 +1496,69 @@ def test_partitioned_compaction_census_and_untouched_bytes(spark, sf_dir):
         else:
             assert r.files_after == n
             assert day not in after_census
+
+
+def test_compaction_sort_preservation_census(spark, sf_dir):
+    """sink_compaction_sorted_census's physical contract: both
+    compacted layouts hold identical data (row totals equal, and the
+    oracled read proves values); the sort-preserving compaction never
+    reads more row groups under the predicate than the naive one, and
+    on the clean fixture it reads STRICTLY fewer groups AND rows (the
+    measured cost of a size-targeted round-robin compactor vs a
+    range-aware one); skipping over the sorted files is
+    SOUND — every group the census skips holds zero predicate-matching
+    rows in an actual pyarrow read."""
+    import datetime
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from noaa_etl_daily_spark.operators.scale_ops import (
+        _RGC_HI,
+        _RGC_LO,
+        _scomp_compacted,
+        sink_compaction_sorted_census,
+    )
+
+    census = {
+        r.layout: r
+        for r in sink_compaction_sorted_census(spark, sf_dir).collect()
+    }
+    assert set(census) == {"sorted", "naive"}
+    s, n = census["sorted"], census["naive"]
+    assert s.rows_total == n.rows_total, "compaction variants disagree on data"
+    assert s.rg_read <= n.rg_read, (
+        "range-aware compaction must never skip less than round-robin"
+    )
+    assert s.rg_skipped > 0, "sorted compaction skips nothing — knob drifted"
+    assert s.rg_read < n.rg_read, (
+        "the round-robin rewrite reads no more groups than the "
+        "range-aware one — the interleave stopped spanning the "
+        "predicate window; strengthen the fixture"
+    )
+    assert s.rows_in_read_groups < n.rows_in_read_groups
+
+    lo = datetime.datetime.fromisoformat(_RGC_LO)
+    hi = datetime.datetime.fromisoformat(_RGC_HI)
+    out = _scomp_compacted(spark, sf_dir, sort=True)
+    matching_in_skipped = 0
+    for path in glob.glob(os.path.join(out, "*.parquet")):
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        for g in range(md.num_row_groups):
+            col = next(
+                md.row_group(g).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(g).column(i).path_in_schema == "ts"
+            )
+            st = col.statistics
+            skipped = (
+                st is not None
+                and st.has_min_max
+                and not (st.min < hi and st.max >= lo)
+            )
+            if skipped:
+                t = pf.read_row_group(g, columns=["ts"])["ts"].to_pandas()
+                matching_in_skipped += int(((t >= lo) & (t < hi)).sum())
+    assert matching_in_skipped == 0, "a skipped group held matching rows"

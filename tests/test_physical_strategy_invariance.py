@@ -151,6 +151,9 @@ ARROW_KEYS = [
     # census whose unit is the row group, not the Arrow batch
     "scan_row_group_skipping_census",
     "scan_zorder_rg_skipping_census",
+    # WAVE16 compaction-clustering census: same distributed footer
+    # harvest (helper-mediated mapInPandas, metadata tails only)
+    "sink_compaction_sorted_census",
 ]
 
 _BATCH_SIZES = ("113", "7")  # compared against the session default

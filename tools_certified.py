@@ -130,6 +130,9 @@ ROWS_ONLY_COVERAGE: dict[str, list[str]] = {
     "sink_partitioned_compaction_census": [
         "tests/test_layout.py::test_partitioned_compaction_census_and_untouched_bytes",
     ],
+    "sink_compaction_sorted_census": [
+        "tests/test_layout.py::test_compaction_sort_preservation_census",
+    ],
 }
 
 
