@@ -5874,3 +5874,156 @@ def evt_pack_token_shards_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _ivf_partition_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The IVF deployment layout PLANS.md has described since round 2:
+    the coded corpus written with the coarse CELL ID as a physical
+    partition column (one ``cell=K/`` directory per cell), plus the
+    K-row centroid codebook persisted beside it. Query-time cell
+    ranking reads the STORED centroids — the layout and the probe can
+    never disagree across sessions or exec configs (the float-fold
+    drift hazard ADVICE r11 flagged for in-session training). Both
+    artifacts sealed per fixture via the shared ``_cached`` rule —
+    train-once offline artifacts, the production shape."""
+    from .scans import _cached, _scratch, _seal_cache, _sf_tag
+
+    out = _scratch("ivf_part", _sf_tag(sf_dir), "embeddings")
+    cdir = _scratch("ivf_part_cent", _sf_tag(sf_dir), "embeddings")
+    params = "ivf_partition_layout:cells=labels:v1"
+    if _cached(out, sf_dir, "embeddings", params) and _cached(
+        cdir, sf_dir, "embeddings", params
+    ):
+        return out, cdir
+    emb = _spread(_sim_embeddings(spark, sf_dir))
+    d = emb.select(
+        "vec_id",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pm", lambda s: s["m"]).alias("c_e"),
+        )
+        .withColumn("c_nrm", _dot(F.col("c_e"), F.col("c_e")))
+    )
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("c_e"))
+        / F.sqrt(F.col("nrm") * F.col("c_nrm")),
+        6,
+    )
+    best = (
+        d.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cell", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell",
+                F.struct(F.col("csim"), (-F.col("cell")).alias("nc")),
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    (
+        best.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    cent.write.mode("overwrite").parquet(cdir)
+    _seal_cache(out, sf_dir, "embeddings", params)
+    _seal_cache(cdir, sf_dir, "embeddings", params)
+    return out, cdir
+
+
+@register("llm_sim_ivf_partition_pruned", tags=("approx", "rows-only"))
+def llm_sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe as PHYSICAL PARTITION PRUNING (WAVE16 candidate 3) —
+    the claim every IVF docstring in this repo has carried ('at 100 TB
+    the cell id becomes a partition column and the scan cut is
+    partition pruning'), made executable: the coded corpus lives in
+    ``cell=K/`` directories (_ivf_partition_layout, a cached offline
+    artifact with its centroid codebook beside it); at query time the
+    probed cell set — a ≤K-row driver hop from ranking STORED
+    centroids — becomes a partition filter, so the corpus scan
+    physically opens only the nprobe cell directories.
+    tests/test_layout.py pins from inputFiles that the pruned scan
+    reads exactly the probed directories (and strictly fewer than all)
+    and that the answer is bit-equal to a full-scan-then-filter run —
+    partition pruning lost nothing. Recall@5 vs the exact baseline
+    carries the same property floor as the in-session IVF tier.
+
+    Scale shape: the ONLY corpus-grain IO is the pruned scan —
+    nprobe/K of the data by directory arithmetic, before any executor
+    touches a row; candidates join the broadcast ≤(queries×nprobe)
+    probe frame per cell; top-k is a query-partitioned window.
+    Rows-only by design (approximate by construction, like every ANN
+    tier)."""
+    out, cdir = _ivf_partition_layout(spark, sf_dir)
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(out, "cell=*")):
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, sim double"
+        )
+    cent = spark.read.parquet(cdir)
+    emb = _sim_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_e"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    qsim = F.round(
+        _dot(F.col("q_e"), F.col("c_e"))
+        / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cell")
+    )
+    qprob = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "q_e", "q_nrm", "cell", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "q_e", "q_nrm", "cell")
+    )
+    # the probed cell set: a bounded driver hop (≤ K distinct cells —
+    # the cells table, not the corpus), exactly the literal list a
+    # production query layer pushes into its partition predicate
+    cells = sorted(
+        r.cell for r in qprob.select("cell").distinct().collect()
+    )
+    if not cells:
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, sim double"
+        )
+    corpus = spark.read.parquet(out).where(F.col("cell").isin(cells))
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        corpus.join(F.broadcast(qprob), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -1562,3 +1562,89 @@ def test_compaction_sort_preservation_census(spark, sf_dir):
                 t = pf.read_row_group(g, columns=["ts"])["ts"].to_pandas()
                 matching_in_skipped += int(((t >= lo) & (t < hi)).sum())
     assert matching_in_skipped == 0, "a skipped group held matching rows"
+
+
+def test_ivf_partition_pruning_reads_only_probed_cells(spark, sf_dir):
+    """llm_sim_ivf_partition_pruned's physical contract: the corpus
+    scan with the probed-cell partition filter opens ONLY files under
+    the probed cell= directories — and strictly fewer files than the
+    whole layout holds — i.e. the IVF scan cut is genuine directory
+    pruning, not a post-read filter."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.llm import (
+        _IVF_NPROBE,
+        _dot,
+        _ivf_partition_layout,
+        _sim_embeddings,
+    )
+    from pyspark.sql.window import Window
+
+    out, cdir = _ivf_partition_layout(spark, sf_dir)
+    all_files = glob.glob(os.path.join(out, "cell=*", "*.parquet"))
+    assert all_files, "layout holds no cell directories"
+    cent = spark.read.parquet(cdir)
+    emb = _sim_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_e"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    qsim = F.round(
+        _dot(F.col("q_e"), F.col("c_e"))
+        / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cell")
+    )
+    probed = {
+        r.cell
+        for r in (
+            q.join(F.broadcast(cent))
+            .select("query_id", "cell", qsim.alias("qsim"))
+            .withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= _IVF_NPROBE)
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+    }
+    assert probed
+    all_cells = {
+        int(os.path.basename(d)[5:])
+        for d in glob.glob(os.path.join(out, "cell=*"))
+    }
+    assert probed < all_cells, (
+        "every cell probed — the pruning demonstration is vacuous; "
+        "re-tune queries or nprobe"
+    )
+    # physical pruning: the registered key's executed plan must carry
+    # the probed-cell set as a PartitionFilters entry on the layout
+    # scan (directory pruning), NOT as a post-scan Filter — the same
+    # standard test_static_partition_pruning_reaches_scan pins. (df
+    # .inputFiles() is computed from the file index BEFORE filters, so
+    # it cannot witness partition pruning — measured here first.)
+    import re
+
+    from noaa_etl_daily_spark.registry import load_all
+
+    df = load_all()["llm_sim_ivf_partition_pruned"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "ivf_part/" in line
+    )
+    assert "PartitionFilters: [" in scan, scan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+    assert "cell" in pf, scan
+    for c in probed:
+        assert str(c) in pf, (probed, pf)
+    for c in all_cells - probed:
+        assert str(c) not in re.findall(r"\d+", pf), (probed, pf)
+    # value-level losslessness of the pruned scan is pinned in
+    # tests/test_properties.py (pruned == full-scan-then-filter)

@@ -2051,3 +2051,94 @@ def test_psi_kll_edges_partition_and_accuracy(spark, sf_dir):
         r.psi_term_nano for r in ex if r.psi_term_nano is not None
     ) / 1e9
     assert abs(psi_sk - psi_ex) <= 0.002, (psi_sk, psi_ex)
+
+
+def test_ivf_partition_pruned_matches_full_scan_and_recall(spark, sf_dir):
+    """llm_sim_ivf_partition_pruned: (a) the pruned-scan answer is
+    bit-equal to a FULL scan of the same layout post-filtered to the
+    probed cells — partition pruning lost nothing; (b) sims agree with
+    the exact computation on overlapping pairs; (c) recall@5 vs the
+    exact baseline holds the IVF tier's floor; (d) ≤5 results per
+    query."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.llm import (
+        _IVF_NPROBE,
+        _dot,
+        _ivf_partition_layout,
+        _sim_embeddings,
+    )
+    from pyspark.sql.window import Window
+
+    rows = (
+        REGISTRY["llm_sim_ivf_partition_pruned"].builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "partition-pruned IVF returned nothing"
+
+    # (a) reconstruct over a FULL scan (no partition filter pushed at
+    # read time — filter applied to the already-read frame)
+    out, cdir = _ivf_partition_layout(spark, sf_dir)
+    cent = spark.read.parquet(cdir)
+    emb = _sim_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_e"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    qsim = F.round(
+        _dot(F.col("q_e"), F.col("c_e"))
+        / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cell")
+    )
+    qprob = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "q_e", "q_nrm", "cell", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "q_e", "q_nrm", "cell")
+    )
+    full = spark.read.parquet(out).cache()
+    full.count()  # materialize: read EVERY partition before filtering
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("embedding"))
+        / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    ref = (
+        full.join(F.broadcast(qprob), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .collect()
+    )
+    full.unpersist()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref)), (
+        "pruned scan diverged from full-scan reference"
+    )
+
+    # (b)-(d): exact agreement on overlaps, recall floor, k cap
+    exact = {
+        (r.query_id, r.cand_id): r.sim
+        for r in REGISTRY["llm_sim_topk_cosine"].builder(spark, sf_dir).collect()
+    }
+    got_pairs = {(r.query_id, r.cand_id) for r in rows}
+    for r in rows:
+        if (r.query_id, r.cand_id) in exact:
+            assert abs(exact[(r.query_id, r.cand_id)] - r.sim) < 1e-9
+    recall = sum(1 for k in exact if k in got_pairs) / len(exact)
+    assert recall >= 0.45, f"pruned IVF recall {recall:.2f} below floor"
+    per_q = Counter(r.query_id for r in rows)
+    assert max(per_q.values()) <= 5

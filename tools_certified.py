@@ -133,6 +133,10 @@ ROWS_ONLY_COVERAGE: dict[str, list[str]] = {
     "sink_compaction_sorted_census": [
         "tests/test_layout.py::test_compaction_sort_preservation_census",
     ],
+    "llm_sim_ivf_partition_pruned": [
+        "tests/test_properties.py::test_ivf_partition_pruned_matches_full_scan_and_recall",
+        "tests/test_layout.py::test_ivf_partition_pruning_reads_only_probed_cells",
+    ],
 }
 
 
