@@ -1431,3 +1431,142 @@ def scan_compacted_sorted_pruned_read(
             ).alias("total_value"),
         )
     )
+
+
+_BFC_LO, _BFC_HI = "2024-01-20", "2024-01-21"  # cascade backfill days
+
+
+def _bfc_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned events copy for the backfill cascade — its own
+    root (the sink_dynamic_partition_overwrite key mutates a different
+    copy on different days; sharing one table across keys would couple
+    their run order). Sealed per fixture with ORIGINAL values."""
+    from .scans import _cached, _seal_cache
+
+    out = _scratch("bfc", _sf_tag(sf_dir), "events")
+    params = "bfc_layout:day_partitioned:v1"
+    if _cached(out, sf_dir, "events", params):
+        return out
+    (
+        load(spark, sf_dir, "events")
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    _seal_cache(out, sf_dir, "events", params)
+    return out
+
+
+@register(
+    "pipeline_backfill_cascade",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CAST(round(CASE WHEN CAST(ts AS DATE)
+                                    BETWEEN DATE '{_BFC_LO}'
+                                        AND DATE '{_BFC_HI}'
+                               THEN value * 2 ELSE value END * 100)
+                    AS BIGINT)), 0) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def pipeline_backfill_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill correction CASCADED to a downstream materialized view
+    (WAVE16 candidate 5): a two-day correction (values doubled) lands
+    on the day-partitioned table via dynamic partition overwrite, and
+    the per-type serving matview is advanced by the DELTA of exactly
+    the touched partitions — new slice (read back partition-pruned
+    from the corrected table) minus old slice (the pre-image, here
+    derived from the base fixture; in production the snapshot diff /
+    CDC pre-image, pipeline_cdc_apply's economics) — never by
+    rescanning the untouched days. The returned matview hash-matches a
+    full CASE recomputation over the base table, proving the cascade
+    is exact: matview + (new − old) ≡ rebuild.
+
+    Idempotent per call (the correction derives from the fixture, so
+    re-runs converge — audit sweeps re-run it freely); integer-cents
+    deltas make the merge order-free.
+
+    Scale shape: the overwrite writes O(touched partitions); the delta
+    reads the SAME touched partitions back through directory pruning;
+    the matview merge is a full-outer join on type-cardinality rows.
+    The untouched days are never read or written anywhere in the
+    plan — the whole cascade is O(correction), not O(table)."""
+    out = _bfc_layout(spark, sf_dir)
+    lo = F.lit(_BFC_LO).cast("date")
+    hi = F.lit(_BFC_HI).cast("date")
+    cents = F.coalesce(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+    )
+    base = load(spark, sf_dir, "events")
+    # the standing matview: per-type aggregate of the PRE-backfill table
+    mv0 = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        cents.alias("value_cents"),
+    )
+    # the correction lands: dynamic overwrite of the touched days only
+    repl = (
+        base.where(F.to_date("ts").between(lo, hi))
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .repartition("day")
+    )
+    (
+        repl.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(out, "day=*")):
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, value_cents bigint"
+        )
+    # old slice: the pre-image of the touched days (base fixture)
+    old = (
+        base.where(F.to_date("ts").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("o_n"), cents.alias("o_c")
+        )
+    )
+    # new slice: the corrected days read back PARTITION-PRUNED from
+    # the table itself
+    new = (
+        spark.read.parquet(out)
+        .where(F.col("day").cast("date").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_n"), cents.alias("n_c")
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    delta = (
+        old.join(new, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_n", zero) - F.coalesce("o_n", zero)).alias(
+                "d_n"
+            ),
+            (F.coalesce("n_c", zero) - F.coalesce("o_c", zero)).alias(
+                "d_c"
+            ),
+        )
+    )
+    return (
+        mv0.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce("n_events", zero) + F.coalesce("d_n", zero)
+            ).alias("n_events"),
+            (
+                F.coalesce("value_cents", zero) + F.coalesce("d_c", zero)
+            ).alias("value_cents"),
+        )
+    )

@@ -1648,3 +1648,53 @@ def test_ivf_partition_pruning_reads_only_probed_cells(spark, sf_dir):
         assert str(c) not in re.findall(r"\d+", pf), (probed, pf)
     # value-level losslessness of the pruned scan is pinned in
     # tests/test_properties.py (pruned == full-scan-then-filter)
+
+
+def test_backfill_cascade_prunes_and_preserves_untouched_days(spark, sf_dir):
+    """pipeline_backfill_cascade's physical contract: the delta's
+    read-back of the corrected slice carries the day range as a
+    PartitionFilters entry (the untouched days are never READ), and a
+    full key execution leaves every untouched day directory's files
+    byte-identical (never WRITTEN — the dynamic-overwrite contract on
+    the cascade's own table copy)."""
+    import glob
+    import os
+    import re
+
+    from noaa_etl_daily_spark.operators.scale_ops import (
+        _BFC_HI,
+        _BFC_LO,
+        _bfc_layout,
+    )
+    from noaa_etl_daily_spark.registry import load_all
+
+    registry = load_all()
+    out = _bfc_layout(spark, sf_dir)
+    # one warm-up execution so the layout is in its converged
+    # (backfilled) state, then snapshot and re-execute
+    registry["pipeline_backfill_cascade"].builder(spark, sf_dir).collect()
+
+    def snap(path):
+        return {
+            p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for p in glob.glob(os.path.join(path, "day=*", "*.parquet"))
+        }
+
+    before = snap(out)
+    df = registry["pipeline_backfill_cascade"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "/bfc/" in line
+    )
+    assert "PartitionFilters: [" in scan, scan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+    assert "day" in pf, scan
+    df.collect()
+    after = snap(out)
+    addressed = {f"day={_BFC_LO}", f"day={_BFC_HI}"}
+    for p, v in before.items():
+        day = p.split("/")[-2]
+        if day not in addressed:
+            assert after.get(p) == v, f"untouched day rewritten: {p}"
