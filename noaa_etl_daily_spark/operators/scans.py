@@ -1975,3 +1975,109 @@ def scan_partition_evolution_sim(
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+def _pdv_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Positional-delete-vector layout (the Iceberg v2 / Delta
+    deletion-vector shape, complementing the EQUALITY tombstones of
+    _mor_delete_layout): base = orders in 4 key-sorted files; the
+    DELETE commit records (file_path, row_index) pairs — harvested by
+    reading the base back with the ``_metadata`` columns and applying
+    the delete predicate, exactly how an engine producing DVs locates
+    victim rows. Row positions are deterministic because the base
+    files are sorted and sealed before the DV is derived. Base files
+    are never rewritten by the commit (the DV lives beside, not
+    inside, the data dir)."""
+    out = _scratch("pdv_base", _sf_tag(sf_dir), "orders")
+    dv = _scratch("pdv_vector", _sf_tag(sf_dir), "orders")
+    params = "pdv_layout:files=4:pred=mod5_2000_6000"
+    if _cached(out, sf_dir, "orders", params) and _cached(
+        dv, sf_dir, "orders", params
+    ):
+        return out, dv
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    (
+        back.where(
+            (F.col("o_orderkey") % 5 == 0)
+            & F.col("o_orderkey").between(2000, 6000)
+        )
+        .select("file_path", "row_index")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dv)
+    )
+    _seal_cache(out, sf_dir, "orders", params)
+    _seal_cache(dv, sf_dir, "orders", params)
+    return out, dv
+
+
+@register(
+    "scan_positional_delete_sim",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_orderkey) AS min_live_key,
+           max(o_orderkey) AS max_live_key
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM orders d
+                      WHERE d.o_orderkey % 5 = 0
+                        AND d.o_orderkey BETWEEN 2000 AND 6000
+                        AND d.o_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_positional_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL delete vectors over the simulated table format
+    (WAVE17) — the second merge-on-read delete encoding real formats
+    deploy (Iceberg v2 positional deletes / Delta deletion vectors),
+    next to the landed EQUALITY tombstones: the delete commit records
+    (file, row position) pairs instead of key values, which is what an
+    engine writes when the delete came from an arbitrary predicate or
+    a MERGE whose victims were already located. The read applies the
+    DV as a broadcast LEFT ANTI join on (file_path, row_index) —
+    Spark's ``_metadata`` columns supply both natively, so the
+    position arithmetic is the reader's, not ours. The oracle
+    recomputes the aggregate with the null-safe NOT EXISTS form of the
+    original predicate: hash-match proves position-addressed deletion
+    ≡ predicate deletion, row for row (including duplicate-key and
+    NULL-key rows, where positions and keys could legally diverge).
+
+    At 100 TB: DV commits are O(deleted positions) with zero base-file
+    rewrites (byte-identity is structural — the DV lives beside the
+    data dir); reads pay one broadcast anti join until compaction;
+    unlike equality deletes the anti join needs NO value comparison on
+    wide keys — two longs and a string, constant per row regardless of
+    schema."""
+    out, dv = _pdv_layout(spark, sf_dir)
+    base = spark.read.parquet(out).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    vector = spark.read.schema(
+        "file_path string, row_index bigint"
+    ).parquet(dv)
+    live = base.join(
+        F.broadcast(vector), ["file_path", "row_index"], "left_anti"
+    )
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_live_key"),
+        F.max("o_orderkey").alias("max_live_key"),
+    )

@@ -1698,3 +1698,48 @@ def test_backfill_cascade_prunes_and_preserves_untouched_days(spark, sf_dir):
         day = p.split("/")[-2]
         if day not in addressed:
             assert after.get(p) == v, f"untouched day rewritten: {p}"
+
+
+def test_positional_delete_vector_contract(spark, sf_dir):
+    """scan_positional_delete_sim's physical contract: the DV commit
+    never rewrites a base file (byte-stats stable across a full key
+    execution); DV rows are unique (file, position) pairs addressing
+    real rows; deleted row count reconciles exactly (base − live =
+    |DV|); and the anti-join's build side is the DV file, never a
+    second pass over the base data."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.scans import _pdv_layout
+    from noaa_etl_daily_spark.registry import load_all
+
+    registry = load_all()
+    out, dv = _pdv_layout(spark, sf_dir)
+
+    def snap(path):
+        return {
+            p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        }
+
+    before = snap(out)
+    df = registry["scan_positional_delete_sim"].builder(spark, sf_dir)
+    live = df.agg(F.sum("n_live").alias("n")).collect()[0].n or 0
+    assert snap(out) == before, "a base file was rewritten by the DV read"
+
+    vec = spark.read.parquet(dv)
+    n_dv = vec.count()
+    assert vec.distinct().count() == n_dv, "duplicate DV positions"
+    n_base = spark.read.parquet(out).count()
+    assert n_base - live == n_dv, (n_base, live, n_dv)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # exactly two parquet relations: the base and the DV
+    scans = [
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    ]
+    assert len(scans) == 2, plan
+    assert any("pdv_vector" in s for s in scans), plan
