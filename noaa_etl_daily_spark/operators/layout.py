@@ -340,3 +340,145 @@ def sink_bloom_filter_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _bucketed_state_table(spark: SparkSession, sf_dir: str) -> str:
+    """The standing serving-state table of the exactly-once sink
+    family, written BUCKETED on the serving key (8 buckets, sorted) —
+    the layout merge_user_partials' docstring promises at scale. The
+    key is ``uk = coalesce(cast(user_id AS string), '')``: bucketing
+    requires a plain-equality join key, so the NULL user (one mergeable
+    group, per the null-safe merge contract) is carried as the empty
+    string — a rendering no real bigint produces. State here is the
+    fold of the first event_id-parity half of the fixture (the
+    'history' the sink accumulated before today's batch)."""
+    tag = _sf_tag(sf_dir).replace(".", "_")
+    name = f"x1_state_bucketed_{tag}"
+    path = _scratch("bucketed_state", tag, "events")
+    fresh = _cached(path, sf_dir, "events")
+    if spark.catalog.tableExists(name):
+        if fresh:
+            return name
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if fresh:
+        spark.sql(
+            f"CREATE TABLE {name} (uk STRING, user_id BIGINT, "
+            f"n_events BIGINT, last_ts TIMESTAMP_NTZ, value_cents BIGINT) "
+            f"USING parquet CLUSTERED BY (uk) SORTED BY (uk) "
+            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+        return name
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    half = load(spark, sf_dir, "events").where(
+        F.coalesce(F.col("event_id"), F.lit(0)).bitwiseAND(F.lit(1)) == 0
+    )
+    state = half.groupBy(
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")).alias("uk")
+    ).agg(
+        F.first("user_id").alias("user_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    (
+        state.select("uk", "user_id", "n_events", "last_ts", "value_cents")
+        .write.bucketBy(_N_BUCKETS, "uk")
+        .sortBy("uk")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    _seal_cache(path, sf_dir, "events")
+    return name
+
+
+def _bucketed_merge(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """The serving-table merge of merge_user_partials re-keyed on the
+    non-null ``uk`` string so it is a PLAIN equality join — the form
+    bucket co-location accelerates. Shared by the registered key and
+    the plan test (which diffs the Exchange count against an unbucketed
+    read of the same state files)."""
+    part = batch.groupBy(
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")).alias("uk")
+    ).agg(
+        F.first("user_id").alias("user_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    e, b = state.alias("e"), part.alias("b")
+    zero = F.lit(0).cast("long")
+    return e.join(b, "uk", "full_outer").select(
+        F.coalesce(F.col("b.user_id"), F.col("e.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("e.n_events"), zero)
+            + F.coalesce(F.col("b.n_events"), zero)
+        ).alias("n_events"),
+        F.greatest(F.col("e.last_ts"), F.col("b.last_ts")).alias("last_ts"),
+        (
+            F.coalesce(F.col("e.value_cents"), zero)
+            + F.coalesce(F.col("b.value_cents"), zero)
+        ).alias("value_cents"),
+    )
+
+
+@register(
+    "evt_sink_bucketed_merge_sim",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def evt_sink_bucketed_merge_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETED serving-table merge (WAVE17) — the claim every
+    exactly-once sink docstring carries ('at production scale the
+    table side stays bucketed on the serving key so the merge join
+    never shuffles it'), made executable: the standing state lives in
+    an 8-bucket sorted table keyed on ``uk`` (the non-null string
+    rendering of user_id, NULL → ''), today's batch (the other
+    event_id-parity half) reduces to per-key partials, and the
+    full-outer merge joins WITHOUT exchanging the state side — the
+    plan test diffs the executed plan's Exchange count against an
+    unbucketed read of the very same state files (exactly one fewer).
+    The merged answer must hash-match the batch aggregate over the
+    whole fixture, so the re-keying (uk ≡ null-safe user_id grouping)
+    is value-certified, not just asserted.
+
+    At 100 TB: the state rewrite is the sink's per-batch cost either
+    way, but bucketing moves the merge's shuffle from O(state) to
+    O(batch) — the state table, by far the larger side of a mature
+    sink, is read in place bucket by bucket. The sentinel re-keying is
+    the standard trick for making a null-mergeable key bucketable
+    (bucket pruning and co-location need plain equality).
+
+    Operational requirement, MEASURED while building this key: the
+    merge job must set spark.sql.shuffle.partitions == the state
+    table's bucket count — under a larger default the planner
+    exchanges the bucketed side too ('Bucketed: false (disabled by
+    query planner)'), silently paying the O(state) shuffle bucketing
+    exists to avoid. The plan test pins both the conf and the
+    one-exchange plan."""
+    name = _bucketed_state_table(spark, sf_dir)
+    batch = load(spark, sf_dir, "events").where(
+        F.coalesce(F.col("event_id"), F.lit(0)).bitwiseAND(F.lit(1)) == 1
+    )
+    merged = _bucketed_merge(spark.table(name), batch)
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        F.coalesce("value_cents", F.lit(0).cast("long")).alias(
+            "value_cents"
+        ),
+    )

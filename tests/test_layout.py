@@ -1743,3 +1743,61 @@ def test_positional_delete_vector_contract(spark, sf_dir):
     ]
     assert len(scans) == 2, plan
     assert any("pdv_vector" in s for s in scans), plan
+
+
+def test_bucketed_merge_state_side_never_shuffles(spark, sf_dir):
+    """evt_sink_bucketed_merge_sim's physical contract: with
+    broadcasts disabled, merging the batch partials into the BUCKETED
+    state table plans exactly one fewer Exchange than the identical
+    merge against an unbucketed read of the very same state files —
+    the state side feeds the sort-merge join in place (Bucketed: true
+    scan), only the batch side shuffles."""
+    from pyspark.sql import functions as F
+
+    from noaa_etl_daily_spark.operators.layout import (
+        _bucketed_merge,
+        _bucketed_state_table,
+    )
+    from noaa_etl_daily_spark.tables import load
+
+    name = _bucketed_state_table(spark, sf_dir)
+    state_path = spark.sql(f"DESCRIBE FORMATTED {name}").where(
+        "col_name = 'Location'"
+    ).collect()[0].data_type
+    batch = load(spark, sf_dir, "events").where(
+        F.coalesce(F.col("event_id"), F.lit(0)).bitwiseAND(F.lit(1)) == 1
+    )
+
+    # the operational requirement this test DOCUMENTS by pinning: a
+    # one-sided bucketed merge reuses the bucket layout only when the
+    # merge job's shuffle partitions equal the bucket count — under the
+    # session default (64) the planner exchanges the bucketed side too
+    # (measured while building this key)
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_p = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        plans = {}
+        for tag, state in (
+            ("bucketed", spark.table(name)),
+            ("plain", spark.read.parquet(state_path.replace("file:", ""))),
+        ):
+            df = _bucketed_merge(state, batch)
+            df.collect()
+            plans[tag] = (
+                df._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("== Initial Plan ==")[0]
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_p)
+    assert "Bucketed: true" in plans["bucketed"], plans["bucketed"]
+    join_pos = plans["bucketed"].find("SortMergeJoin")
+    assert join_pos != -1, plans["bucketed"]
+    # exactly ONE exchange in the whole merge: the batch partials' —
+    # the state side feeds the join in place
+    assert plans["bucketed"].count("Exchange") == 1, plans["bucketed"]
+    assert plans["plain"].count("Exchange") == 2, plans["plain"]
