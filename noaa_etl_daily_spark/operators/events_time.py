@@ -2680,3 +2680,65 @@ def evt_exactly_once_sink_evolving_sim(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "evt_distinct_users_stream",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def evt_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct-count (WAVE17): per-type distinct
+    users maintained incrementally as roaring-style bitmap state
+    (streaming.fold_distinct_census — agg_bitmap_distinct_rollup's
+    partials as a foreachBatch fold under the two-phase versioned
+    commit). Bitmap OR is commutative and idempotent, so the fold is
+    order-free AND replay-absorbing by algebra, not just by the
+    version ledger; the final census must hash-match the plain
+    count(DISTINCT) oracle — the daily-uniques table maintained on the
+    ingest path with EXACT answers, where the usual streaming answer
+    (approx_count_distinct state) trades accuracy for state size.
+
+    Scale shape: per batch — one (type, bucket) partial aggregate
+    (map-side combined) and one state-merge groupBy over bitmap blobs;
+    state is O(distinct users / 64) rows, never raw IDs re-scanned.
+    The HLL fold (run_streaming_countmin_merge's sibling machinery)
+    remains the unbounded-domain escape hatch; bitmaps are the exact
+    answer for ID-like domains."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_x1", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=4)
+    work = _tempfile.mkdtemp(prefix="distinct_stream_")
+    target = _os.path.join(work, "census")
+    ckpt = _os.path.join(work, "ckpt")
+    try:
+        n = st.run_distinct_census_stream(
+            spark, src, target, ckpt, files_per_batch=1
+        )
+        if not _os.path.isdir(target) or n == 0:
+            return spark.createDataFrame(
+                [], "event_type string, n_users bigint"
+            )
+        state = spark.read.parquet(target)
+        out = (
+            state.groupBy("event_type")
+            .agg(
+                F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -1817,3 +1817,70 @@ def run_pack_shards_stream(
     )
     q.awaitTermination()
     return n_batches
+
+
+def fold_distinct_census(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Micro-batch fold of EXACT distinct-user bitmaps per event type —
+    the streaming maintenance of agg_bitmap_distinct_rollup's state:
+    each batch reduces to (event_type, bucket) bitmap partials
+    (bitmap_construct_agg over bit positions), and the standing state
+    merges by commutative bitmap OR — order-free, replay-safe under
+    the versioned fold, and EXACT (unlike an HLL fold, a re-merged
+    bitmap never drifts). State is O(distinct users / 64) rows per
+    type, corpus-size-independent per batch; NULL users are excluded
+    (count(DISTINCT) semantics)."""
+    part = (
+        batch.where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    if existing is None:
+        return part
+    return (
+        existing.unionByName(part)
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    )
+
+
+def run_distinct_census_stream(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    files_per_batch: int = 1,
+) -> int:
+    """Drain an events feed through the exact-distinct bitmap fold
+    under the two-phase versioned commit protocol."""
+    schema = spark.read.parquet(src_dir).schema
+    n_batches = 0
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        _fold_versioned(
+            batch_df.sparkSession,
+            target_dir,
+            batch_id,
+            fold_distinct_census,
+            batch_df,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

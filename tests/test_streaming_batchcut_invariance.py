@@ -642,3 +642,41 @@ def test_batchcut_pack_census_fold_invariant_on_ordered_frontier(
         registry["llm_pack_token_shards"].builder(spark, sf_dir)
     )
     assert results[0] == batch_census
+
+
+def test_batchcut_distinct_bitmap_fold_invariant(spark, sf_dir, tmp_path):
+    """The exact-distinct bitmap fold is order-free ALGEBRA (bitmap OR
+    is commutative and idempotent), so unlike the rank-coupled folds it
+    needs no ordered frontier: identical state under every cut of the
+    plain time-ordered feed, equal to the batch bitmap rollup of the
+    same fixture."""
+    from noaa_etl_daily_spark.operators.scans import _sf_tag
+    from noaa_etl_daily_spark.tables import load
+
+    src = _scratch("stream_x1", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=4)
+    results = []
+    for cut in (1, 2, None):
+        work = str(tmp_path / f"dst_{cut}")
+        target = os.path.join(work, "census")
+        st.run_distinct_census_stream(
+            spark,
+            src,
+            target,
+            os.path.join(work, "ckpt"),
+            files_per_batch=cut or 16,
+        )
+        census = (
+            spark.read.parquet(target)
+            .groupBy("event_type")
+            .agg(F.expr("sum(bitmap_count(bm))").alias("n"))
+        )
+        results.append(_canon(census))
+    assert results[0] == results[1] == results[2]
+    batch = _canon(
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    assert results[0] == batch
