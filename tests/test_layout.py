@@ -272,6 +272,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_sim_ivf_kmeans_topk",    # K=8-row TRAINED codebook broadcast
                                       # (same bound as llm_sim_ivf_topk;
                                       # label-free cells, WAVE11)
+        "llm_sim_ivf_partition_pruned",  # same K-row STORED codebook
+                                      # broadcast ranking query cells
+                                      # (WAVE16; corpus side is the
+                                      # partition-pruned scan, equi-joined)
         "llm_sim_ivfpq_kmeans_topk",  # same K-row trained-cell broadcast
                                       # (the composed label-free cascade;
                                       # PQ scoring joins are equi-keyed)
