@@ -2742,3 +2742,86 @@ def evt_distinct_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "evt_rate_limit_stream_evicting",
+    oracle=f"""
+    WITH adm AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '{_QUAR_LO}' AND ts <= TIMESTAMP '{_QUAR_HI}'
+    ), seq AS (
+      SELECT user_id,
+             CAST(count(*) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS burst
+      FROM adm
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(burst) AS max_burst_60s,
+           max(burst) >= 3 AS over_limit
+    FROM seq
+    GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def evt_rate_limit_stream_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the streaming rate limiter, registered
+    and oracled (WAVE18 candidate 1, closing the WAVE11/12 arc): the
+    feed first passes the ingest plausibility guard
+    (streaming.bound_event_time over the quarantine window — the
+    admitted branch of evt_stream_quarantine_split), and only then the
+    applyInPandasWithState burst accounting WITH state eviction armed
+    (watermark + EventTimeTimeout timers pruning idle users' buffers).
+    The round-11 measured reversal stands for UNBOUNDED feeds — a
+    watermark late-filters rows at-or-behind it and the epoch-zero
+    default timestamp is lost from the first batch — which is exactly
+    why this key's contract is the bounded feed: the oracle restricts
+    the batch window form to the SAME [lo, hi] admission, so the
+    driver's hash gate certifies the full production composition
+    (quarantine bound → watermark → evicting state) rather than a
+    clean-fixture special case. The NoTimeout sibling
+    (evt_rate_limit_burst_stream) remains the arbitrary-input form.
+
+    Correctness argument (pinned executable in
+    tests/test_streaming_eviction.py and the batch-cut sweep): on the
+    time-ordered frontier every batch's minimum admitted event time
+    exceeds the prior watermark, so late-filtering never touches an
+    admitted row; eviction only prunes buffer entries older than any
+    window a future event can open (monotone-safe), and the three
+    counters surviving eviction are the key's whole answer-state.
+
+    Scale shape: identical shuffle to the sibling (one user_id state
+    layout); eviction is what makes 24/7 state O(active users), not
+    O(ever-seen users)."""
+    from .. import streaming as st
+    from .scans import _scratch, _sf_tag
+
+    src = _scratch("stream_rlb", _sf_tag(sf_dir), "events")
+    st.prepare_stream_source_timeordered(spark, sf_dir, src, n_files=3)
+    _RLB_SEQ[0] += 1
+    name = f"rlb_evict_stream_{_RLB_SEQ[0]}"
+    st.run_to_memory(
+        st.stream_rate_limit_stats(
+            st.bound_event_time(
+                st.read_events_stream(spark, src, max_files_per_trigger=1),
+                _QUAR_LO,
+                _QUAR_HI,
+            ),
+            evict=True,
+        ),
+        name,
+        "update",
+    )
+    emitted = spark.table(name)
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("max_burst_60s", "n_events").alias("max_burst_60s"),
+        F.max_by("over_limit", "n_events").alias("over_limit"),
+    )
+    out = final.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

@@ -141,6 +141,9 @@ ARROW_KEYS = [
     # too so the registry-wide axis stays closed
     "evt_rate_limit_burst_stream",
     "evt_token_bucket_admission_stream",
+    # WAVE18: the evicting production variant — same whole-key-batch
+    # accumulation contract as the NoTimeout sibling
+    "evt_rate_limit_stream_evicting",
     # WAVE16 stream-executing key: drains the applyInPandasWithState
     # band-flag fold — the fold accumulates the whole key-batch before
     # deciding first-arrival (Arrow chunks inside a micro-batch are not

@@ -680,3 +680,57 @@ def test_batchcut_distinct_bitmap_fold_invariant(spark, sf_dir, tmp_path):
         .agg(F.countDistinct("user_id").alias("n"))
     )
     assert results[0] == batch
+
+
+def test_batchcut_evicting_rate_limit_invariant(spark, ordered_src, tmp_path):
+    """The registered evicting rate limiter under different micro-batch
+    cuts: the watermark trajectory differs per cut, but on the bounded
+    time-ordered feed no admitted row is ever late and eviction only
+    prunes unreachable lookback — identical final answers at 1, 3, and
+    drain-everything cuts, equal to the bounded NoTimeout form."""
+    from noaa_etl_daily_spark.operators.events_time import (
+        _QUAR_HI,
+        _QUAR_LO,
+    )
+
+    results = []
+    for cut in CUTS:
+        reader = spark.readStream.schema(
+            spark.read.parquet(ordered_src).schema
+        )
+        if cut:
+            reader = reader.option("maxFilesPerTrigger", str(cut))
+        stream = st.bound_event_time(
+            reader.parquet(ordered_src), _QUAR_LO, _QUAR_HI
+        )
+        df = _drain(
+            spark,
+            st.stream_rate_limit_stats(stream, evict=True),
+            f"bc_rlb_ev_{cut}",
+            "update",
+        )
+        final = df.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("max_burst_60s", "n_events").alias("max_burst_60s"),
+            F.max_by("over_limit", "n_events").alias("over_limit"),
+        )
+        results.append(_canon(final))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+    noevict = st.stream_rate_limit_stats(
+        st.bound_event_time(
+            spark.readStream.schema(spark.read.parquet(ordered_src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(ordered_src),
+            _QUAR_LO,
+            _QUAR_HI,
+        )
+    )
+    df = _drain(spark, noevict, "bc_rlb_noev_ref", "update")
+    ref = df.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("max_burst_60s", "n_events").alias("max_burst_60s"),
+        F.max_by("over_limit", "n_events").alias("over_limit"),
+    )
+    assert results[0] == _canon(ref)
