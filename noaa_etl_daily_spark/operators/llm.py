@@ -6027,3 +6027,136 @@ def llm_sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "pipeline_drift_gate",
+    oracle="""
+    WITH m AS (
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 4 THEN 'b' ELSE 'a' END AS cohort,
+             list_filter(string_split(lower(text), ' '), t -> t <> '')
+                 AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, cohort,
+             md5(array_to_string(toks, ' ')) AS h,
+             coalesce(len(toks), 0) AS n_tokens,
+             CASE WHEN coalesce(len(toks), 0) = 0 THEN NULL
+                  ELSE len(list_distinct(toks)) * 1.0 / len(toks)
+                  END AS uniq_ratio
+      FROM tk
+    ), ranked AS (
+      SELECT cohort, n_tokens, uniq_ratio,
+             sum(CASE WHEN n_tokens BETWEEN 2 AND 80
+                       AND uniq_ratio >= 0.35 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY h ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS surv_rank
+      FROM f
+    ), disp AS (
+      SELECT cohort,
+             CASE WHEN n_tokens = 0 THEN 'empty'
+                  WHEN n_tokens < 2 OR n_tokens > 80 THEN 'length_gate'
+                  WHEN uniq_ratio < 0.35 THEN 'low_quality'
+                  WHEN surv_rank > 1 THEN 'exact_dup'
+                  ELSE 'kept' END AS stage
+      FROM ranked
+    ), c AS (
+      SELECT stage,
+             CAST(sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+             CAST(sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+      FROM disp GROUP BY stage
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb
+      FROM c
+    )
+    SELECT c.stage, c.n_a, c.n_b,
+           round(CAST(c.n_a AS DOUBLE) / t.ta, 6) AS share_a,
+           round(CAST(c.n_b AS DOUBLE) / t.tb, 6) AS share_b,
+           CASE WHEN c.n_a = 0 OR c.n_b = 0 THEN NULL
+                ELSE CAST(round((CAST(c.n_b AS DOUBLE) / t.tb
+                                 - CAST(c.n_a AS DOUBLE) / t.ta)
+                                * ln((CAST(c.n_b AS DOUBLE) / t.tb)
+                                     / (CAST(c.n_a AS DOUBLE) / t.ta))
+                                * 1000000000) AS BIGINT)
+                END AS psi_term_nano
+    FROM c CROSS JOIN t
+    ), g AS (
+      SELECT CAST(coalesce(sum(psi_term_nano), 0) AS BIGINT)
+                 AS psi_total_nano,
+             coalesce(sum(psi_term_nano), 0) <= 250000000 AS admit,
+             CAST(coalesce(max(CASE WHEN stage = 'kept' THEN n_b END), 0)
+                  AS BIGINT) AS kept_b
+      FROM m
+    )
+    SELECT m.stage, m.n_a, m.n_b, m.share_a, m.share_b, m.psi_term_nano,
+           g.psi_total_nano, g.admit,
+           CAST(CASE WHEN g.admit THEN g.kept_b ELSE 0 END AS BIGINT)
+               AS admitted_docs
+    FROM m CROSS JOIN g
+    ORDER BY m.stage
+    """,
+)
+def pipeline_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor CLOSING THE LOOP (WAVE18): the incremental
+    curation batch (llm_curation_drift_incremental's standing-vs-new
+    cohorts) is ADMITTED only when the summed per-stage PSI stays under
+    the 0.25 alert threshold — the gate a production pipeline actually
+    wires between its drift table and its ingest job, registered as
+    one oracled key so the whole control loop (funnel census → PSI →
+    threshold decision → admitted-doc count) is hash-certified. Each
+    stage row carries the monitor's fields plus the batch-level
+    verdict: summed nano-PSI, the admit boolean, and the number of
+    docs the gate lets through (the new cohort's 'kept' count when
+    admitted, zero when quarantined — a quarantined batch goes to
+    human review, not the corpus).
+
+    NULL PSI terms (a stage one cohort never hits) are skipped by the
+    sum on both engines — PSI-undefined stages cannot veto a batch;
+    an EMPTY batch sums to 0 and admits (nothing to drift).
+
+    Scale shape: everything after the monitor's stage-cardinality
+    census is arithmetic on ≤|stages| rows plus one broadcast 1-row
+    verdict join; the gate adds ZERO corpus-grain work to the monitor
+    it wraps."""
+    monitor = _drift_funnel_psi(
+        _spread(load(spark, sf_dir, "documents")),
+        F.when(F.col("doc_id") % 5 == 4, "b").otherwise("a"),
+    )
+    g = monitor.agg(
+        F.coalesce(F.sum("psi_term_nano"), F.lit(0))
+        .cast("bigint")
+        .alias("psi_total_nano"),
+        (
+            F.coalesce(F.sum("psi_term_nano"), F.lit(0)) <= 250000000
+        ).alias("admit"),
+        F.coalesce(
+            F.max(F.when(F.col("stage") == "kept", F.col("n_b"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("kept_b"),
+    )
+    return (
+        monitor.crossJoin(F.broadcast(g))
+        .select(
+            "stage",
+            "n_a",
+            "n_b",
+            "share_a",
+            "share_b",
+            "psi_term_nano",
+            "psi_total_nano",
+            "admit",
+            F.when(F.col("admit"), F.col("kept_b"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("admitted_docs"),
+        )
+        .orderBy("stage")
+    )
