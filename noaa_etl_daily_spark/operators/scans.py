@@ -2081,3 +2081,122 @@ def scan_positional_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_live_key"),
         F.max("o_orderkey").alias("max_live_key"),
     )
+
+
+def _pdv_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Compaction commit over the positional-DV layout (the lifecycle
+    step _mor_compacted_layout gives equality tombstones): rewrite
+    ONLY the base files the delete vector references (the touched set
+    is the DV's distinct file list — manifest-grade metadata, a
+    bounded driver hop), dropping their deleted positions via one
+    distributed anti-join on (file_path, row_index); REFERENCE every
+    untouched file unchanged; drop the DV from the manifest. After
+    compaction a read is a plain scan again — the merge-on-read tax is
+    paid only between compactions. ``manifest.json``: {"carried":
+    [...], "rewritten": [...]}."""
+    import glob as _glob
+    import json as _json
+    import shutil
+
+    out = _scratch("pdv_compacted", _sf_tag(sf_dir), "orders")
+    params = "pdv_compacted:src=mod5_2000_6000:v2"
+    if _cached(out, sf_dir, "orders", params):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    base, dv = _pdv_layout(spark, sf_dir)
+    vector = spark.read.schema(
+        "file_path string, row_index bigint"
+    ).parquet(dv)
+    touched = sorted(
+        r.file_path for r in vector.select("file_path").distinct().collect()
+    )
+    # NB: _metadata.file_path renders as "file:/abs/path" (Hadoop
+    # Path.toString, ONE slash) — match that exactly or the carried-set
+    # test silently keeps every file (measured while building this key)
+    base_files = sorted(
+        "file:" + p
+        for p in _glob.glob(os.path.join(base, "*.parquet"))
+    )
+    carried = [p for p in base_files if p not in set(touched)]
+    rewritten: list[str] = []
+    if touched:
+        live = (
+            spark.read.parquet(*touched)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            .join(F.broadcast(vector), ["file_path", "row_index"], "left_anti")
+            .drop("file_path", "row_index")
+        )
+        data_dir = os.path.join(out, "data")
+        (
+            live.repartitionByRange(max(len(touched), 1), "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(data_dir)
+        )
+        rewritten = sorted(
+            "file:" + p
+            for p in _glob.glob(os.path.join(data_dir, "*.parquet"))
+        )
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        _json.dump({"carried": carried, "rewritten": rewritten}, fh)
+    _seal_cache(out, sf_dir, "orders", params)
+    return out
+
+
+@register(
+    "scan_dv_compaction_sim",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_live,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_orderkey) AS min_live_key,
+           max(o_orderkey) AS max_live_key
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM orders d
+                      WHERE d.o_orderkey % 5 = 0
+                        AND d.o_orderkey BETWEEN 2000 AND 6000
+                        AND d.o_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_dv_compaction_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction of POSITIONAL delete vectors (WAVE18), completing
+    the DV lifecycle next to scan_mor_compaction_sim's equality-delete
+    form: only the DV-referenced files are rewritten (positions
+    dropped by one distributed position anti-join), untouched files
+    are REFERENCED byte-identical, and the post-compaction read is a
+    PLAIN SCAN — no anti join, no _metadata columns — with the same
+    oracle as the pre-compaction DV read, so the hash gate proves
+    compaction folded the deletions in without changing one row.
+
+    At 100 TB: compaction cost is O(touched files + DV), never a table
+    rewrite; between compactions readers pay the DV anti-join
+    (scan_positional_delete_sim), after it they pay nothing — the
+    entire reason formats carry both encodings AND a compactor."""
+    import json as _json
+
+    out = _pdv_compacted(spark, sf_dir)
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    files = manifest["carried"] + manifest["rewritten"]
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    if not files:
+        return spark.createDataFrame(
+            [],
+            "o_orderstatus string, n_live bigint, total_price double, "
+            "min_live_key bigint, max_live_key bigint",
+        )
+    live = spark.read.schema(schema).parquet(*files)
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_live_key"),
+        F.max("o_orderkey").alias("max_live_key"),
+    )

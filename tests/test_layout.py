@@ -1805,3 +1805,46 @@ def test_bucketed_merge_state_side_never_shuffles(spark, sf_dir):
     # the state side feeds the join in place
     assert plans["bucketed"].count("Exchange") == 1, plans["bucketed"]
     assert plans["plain"].count("Exchange") == 2, plans["plain"]
+
+
+def test_dv_compaction_carries_untouched_and_drops_join(spark, sf_dir):
+    """scan_dv_compaction_sim's physical contract: carried files are
+    the ORIGINAL base files (referenced, byte-identical — same inode
+    stats); rewritten row count reconciles exactly (touched − |DV|);
+    the post-compaction read plans NO join of any kind."""
+    import glob
+    import json
+    import os
+
+    from noaa_etl_daily_spark.operators.scans import (
+        _pdv_compacted,
+        _pdv_layout,
+    )
+    from noaa_etl_daily_spark.registry import load_all
+
+    registry = load_all()
+    base, dv = _pdv_layout(spark, sf_dir)
+    out = _pdv_compacted(spark, sf_dir)
+    with open(os.path.join(out, "manifest.json")) as fh:
+        man = json.load(fh)
+    base_files = {
+        "file:" + p for p in glob.glob(os.path.join(base, "*.parquet"))
+    }
+    assert set(man["carried"]) <= base_files, (
+        "carried entries are not original base files"
+    )
+    assert not set(man["rewritten"]) & base_files
+    n_dv = spark.read.parquet(dv).count()
+    if n_dv:
+        assert man["rewritten"], "DV rows exist but nothing was rewritten"
+        touched = base_files - set(man["carried"])
+        n_touched = spark.read.parquet(*sorted(touched)).count()
+        n_rewritten = spark.read.parquet(*man["rewritten"]).count()
+        assert n_touched - n_rewritten == n_dv, (
+            n_touched,
+            n_rewritten,
+            n_dv,
+        )
+    df = registry["scan_dv_compaction_sim"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
