@@ -56,12 +56,27 @@ from ..tables import load
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition before CPU-heavy per-row compute (explode/md5/dot
-    products). The fixture tables arrive as a single parquet file — one
-    input split — so without this the whole explode pipeline runs on one
-    core; at 100 TB the scan has thousands of splits and this is a no-op
-    cost-wise (hash-partitioning on the grouping key also lets the
-    downstream groupBy reuse the exchange instead of adding one)."""
+    products) — ONLY when the input is under-parallel. The fixture
+    tables arrive as a single parquet file with a handful of row
+    groups, so without this the whole explode pipeline runs on 1-3
+    cores; in that regime the exchange buys full-cluster parallelism
+    (hash-partitioning on the grouping key also lets the downstream
+    groupBy reuse it instead of adding one).
+
+    Optimization r12 (guide §2.4): the unconditional form paid a full
+    corpus-grain shuffle of the text/embedding payloads at ANY scale —
+    at 100 TB, where the scan already has thousands of splits, that is
+    a pure multi-TB waste (plus the sort-before-repartition tax,
+    SPARK-23207) that the old docstring wrongly called "a no-op
+    cost-wise". Now the repartition is skipped whenever the physical
+    scan already has >= defaultParallelism partitions, so the operator
+    plans are unchanged on the bench fixtures (1-3 splits < n) and
+    shuffle-free at scale. Results are partitioning-independent
+    throughout (every consumer re-establishes its own keyed exchanges),
+    pinned by the partition-invariance suite."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
@@ -457,6 +472,31 @@ def _dot(a, b):
     )
 
 
+def _dbl_array_lit(a):
+    """(Possibly nested) Python float sequence as ONE parsed SQL array
+    literal of doubles.
+
+    Optimization r12 (guide §7.3 driver-side planning cost): the
+    previous idiom, ``F.array(*[F.lit(float(x)) for x in ...])``,
+    makes ~2 py4j round-trips per element — ≈1 ms each, so a trained
+    8×32×8 PQ codebook (2048 leaves) burned ~2 s of single-threaded
+    driver time on EVERY query build, and the LSH/k-means plane and
+    centroid literals paid the same per-element tax. One ``F.expr``
+    string parse builds the identical literal in <10 ms. Values are
+    bit-identical: ``repr(float)`` is the shortest decimal that
+    round-trips to the same IEEE double, and the exponent suffix makes
+    the SQL parser read it via Double.parseDouble (exponent-form
+    literals are DOUBLE-typed, never DECIMAL)."""
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array(%s)" % ",".join(render(x) for x in v)
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "E0"
+
+    return F.expr(render(a))
+
+
 def _sim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table restricted to vectors admissible on a
     similarity surface: a zero-norm vector has UNDEFINED cosine, and
@@ -549,9 +589,7 @@ def _lsh_bucket(col, table: int):
     """Bucket id in [0, 2^BITS) from sign bits of hyperplane dots."""
     code = F.lit(0)
     for b in range(_LSH_BITS):
-        plane = F.array(
-            *[F.lit(float(w)) for w in _LSH_PLANES[table, b]]
-        )
+        plane = _dbl_array_lit(_LSH_PLANES[table, b])
         code = code + F.when(_dot(col, plane) > 0, F.lit(1 << b)).otherwise(
             F.lit(0)
         )
@@ -641,9 +679,7 @@ _LSH_MP_PLANES = (
 def _mp_bucket(col, table: int):
     code = F.lit(0)
     for b in range(_LSH_MP_BITS):
-        plane = F.array(
-            *[F.lit(float(w)) for w in _LSH_MP_PLANES[table, b]]
-        )
+        plane = _dbl_array_lit(_LSH_MP_PLANES[table, b])
         code = code + F.when(_dot(col, plane) > 0, F.lit(1 << b)).otherwise(
             F.lit(0)
         )
@@ -2438,11 +2474,11 @@ def llm_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = v if v[int(np.abs(v).argmax())] > 0 else -v  # deterministic sign
             pcs.append([float(x) for x in v])
 
-    mu_col = F.array(*[F.lit(float(m)) for m in mu])
+    mu_col = _dbl_array_lit(mu)
     centered = F.zip_with("embedding", mu_col, lambda a, b: a - b)
 
     def project(pc):
-        pc_col = F.array(*[F.lit(c) for c in pc])
+        pc_col = _dbl_array_lit(pc)
         return F.round(
             F.aggregate(
                 F.zip_with(centered, pc_col, lambda a, b: a * b),
@@ -2589,9 +2625,7 @@ def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def assign_col(cents_):
-        cent_lit = F.array(
-            *[F.array(*[F.lit(c) for c in cent]) for cent in cents_]
-        )
+        cent_lit = _dbl_array_lit(cents_)
         dists = F.transform(
             cent_lit,
             lambda c: F.aggregate(
@@ -4254,31 +4288,95 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(64)]
         ).alias("c")
     )
-    # a vector that QUANTIZES to all zeros (denormal-scale values)
-    # still has undefined micro-grid cosine: try_divide ≡ DuckDB's
-    # NULL-on-zero-division; NULL sims rank last under DESC in both
-    # engines, so assignment tie-breaks to the smallest cell (G11/G13)
-    sim9 = F.round(
-        F.try_divide(
-            _dot(F.col("m"), F.col("c")),
-            F.sqrt(
-                _dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))
-            ),
-        ),
-        9,
-    )
-    scored = v.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "m", "cell", sim9.alias("sim")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), "cell"
-    )
-    mine = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cell")
-    )
+    mine = _nearest_cell(v, cb, "vec_id")
     return _semdedup_dispositions(mine)
+
+
+def _nearest_cell(v: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """Assign each micro-quantized vector ``(id_col, m)`` in ``v`` to
+    its nearest codebook cell ``(cell, c)`` under 9dp-rounded cosine,
+    tie-breaking exactly like ``row_number() OVER (ORDER BY sim DESC,
+    cell)`` — sim DESC NULLS LAST (a vector that quantizes to all
+    zeros, or a zero-sum cell, has NULL micro-grid cosine via
+    try_divide ≡ DuckDB's NULL-on-zero-division, G11/G13), cell ASC
+    NULLS FIRST. Returns ``(id_col, m, cell)``.
+
+    Optimization r12 (guide §2.1/§3.4): the original form crossJoined
+    the K-row broadcast codebook (K× row explosion), shuffled the
+    exploded frame by id and ranked with a window. This form folds the
+    codebook to ONE broadcast row of K structs and picks the argmax
+    with scan-stage higher-order functions — no row explosion, no
+    corpus-grain exchange, no window sort — and hoists the two
+    loop-invariant norms (dot(m,m) per row, dot(c,c) per cell) out of
+    the K-way comparison, so each candidate costs one 64-dot instead
+    of three. Arithmetic is bit-identical: the same three dot products
+    feed the same round(…, 9) before comparison."""
+    cell_t = cb.schema["cell"].dataType.simpleString()
+    cells = cb.agg(
+        F.array_agg(
+            F.struct(
+                F.col("cell"),
+                F.col("c"),
+                _dot(F.col("c"), F.col("c")).alias("cc"),
+            )
+        ).alias("__cells")
+    )
+    m = F.col("m")
+    scored_arr = F.transform(
+        F.col("__cells"),
+        lambda x: F.struct(
+            F.round(
+                F.try_divide(
+                    _dot(m, x["c"]), F.sqrt(F.col("__n2") * x["cc"])
+                ),
+                9,
+            ).alias("sim"),
+            x["cell"].alias("cell"),
+        ),
+    )
+    init = F.struct(
+        F.lit(False).alias("has"),
+        F.lit(None).cast("double").alias("sim"),
+        F.expr(f"cast(null as {cell_t})").alias("cell"),
+    )
+
+    def merge(acc, x):
+        beats = (
+            ~acc["has"]
+            | (x["sim"].isNotNull() & acc["sim"].isNull())
+            | (
+                x["sim"].isNotNull()
+                & acc["sim"].isNotNull()
+                & (x["sim"] > acc["sim"])
+            )
+            | (
+                (
+                    (x["sim"].isNull() & acc["sim"].isNull())
+                    | (x["sim"] == acc["sim"])
+                )
+                & (
+                    (x["cell"].isNull() & acc["cell"].isNotNull())
+                    | (x["cell"] < acc["cell"])
+                )
+            )
+        )
+        return F.when(
+            beats,
+            F.struct(
+                F.lit(True).alias("has"),
+                x["sim"].alias("sim"),
+                x["cell"].alias("cell"),
+            ),
+        ).otherwise(acc)
+
+    best = F.aggregate(scored_arr, init, merge)
+    return (
+        v.withColumn("__n2", _dot(m, m))
+        .crossJoin(F.broadcast(cells))
+        .withColumn("__best", best)
+        .where(F.col("__best.has"))
+        .select(id_col, "m", F.col("__best.cell").alias("cell"))
+    )
 
 
 def _semdedup_dispositions(mine: DataFrame) -> DataFrame:
@@ -4693,18 +4791,10 @@ def _pq_quantized_subs(spark: SparkSession, sf_dir: str):
 
 def _pq_codebook_lit(codebooks):
     """The 8×K×8 trained codebook as one nested array literal — rides
-    into the scan, so assignment is MAP-ONLY (no join, no shuffle)."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cent])
-                    for cent in cb
-                ]
-            )
-            for cb in codebooks
-        ]
-    )
+    into the scan, so assignment is MAP-ONLY (no join, no shuffle).
+    Built via a single F.expr parse (r12): the nested-F.lit form made
+    ~2048 py4j round-trips ≈ 2 s of driver time per build."""
+    return _dbl_array_lit(codebooks)
 
 
 def _pq_assign_code(codebooks):
@@ -5121,9 +5211,7 @@ def _ivf_train_cells(
     cents = [[float(x) for x in r.e] for r in seeds]
 
     def assign(cents_):
-        lit = F.array(
-            *[F.array(*[F.lit(c) for c in cent]) for cent in cents_]
-        )
+        lit = _dbl_array_lit(cents_)
         dists = F.transform(
             lit,
             lambda c: F.aggregate(

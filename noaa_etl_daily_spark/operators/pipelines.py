@@ -1351,6 +1351,7 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot,
         _explode_bands,
         _minhash_sig_cols,
+        _nearest_cell,
         _shingle_arrays,
         _tokens,
     )
@@ -1444,26 +1445,11 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(64)]
         ).alias("c")
     )
-    sim9 = F.round(
-        F.try_divide(
-            _dot(F.col("m"), F.col("c")),
-            F.sqrt(
-                _dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))
-            ),
-        ),
-        9,
-    )
-    scored = rem.crossJoin(F.broadcast(cb)).select(
-        "doc_id", "m", "cell", sim9.alias("sim")
-    )
-    w_assign = Window.partitionBy("doc_id").orderBy(
-        F.col("sim").desc(), "cell"
-    )
-    mine = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "m", "cell")
-    )
+    # r12: scan-stage argmax over the ONE-row broadcast codebook array
+    # (_nearest_cell) replaces crossJoin(K) + doc_id window — same
+    # (round(sim,9) DESC NULLS LAST, cell ASC) order, no K× row
+    # explosion, no corpus-grain exchange, no window sort (guide §2.1)
+    mine = _nearest_cell(rem, cb, "doc_id")
     a = mine.select(
         "cell", F.col("doc_id").alias("keep_id"), F.col("m").alias("ma")
     )
@@ -1728,6 +1714,7 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
         _dot,
         _explode_bands,
         _minhash_sig_cols,
+        _nearest_cell,
         _shingle_arrays,
         _tokens,
     )
@@ -1839,28 +1826,10 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
             *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(64)]
         ).alias("c")
     )
-    sim9 = F.round(
-        F.try_divide(
-            _dot(F.col("m"), F.col("c")),
-            F.sqrt(
-                _dot(F.col("m"), F.col("m")) * _dot(F.col("c"), F.col("c"))
-            ),
-        ),
-        9,
-    )
-
-    def _assign(df):
-        w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), "cell")
-        return (
-            df.crossJoin(F.broadcast(cb))
-            .select("doc_id", "m", "cell", sim9.alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "m", "cell")
-        )
-
-    an = _assign(remn)
-    asg = _assign(semb.select("doc_id", "m"))
+    # r12: scan-stage argmax (_nearest_cell) replaces the two
+    # crossJoin(K) + doc_id-window assignment passes (guide §2.1)
+    an = _nearest_cell(remn, cb, "doc_id")
+    asg = _nearest_cell(semb.select("doc_id", "m"), cb, "doc_id")
     pair_sim = F.round(
         F.try_divide(
             _dot(F.col("mn"), F.col("ms")),
@@ -2362,14 +2331,30 @@ def pipeline_token_budget_curriculum(
     rank is scale_rank.with_global_rank's distributed form (range
     shuffle + P-row broadcast offsets), the decile is ntile_bucket
     arithmetic on (rank, n) — no second rank pass — the within-decile
-    position is rank minus a broadcast 10-row per-decile minimum, and
-    each epoch's budget cut is one distributed prefix sum
-    (with_cumsum) over its admitted subset; the four epochs are a
-    FIXED-size schedule, so the union is a bounded 4-branch plan over
-    one shared (lazily checkpointed) ranked frame."""
-    from functools import reduce
+    position is rank minus the decile's ntile START (pure arithmetic on
+    (rank, n) — no per-decile aggregation pass), and all four epochs'
+    budget cuts come out of ONE distributed prefix-sum pass: the
+    running sum is decomposed per decile (10 conditional running sums
+    sharing a single (pos, decile)-ordered window over ONE range-parted
+    frame), and epoch e's cum is the sum of the decile-components
+    d ≤ max_decile(e) — so the fixed 4-epoch schedule is a per-row
+    array-explode over the SAME windowed frame instead of four
+    independent range-shuffle + checkpoint + window branches.
 
-    from .scale_rank import ntile_bucket, with_cumsum, with_global_rank
+    Optimization r12 (guide §2.4 "remove shuffles outright"): the
+    previous form paid, PER EPOCH, a range shuffle + localCheckpoint of
+    the admitted subset, a __pid-offset aggregate pair, and a window
+    hash exchange — 14 visible exchanges and 5 checkpointed frames per
+    execution. This form pays the rank pass plus ONE extra range
+    shuffle + checkpoint and ONE window pass — 7 exchanges, 2
+    checkpoints — with bit-identical output (same oracle SQL; the
+    per-decile decomposition reproduces the oracle's running-sum NULL
+    semantics exactly: cum is NULL until the first non-NULL n_tokens
+    in the admitted global prefix, and an all-NULL prefix row is
+    dropped by the budget filter in both engines)."""
+    from pyspark.sql import Window
+
+    from .scale_rank import _range_parted, ntile_bucket, with_global_rank
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
@@ -2389,29 +2374,100 @@ def pipeline_token_budget_curriculum(
     ).withColumn(
         "decile", ntile_bucket(F.col("rnk"), F.col("ntot"), 10)
     )
-    dmin = ranked.groupBy("decile").agg(F.min("rnk").alias("dmin"))
-    wd = ranked.join(F.broadcast(dmin), "decile").select(
+    # decile start by ntile arithmetic (first n%k buckets carry one
+    # extra row): start(d) = (d-1)*floor(n/k) + min(d-1, n%k) + 1 —
+    # equal to min(rnk) within every non-empty decile, without the
+    # per-decile min() aggregation + broadcast join the previous form
+    # paid for it.
+    d1 = F.col("decile").cast("bigint") - 1
+    dstart = (
+        d1 * F.floor(F.col("ntot") / 10)
+        + F.least(d1, F.col("ntot") % 10)
+        + 1
+    )
+    wd = ranked.select(
         "decile",
         "n_tokens",
-        (F.col("rnk") - F.col("dmin") + 1).alias("pos"),
+        (F.col("rnk") - dstart + 1).alias("pos"),
     )
-    frames = []
-    for epoch, max_dec in _CURR_EPOCHS:
-        adm = wd.where(F.col("decile") <= max_dec)
-        cum = with_cumsum(
-            adm,
-            [F.col("pos").asc(), F.col("decile").asc()],
-            ["n_tokens"],
-            ["__cum"],
+    # ONE range-parted frame in the interleave order serves all four
+    # epochs; per-decile partials/offsets make every epoch's prefix sum
+    # a projection over the same window pass.
+    base = _range_parted(
+        wd, [F.col("pos").asc(), F.col("decile").asc()]
+    )
+    deciles = list(range(1, 11))
+    tok_d = {
+        d: F.sum(F.when(F.col("decile") == d, F.col("n_tokens")))
+        for d in deciles
+    }
+    partials = base.groupBy("__pid").agg(
+        *[tok_d[d].alias(f"__p{d}") for d in deciles]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = partials.select(
+        "__pid",
+        *[F.sum(f"__p{d}").over(w_off).alias(f"__o{d}") for d in deciles],
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("pos").asc(), F.col("decile").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.join(F.broadcast(offsets), "__pid")
+    for d in deciles:
+        run_d = tok_d[d].over(w_in)
+        # global per-decile running sum with the oracle's NULL
+        # semantics: NULL iff no non-NULL n_tokens of decile d exists
+        # in the global prefix (both offset and local running sum NULL)
+        cum = cum.withColumn(
+            f"__s{d}",
+            F.when(
+                F.col(f"__o{d}").isNull() & run_d.isNull(),
+                F.lit(None).cast("bigint"),
+            ).otherwise(
+                F.coalesce(F.col(f"__o{d}"), F.lit(0))
+                + F.coalesce(run_d, F.lit(0))
+            ),
         )
-        frames.append(
-            cum.where(F.col("__cum") <= _CURR_BUDGET).select(
-                F.lit(epoch).alias("epoch"), "decile", "n_tokens", "pos"
+
+    def cum_through(max_dec):
+        comps = [F.col(f"__s{d}") for d in deciles[:max_dec]]
+        all_null = comps[0].isNull()
+        for c in comps[1:]:
+            all_null = all_null & c.isNull()
+        total = comps[0] if len(comps) == 1 else sum(
+            (F.coalesce(c, F.lit(0)) for c in comps[1:]),
+            F.coalesce(comps[0], F.lit(0)),
+        )
+        return F.when(all_null, F.lit(None).cast("bigint")).otherwise(total)
+
+    epoch_entries = F.array(
+        *[
+            F.struct(
+                F.lit(epoch).alias("epoch"),
+                F.lit(max_dec).alias("maxd"),
+                cum_through(max_dec).alias("cum"),
             )
-        )
-    sel = reduce(DataFrame.unionByName, frames)
+            for epoch, max_dec in _CURR_EPOCHS
+        ]
+    )
+    admitted = cum.select(
+        "decile",
+        "n_tokens",
+        "pos",
+        F.explode(
+            F.filter(
+                epoch_entries,
+                lambda x: (F.col("decile") <= x["maxd"])
+                & (x["cum"] <= _CURR_BUDGET),
+            )
+        ).alias("e"),
+    )
     return (
-        sel.groupBy("epoch", "decile")
+        admitted.groupBy(F.col("e.epoch").alias("epoch"), F.col("decile"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("tokens_admitted"),

@@ -300,6 +300,9 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # |stages| rows (PSI arithmetic)
         "llm_curation_drift_incremental",  # same 1-row total scalar
                                       # (shared _drift_funnel_psi)
+        "pipeline_drift_gate",        # 1-row gate-verdict scalar over
+                                      # |stages| rows (same
+                                      # _drift_funnel_psi monitor)
         "llm_interpolated_lm_ppl",    # 1-row unigram-total scalar
         "evt_survival_km",            # >=t join over the <=30-row
                                       # lifetime table (calendar-bounded)
@@ -411,6 +414,14 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         "llm_curation_drift_monitor", # 1-row cohort-total reduce of
                                       # |stages| rows
         "llm_curation_drift_incremental",  # same 1-row total reduce
+        "pipeline_drift_gate",        # 1-row gate-verdict reduce of
+                                      # |stages| rows
+        "llm_semdedup_cells",         # K-row codebook fold to the 1-row
+                                      # broadcast cell array (_nearest_cell,
+                                      # r12 — already-reduced input)
+        "llm_semdedup_cells_kmeans",  # same K-row codebook fold
+        "pipeline_multimodal_curation",  # same K-row codebook fold
+        "pipeline_incremental_curation", # same K-row codebook fold
         "llm_interpolated_lm_ppl",    # 1-row unigram-total reduce
         "evt_survival_km",            # KM window over <=30 risk rows
         "agg_ks_two_sample",          # global CDF sort (the honest exact-KS
