@@ -73,9 +73,11 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     plans are unchanged on the bench fixtures (1-3 splits < n) and
     shuffle-free at scale. Results are partitioning-independent
     throughout (every consumer re-establishes its own keyed exchanges),
-    pinned by the partition-invariance suite."""
+    Streaming inputs keep the unconditional repartition: micro-batch
+    partition counts are not knowable at plan time (`.rdd` is illegal
+    on a streaming frame) and each micro-batch is small."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if not df.isStreaming and df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
 

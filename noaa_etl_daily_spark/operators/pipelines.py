@@ -1342,11 +1342,10 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell pair space is bounded by cell population. Every stage's
     100 TB argument is inherited from its certified standalone twin;
     the composition adds exactly one new exchange (the doc⋈emb id
-    shuffle). The disposition window partitions on a 5-value key at
-    doc grain — bounded like agg_rfm_segmentation's post-reduction
-    windows at any corpus size."""
-    from pyspark.sql import Window
-
+    shuffle). The per-disposition attrition totals are a map-side-
+    combinable groupBy (5 rows) broadcast-joined back onto the manifest
+    — not a window over the 5-value key, which would funnel the whole
+    corpus through <=5 reducers (r12, guide §2.5)."""
     from .llm import (
         _dot,
         _explode_bands,
@@ -1506,15 +1505,25 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("disposition"),
         )
     )
-    return manifest.select(
-        "doc_id",
-        "lang",
-        "quality",
-        "disposition",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("disposition"))
-        .alias("n_in_disposition"),
-    ).orderBy("doc_id")
+    # r12: per-disposition totals via groupBy + broadcast join back, not
+    # count().over(partitionBy(disposition)) — the window hashed the
+    # ENTIRE doc-grain manifest into <=5 reducers (one per disposition
+    # value) and sorted it there, the guide §2.5 hot-key shape with no
+    # AQE rescue (skew handling covers joins only). The groupBy is
+    # map-side combinable (5 rows per task into a 5-row exchange) and
+    # the attach is a broadcast hash join; every exchange subtree below
+    # the manifest is shared via ReusedExchange, so only the scan-stage
+    # spine evaluates twice — embarrassingly parallel at any scale.
+    counts = manifest.groupBy("disposition").agg(
+        F.count(F.lit(1)).alias("n_in_disposition")
+    )
+    return (
+        manifest.join(F.broadcast(counts), "disposition")
+        .select(
+            "doc_id", "lang", "quality", "disposition", "n_in_disposition"
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -1708,8 +1717,6 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast, and the one corpus-grain input (standing bands/cells)
     is touched via equi-keys only. Same integer-µ cosine and
     try_divide NULL-sim discipline as llm_semdedup_cells."""
-    from pyspark.sql import Window
-
     from .llm import (
         _dot,
         _explode_bands,
@@ -1888,15 +1895,19 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("disposition"),
         )
     )
-    return manifest.select(
-        "doc_id",
-        "lang",
-        "quality",
-        "disposition",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("disposition"))
-        .alias("n_in_disposition"),
-    ).orderBy("doc_id")
+    # r12: same disposition-count rewrite as pipeline_multimodal_
+    # curation — groupBy + broadcast join back instead of a <=5-reducer
+    # corpus-grain window (guide §2.5).
+    counts = manifest.groupBy("disposition").agg(
+        F.count(F.lit(1)).alias("n_in_disposition")
+    )
+    return (
+        manifest.join(F.broadcast(counts), "disposition")
+        .select(
+            "doc_id", "lang", "quality", "disposition", "n_in_disposition"
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
