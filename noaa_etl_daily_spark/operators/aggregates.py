@@ -582,26 +582,34 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     on |months| rows — the raw table never sees a global window.
     Balance stays unrounded through the recursion (identical double op
     order on both engines is bit-deterministic); only the display
-    rounds."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
+    rounds.
+
+    Optimization r12 (guide §2.4, census finding): Spark's UnionLoop
+    re-evaluates the step's subquery EVERY iteration, so inlining the
+    monthly aggregate in the recursion re-scanned and re-aggregated the
+    whole orders table once per month (~80 corpus passes; 22.7 s at
+    sf0.01, unbounded at 100 TB). The ~80-row (month, rev, i) index is
+    now materialized ONCE with a lazy localCheckpoint and the recursion
+    joins that persisted frame — per-step cost drops to an 80-row scan,
+    and the recursion arithmetic (r.balance * 1.01 + x.rev, same double
+    op order) is untouched, so results are bit-identical."""
+    orders = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    idx = monthly.select(
+        "month", "rev", F.row_number().over(Window.orderBy("month")).alias("i")
+    ).localCheckpoint(eager=False)
+    idx.createOrReplaceTempView("_rc_idx")
     return spark.sql(
         """
         WITH RECURSIVE r(i, month, rev, balance) AS (
-          SELECT i, month, rev, rev AS balance
-          FROM (SELECT month, rev,
-                       row_number() OVER (ORDER BY month) AS i
-                FROM (SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
-                             round(sum(o_totalprice), 2) AS rev
-                      FROM _rc_orders GROUP BY 1))
-          WHERE i = 1
+          SELECT i, month, rev, rev AS balance FROM _rc_idx WHERE i = 1
           UNION ALL
           SELECT x.i, x.month, x.rev, r.balance * 1.01 + x.rev
-          FROM (SELECT month, rev,
-                       row_number() OVER (ORDER BY month) AS i
-                FROM (SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
-                             round(sum(o_totalprice), 2) AS rev
-                      FROM _rc_orders GROUP BY 1)) x
-          JOIN r ON x.i = r.i + 1
+          FROM _rc_idx x JOIN r ON x.i = r.i + 1
         )
         SELECT month, rev, round(balance, 2) AS balance FROM r
         """
