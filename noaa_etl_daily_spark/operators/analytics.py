@@ -92,12 +92,18 @@ def pipeline_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
+    # r12 (census + plan audit): referenced by several downstream
+    # branches and re-planned per reference (repeated corpus scans /
+    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
+    # of this reduced frame — bit-identical rows.
+    order_brand = order_brand.localCheckpoint(eager=False)
     n_orders = order_brand.agg(
         F.countDistinct("l_orderkey").alias("n_tot")
     )
     brand_counts = order_brand.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_brand")
     )
+    brand_counts = brand_counts.localCheckpoint(eager=False)
     a = order_brand.alias("a")
     b = order_brand.alias("b")
     pairs = (
@@ -453,7 +459,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    # r12 (census + plan audit): build feeds the three bitmap hash
+    # rounds and the final exact join, and the 1 Kword bitmap is
+    # re-derived per probe round — the physical plan scanned orders 10
+    # times. Lazy localCheckpoints of the two REDUCED frames (selective
+    # key set; 1024-row bitmap) pin one evaluation each, so orders is
+    # scanned once; hash/integer arithmetic → identical rows.
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)
+    )
 
     def pos_expr(key: str, i: int):
         return F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m))
@@ -467,7 +483,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(mask_of.format(p="pos")).alias("mask"),
         )
         bitmap = part if bitmap is None else bitmap.unionByName(part)
-    bitmap = bitmap.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    bitmap = (
+        bitmap.groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .localCheckpoint(eager=False)
+    )
 
     probe = li
     for i in range(k):
@@ -1751,9 +1771,15 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, so the reduction is order-independent and engine-exact.
     """
     ev = load(spark, sf_dir, "events").select("ts", "event_type")
-    joint = ev.groupBy(
-        "event_type", F.hour("ts").cast("int").alias("hr")
-    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    # r12 (census + plan audit): same fix as agg_cramers_v — the joint
+    # cell table fed both marginals, the total and the term join, and
+    # was re-planned per reference (4 events scans). One lazily
+    # checkpointed evaluation of the |types|x24-row table serves all.
+    joint = (
+        ev.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .localCheckpoint(eager=False)
+    )
     mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
     my = joint.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
     tot = joint.agg(F.sum("n_xy").alias("n"))
@@ -2121,7 +2147,9 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("ts")
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ).agg(F.count(F.lit(1)).alias("n_events")).localCheckpoint(eager=False)
+    # r12: daily feeds stats + the cusum walk, cusum feeds peak + the
+    # final select — each lazily checkpointed (|days| rows).
     stats = daily.agg(
         F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_days")
     )
@@ -2134,6 +2162,7 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") * F.col("n_days") - F.col("total")
         ).over(w).cast("bigint"),
     )
+    cusum = cusum.localCheckpoint(eager=False)
     peak = cusum.agg(F.max(F.abs("cusum_scaled")).alias("peak"))
     return (
         cusum.crossJoin(F.broadcast(peak))
@@ -2974,7 +3003,15 @@ def llm_topic_keywords_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = docs.select(
         "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
-    cell = wl.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("a"))
+    # r12 (census + plan audit): this reduced frame is referenced by
+    # several downstream branches and was re-planned per reference
+    # (repeated corpus scans + re-paid shuffles); the lazy
+    # localCheckpoint pins one evaluation — bit-identical rows.
+    cell = (
+        wl.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .localCheckpoint(eager=False)
+    )
     word_tot = cell.groupBy("word").agg(F.sum("a").alias("wt"))
     lang_tot = cell.groupBy("lang").agg(F.sum("a").alias("lt"))
     tot = cell.agg(F.sum("a").alias("n"))
@@ -3209,6 +3246,13 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 12)
         .select("u", "v")
+        # r12 (census + plan audit): edges is referenced by all three
+        # triangle sides AND the n_edges census — Catalyst re-planned
+        # the whole corpus projection + self-join per reference (8
+        # lineitem scans). Lazy localCheckpoint of the node-bounded
+        # edge list (<= C(25,2) rows, computed inside the first action)
+        # pins one evaluation; integer counts → identical output.
+        .localCheckpoint(eager=False)
     )
     e1 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
     e2 = edges.select(F.col("u").alias("t_b2"), F.col("v").alias("t_c"))
@@ -3669,10 +3713,19 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE CAST(array() AS array<string>) END"
     )
     toks = docs.withColumn("t", F.split(F.lower("text"), " "))
+    # r12 (census + plan audit): eval_grams is referenced by all three
+    # bitmap hash rounds AND the final exact semi-join, and the 1 Kword
+    # bitmap by each probe round — Catalyst re-planned both subtrees
+    # per reference (12 documents scans, and the eval-side distinct
+    # shuffle paid ~7x). Lazy localCheckpoints (computed inside the
+    # first action) pin one evaluation of each bounded frame: the
+    # distinct eval digests (eval-set grain) and the 1024-row bitmap.
+    # Hash/integer arithmetic only → bit-identical output.
     eval_grams = (
         toks.filter(F.col("doc_id") % 10 == 7)
         .select(F.explode(F.expr(gram)).alias("g"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     train_grams = toks.filter(F.col("doc_id") % 10 != 7).select(
         "doc_id", F.explode(F.expr(gram)).alias("g")
@@ -3686,7 +3739,11 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(mask_of.format(p="pos")).alias("mask"),
         )
         bitmap = part if bitmap is None else bitmap.unionByName(part)
-    bitmap = bitmap.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    bitmap = (
+        bitmap.groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .localCheckpoint(eager=False)
+    )
 
     probe = train_grams
     for i in range(k):
@@ -4151,7 +4208,16 @@ def evt_audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = ev.select(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
     ).distinct()
-    day_sizes = du.groupBy("day").agg(F.count(F.lit(1)).alias("n_users"))
+    # r12 (census + plan audit): referenced by several downstream
+    # branches and re-planned per reference (repeated corpus scans /
+    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
+    # of this reduced frame — bit-identical rows.
+    du = du.localCheckpoint(eager=False)
+    day_sizes = (
+        du.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .localCheckpoint(eager=False)
+    )
     a = du.select(F.col("day").alias("day_a"), "user_id")
     b = du.select(F.col("day").alias("day_b"), F.col("user_id").alias("uid_b"))
     overlaps = (
@@ -4485,10 +4551,15 @@ def llm_interpolated_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    # r12 (census + plan audit): unigrams is read by the total and both
+    # per-side lookups — re-planned per reference, the token-grain
+    # count shuffle was paid 3x (5 documents scans). Lazy
+    # localCheckpoint pins one evaluation of the vocab-grain counts.
     unigrams = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
     )
     uni_tot = unigrams.agg(F.sum("c1").alias("n"))
     # size guard: sequence(1, 0) is descending — a single-token doc
@@ -4987,6 +5058,11 @@ def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned"),
         )
     )
+    # r12 (census + plan audit): this reduced frame is referenced by
+    # several downstream branches and was re-planned per reference
+    # (repeated corpus scans + re-paid shuffles); the lazy
+    # localCheckpoint pins one evaluation — bit-identical rows.
+    spans = spans.localCheckpoint(eager=False)
     risk = (
         spans.groupBy(F.col("lifetime_days").alias("t"))
         .agg(F.sum("churned").alias("d"))
@@ -6337,10 +6413,14 @@ def agg_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFram
             "bin"
         ),
     )
+    # r12 (census + plan audit): counts feeds the totals AND the term
+    # join — re-planned per reference, the whole bin pipeline ran twice
+    # (4 events scans; 2 are the inherent edges-then-bin two-pass).
+    # Lazy localCheckpoint pins one evaluation of the 10-row bin table.
     counts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_cur"),
-    )
+    ).localCheckpoint(eager=False)
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
     )
@@ -8882,8 +8962,16 @@ def graph_cosupply_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     )
-    bip = li.distinct()
-    deg = bip.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    # r12 (census + plan audit): referenced by several downstream
+    # branches and re-planned per reference (repeated corpus scans /
+    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
+    # of this reduced frame — bit-identical rows.
+    bip = li.distinct().localCheckpoint(eager=False)
+    deg = (
+        bip.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
     a, b = bip.alias("a"), bip.alias("b")
     pairs = (
         a.join(
@@ -10448,8 +10536,17 @@ def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle of (type, cents) partials."""
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     cents = F.round(F.col("value") * 100).cast("bigint")
-    vc = ev.groupBy("event_type", cents.alias("cents")).agg(
-        F.count(F.lit(1)).alias("c")
+    # r12 (census + plan audit): the histogram subtree is referenced by
+    # tots/med/dc/outs and Catalyst re-plans it per reference — the
+    # physical plan re-scanned events 14 times, contradicting the
+    # one-corpus-pass design claim. A lazy localCheckpoint of the
+    # (type, cents) histogram (value-domain grain, computed inside the
+    # first action) makes every downstream branch read ONE evaluation;
+    # all arithmetic is integer, so results are bit-identical.
+    vc = (
+        ev.groupBy("event_type", cents.alias("cents"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     tots = vc.groupBy("event_type").agg(F.sum("c").alias("n"))
     w_val = Window.partitionBy("event_type").orderBy("cents")
@@ -10468,6 +10565,7 @@ def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = hist_median(vc, "cents", "median_cents")
+    # same dedup for the deviation histogram (read by mad and outs)
     dc = (
         vc.join(F.broadcast(med), "event_type")
         .groupBy(
@@ -10475,6 +10573,7 @@ def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
         )
         .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=False)
     )
     mad = hist_median(dc, "dev", "mad_cents")
     outs = (
@@ -10911,7 +11010,15 @@ def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p0", "pr")
     ).select("pr.w1", "pr.w2")
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # r12 (census + plan audit): this reduced frame is referenced by
+    # several downstream branches and was re-planned per reference
+    # (repeated corpus scans + re-paid shuffles); the lazy
+    # localCheckpoint pins one evaluation — bit-identical rows.
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     left_marg = bc.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("fanout")
     )
@@ -11628,24 +11735,34 @@ def pipeline_cohort_repeat_purchase(
         F.col("o_orderdate").cast("date").alias("od"),
         F.row_number().over(w).alias("rn"),
     )
-    firsts = ranked.where(F.col("rn") == 1).select(
+    # r12 (census + plan audit): ranked fed firsts AND seconds, and
+    # spans fed the totals AND the gap histogram — re-planned per
+    # reference, the plan scanned orders 6 times and re-paid the
+    # customer window. One lazily checkpointed rn<=2 frame (keeps the
+    # WindowGroupLimit(2) pushdown, <=2 rows per customer) serves both
+    # rank filters, and the checkpointed customer-grain spans serves
+    # both aggregates; integer/date arithmetic → identical rows.
+    top2 = ranked.where(F.col("rn") <= 2).localCheckpoint(eager=False)
+    firsts = top2.where(F.col("rn") == 1).select(
         "o_custkey",
         F.col("od").alias("d1"),
         F.date_format(F.date_trunc("month", "od"), "yyyy-MM").alias(
             "cohort"
         ),
     )
-    seconds = ranked.where(F.col("rn") == 2).select(
+    seconds = top2.where(F.col("rn") == 2).select(
         F.col("o_custkey").alias("ck2"), F.col("od").alias("d2")
     )
-    spans = firsts.join(
-        seconds, firsts.o_custkey == seconds.ck2, "left"
-    ).select(
-        "cohort",
-        F.when(
-            F.col("ck2").isNotNull(),
-            F.datediff("d2", "d1").cast("bigint"),
-        ).alias("gap_days"),
+    spans = (
+        firsts.join(seconds, firsts.o_custkey == seconds.ck2, "left")
+        .select(
+            "cohort",
+            F.when(
+                F.col("ck2").isNotNull(),
+                F.datediff("d2", "d1").cast("bigint"),
+            ).alias("gap_days"),
+        )
+        .localCheckpoint(eager=False)
     )
     cohort_tot = spans.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -11751,7 +11868,15 @@ def evt_extreme_value_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ev.where(F.col("event_type") == "purchase").select(
         F.round(F.col("value") * 100).cast("bigint").alias("x")
     )
-    vc = cents.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    # r12 (census + plan audit): referenced by several downstream
+    # branches and re-planned per reference (repeated corpus scans /
+    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
+    # of this reduced frame — bit-identical rows.
+    vc = (
+        cents.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = vc.agg(F.sum("c").alias("n"))
     w = Window.orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -12047,8 +12172,20 @@ def evt_chain_ladder_projection(
         ).cast("bigint").alias("m_idx"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    coh = o.groupBy("o_custkey").agg(F.min("m_idx").alias("c_idx"))
-    cap = o.agg(F.max("m_idx").alias("mmax"))
+    # r12 (census + plan audit): coh/cap/cum are each referenced by
+    # several downstream branches and Catalyst re-planned their whole
+    # subtrees per reference — the physical plan scanned orders 9 times
+    # and re-paid the customer-grain cohort shuffle, against this
+    # docstring's two-keyed-shuffles claim. Lazy localCheckpoints of
+    # the three REDUCED frames (customer grain / 1 row / triangle
+    # grain, all computed inside the first action) pin one evaluation
+    # each; integer arithmetic throughout → bit-identical output.
+    coh = (
+        o.groupBy("o_custkey")
+        .agg(F.min("m_idx").alias("c_idx"))
+        .localCheckpoint(eager=False)
+    )
+    cap = o.agg(F.max("m_idx").alias("mmax")).localCheckpoint(eager=False)
     inc = (
         o.join(coh, "o_custkey")
         .groupBy("c_idx", (F.col("m_idx") - F.col("c_idx")).alias("age"))
@@ -12074,7 +12211,7 @@ def evt_chain_ladder_projection(
     wc = Window.partitionBy("c_idx").orderBy("age")
     cum = dense.select(
         "c_idx", "age", F.sum("rev").over(wc).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     nxt = cum.withColumn("nxt", F.lead("c").over(wc))
     fac = (
         nxt.where(F.col("nxt").isNotNull())
@@ -12520,10 +12657,19 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; marginals reaggregate the CELL table (never the corpus);
     the 1-row total joins back by broadcast. One scan at any scale."""
     ev = load(spark, sf_dir, "events").select("ts", "event_type")
-    cells = ev.groupBy(
-        "event_type",
-        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("obs"))
+    # r12 (census + plan audit): the cell table is read by both
+    # marginals, the total AND the term join — re-planned per
+    # reference, the plan scanned events 4 times against the one-scan
+    # claim. Lazy localCheckpoint pins one evaluation of the
+    # |types|x7-row contingency table.
+    cells = (
+        ev.groupBy(
+            "event_type",
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=False)
+    )
     rt = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
     ct = cells.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
     tot = cells.agg(
@@ -12636,6 +12782,8 @@ def agg_psi_kll_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int").alias("bin"),
     )
+    # r12: same 10-row bin-table checkpoint as
+    # agg_population_stability_index (counts feeds totals + term join).
     counts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias(
             "n_ref"
@@ -12643,7 +12791,7 @@ def agg_psi_kll_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias(
             "n_cur"
         ),
-    )
+    ).localCheckpoint(eager=False)
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
     )

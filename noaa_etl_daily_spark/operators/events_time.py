@@ -298,16 +298,22 @@ def evt_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_streaming.py."""
     ev = load(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
+    # r12 (census + plan audit): v and c are each read by the next
+    # stage AND the final wide join; re-planning per reference cost 7
+    # events scans + duplicated user-grain shuffles. Lazy
+    # localCheckpoints pin one evaluation of each |users|-grain frame.
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.join(v, "user_id")
         .where((F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.join(c, "user_id")
@@ -620,10 +626,17 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-user state. 100 TB of events reduce to |users| rows after the
     first aggregate."""
     ev = load(spark, sf_dir, "events")
+    # r12 (census + plan audit): each stage frame is read by BOTH the
+    # next stage and its own census count, and Catalyst re-planned the
+    # chain per reference — 6 events scans and re-paid user-grain
+    # shuffles in the physical plan, against the docstring's reuse
+    # claim. Lazy localCheckpoints of the three |users|-grain frames
+    # (computed inside the first action) pin one evaluation each.
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -631,6 +644,7 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

@@ -3084,11 +3084,19 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5("s").alias("h"))
         .distinct()
+        # r12 (census + plan audit): this subtree (tokenize + shingle
+        # explode + md5 + distinct shuffle) was re-planned per reference
+        # — freq, the df-cap join, doc_sizes and both self-join sides
+        # re-scanned documents 8 times in the physical plan. The lazy
+        # localCheckpoint (computed inside the first action) pins ONE
+        # evaluation of the narrow (doc_id, 16-byte-hash) frame; same
+        # rows, integer/hash arithmetic → bit-identical output.
+        .localCheckpoint(eager=False)
     )
     freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     informative = chunks.join(
         freq.where(F.col("df") <= 25).select("h"), "h"
-    )
+    ).localCheckpoint(eager=False)
     doc_sizes = informative.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks")
     )
@@ -3578,6 +3586,13 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn("n_src", F.count(F.lit(1)).over(Window.partitionBy("gh")))
         .filter(F.col("n_src") <= 15)
         .drop("n_src")
+        # r12 (census + plan audit): the df-capped (source, digest)
+        # frame is read by the size aggregate and BOTH self-join sides;
+        # Catalyst re-planned the whole shingle pipeline per reference
+        # (4 documents scans in the physical plan, against this
+        # docstring's one-shuffle claim). Lazy localCheckpoint pins one
+        # evaluation of the narrow digest frame — bit-identical rows.
+        .localCheckpoint(eager=False)
     )
     sz = gk.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = gk.alias("a"), gk.alias("b")
@@ -4173,6 +4188,11 @@ def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_tok"))
     )
+    # r12 (census + plan audit): this reduced frame is referenced by
+    # several downstream branches and was re-planned per reference
+    # (repeated corpus scans + re-paid shuffles); the lazy
+    # localCheckpoint pins one evaluation — bit-identical rows.
+    uni = uni.localCheckpoint(eager=False)
     tot = uni.agg(F.sum("n_tok").alias("n_total"))
     a = uni.alias("a")
     b = uni.alias("b")
@@ -4389,7 +4409,14 @@ def _semdedup_dispositions(mine: DataFrame) -> DataFrame:
     trained-cell sibling (llm_semdedup_cells_kmeans) so the dedup
     semantics cannot drift between them — only the cell ASSIGNMENT
     differs. The within-cell self-join is the only pair shuffle,
-    equi-keyed on cell; pair space is bounded by cell population."""
+    equi-keyed on cell; pair space is bounded by cell population.
+
+    r12 (census + plan audit): ``mine`` is read by both self-join
+    sides AND the final disposition attach — re-planned per reference,
+    the assignment pipeline (scan + argmax + codebook aggregate) ran
+    3x (6 embeddings scans). The lazy localCheckpoint pins one
+    evaluation of the narrow assigned frame."""
+    mine = mine.localCheckpoint(eager=False)
     a = mine.select(
         F.col("cell"), F.col("vec_id").alias("keep_id"), F.col("m").alias("ma")
     )
@@ -6214,10 +6241,13 @@ def pipeline_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     census is arithmetic on ≤|stages| rows plus one broadcast 1-row
     verdict join; the gate adds ZERO corpus-grain work to the monitor
     it wraps."""
+    # r12 (census + plan audit): monitor (<=|stages| rows) feeds the
+    # verdict aggregate AND the final join — re-planned per reference
+    # (4 documents scans). Lazy localCheckpoint pins one evaluation.
     monitor = _drift_funnel_psi(
         _spread(load(spark, sf_dir, "documents")),
         F.when(F.col("doc_id") % 5 == 4, "b").otherwise("a"),
-    )
+    ).localCheckpoint(eager=False)
     g = monitor.agg(
         F.coalesce(F.sum("psi_term_nano"), F.lit(0))
         .cast("bigint")
