@@ -1996,18 +1996,35 @@ def win_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — the drift-removal step before cross-source quality
     thresholds can share a cutoff.
 
-    Scale design: two shuffles total — rank within source (the window),
-    then a rank-keyed aggregate + equi-join back; the rank table is
-    max(|source|) rows. Ranks tie-break on doc_id; the reference value
-    avg() is an exact rational of integers, quantized once. Restricted
-    to 4 sources to keep the fixture's rank table fully populated.
+    Scale design (r12 rewrite, guide §2.5): the original ranked with
+    `row_number() OVER (PARTITION BY source ...)` — a corpus-grain
+    window over a 4-VALUE key, i.e. the whole filtered corpus funneled
+    through ≤4 reducers and sorted there. The rank is now distributed:
+    one range-partition on the (source, n_chars, doc_id) total order
+    (scale_rank's machinery — per-partition row_number + broadcast
+    prefix offsets = exact global rank), and the within-source rank is
+    that global rank minus the source's 4-row broadcast min-rank
+    offset, +1 — identical integers at any partition count (pinned by
+    the partition-invariance discipline of every scale_rank consumer).
+    The rank-keyed reference aggregate + equi-join back are unchanged.
+    Ranks tie-break on doc_id; ref_value avg() is an exact rational of
+    integers, quantized once. Restricted to 4 sources to keep the
+    fixture's rank table fully populated.
     """
+    from .scale_rank import with_global_rank
+
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     docs = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n_src",
-        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint"),
+    g = with_global_rank(
+        docs, [F.col("source"), F.col("n_chars"), F.col("doc_id")], "__grk"
+    )
+    off = g.groupBy("source").agg(F.min("__grk").alias("__off"))
+    ranked = (
+        g.join(F.broadcast(off), "source")
+        .withColumn("rk", F.col("__grk") - F.col("__off") + 1)
+        .drop("__grk", "__off")
+        # fan-out (ref + final join) reads one evaluation (§I pattern)
+        .localCheckpoint(eager=False)
     )
     ref = ranked.groupBy("rk").agg(
         F.round(F.avg("n_chars"), 6).alias("ref_value"),
