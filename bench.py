@@ -87,10 +87,21 @@ def input_bytes(sf_dir: str) -> int:
 
 
 def sized_shuffle_partitions(sf_dir: str) -> int:
-    """~64 MB of input per shuffle partition, floored at 8, capped at
-    2x cores — the per-dataset sizing rule from SURVEY §7.4 G6."""
+    """~64 MB of input per shuffle partition, floored for parallelism,
+    capped at 2x cores — the per-dataset sizing rule from SURVEY §7.4 G6.
+
+    The floor is ``min(8, 2*cores)`` (VERDICT r12 item 2): at the
+    driver's 32- and 8-core runs that is the same 8 as every prior
+    round (numbers stay comparable), while at very low core counts the
+    floor no longer exceeds the machine. Note the consequence the
+    record self-describes via ``shuffle_partitions``: below ~512 MB of
+    input the 8-partition floor dominates, so an 8-core and a 32-core
+    run execute the SAME plans and their ratio measures fixed overhead,
+    not scaling — core count only starts to matter once the input is
+    big enough that the 64 MB/partition rule exceeds the floor."""
+    cores = default_parallelism()
     return max(
-        8, min(2 * default_parallelism(), input_bytes(sf_dir) // (64 << 20))
+        min(8, 2 * cores), min(2 * cores, input_bytes(sf_dir) // (64 << 20))
     )
 
 
@@ -115,9 +126,8 @@ def main() -> None:
 
     spark = get_spark(app_name="noaa-etl-daily-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(sized_shuffle_partitions(sf_dir))
-    )
+    shuffle_partitions = sized_shuffle_partitions(sf_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     # Warm-up: prime parquet footers/schema per table, then run the full
     # headline set once untimed (JIT + codegen cache for every query
@@ -193,6 +203,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
+        # Scaling-contract self-description (VERDICT r12 item 2): the
+        # harness honors $SPARK_GRAFT_CPUS (master local[cpus]) and sizes
+        # shuffle partitions to the input volume. At small SFs the
+        # partition floor makes low-core vs 32-core plans identical, so
+        # flat ratios measure fixed overhead, not ignored cores — these
+        # three keys let the record's reader see that directly.
+        "cpus": default_parallelism(),
+        "shuffle_partitions": shuffle_partitions,
+        "input_bytes": input_bytes(sf_dir),
     }
     if proxy is not None:
         record.update(proxy.summary())
