@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+from .materialize import input_size_bytes, pin
 
 #: The one oracle that reads parquet FOOTERS (not the table views) must
 #: point at the same fixture dir the harness binds its views to —
@@ -94,16 +95,20 @@ def pipeline_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 (census + plan audit): referenced by several downstream
     # branches and re-planned per reference (repeated corpus scans /
-    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
-    # of this reduced frame — bit-identical rows.
-    order_brand = order_brand.localCheckpoint(eager=False)
+    # re-paid shuffles). r13: the frame's grain GROWS WITH THE CORPUS,
+    # so the pin is size-gated — one pinned evaluation while the
+    # bounding input is small, recompute (lineage kept, bounded
+    # executor storage) at scale; rows are bit-identical either way.
+    order_brand = order_brand.transform(
+        pin, approx_input_bytes=input_size_bytes(sf_dir, "lineitem")
+    )
     n_orders = order_brand.agg(
         F.countDistinct("l_orderkey").alias("n_tot")
     )
     brand_counts = order_brand.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_brand")
     )
-    brand_counts = brand_counts.localCheckpoint(eager=False)
+    brand_counts = brand_counts.transform(pin)
     a = order_brand.alias("a")
     b = order_brand.alias("b")
     pairs = (
@@ -468,7 +473,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "orders"))
     )
 
     def pos_expr(key: str, i: int):
@@ -486,7 +491,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = (
         bitmap.groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     probe = li
@@ -1778,7 +1783,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = (
         ev.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
     my = joint.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
@@ -2018,13 +2023,33 @@ def win_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = with_global_rank(
         docs, [F.col("source"), F.col("n_chars"), F.col("doc_id")], "__grk"
     )
-    off = g.groupBy("source").agg(F.min("__grk").alias("__off"))
+    # r13: the 4-row min-rank offsets come from RAW per-source counts
+    # (the total order sorts source first, so min rank per source =
+    # 1 + Σ earlier sources' counts) — deriving them from g re-planned
+    # the whole range-shuffle subtree per reference (§I trap); this way
+    # g is referenced once and the counts cost one column-pruned scan.
+    w_prev = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "source",
+            (F.coalesce(F.sum("__n").over(w_prev), F.lit(0)) + 1).alias(
+                "__off"
+            ),
+        )
+    )
     ranked = (
         g.join(F.broadcast(off), "source")
         .withColumn("rk", F.col("__grk") - F.col("__off") + 1)
         .drop("__grk", "__off")
-        # fan-out (ref + final join) reads one evaluation (§I pattern)
-        .localCheckpoint(eager=False)
+        # fan-out (ref + final join) reads one evaluation while the
+        # corpus is small; DOC-GRAIN, so the pin is size-gated (r13)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+        )
     )
     ref = ranked.groupBy("rk").agg(
         F.round(F.avg("n_chars"), 6).alias("ref_value"),
@@ -2164,7 +2189,7 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("ts")
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n_events")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("n_events")).transform(pin)
     # r12: daily feeds stats + the cusum walk, cusum feeds peak + the
     # final select — each lazily checkpointed (|days| rows).
     stats = daily.agg(
@@ -2179,7 +2204,7 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") * F.col("n_days") - F.col("total")
         ).over(w).cast("bigint"),
     )
-    cusum = cusum.localCheckpoint(eager=False)
+    cusum = cusum.transform(pin)
     peak = cusum.agg(F.max(F.abs("cusum_scaled")).alias("peak"))
     return (
         cusum.crossJoin(F.broadcast(peak))
@@ -3027,7 +3052,9 @@ def llm_topic_keywords_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         wl.groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("a"))
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+        )
     )
     word_tot = cell.groupBy("word").agg(F.sum("a").alias("wt"))
     lang_tot = cell.groupBy("lang").agg(F.sum("a").alias("lt"))
@@ -3269,7 +3296,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineitem scans). Lazy localCheckpoint of the node-bounded
         # edge list (<= C(25,2) rows, computed inside the first action)
         # pins one evaluation; integer counts → identical output.
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     e1 = edges.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
     e2 = edges.select(F.col("u").alias("t_b2"), F.col("v").alias("t_c"))
@@ -3742,7 +3769,9 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("doc_id") % 10 == 7)
         .select(F.explode(F.expr(gram)).alias("g"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+        )
     )
     train_grams = toks.filter(F.col("doc_id") % 10 != 7).select(
         "doc_id", F.explode(F.expr(gram)).alias("g")
@@ -3759,7 +3788,7 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = (
         bitmap.groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     probe = train_grams
@@ -4227,13 +4256,17 @@ def evt_audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     # r12 (census + plan audit): referenced by several downstream
     # branches and re-planned per reference (repeated corpus scans /
-    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
-    # of this reduced frame — bit-identical rows.
-    du = du.localCheckpoint(eager=False)
+    # re-paid shuffles). r13: the frame's grain GROWS WITH THE CORPUS,
+    # so the pin is size-gated — one pinned evaluation while the
+    # bounding input is small, recompute (lineage kept, bounded
+    # executor storage) at scale; rows are bit-identical either way.
+    du = du.transform(
+        pin, approx_input_bytes=input_size_bytes(sf_dir, "events")
+    )
     day_sizes = (
         du.groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     a = du.select(F.col("day").alias("day_a"), "user_id")
     b = du.select(F.col("day").alias("day_b"), F.col("user_id").alias("uid_b"))
@@ -4576,7 +4609,9 @@ def llm_interpolated_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+        )
     )
     uni_tot = unigrams.agg(F.sum("c1").alias("n"))
     # size guard: sequence(1, 0) is descending — a single-token doc
@@ -5075,11 +5110,14 @@ def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned"),
         )
     )
-    # r12 (census + plan audit): this reduced frame is referenced by
-    # several downstream branches and was re-planned per reference
-    # (repeated corpus scans + re-paid shuffles); the lazy
-    # localCheckpoint pins one evaluation — bit-identical rows.
-    spans = spans.localCheckpoint(eager=False)
+    # r12 (census + plan audit): referenced by several downstream
+    # branches and re-planned per reference (repeated corpus scans +
+    # re-paid shuffles). r13: spans are USER-GRAIN (corpus-proportional),
+    # so the pin is size-gated — pinned while events is small, recompute
+    # at scale; rows are bit-identical either way.
+    spans = spans.transform(
+        pin, approx_input_bytes=input_size_bytes(sf_dir, "events")
+    )
     risk = (
         spans.groupBy(F.col("lifetime_days").alias("t"))
         .agg(F.sum("churned").alias("d"))
@@ -6437,7 +6475,7 @@ def agg_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFram
     counts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_cur"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
     )
@@ -7176,7 +7214,7 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     return pagerank_power(edges)
 
 
@@ -7219,7 +7257,7 @@ def pagerank_power(
             )
         )
         if i % 5 == 4:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(pin)
     w_rank = Window.orderBy(F.col("rank").desc(), "brand")
     return ranks.select(
         "brand",
@@ -8981,13 +9019,19 @@ def graph_cosupply_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 (census + plan audit): referenced by several downstream
     # branches and re-planned per reference (repeated corpus scans /
-    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
-    # of this reduced frame — bit-identical rows.
-    bip = li.distinct().localCheckpoint(eager=False)
+    # re-paid shuffles). r13: the frame's grain GROWS WITH THE CORPUS,
+    # so the pin is size-gated — one pinned evaluation while the
+    # bounding input is small, recompute (lineage kept, bounded
+    # executor storage) at scale; rows are bit-identical either way.
+    bip = li.distinct().transform(
+        pin, approx_input_bytes=input_size_bytes(sf_dir, "lineitem")
+    )
     deg = (
         bip.groupBy("s")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "supplier")
+        )
     )
     a, b = bip.alias("a"), bip.alias("b")
     pairs = (
@@ -10563,7 +10607,7 @@ def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = (
         ev.groupBy("event_type", cents.alias("cents"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "events"))
     )
     tots = vc.groupBy("event_type").agg(F.sum("c").alias("n"))
     w_val = Window.partitionBy("event_type").orderBy("cents")
@@ -10590,7 +10634,7 @@ def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
         )
         .agg(F.sum("c").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "events"))
     )
     mad = hist_median(dc, "dev", "mad_cents")
     outs = (
@@ -11034,7 +11078,9 @@ def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+        )
     )
     left_marg = bc.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("fanout")
@@ -11759,7 +11805,9 @@ def pipeline_cohort_repeat_purchase(
     # WindowGroupLimit(2) pushdown, <=2 rows per customer) serves both
     # rank filters, and the checkpointed customer-grain spans serves
     # both aggregates; integer/date arithmetic → identical rows.
-    top2 = ranked.where(F.col("rn") <= 2).localCheckpoint(eager=False)
+    top2 = ranked.where(F.col("rn") <= 2).transform(
+        pin, approx_input_bytes=input_size_bytes(sf_dir, "customer")
+    )
     firsts = top2.where(F.col("rn") == 1).select(
         "o_custkey",
         F.col("od").alias("d1"),
@@ -11779,7 +11827,9 @@ def pipeline_cohort_repeat_purchase(
                 F.datediff("d2", "d1").cast("bigint"),
             ).alias("gap_days"),
         )
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "customer")
+        )
     )
     cohort_tot = spans.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -11887,12 +11937,14 @@ def evt_extreme_value_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 (census + plan audit): referenced by several downstream
     # branches and re-planned per reference (repeated corpus scans /
-    # re-paid shuffles); the lazy localCheckpoint pins one evaluation
-    # of this reduced frame — bit-identical rows.
+    # re-paid shuffles). r13: the frame's grain GROWS WITH THE CORPUS,
+    # so the pin is size-gated — one pinned evaluation while the
+    # bounding input is small, recompute (lineage kept, bounded
+    # executor storage) at scale; rows are bit-identical either way.
     vc = (
         cents.groupBy("x")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "events"))
     )
     tot = vc.agg(F.sum("c").alias("n"))
     w = Window.orderBy("x").rowsBetween(
@@ -12200,9 +12252,11 @@ def evt_chain_ladder_projection(
     coh = (
         o.groupBy("o_custkey")
         .agg(F.min("m_idx").alias("c_idx"))
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "customer")
+        )
     )
-    cap = o.agg(F.max("m_idx").alias("mmax")).localCheckpoint(eager=False)
+    cap = o.agg(F.max("m_idx").alias("mmax")).transform(pin)
     inc = (
         o.join(coh, "o_custkey")
         .groupBy("c_idx", (F.col("m_idx") - F.col("c_idx")).alias("age"))
@@ -12228,7 +12282,7 @@ def evt_chain_ladder_projection(
     wc = Window.partitionBy("c_idx").orderBy("age")
     cum = dense.select(
         "c_idx", "age", F.sum("rev").over(wc).cast("bigint").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     nxt = cum.withColumn("nxt", F.lead("c").over(wc))
     fac = (
         nxt.where(F.col("nxt").isNotNull())
@@ -12685,7 +12739,7 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
         )
         .agg(F.count(F.lit(1)).alias("obs"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     rt = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
     ct = cells.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
@@ -12808,7 +12862,7 @@ def agg_psi_kll_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias(
             "n_cur"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
     )

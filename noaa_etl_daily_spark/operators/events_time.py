@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+from .materialize import input_size_bytes, pin
 
 
 @register(
@@ -300,20 +301,21 @@ def evt_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.select("user_id").distinct()
     # r12 (census + plan audit): v and c are each read by the next
     # stage AND the final wide join; re-planning per reference cost 7
-    # events scans + duplicated user-grain shuffles. Lazy
-    # localCheckpoints pin one evaluation of each |users|-grain frame.
+    # events scans + duplicated user-grain shuffles. r13: |users| grows
+    # with the corpus, so each pin is size-gated (pinned while events
+    # is small, recompute at scale).
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "events"))
     )
     c = (
         ev.join(v, "user_id")
         .where((F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "events"))
     )
     p = (
         ev.join(c, "user_id")
@@ -630,13 +632,13 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # next stage and its own census count, and Catalyst re-planned the
     # chain per reference — 6 events scans and re-paid user-grain
     # shuffles in the physical plan, against the docstring's reuse
-    # claim. Lazy localCheckpoints of the three |users|-grain frames
-    # (computed inside the first action) pin one evaluation each.
+    # claim. r13: |users| grows with the corpus, so each frame's pin is
+    # size-gated (pinned while events is small, recompute at scale).
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "events"))
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -644,7 +646,7 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=False)
+        .transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "events"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

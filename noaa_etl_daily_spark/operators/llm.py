@@ -48,6 +48,7 @@ from pyspark.sql.window import Window
 
 from ..registry import REGISTRY, register
 from ..tables import load
+from .materialize import input_size_bytes, pin
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -3087,16 +3088,19 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12 (census + plan audit): this subtree (tokenize + shingle
         # explode + md5 + distinct shuffle) was re-planned per reference
         # — freq, the df-cap join, doc_sizes and both self-join sides
-        # re-scanned documents 8 times in the physical plan. The lazy
-        # localCheckpoint (computed inside the first action) pins ONE
-        # evaluation of the narrow (doc_id, 16-byte-hash) frame; same
-        # rows, integer/hash arithmetic → bit-identical output.
-        .localCheckpoint(eager=False)
+        # re-scanned documents 8 times in the physical plan. r13: the
+        # frame is doc×distinct-shingle grain — CORPUS-PROPORTIONAL,
+        # not bounded — so the pin is size-gated: one pinned evaluation
+        # while documents is small, recompute at scale. Same rows,
+        # integer/hash arithmetic → bit-identical output either way.
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+        )
     )
     freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     informative = chunks.join(
         freq.where(F.col("df") <= 25).select("h"), "h"
-    ).localCheckpoint(eager=False)
+    ).transform(pin, approx_input_bytes=input_size_bytes(sf_dir, "documents"))
     doc_sizes = informative.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks")
     )
@@ -3592,7 +3596,9 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (4 documents scans in the physical plan, against this
         # docstring's one-shuffle claim). Lazy localCheckpoint pins one
         # evaluation of the narrow digest frame — bit-identical rows.
-        .localCheckpoint(eager=False)
+        .transform(
+            pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+        )
     )
     sz = gk.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = gk.alias("a"), gk.alias("b")
@@ -4192,7 +4198,9 @@ def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # several downstream branches and was re-planned per reference
     # (repeated corpus scans + re-paid shuffles); the lazy
     # localCheckpoint pins one evaluation — bit-identical rows.
-    uni = uni.localCheckpoint(eager=False)
+    uni = uni.transform(
+        pin, approx_input_bytes=input_size_bytes(sf_dir, "documents")
+    )
     tot = uni.agg(F.sum("n_tok").alias("n_total"))
     a = uni.alias("a")
     b = uni.alias("b")
@@ -4311,7 +4319,9 @@ def llm_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     mine = _nearest_cell(v, cb, "vec_id")
-    return _semdedup_dispositions(mine)
+    return _semdedup_dispositions(
+        mine, pin_input_bytes=input_size_bytes(sf_dir, "embeddings")
+    )
 
 
 def _nearest_cell(v: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
@@ -4401,7 +4411,9 @@ def _nearest_cell(v: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _semdedup_dispositions(mine: DataFrame) -> DataFrame:
+def _semdedup_dispositions(
+    mine: DataFrame, pin_input_bytes: int | None = None
+) -> DataFrame:
     """Within-cell keep-first SemDeDup over an assigned corpus
     ``(vec_id, m, cell)`` (``m`` = micro-quantized integer embedding):
     drop any vector with a lower-id cell-mate at 4dp cosine ≥ 0.25.
@@ -4414,9 +4426,16 @@ def _semdedup_dispositions(mine: DataFrame) -> DataFrame:
     r12 (census + plan audit): ``mine`` is read by both self-join
     sides AND the final disposition attach — re-planned per reference,
     the assignment pipeline (scan + argmax + codebook aggregate) ran
-    3x (6 embeddings scans). The lazy localCheckpoint pins one
-    evaluation of the narrow assigned frame."""
-    mine = mine.localCheckpoint(eager=False)
+    3x (6 embeddings scans). Pinning one evaluation of the assigned
+    frame is OPT-IN (r13, ADVICE r12): callers that exhibited the
+    re-planning problem pass ``pin_input_bytes`` (the bounding input's
+    on-disk size) and get the r13 size-gated pin — the frame is
+    vector-grain, i.e. corpus-proportional, so at scale the gate falls
+    back to recompute; callers that already pinned or stream-adapted
+    ``mine`` pass nothing and are not forced into a second
+    materialization."""
+    if pin_input_bytes is not None:
+        mine = pin(mine, approx_input_bytes=pin_input_bytes)
     a = mine.select(
         F.col("cell"), F.col("vec_id").alias("keep_id"), F.col("m").alias("ma")
     )
@@ -4486,7 +4505,9 @@ def llm_semdedup_cells_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x * 1000000).cast("bigint"),
     )
     mine = best.select("vec_id", micro.alias("m"), "cell")
-    return _semdedup_dispositions(mine)
+    return _semdedup_dispositions(
+        mine, pin_input_bytes=input_size_bytes(sf_dir, "embeddings")
+    )
 
 
 def _bpe_merge_pair(syms_col, a: str, b: str):
@@ -6247,7 +6268,7 @@ def pipeline_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor = _drift_funnel_psi(
         _spread(load(spark, sf_dir, "documents")),
         F.when(F.col("doc_id") % 5 == 4, "b").otherwise("a"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     g = monitor.agg(
         F.coalesce(F.sum("psi_term_nano"), F.lit(0))
         .cast("bigint")

@@ -21,26 +21,12 @@ Scale design (SURVEY.md §6 discipline):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-
-
-def _ckpt(df: DataFrame) -> DataFrame:
-    """Lazy localCheckpoint (scale_rank's pattern: plan compiled at
-    build, DATA computed inside the first action) used where one
-    intermediate feeds several consumers and the declarative tree above
-    it is large enough that re-planning/re-evaluating it dominates
-    (guide §3.3). ``SPARK_GRAFT_NO_CKPT=1`` skips the truncation so
-    tools_plans_r12.py can dump the full untruncated tree as evidence —
-    a debug knob only, never set by bench/driver paths."""
-    if os.environ.get("SPARK_GRAFT_NO_CKPT") == "1":
-        return df
-    return df.localCheckpoint(eager=False)
+from .materialize import input_size_bytes, pin
 
 Q3_CUTOFF = "1998-03-15 00:00:00"
 Q5_START = "1996-01-01 00:00:00"
@@ -1526,12 +1512,18 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value) and sorted it there, the guide §2.5 hot-key shape with no
     # AQE rescue (skew handling covers joins only). The groupBy is
     # map-side combinable (5 rows per task into a 5-row exchange) and
-    # the attach is a broadcast hash join. The lazy localCheckpoint
-    # (scale_rank's pattern — materialized inside the first action, not
-    # at build time) lets the counts branch and the attach read ONE
-    # evaluation of the manifest spine instead of re-running the
-    # quality-gate scan, at the documented lineage-truncation cost.
-    manifest = _ckpt(manifest)
+    # the attach is a broadcast hash join. The size-gated pin (r13 —
+    # the manifest is DOC-GRAIN, one row per corpus document, so at
+    # corpus scale the gate falls back to recompute rather than pinning
+    # corpus-sized non-replicated blocks) lets the counts branch and
+    # the attach read ONE evaluation of the manifest spine at fixture/
+    # small-estate scale instead of re-running the quality-gate scan.
+    manifest = pin(
+        manifest,
+        approx_input_bytes=input_size_bytes(
+            sf_dir, "documents", "embeddings"
+        ),
+    )
     counts = manifest.groupBy("disposition").agg(
         F.count(F.lit(1)).alias("n_in_disposition")
     )
@@ -1914,10 +1906,15 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     # r12: same disposition-count rewrite as pipeline_multimodal_
-    # curation — groupBy + broadcast join back over one lazily
-    # checkpointed manifest evaluation instead of a <=5-reducer
-    # corpus-grain window (guide §2.5).
-    manifest = _ckpt(manifest)
+    # curation — groupBy + broadcast join back over one pinned manifest
+    # evaluation instead of a <=5-reducer corpus-grain window (guide
+    # §2.5); r13 size-gates the DOC-GRAIN pin (recompute at scale).
+    manifest = pin(
+        manifest,
+        approx_input_bytes=input_size_bytes(
+            sf_dir, "documents", "embeddings"
+        ),
+    )
     counts = manifest.groupBy("disposition").agg(
         F.count(F.lit(1)).alias("n_in_disposition")
     )

@@ -47,6 +47,7 @@ from pyspark.sql.window import Window
 
 from ..registry import REGISTRY, register
 from ..tables import load
+from .materialize import pin
 
 # the originals (and their oracle SQL strings) must be registered first
 from . import analytics  # noqa: F401  (import order, not a name use)
@@ -55,11 +56,19 @@ from . import analytics  # noqa: F401  (import order, not a name use)
 def _range_parted(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     """Range-repartition on the sort key and pin the partitioning with a
     lazy localCheckpoint, so every downstream branch sees identical
-    ``spark_partition_id()`` assignments. Adds ``__pid``."""
+    ``spark_partition_id()`` assignments. Adds ``__pid``.
+
+    ``required=True``: this pin is a CORRECTNESS handshake (two
+    independent range shuffles could legally sample different bounds and
+    diverge the partition ids between the offset and rank branches), so
+    neither the ``SPARK_GRAFT_NO_CKPT`` plan-dump knob nor the r13 size
+    gate may disable it. The corpus-grain storage/fault-tolerance trade
+    is the module-docstring caveat: swap for ``checkpoint()`` against
+    reliable storage on long-lived clusters."""
     spark = df.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parted = df.repartitionByRange(p, *order_cols).localCheckpoint(
-        eager=False
+    parted = df.repartitionByRange(p, *order_cols).transform(
+        pin, required=True
     )
     return parted.withColumn("__pid", F.spark_partition_id())
 
@@ -97,6 +106,58 @@ def with_global_rank(
     if n_col is not None:
         out = out.withColumn(n_col, F.col("__n").cast("bigint"))
     return out.drop("__pid", "__rn", "__off", "__n")
+
+
+def with_rank_and_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_cols: list[str],
+    rank_col: str,
+    cum_cols: list[str],
+) -> DataFrame:
+    """Exact 1-based global rank AND exact running sums over the same
+    ``order_cols`` total order in ONE range shuffle (r13): the
+    per-partition window computes row_number and the running sums under
+    one (partition, order) spec — a single exchange+sort — and the
+    P-row offset table carries both the count prefix and each sum
+    prefix. Used where a query needs position and cumulative weight
+    together (pareto/weighted-median shapes); two separate
+    with_global_rank + with_cumsum calls would range-shuffle the corpus
+    twice."""
+    base = _range_parted(df, order_cols)
+    partials = base.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(c).alias(f"__p_{c}") for c in sum_cols],
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = partials.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__rk_off"),
+        *[
+            F.coalesce(F.sum(f"__p_{c}").over(w_off), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        base.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col, (F.col("__rk_off") + F.col("__rn")).cast("bigint")
+        )
+    )
+    for c, o in zip(sum_cols, cum_cols):
+        out = out.withColumn(
+            o, (F.col(f"__off_{c}") + F.sum(c).over(w_run)).cast("bigint")
+        )
+    return out.drop(
+        "__pid", "__rn", "__rk_off", *[f"__off_{c}" for c in sum_cols]
+    )
 
 
 def ntile_bucket(r: Column, n: Column, k: int) -> Column:

@@ -10,6 +10,10 @@
 - ``_nearest_cell``: the scan-stage argmax cell assignment must agree
   row-for-row with the crossJoin×K + window form it replaced,
   including NULL-cosine (zero-norm) tie-break semantics.
+- ``pin`` (r13): the shared fan-out materialization helper must take
+  the checkpoint branch on small inputs, the recompute branch above the
+  size gate (same rows either way), and a ``required=True`` pin must
+  survive both the debug knob and the gate.
 """
 
 from __future__ import annotations
@@ -136,3 +140,93 @@ def test_nearest_cell_matches_window_form(spark, sf_dir):
     }
     assert got == ref
     assert got[3] == 10  # all-NULL sims tie-break to smallest cell
+
+
+def _final_plan(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("Initial Plan")[0]
+
+
+def test_pin_size_gate_both_branches(spark, sf_dir, monkeypatch):
+    """The r13 size gate: a corpus-proportional frame is pinned (Scan
+    ExistingRDD in the plan) while its bounding input is small, and
+    falls back to recompute (no ExistingRDD — the r12-pre shape, always
+    correct) above the threshold, with identical rows either way.
+    graph_cosupply_projection carries two gated pins and no
+    ``required`` ones, so both branches are visible in its plan."""
+    from noaa_etl_daily_spark.registry import load_all
+
+    builder = load_all()["graph_cosupply_projection"].builder
+
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_MAX_INPUT_BYTES", raising=False)
+    pinned = builder(spark, sf_dir)
+    assert "ExistingRDD" in _final_plan(pinned)
+
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_MAX_INPUT_BYTES", "0")
+    recomputed = builder(spark, sf_dir)
+    assert "ExistingRDD" not in _final_plan(recomputed)
+
+    assert pinned.collect() == recomputed.collect()
+
+
+def test_pin_required_survives_knob_and_gate(spark, monkeypatch):
+    """scale_rank's partition-id handshake pin is correctness, not a
+    perf dedup: neither the plan-dump knob nor the size gate may
+    disable it — while both DO disable the non-required forms."""
+    from noaa_etl_daily_spark.operators.materialize import pin
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_CKPT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_MAX_INPUT_BYTES", "0")
+    df = spark.range(10)
+    assert pin(df) is df
+    assert pin(df, approx_input_bytes=123) is df
+    required = pin(df, required=True)
+    assert required is not df
+    assert "ExistingRDD" in _final_plan(required)
+
+
+def test_recursive_cte_unroll_is_k_invariant(spark, sf_dir):
+    """r13: sql_recursive_cte advances K months per UnionLoop iteration
+    (VERDICT r12 item 3). The emitted balances must be BIT-identical for
+    every K — including K=1 (the r12 sequential form, modulo the batch
+    carrier), a K that straddles the month count mid-batch, and a K
+    larger than the whole spine (one partial batch, no second
+    iteration) — because each batch entry repeats the sequential nested
+    double arithmetic rather than any reassociated closed form."""
+    from noaa_etl_daily_spark.operators.aggregates import (
+        _RC_UNROLL,
+        _rc_unrolled_sql,
+        sql_recursive_cte,
+    )
+
+    base = sql_recursive_cte(spark, sf_dir)  # registers _rc_idx view
+    want = sorted(
+        (r.month, r.rev, r.balance) for r in base.collect()
+    )
+    assert want, "fixture must have months"
+    for k in (1, 7, len(want) - 1, len(want) + 5):
+        if k == _RC_UNROLL or k < 1:
+            continue
+        got = sorted(
+            (r.month, r.rev, r.balance)
+            for r in spark.sql(_rc_unrolled_sql(k)).collect()
+        )
+        assert got == want, f"K={k} diverged"
+
+
+def test_pin_gate_arithmetic_and_unknown_inputs(spark, monkeypatch):
+    from noaa_etl_daily_spark.operators.materialize import (
+        _MAX_BYTES_DEFAULT,
+        _UNKNOWN_BYTES,
+        input_size_bytes,
+        pin,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_CKPT", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_MAX_INPUT_BYTES", raising=False)
+    df = spark.range(10)
+    assert pin(df, approx_input_bytes=_MAX_BYTES_DEFAULT + 1) is df
+    assert pin(df, approx_input_bytes=_MAX_BYTES_DEFAULT) is not df
+    # a table that cannot be sized reads as corpus-sized -> recompute
+    assert input_size_bytes("/nonexistent", "documents") == _UNKNOWN_BYTES
+    assert pin(df, approx_input_bytes=_UNKNOWN_BYTES) is df
