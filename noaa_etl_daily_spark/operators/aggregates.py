@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .materialize import pin
 
 # The flagship: TPC-H Q1-shaped pricing summary (SURVEY.md §7.2).
 # Scan → pushed filter → hash-agg (partial+final) → sort, all codegen'd.
@@ -592,7 +593,23 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     now materialized ONCE with a lazy localCheckpoint and the recursion
     joins that persisted frame — per-step cost drops to an 80-row scan,
     and the recursion arithmetic (r.balance * 1.01 + x.rev, same double
-    op order) is untouched, so results are bit-identical."""
+    op order) is untouched, so results are bit-identical.
+
+    Optimization r13 (VERDICT r12 item 3): the residual ~11-13 s was
+    UnionLoop's fixed per-iteration planning/job overhead × ~80
+    one-month iterations. The recursion now advances ``_RC_UNROLL``
+    months per iteration: the working row carries the frontier
+    ``(i, balance)`` plus an ARRAY of the rows it produced (months are
+    a dense row_number spine, so the batch is always the existing
+    prefix of the K LEFT-joined next months; the INNER first join
+    terminates the loop when the spine runs out), and the final SELECT
+    explodes every iteration's batch. Month i+j's balance is the
+    literal nested expression ``((..(b*1.01+rev_1)*1.01+rev_2)..)`` —
+    the SAME double op sequence as j sequential steps, so every
+    emitted balance is bit-identical to the one-month recursion
+    (proven against the unchanged DuckDB oracle and the r12 form).
+    ~80 iterations → ceil(79/16)+1 = 6; 10.6 → 2.1 s warm at sf0.01,
+    still corpus-independent."""
     orders = load(spark, sf_dir, "orders")
     from pyspark.sql.window import Window
 
@@ -601,19 +618,66 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
     idx = monthly.select(
         "month", "rev", F.row_number().over(Window.orderBy("month")).alias("i")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     idx.createOrReplaceTempView("_rc_idx")
-    return spark.sql(
-        """
-        WITH RECURSIVE r(i, month, rev, balance) AS (
-          SELECT i, month, rev, rev AS balance FROM _rc_idx WHERE i = 1
-          UNION ALL
-          SELECT x.i, x.month, x.rev, r.balance * 1.01 + x.rev
-          FROM _rc_idx x JOIN r ON x.i = r.i + 1
-        )
-        SELECT month, rev, round(balance, 2) AS balance FROM r
-        """
+    return spark.sql(_rc_unrolled_sql(_RC_UNROLL))
+
+
+#: Months advanced per recursion iteration. 16 ≈ the measured knee:
+#: fewer iterations stop paying UnionLoop's fixed per-iteration cost,
+#: while the step plan (K self-LEFT-joins of the ~80-row pinned index)
+#: stays trivially small. Results are K-invariant by construction
+#: (bit-identical nested arithmetic), pinned by the oracle tests.
+_RC_UNROLL = 16
+
+
+def _rc_unrolled_sql(k: int) -> str:
+    """Render the K-month-unrolled WITH RECURSIVE over ``_rc_idx``.
+
+    Balance for the j-th month of a batch repeats the j-step nested
+    expression from the frontier balance — NOT a reassociated closed
+    form — so the double op order is exactly the sequential
+    recursion's. ``filter(... s.i IS NOT NULL)`` keeps the existing
+    prefix when fewer than K months remain; ``element_at(batch, -1)``
+    is the new frontier; the INNER x1 join yields zero rows past the
+    last month, which ends the recursion."""
+
+    def bal(j: int) -> str:
+        e = "r.balance"
+        for m in range(1, j + 1):
+            e = f"({e} * 1.01 + x{m}.rev)"
+        return e
+
+    structs = ", ".join(
+        f"struct(x{j}.i AS i, x{j}.month AS month, x{j}.rev AS rev, "
+        f"{bal(j)} AS balance)"
+        for j in range(1, k + 1)
     )
+    joins = "\n    ".join(
+        "JOIN _rc_idx x1 ON x1.i = r.i + 1"
+        if j == 1
+        else f"LEFT JOIN _rc_idx x{j} ON x{j}.i = r.i + {j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+    WITH RECURSIVE r(i, balance, batch) AS (
+      SELECT i, rev AS balance,
+             array(struct(i AS i, month AS month, rev AS rev,
+                          rev AS balance)) AS batch
+      FROM _rc_idx WHERE i = 1
+      UNION ALL
+      SELECT element_at(b.batch, -1).i,
+             element_at(b.batch, -1).balance,
+             b.batch
+      FROM (
+        SELECT filter(array({structs}), s -> s.i IS NOT NULL) AS batch
+        FROM r
+        {joins}
+      ) b
+    )
+    SELECT s.month AS month, s.rev AS rev, round(s.balance, 2) AS balance
+    FROM r LATERAL VIEW explode(batch) t AS s
+    """
 
 
 @register(
@@ -962,29 +1026,71 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by value, running weight sum, and the weighted median is the
     first value whose cumulative weight reaches half the total.
 
-    Scale shape: one shuffle on the group key serves both windows (the
-    running sum and the per-group total share partitioning), then the
-    answer is min() over the qualifying suffix — monotonicity of the
-    cumulative sum makes first-qualifying ≡ min, so no second pass or
-    self-join. Weights are summed as INTEGERS (quantities are whole)
-    and the half-total comparison is 2·cum ≥ tot in integer arithmetic
-    — exact on both engines; the ordering tie-breaks on
-    (orderkey, linenumber) so the scan order never matters."""
+    Scale shape (r13 rewrite, guide §2.5 — caught by the
+    low-cardinality-window lint): the old form windowed
+    ``PARTITION BY l_returnflag`` over the RAW corpus — 3 distinct
+    flags means the whole table funnels through ≤3 reducers and sorts
+    there. The running weight is now a distributed prefix-sum over the
+    (flag, price, orderkey, linenumber) TOTAL order (scale_rank's
+    with_cumsum: one range shuffle that scales with executors), and
+    the per-flag cumulative is that global cumulative minus the
+    3-row broadcast prefix of earlier flags' totals — identical int64
+    values at any partition count. Weights are summed as INTEGERS
+    (quantities are whole) and the half-total comparison is 2·cum ≥
+    tot in integer arithmetic — exact on both engines; the ordering
+    tie-breaks on (orderkey, linenumber) so the scan order never
+    matters."""
     from pyspark.sql.window import Window as W
+
+    from .scale_rank import with_cumsum
 
     li = load(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
-    w_run = (
-        W.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    w_all = W.partitionBy("l_returnflag")
-    ranked = li.select(
+    rows = li.select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum(qty).over(w_run).alias("cum_w"),
-        F.sum(qty).over(w_all).alias("tot_w"),
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("w"),
+    )
+    g = with_cumsum(
+        rows,
+        [
+            F.col("l_returnflag"),
+            F.col("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        ["w"],
+        ["cum_all"],
+    )
+    # 3-row per-flag totals + prefix of earlier flags' totals: per-flag
+    # cum_w = global cum_all − weight_before(flag), exact in int64.
+    # The totals come from the RAW projection, not from g — referencing
+    # g twice would re-plan the whole range-shuffle subtree per
+    # reference (the §I trap); this way g is read exactly once and the
+    # totals cost one extra column-pruned scan + a 3-row exchange.
+    w_prev = W.orderBy("l_returnflag").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    off = (
+        rows.groupBy("l_returnflag")
+        .agg(F.sum("w").alias("tot_w"))
+        .select(
+            "l_returnflag",
+            "tot_w",
+            F.coalesce(F.sum("tot_w").over(w_prev), F.lit(0)).alias(
+                "w_before"
+            ),
+        )
+    )
+    ranked = (
+        g.join(
+            F.broadcast(off),
+            g["l_returnflag"].eqNullSafe(off["l_returnflag"]),
+        )
+        .drop(off["l_returnflag"])
+        .withColumn("cum_w", F.col("cum_all") - F.col("w_before"))
     )
     return (
         ranked.where(2 * F.col("cum_w") >= F.col("tot_w"))
