@@ -59,19 +59,97 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank over a tie-heavy key (equal quantities share a
     rank — deterministic as a result set even with ties) and ntile with a
     fully-tiebroken ordering (ntile assigns by row position, so ties MUST
-    be broken for cross-engine determinism)."""
+    be broken for cross-engine determinism).
+
+    r13 rewrite (guide §2.5, low-cardinality-window lint): the old
+    windows PARTITIONED the RAW corpus BY l_returnflag — 3 flags = 3
+    reducers sorting everything. Now ONE distributed global rank over
+    the fully-tiebroken (flag, qty, okey, lineno) total order gives
+    each row's within-flag position (minus the flag's 3-row broadcast
+    min-rank offset, §J pattern); rank() = the position of a (flag,
+    qty) tie-group's FIRST row = the group's min position, and
+    dense_rank() = the tie-group's 1-based index per flag — both read
+    off a (flag, qty)-grain aggregate (quantity is a bounded unit
+    domain — TPC-H quantities are 1..50 — so this frame is tiny and
+    broadcast back; null-safe equality keeps NULL-quantity rows total).
+    ntile is scale_rank's closed-form bucket on (position, n). Every
+    value is the same integer the engine's own window operators
+    produce, at any partition count."""
+    from .materialize import pin
+    from .scale_rank import ntile_bucket, with_global_rank
+
     li = load(spark, sf_dir, "lineitem")
-    ties = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    total = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    rows = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
+    g = with_global_rank(
+        rows,
+        [
+            F.col("l_returnflag"),
+            F.col("l_quantity"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        "grk",
+    )
+    # Everything per-flag / per-tie-group comes from ONE raw-frame
+    # (flag, qty) count aggregate — never from g, whose second
+    # reference would re-plan the range-shuffle subtree (§I trap).
+    # The tie-group frame is bounded by the unit-quantity domain
+    # (TPC-H quantities are 1..50 → ≤3×50 rows at any corpus size), so
+    # it is pinned and broadcast; its windows sit over the REDUCED
+    # frame. Within a flag: rank of a tie group's first row = 1 + the
+    # running count of strictly-smaller quantities; dense rank = the
+    # group's 1-based index; ntile reads (position, n) closed-form.
+    vg = pin(
+        rows.groupBy("l_returnflag", "l_quantity").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    w_prev = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        vg.groupBy("l_returnflag")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n"),
+            F.coalesce(F.sum("n").over(w_prev), F.lit(0)).alias("before"),
+        )
+    )
+    w_tie = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_dense = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ties = vg.select(
+        "l_returnflag",
         "l_quantity",
-        F.rank().over(ties).cast("long").alias("qty_rank"),
-        F.dense_rank().over(ties).cast("long").alias("qty_dense_rank"),
-        F.ntile(4).over(total).cast("long").alias("qty_quartile"),
+        (F.coalesce(F.sum("cnt").over(w_tie), F.lit(0)) + 1).alias(
+            "rank_in_flag"
+        ),
+        F.row_number().over(w_dense).alias("dr"),
+    )
+    ga = g.join(
+        F.broadcast(off), g["l_returnflag"].eqNullSafe(off["l_returnflag"])
+    ).drop(off["l_returnflag"])
+    ta = ties.alias("t")
+    ga = ga.alias("g")
+    out = ga.join(
+        F.broadcast(ta),
+        F.col("g.l_returnflag").eqNullSafe(F.col("t.l_returnflag"))
+        & F.col("g.l_quantity").eqNullSafe(F.col("t.l_quantity")),
+    )
+    pos = F.col("g.grk") - F.col("g.before")
+    return out.select(
+        F.col("g.l_orderkey").alias("l_orderkey"),
+        F.col("g.l_linenumber").alias("l_linenumber"),
+        F.col("g.l_quantity").alias("l_quantity"),
+        F.col("t.rank_in_flag").cast("long").alias("qty_rank"),
+        F.col("t.dr").cast("long").alias("qty_dense_rank"),
+        ntile_bucket(pos, F.col("g.n"), 4).cast("long").alias("qty_quartile"),
     )
 
 
@@ -264,20 +342,78 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-position window functions (percent_rank/cume_dist/ntile)
     — the distributional ranking surface. Deterministic total order via
-    the (price, orderkey, linenumber) sort key; one partitioned window
-    shuffle. Ratios rounded at 6dp: the divisors are exact small ints,
-    so both engines compute identical doubles before rounding."""
+    the (price, orderkey, linenumber) sort key. Ratios rounded at 6dp:
+    the divisors are exact small ints, so both engines compute
+    identical doubles before rounding.
+
+    r13 rewrite (guide §2.5, low-cardinality-window lint): the single
+    window PARTITIONED the RAW corpus BY l_returnflag — 3 flags = 3
+    reducers sorting everything. The within-flag position is now a
+    distributed global rank over the (flag, price, okey, lineno) total
+    order minus the flag's 3-row broadcast min-rank offset (§J
+    pattern); since the order is fully tie-broken, rank() ≡
+    row_number() ≡ that position, so percent_rank = (pos-1)/(n-1)
+    (0 when n=1, the SQL definition), cume_dist = pos/n (peer group =
+    1 row), and ntile is scale_rank's closed-form bucket — each the
+    exact double/integer arithmetic the engine's own window operators
+    perform, at any partition count."""
+    from .scale_rank import ntile_bucket, with_global_rank
+
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    rows = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    return li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+    g = with_global_rank(
+        rows,
+        [
+            F.col("l_returnflag"),
+            F.col("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        "grk",
+    )
+    # Per-flag first rank from RAW counts (the total order sorts flag
+    # first, so first_rk(flag) = 1 + Σ earlier flags' row counts) — a
+    # second reference to g would re-plan its range-shuffle subtree
+    # (§I trap); this costs one extra column-pruned scan + a 3-row
+    # exchange.
+    w_prev = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        rows.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            "n",
+            (F.coalesce(F.sum("n").over(w_prev), F.lit(0)) + 1).alias(
+                "first_rk"
+            ),
+        )
+    )
+    pos = F.col("grk") - F.col("first_rk") + 1
+    n = F.col("n")
+    return (
+        g.join(
+            F.broadcast(off),
+            g["l_returnflag"].eqNullSafe(off["l_returnflag"]),
+        )
+        .drop(off["l_returnflag"])
+        .withColumn("__pos", pos)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.when(
+                    n > 1, (F.col("__pos") - 1).cast("double") / (n - 1)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+            F.round(F.col("__pos").cast("double") / n, 6).alias("cume"),
+            ntile_bucket(F.col("__pos"), n, 4).cast("int").alias("quartile"),
+        )
     )
 
 
@@ -480,9 +616,19 @@ def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered whole-partition total and the ordered running sum are
     both integer-exact — no summation-order sensitivity anywhere, and
     the 80% crossover (5*cum >= 4*tot, integer algebra) lands on the
-    same row on every engine and every partitioning. One shuffle
-    serves all four windows (same partitioning); the crossover is
-    min(rn) over the qualifying suffix, monotone ⇒ no second pass."""
+    same row on every engine and every partitioning. The crossover is
+    min(rn) over the qualifying suffix, monotone ⇒ no second pass.
+
+    r13 rewrite (guide §2.5, low-cardinality-window lint): the old
+    windows partitioned the RAW corpus BY l_returnflag — 3 flags = 3
+    reducers sorting everything. Rank and running revenue are now ONE
+    distributed range pass over the (flag, price desc, okey, lineno)
+    total order (scale_rank.with_rank_and_cumsum), and the per-flag rn
+    / cum_rev_c subtract the 3-row broadcast prefix of earlier flags'
+    item counts / revenue totals — identical int64 values at any
+    partition count."""
+    from .scale_rank import with_rank_and_cumsum
+
     li = load(spark, sf_dir, "lineitem")
     cents = li.select(
         "l_returnflag",
@@ -490,18 +636,50 @@ def win_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
     )
-    wo = Window.partitionBy("l_returnflag").orderBy(
-        F.col("price_c").desc(), "l_orderkey", "l_linenumber"
+    g = with_rank_and_cumsum(
+        cents,
+        [
+            F.col("l_returnflag"),
+            F.col("price_c").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        ["price_c"],
+        "grk",
+        ["cum_all"],
     )
-    wa = Window.partitionBy("l_returnflag")
-    ranked = cents.select(
-        "l_returnflag",
-        F.sum("price_c")
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_rev_c"),
-        F.sum("price_c").over(wa).alias("tot_rev_c"),
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(wa).alias("n_items"),
+    # Per-flag totals from the RAW projection, not from g: a second
+    # reference to g would re-plan the range-shuffle subtree (§I trap);
+    # this costs one extra column-pruned scan + a 3-row exchange.
+    w_prev = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        cents.groupBy("l_returnflag")
+        .agg(
+            F.sum("price_c").alias("tot_rev_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            "tot_rev_c",
+            "n_items",
+            F.coalesce(F.sum("tot_rev_c").over(w_prev), F.lit(0)).alias(
+                "rev_before"
+            ),
+            F.coalesce(F.sum("n_items").over(w_prev), F.lit(0)).alias(
+                "items_before"
+            ),
+        )
+    )
+    ranked = (
+        g.join(
+            F.broadcast(off),
+            g["l_returnflag"].eqNullSafe(off["l_returnflag"]),
+        )
+        .drop(off["l_returnflag"])
+        .withColumn("cum_rev_c", F.col("cum_all") - F.col("rev_before"))
+        .withColumn("rn", F.col("grk") - F.col("items_before"))
     )
     return (
         ranked.where(5 * F.col("cum_rev_c") >= 4 * F.col("tot_rev_c"))

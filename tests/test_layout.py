@@ -497,6 +497,13 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # offsets windows + one epoch-1
                                       # prefix sum + 10-row decile-min
                                       # broadcast
+        # r13 low-cardinality-window rewrites (guide §2.5): each key's
+        # single-partition stages are scale_rank's P-row offsets window
+        # plus a ≤3-row per-flag prefix/offset window — never raw data
+        "agg_weighted_median",
+        "win_pareto_8020",
+        "win_percent_rank_cume_dist",
+        "win_rank_dense_ntile",
     }
     # Unpartitioned-WINDOW whitelist (VERDICT r4 task 3): a logical
     # Window with an EMPTY partition spec funnels its whole input
@@ -562,7 +569,54 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                       # DISTINCT-VALUE rows (threshold)
         "agg_rank_biased_overlap",    # BRAND-grain rank windows (≤25)
         "evt_chain_ladder_projection",  # AGE-grain factor suffix sums
+        # r13 low-cardinality-window rewrites: P-row scale_rank offsets
+        # windows + ≤3-row per-flag prefix windows
+        "agg_weighted_median",
+        "win_pareto_8020",
+        "win_percent_rank_cume_dist",
+        "win_rank_dense_ntile",
     }
+
+    # --- r13 lint 4: low-cardinality-key window over a non-reduced
+    # frame (VERDICT r12 item 5, completing the §J sweep). A Window
+    # PARTITIONED BY a bounded-domain key over the RAW corpus hashes
+    # everything into ≤|key-domain| reducers and sorts it there — the
+    # guide §2.5 hot-key funnel AQE cannot rescue (skew handling
+    # applies to joins only). r12 removed the known instances
+    # (disposition counts §G, per-source rank §J); r13 rewrote the
+    # four this lint caught on first run (agg_weighted_median,
+    # win_pareto_8020, win_percent_rank_cume_dist, win_rank_dense_ntile
+    # — all 3-reducer l_returnflag sorts of lineitem). Detection: the
+    # partition keys all come from the bounded-domain column vocabulary
+    # below (enum-like dims, calendar parts — scaling keys like
+    # doc_id/user_id are NOT in it), with no Aggregate/Deduplicate/
+    # WindowGroupLimit between the window and its leaves. ``__pid``
+    # partitions are scale_rank's per-physical-partition windows
+    # (P = shuffle conf, one task per partition by construction).
+    BOUNDED_COLS = {
+        "disposition", "source", "lang", "event_type", "l_returnflag",
+        "l_linestatus", "o_orderpriority", "o_orderstatus", "c_mktsegment",
+        "r_name", "n_name", "p_brand", "p_type", "p_container", "stage",
+        "half", "grp", "decile", "bucket", "bin", "cohort", "quartile",
+        "verdict", "month", "day", "hour", "dow", "epoch",
+        "l_shipmode", "shard", "band", "cell",
+        # NOT here: "segment" (llm_segment_dedup_global's segment column
+        # is 8-word TEXT — high-cardinality by design)
+    }
+    # Audited survivors: each names why the bounded-key window is safe.
+    LOW_CARD_WINDOW_OK = {
+        "win_topk_per_group",   # rank<=3 WindowGroupLimit over l_returnflag
+                                # (bounded per-reducer state — documented
+                                # trade for the exact oracle-pinned top-k
+                                # shape; the blanket REDUCED check also
+                                # covers it, entry kept for the record)
+        "evt_chain_ladder_projection",  # AGE-grain suffix window reads the
+                                # pinned cum triangle (months² rows) — the
+                                # LogicalRDD hides its Aggregate
+        "win_quantile_normalize",  # windows are scale_rank's __pid form;
+                                # listed for pinned-frame opacity only
+    }
+    REDUCED = {"Aggregate", "Deduplicate", "GlobalLimit", "WindowGroupLimit"}
 
     def _walk(node):
         yield node
@@ -570,17 +624,50 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         for i in range(ch.size()):
             yield from _walk(ch.apply(i))
 
-    cart_bad, bnlj_bad, sp_bad, win_bad, errors = [], [], [], [], []
+    def _attr_names(expr):
+        out = []
+        it = expr.references().iterator()
+        while it.hasNext():
+            out.append(it.next().name())
+        return out
+
+    def _low_card_window_hits(opt_plan):
+        hits = []
+        for node in _walk(opt_plan):
+            if node.nodeName() != "Window":
+                continue
+            pspec = node.partitionSpec()
+            if pspec.isEmpty():
+                continue  # the UNPART_WINDOW_OK lint's domain
+            cols = set()
+            for i in range(pspec.size()):
+                cols.update(_attr_names(pspec.apply(i)))
+            if not cols or "__pid" in cols:
+                continue  # scale_rank per-physical-partition window
+            if not cols <= BOUNDED_COLS:
+                continue  # a scaling key spreads the reducers
+            if any(
+                c.nodeName() in REDUCED for c in _walk(node) if c is not node
+            ):
+                continue  # input already reduced below the window
+            hits.append(sorted(cols))
+        return hits
+
+    cart_bad, bnlj_bad, sp_bad, win_bad, lowcard_bad, errors = (
+        [], [], [], [], [], []
+    )
     for name, q in sorted(REGISTRY.items()):
         try:
             qe = q.builder(spark, sf_dir)._jdf.queryExecution()
             plan = qe.executedPlan().toString()
+            opt = qe.optimizedPlan()
             unpart_windows = sum(
                 1
-                for node in _walk(qe.optimizedPlan())
+                for node in _walk(opt)
                 if node.nodeName() == "Window"
                 and node.partitionSpec().isEmpty()
             )
+            lowcard = _low_card_window_hits(opt)
         except Exception as ex:  # pragma: no cover
             errors.append((name, repr(ex)[:120]))
             continue
@@ -592,6 +679,8 @@ def test_registry_wide_plan_lint(spark, sf_dir):
             sp_bad.append(name)
         if unpart_windows and name not in UNPART_WINDOW_OK:
             win_bad.append(name)
+        if lowcard and name not in LOW_CARD_WINDOW_OK:
+            lowcard_bad.append((name, lowcard))
     assert not errors, errors
     assert not cart_bad, f"CartesianProduct outside join_cross: {cart_bad}"
     assert not bnlj_bad, (
@@ -606,6 +695,12 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         f"unpartitioned Window over unreviewed input (single-task "
         f"funnel at scale — use operators/scale_rank.py helpers or "
         f"justify in UNPART_WINDOW_OK): {win_bad}"
+    )
+    assert not lowcard_bad, (
+        f"Window partitioned by a bounded-domain key over a non-reduced "
+        f"frame (<=|domain| reducers sort the corpus — rewrite as "
+        f"groupBy+broadcast attach or scale_rank per-group offsets, or "
+        f"justify in LOW_CARD_WINDOW_OK): {lowcard_bad}"
     )
 
 
