@@ -152,11 +152,12 @@ def test_pin_size_gate_both_branches(spark, sf_dir, monkeypatch):
     ExistingRDD in the plan) while its bounding input is small, and
     falls back to recompute (no ExistingRDD — the r12-pre shape, always
     correct) above the threshold, with identical rows either way.
-    graph_cosupply_projection carries two gated pins and no
-    ``required`` ones, so both branches are visible in its plan."""
+    llm_dedup_containment carries two gated pins (chunks, informative)
+    and no ``required`` ones, so both branches are visible in its
+    plan."""
     from noaa_etl_daily_spark.registry import load_all
 
-    builder = load_all()["graph_cosupply_projection"].builder
+    builder = load_all()["llm_dedup_containment"].builder
 
     monkeypatch.delenv("SPARK_GRAFT_CKPT_MAX_INPUT_BYTES", raising=False)
     pinned = builder(spark, sf_dir)
