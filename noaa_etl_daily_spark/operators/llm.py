@@ -4836,10 +4836,17 @@ def _pq_quantized_subs(spark: SparkSession, sf_dir: str):
     )
     eq = d.withColumn(
         "e",
+        # nullif(nrm, 0): d is already zero-norm-filtered, but codegen's
+        # predicate subexpression elimination can evaluate this division
+        # SPECULATIVELY for rows the filter excludes (caught by the r13
+        # hostile no-crash sweep on the sibling trainer) — under ANSI
+        # that is a job-killing DIVIDE_BY_ZERO. NULL instead of 0 makes
+        # the expression total; surviving rows divide by the identical
+        # double, so results are bit-unchanged.
         F.expr(
             "transform(embedding, x -> cast(cast(round("
-            "cast(x as double) / sqrt(nrm) * 1000000) as bigint) "
-            "as double))"
+            "cast(x as double) / sqrt(nullif(nrm, cast(0 as double))) "
+            "* 1000000) as bigint) as double))"
         ),
     )
     subs = eq.select(
@@ -5250,11 +5257,19 @@ def _ivf_train_cells(
     emb = _spread(_sim_embeddings(spark, sf_dir))
     unit = emb.select(
         "vec_id",
+        # nullif(norm, 0): _sim_embeddings already filters zero-norm
+        # vectors, but whole-stage codegen's predicate subexpression
+        # elimination evaluated this division SPECULATIVELY for the
+        # filtered-out hostile zero row (FilterEvaluator subExpr_0 in
+        # the crash stack) — under ANSI a job-killing DIVIDE_BY_ZERO.
+        # NULL instead of 0 makes the expression total; admissible rows
+        # divide by the identical double, so the trained centroids are
+        # bit-unchanged on every non-hostile fixture.
         F.expr(
             "transform(embedding, x -> cast(x as double) / "
-            "sqrt(aggregate(transform(embedding, "
+            "sqrt(nullif(aggregate(transform(embedding, "
             "y -> cast(y as double) * cast(y as double)), "
-            "cast(0 as double), (a, v) -> a + v)))"
+            "cast(0 as double), (a, v) -> a + v), cast(0 as double))))"
         ).alias("e"),
     )
     seeds = (

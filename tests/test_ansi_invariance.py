@@ -29,6 +29,8 @@ from noaa_etl_daily_spark.registry import load_all
 from .conftest import SF_DIR
 from .test_hostile_inputs import build_hostile_fixture
 
+from ._sampling import default_sample
+
 REGISTRY = load_all()
 
 ANSI_KEYS = [
@@ -99,14 +101,14 @@ def _both_modes(spark, name, sf):
     return on, off
 
 
-@pytest.mark.parametrize("name", ANSI_KEYS)
+@pytest.mark.parametrize("name", default_sample(ANSI_KEYS, 2, salt="ansi"))
 def test_ansi_mode_invariant_clean(spark, name):
     on, off = _both_modes(spark, name, SF_DIR)
     assert on == off, f"{name}: answer depends on spark.sql.ansi.enabled"
     assert len(on) > 0
 
 
-@pytest.mark.parametrize("name", ANSI_KEYS)
+@pytest.mark.parametrize("name", default_sample(ANSI_KEYS, 2, salt="ansi"))
 def test_ansi_mode_invariant_hostile(spark, hostile_dir, name):
     """Same invariance where it actually hides: the poisoned corpus's
     malformed/overflow/dangling inputs are exactly what non-ANSI

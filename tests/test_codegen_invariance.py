@@ -27,6 +27,8 @@ from noaa_etl_daily_spark.registry import load_all
 from .conftest import SF_DIR
 from .test_hostile_inputs import build_hostile_fixture
 
+from ._sampling import default_sample
+
 REGISTRY = load_all()
 
 #: Representative keys per expression family most at risk of
@@ -84,7 +86,7 @@ def _run_mode(spark, name, sf, mode):
             spark.conf.set(k, v)
 
 
-@pytest.mark.parametrize("name", CODEGEN_KEYS)
+@pytest.mark.parametrize("name", default_sample(CODEGEN_KEYS, 2, salt="cg"))
 def test_codegen_vs_interpreted_clean(spark, name):
     compiled = _run_mode(spark, name, SF_DIR, "compiled")
     interpreted = _run_mode(spark, name, SF_DIR, "interpreted")
@@ -94,7 +96,7 @@ def test_codegen_vs_interpreted_clean(spark, name):
     assert len(compiled) > 0
 
 
-@pytest.mark.parametrize("name", CODEGEN_KEYS)
+@pytest.mark.parametrize("name", default_sample(CODEGEN_KEYS, 2, salt="cg"))
 def test_codegen_vs_interpreted_hostile(spark, hostile_dir, name):
     compiled = _run_mode(spark, name, hostile_dir, "compiled")
     interpreted = _run_mode(spark, name, hostile_dir, "interpreted")

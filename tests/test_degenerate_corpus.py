@@ -60,7 +60,11 @@ def onerow_dir(tmp_path_factory):
     return _build(str(tmp_path_factory.mktemp("onerow_sf")), 1)
 
 
-ALL_KEYS = sorted(REGISTRY)
+from ._sampling import default_sample
+
+# r13: default run = deterministic 1-in-8 subset; the seal runs all
+# keys (SPARK_GRAFT_FULL_SUITE=1) - see tests/_sampling.py.
+ALL_KEYS = default_sample(sorted(REGISTRY), 8)
 
 
 @pytest.mark.parametrize("name", ALL_KEYS)

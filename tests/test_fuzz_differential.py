@@ -1746,12 +1746,29 @@ def test_fuzz_try_divide_matches_duckdb_division(spark, oracle, pairs):
             f"t(rid, a, b)"
         ).fetchall()
     )
+    import math
+
     for rid in got:
         g, w = got[rid], want[rid]
         if g is not None:
             g = g + 0.0  # -0.0 → 0.0; see the round(-0.0) pin below
         if w is not None:
             w = w + 0.0
+        if g is not None and w is not None and abs(w) >= 9e6:
+            # Pinned engine boundary (found by this fuzz in r13:
+            # a/b = 290917 / 1.192092896e-07 ≈ 2.44e12 → spark
+            # ...528.42 vs duck ...528.4204): above |q| ≈ 2^53/1e9 the
+            # 9-dp grid is coarser than a double ULP, and the engines'
+            # round() implementations (BigDecimal-exact vs floating
+            # x*1e9 paths) legitimately land 1 ULP apart. No registry
+            # query rounds magnitudes that large at 9 dp (G2 rounds
+            # ratios/shares; big magnitudes round at 2 dp), so the
+            # differential requirement out here is ULP agreement, not
+            # repr equality.
+            assert g == w or abs(g - w) <= 2 * math.ulp(abs(w)), (
+                f"rid={rid}: a,b={pairs[rid]} spark={g!r} duck={w!r}"
+            )
+            continue
         assert (g is None and w is None) or repr(g) == repr(w), (
             f"rid={rid}: a,b={pairs[rid]} spark={g!r} duck={w!r}"
         )

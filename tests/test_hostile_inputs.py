@@ -186,6 +186,13 @@ def _reads_hostile_tables(name: str) -> bool:
 
 
 HOSTILE_KEYS = sorted(n for n in REGISTRY if _reads_hostile_tables(n))
+# r13: the no-crash sweep runs a deterministic 1-in-8 subset by
+# default (the substantial-selection assert below stays on the FULL
+# list); the seal runs every key (SPARK_GRAFT_FULL_SUITE=1) plus the
+# strictly stronger hostile VALUE differential.
+from ._sampling import default_sample
+
+SWEPT_HOSTILE_KEYS = default_sample(HOSTILE_KEYS, 8)
 
 
 def test_hostile_key_selection_is_substantial():
@@ -195,7 +202,7 @@ def test_hostile_key_selection_is_substantial():
     assert len(HOSTILE_KEYS) >= 300, len(HOSTILE_KEYS)
 
 
-@pytest.mark.parametrize("name", HOSTILE_KEYS)
+@pytest.mark.parametrize("name", SWEPT_HOSTILE_KEYS)
 def test_hostile_inputs_no_crash(spark, hostile_dir, name):
     """Every documents/events/embeddings query must execute to
     completion on a corpus containing adversarial rows — with EVERY

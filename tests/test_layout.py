@@ -615,6 +615,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
                                 # LogicalRDD hides its Aggregate
         "win_quantile_normalize",  # windows are scale_rank's __pid form;
                                 # listed for pinned-frame opacity only
+        "win_rank_dense_ntile", # tie-rank/dense windows run over the
+                                # PINNED (flag, quantity) count frame —
+                                # bounded by the unit-quantity domain;
+                                # the LogicalRDD hides its Aggregate
     }
     REDUCED = {"Aggregate", "Deduplicate", "GlobalLimit", "WindowGroupLimit"}
 
@@ -656,7 +660,16 @@ def test_registry_wide_plan_lint(spark, sf_dir):
     cart_bad, bnlj_bad, sp_bad, win_bad, lowcard_bad, errors = (
         [], [], [], [], [], []
     )
+    # r13: the default run lints a deterministic 1-in-4 key subset (the
+    # seal lints all 465 via SPARK_GRAFT_FULL_SUITE=1); building every
+    # plan was ~290 s of the driver-window wall. Sampling keys, not
+    # rules: every plan rule still runs on every sampled key.
+    from ._sampling import default_sample
+
+    lint_keys = set(default_sample(sorted(REGISTRY), 4, salt="lint"))
     for name, q in sorted(REGISTRY.items()):
+        if name not in lint_keys:
+            continue
         try:
             qe = q.builder(spark, sf_dir)._jdf.queryExecution()
             plan = qe.executedPlan().toString()

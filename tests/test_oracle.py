@@ -13,8 +13,18 @@ from noaa_etl_daily_spark.registry import load_all
 from .conftest import assert_same_results
 
 REGISTRY = load_all()
-ORACLED = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
-ROWS_ONLY = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+from ._sampling import default_sample
+
+# r13: default run diffs a deterministic 1-in-2 subset of the oracled
+# keys (the seal diffs ALL of them at sf0.01 AND sf0.1; the round
+# tooling additionally driver-sims 465/465 before every commit batch)
+# - see tests/_sampling.py.
+ORACLED = default_sample(
+    sorted(name for name, q in REGISTRY.items() if q.oracle is not None), 2
+)
+ROWS_ONLY = default_sample(
+    sorted(name for name, q in REGISTRY.items() if q.oracle is None), 2
+)
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -37,7 +37,12 @@ from noaa_etl_daily_spark.registry import load_all
 from .conftest import SF_DIR, _cell_key, canonicalize
 
 REGISTRY = load_all()
-ALL_KEYS = sorted(REGISTRY)
+from ._sampling import default_sample
+
+# r13: the default run folds a deterministic 1-in-8 key subset (the
+# seal re-runs ALL keys here at sf0.01 AND sf0.1 via
+# SPARK_GRAFT_FULL_SUITE=1 / seal step 3) - see tests/_sampling.py.
+ALL_KEYS = default_sample(sorted(REGISTRY), 8)
 
 #: Approximate-by-design ops whose MERGE TREE is layout-dependent: the
 #: per-partition sketch partials differ when the input splits differ,

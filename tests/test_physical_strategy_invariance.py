@@ -58,6 +58,8 @@ from noaa_etl_daily_spark.registry import load_all
 from .conftest import SF_DIR
 from .test_hostile_inputs import build_hostile_fixture
 
+from ._sampling import default_sample
+
 REGISTRY = load_all()
 
 #: Join-bearing keys, one per join shape the registry exercises.
@@ -212,7 +214,7 @@ def test_arrow_key_list_is_complete():
     )
 
 
-@pytest.mark.parametrize("name", JOIN_KEYS)
+@pytest.mark.parametrize("name", default_sample(JOIN_KEYS, 2, salt="ps"))
 def test_join_strategy_invariance_clean(spark, name):
     results = {
         mode: _run_with_confs(spark, name, SF_DIR, confs)
@@ -226,7 +228,7 @@ def test_join_strategy_invariance_clean(spark, name):
     assert len(results["default"]) > 0
 
 
-@pytest.mark.parametrize("name", JOIN_KEYS_HOSTILE)
+@pytest.mark.parametrize("name", default_sample(JOIN_KEYS_HOSTILE, 2, salt="ps"))
 def test_join_strategy_invariance_hostile(spark, hostile_dir, name):
     results = {
         mode: _run_with_confs(spark, name, hostile_dir, confs)
@@ -237,7 +239,7 @@ def test_join_strategy_invariance_hostile(spark, hostile_dir, name):
     )
 
 
-@pytest.mark.parametrize("name", ARROW_KEYS)
+@pytest.mark.parametrize("name", default_sample(ARROW_KEYS, 2, salt="ps"))
 def test_arrow_batch_size_invariance(spark, name):
     base = _run_with_confs(spark, name, SF_DIR, {})
     assert len(base) > 0
@@ -302,7 +304,7 @@ _AGG_MODES = {
 }
 
 
-@pytest.mark.parametrize("name", READER_KEYS)
+@pytest.mark.parametrize("name", default_sample(READER_KEYS, 2, salt="ps"))
 def test_reader_path_invariance(spark, name):
     vectorized = _run_with_confs(spark, name, SF_DIR, {})
     rowbased = _run_with_confs(spark, name, SF_DIR, _ROW_READER)
@@ -312,7 +314,7 @@ def test_reader_path_invariance(spark, name):
     assert len(vectorized) > 0
 
 
-@pytest.mark.parametrize("name", AGG_EXEC_KEYS)
+@pytest.mark.parametrize("name", default_sample(AGG_EXEC_KEYS, 2, salt="ps"))
 def test_aggregate_exec_path_invariance(spark, name):
     base = _run_with_confs(spark, name, SF_DIR, {})
     assert len(base) > 0

@@ -42,6 +42,8 @@ import os
 import shutil
 
 import pytest
+
+from ._sampling import default_sample
 from pyspark.sql import functions as F
 
 from noaa_etl_daily_spark.operators.scans import _scratch
@@ -87,7 +89,7 @@ TWINS = {
 }
 
 
-@pytest.mark.parametrize("twin", sorted(TWINS))
+@pytest.mark.parametrize("twin", default_sample(sorted(TWINS), 2, salt="tw"))
 def test_batchcut_invariance(spark, ordered_src, twin):
     builder, mode = TWINS[twin]
     results = []

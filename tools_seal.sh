@@ -24,7 +24,11 @@ set -euo pipefail
 cd "$(dirname "$0")"
 
 echo "== seal 1/7: full suite (sf0.01) =="
-python -m pytest tests/ -x -q
+# SPARK_GRAFT_FULL_SUITE=1 disables the r13 default-run sampling
+# (tests/_sampling.py): the seal runs EVERY key of every registry-wide
+# sweep, while the plain `pytest tests/ -q` the driver executes runs
+# the deterministic subsets sized for its verify window.
+SPARK_GRAFT_FULL_SUITE=1 python -m pytest tests/ -x -q
 
 echo "== seal 2/7: sf0.1 full differential (oracle value-diff at 10x) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
